@@ -1,0 +1,216 @@
+package graft.core
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Thrown when a dataset lacks the graft sidecar and the caller disabled
+  * reading foreign datasets (the reference's `MissingS3ParqMetadata`,
+  * fetch_parq.py:649).
+  */
+final class MissingGraftMetadata(msg: String) extends RuntimeException(msg)
+
+/** Partition-pruned dataset reader + partition-value introspection — the
+  * Spark-native re-expression of the reference's fetch surface
+  * (s3parq fetch_parq.py:49-330).
+  *
+  * Scale design:
+  *  - `fetch` compiles filters to a predicate over partition columns only;
+  *    Catalyst evaluates it against the partition spec (`PartitionFilters`
+  *    in the scan node), so non-matching hive directories are never listed
+  *    as splits, let alone read — the reference prunes S3 keys the same
+  *    way, driver-side (fetch_parq.py:450).
+  *  - the `get_*_partition_values` family walks the directory tree to
+  *    partition depth only (no data files opened, no Spark jobs): O(#dirs)
+  *    driver work, exactly like the reference's key parsing
+  *    (fetch_parq.py:391) but without paging every object.
+  *  - `fetchDiff` computes the value diff from listings and then does ONE
+  *    pruned scan of the differing partitions — no join, no shuffle.
+  */
+object Fetch {
+
+  // ---------------------------------------------------------------- fetch
+
+  /** Filtered, partition-pruned read of a graft dataset (fetch_parq.py:152).
+    *
+    * Partition columns are restored to their logical types from the sidecar
+    * and columns are returned in original publish order — the analogue of
+    * the reference's partition repopulation (fetch_parq.py:564). Datasets
+    * without a sidecar are readable when `acceptNotGraft` (Spark's inferred
+    * types apply; filters are ignored, matching the reference, which only
+    * prunes via its own metadata — fetch_parq.py:194-198).
+    */
+  def fetch(spark: SparkSession, root: String, filters: Seq[ColFilter] = Nil,
+            acceptNotGraft: Boolean = true): DataFrame = {
+    Filters.validateRules(filters)
+    DatasetMeta.read(spark, root) match {
+      case None =>
+        if (!acceptNotGraft)
+          throw new MissingGraftMetadata(
+            s"Dataset at $root is missing graft metadata; enable acceptNotGraft to read it anyway.")
+        if (allFiles(spark, root).isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(root)
+      case Some(meta) =>
+        Filters.validateAgainst(meta, filters)
+        if (allFiles(spark, root).isEmpty)
+          return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+        val raw = spark.read.parquet(root)
+        val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
+        // Cast-and-reorder AFTER the filter: the predicate stays a pure
+        // partition-column expression the scan can prune on.
+        val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+        filtered.select(restored: _*)
+    }
+  }
+
+  /** Rows of `inputRoot` whose `partition` value does not occur in
+    * `comparisonRoot` (vice versa when `reverse`) — fetch_parq.py:233.
+    * Listing-only diff, then one pruned scan.
+    */
+  def fetchDiff(spark: SparkSession, inputRoot: String, comparisonRoot: String,
+                partition: String, reverse: Boolean = false): DataFrame = {
+    val comparisonValues = getAllPartitionValues(spark, comparisonRoot, partition)
+    val diffValues = getDiffPartitionValues(spark, inputRoot, partition, comparisonValues, reverse)
+    val filters = Seq(ColFilter(partition, "==", diffValues))
+    if (reverse) fetch(spark, comparisonRoot, filters)
+    else fetch(spark, inputRoot, filters)
+  }
+
+  // ------------------------------------------------- listing introspection
+
+  /** All distinct values of `partition`, correctly typed, in no guaranteed
+    * order (fetch_parq.py:49). Directory listing only.
+    */
+  def getAllPartitionValues(spark: SparkSession, root: String, partition: String): Seq[Any] = {
+    val meta = requireMeta(spark, root)
+    rawPartitionValues(spark, root, meta, partition)
+      .map(parseValue(_, meta.partitionType(partition))).toSeq
+  }
+
+  /** Values of `partition` present in the dataset but not in
+    * `valuesToDiff`; with `reverse`, values of `valuesToDiff` not present
+    * in the dataset (fetch_parq.py:73). Typed set difference from listings.
+    */
+  def getDiffPartitionValues(spark: SparkSession, root: String, partition: String,
+                             valuesToDiff: Seq[Any], reverse: Boolean = false): Seq[Any] = {
+    val meta = requireMeta(spark, root)
+    val dt = meta.partitionType(partition)
+    val present: Set[Any] =
+      rawPartitionValues(spark, root, meta, partition).map(parseValue(_, dt)).toSet
+    val given: Set[Any] = valuesToDiff.map(normalize(_, dt)).toSet
+    val diff = if (reverse) given -- present else present -- given
+    diff.toSeq
+  }
+
+  /** Max value of a numeric/datetime partition; rejected for string/bool
+    * partitions like the reference (fetch_parq.py:121,145).
+    */
+  def getMaxPartitionValue(spark: SparkSession, root: String, partition: String): Option[Any] = {
+    val meta = requireMeta(spark, root)
+    val dt = meta.partitionType(partition)
+    dt match {
+      case StringType | BooleanType =>
+        throw new IllegalArgumentException(s"Max cannot be used on partition types of $dt")
+      case _ => ()
+    }
+    val vals = rawPartitionValues(spark, root, meta, partition).map(parseValue(_, dt))
+    if (vals.isEmpty) None else Some(vals.max(orderingFor(dt)))
+  }
+
+  /** All data-file paths of the dataset (fetch_parq.py:327). */
+  def allFiles(spark: SparkSession, root: String): Seq[String] =
+    Publish.listDataFiles(spark, root)
+
+  // -------------------------------------------------------------- internals
+
+  private def requireMeta(spark: SparkSession, root: String): DatasetMeta =
+    DatasetMeta.read(spark, root).getOrElse(
+      throw new MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
+
+  /** Distinct raw (unescaped string) values of one partition, by walking
+    * the hive directory tree to that partition's depth. Never opens a file.
+    */
+  private def rawPartitionValues(spark: SparkSession, root: String,
+                                 meta: DatasetMeta, partition: String): Set[String] = {
+    val depth = meta.partitions.indexOf(partition)
+    require(depth >= 0, s"$partition is not a partition of the dataset at $root")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Set.empty
+    var dirs: Seq[Path] = Seq(rootPath)
+    var values = Set.empty[String]
+    meta.partitions.take(depth + 1).foreach { p =>
+      val level = dirs.flatMap { d =>
+        fs.listStatus(d).toIndexedSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(p + "="))
+          .map(st => unescapePathName(st.getPath.getName.substring(p.length + 1)) -> st.getPath)
+      }
+      if (p == partition) values = level.map(_._1).toSet
+      dirs = level.map(_._2)
+    }
+    values - HiveDefaultPartition
+  }
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Reverse of hive's path-name escaping (%XX hex sequences). */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a hive directory value string into the partition's logical type
+    * (the analogue of the reference's `convert_type`, fetch_parq.py:283).
+    */
+  private[graft] def parseValue(raw: String, dt: DataType): Any = dt match {
+    case StringType => raw
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case ShortType => raw.toShort
+    case ByteType => raw.toByte
+    case FloatType => raw.toFloat
+    case DoubleType => raw.toDouble
+    case BooleanType => raw.toBoolean
+    case _: DecimalType => BigDecimal(raw)
+    case DateType => java.sql.Date.valueOf(raw)
+    case TimestampType | TimestampNTZType => Timestamp.valueOf(raw)
+    case other => throw new IllegalArgumentException(s"Unsupported partition type $other")
+  }
+
+  /** Bring a user-supplied diff value onto the same typed footing as parsed
+    * directory values (strings are parsed; natural values pass through).
+    */
+  private def normalize(v: Any, dt: DataType): Any = v match {
+    case s: String if dt != StringType => parseValue(s, dt)
+    case i: Int if dt == LongType => i.toLong
+    case other => other
+  }
+
+  private def orderingFor(dt: DataType): Ordering[Any] = {
+    val ord: Ordering[_] = dt match {
+      case IntegerType => Ordering.Int
+      case LongType => Ordering.Long
+      case ShortType => Ordering.Short
+      case ByteType => Ordering.Byte
+      case FloatType => Ordering.Float.TotalOrdering
+      case DoubleType => Ordering.Double.TotalOrdering
+      case _: DecimalType => Ordering.by((b: BigDecimal) => b)
+      case DateType => Ordering.by((d: java.sql.Date) => d.getTime)
+      case TimestampType | TimestampNTZType => Ordering.by((t: Timestamp) => t.getTime)
+      case other => throw new IllegalArgumentException(s"No ordering for partition type $other")
+    }
+    ord.asInstanceOf[Ordering[Any]]
+  }
+}

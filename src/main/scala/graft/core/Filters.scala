@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A partition-level filter: `partition <comparison> value` for any of
+  * `values` (OR-folded across the value list, matching the reference's
+  * semantics of applying the comparison per-value and unioning matches —
+  * s3parq fetch_parq.py:450-478).
+  *
+  * Comparisons: `== != > < >= <=`. Range comparisons accept exactly one
+  * value (fetch_parq.py:588-614); `==` with a value list is the reference's
+  * "in" form.
+  */
+final case class ColFilter(partition: String, comparison: String, values: Seq[Any])
+
+object Filters {
+
+  /** Comparison ops supported by the reference (fetch_parq.py:29). */
+  val Ops: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
+
+  private val SingleValueOps = Set(">", "<", ">=", "<=")
+
+  /** Partition types on which range comparisons are rejected
+    * (fetch_parq.py:38 NON_NUM_TYPES: string/category/bool).
+    */
+  private def isNonNumeric(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Structural filter validation (fetch_parq.py:588 `_validate_filter_rules`). */
+  def validateRules(filters: Seq[ColFilter]): Unit =
+    filters.foreach { f =>
+      require(f.partition != null && f.partition.nonEmpty,
+        "Filters require partition, comparison, and values.")
+      require(Ops.contains(f.comparison), s"Comparison ${f.comparison} is not supported.")
+      if (SingleValueOps.contains(f.comparison))
+        require(f.values.length == 1,
+          s"Comparison ${f.comparison} can only be used with one filter value.")
+    }
+
+  /** Type-compatibility validation against the dataset's partition types
+    * (fetch_parq.py:617 `_validate_matching_filter_data_type`).
+    */
+  def validateAgainst(meta: DatasetMeta, filters: Seq[ColFilter]): Unit =
+    filters.foreach { f =>
+      require(meta.partitions.contains(f.partition),
+        "Filter does not have a matching partition.")
+      if (SingleValueOps.contains(f.comparison))
+        require(!isNonNumeric(meta.partitionType(f.partition)),
+          s"Comparison ${f.comparison} cannot be used on partition types of ${meta.partitionType(f.partition)}")
+    }
+
+  /** Compile filters to ONE Catalyst predicate over partition columns.
+    *
+    * The partition column is cast to its logical type from the dataset
+    * sidecar before comparison, so hive-directory strings compare typed
+    * (the Spark analogue of the reference's typed key pruning,
+    * fetch_parq.py:421-447). The predicate references only partition
+    * columns, so Catalyst evaluates it driver-side against the partition
+    * spec (`PartitionFilters`): non-matching directories are never even
+    * planned as splits — nothing is read from them.
+    *
+    * An empty value list compiles to `false` (matches the reference:
+    * no value ⇒ no matching partitions ⇒ empty frame with headers).
+    */
+  def compile(meta: DatasetMeta, filters: Seq[ColFilter]): Option[Column] = {
+    val preds = filters.map { f =>
+      val c = col(f.partition).cast(meta.partitionType(f.partition))
+      val perValue: Seq[Column] = f.values.map { v =>
+        val l = typedLit(meta.partitionType(f.partition), v)
+        f.comparison match {
+          case "==" => c === l
+          case "!=" => c =!= l
+          case ">"  => c > l
+          case "<"  => c < l
+          case ">=" => c >= l
+          case "<=" => c <= l
+        }
+      }
+      perValue.reduceOption(_ || _).getOrElse(lit(false))
+    }
+    preds.reduceOption(_ && _)
+  }
+
+  /** A literal of the partition's logical type; accepts natural Scala values
+    * plus strings (parsed via cast) for every supported partition type.
+    */
+  private def typedLit(dt: DataType, v: Any): Column = v match {
+    case s: String => lit(s).cast(dt)
+    case other     => lit(other).cast(dt)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hive-partitioned snappy-parquet dataset writer — the Spark-native
+  * re-expression of the reference's `publish` / `custom_publish`
+  * (s3parq publish_parq.py:480,576).
+  *
+  * Differences from the reference, by design (scale):
+  *  - The reference slices the pandas frame driver-side into ~60 MB chunks
+  *    (publish_parq.py:403 `_sized_dataframes`) and uploads each; graft
+  *    keeps the data distributed: file size is enforced by the writer via
+  *    `maxRecordsPerFile` from a sampled bytes/row estimate, and rows are
+  *    routed with a salted repartition so a single hot partition value
+  *    still writes in parallel instead of through one task.
+  *  - Partition-type metadata is stamped once in a `_graft_meta.json`
+  *    sidecar (see [[DatasetMeta]]) instead of per-object S3 metadata
+  *    (publish_parq.py:211 `_assign_partition_meta`) — O(1) metadata reads
+  *    regardless of file count.
+  */
+object Publish {
+
+  /** Ideal compressed output file size — 60 MB, the reference's Spectrum
+    * sweet spot (publish_parq.py:434).
+    */
+  val TargetFileBytes: Long = 60L * (1 << 20)
+
+  /** Parquet compression ratio assumed from in-memory size, matching the
+    * reference's observed 3.5-4.5x (publish_parq.py:430-432).
+    */
+  val CompressionRatio: Double = 4.0
+
+  /** Hive reserved words that cannot be partition names
+    * (publish_parq.py:62 `_check_partition_compatibility`).
+    */
+  private val HiveReserved: Set[String] =
+    ("ALL ALTER AND ARRAY AS AUTHORIZATION BETWEEN BIGINT BINARY BOOLEAN BOTH BY CASE CAST CHAR COLUMN " +
+      "CONF CREATE CROSS CUBE CURRENT CURRENT_DATE CURRENT_TIMESTAMP CURSOR DATABASE DATE DECIMAL DELETE " +
+      "DESCRIBE DISTINCT DOUBLE DROP ELSE END EXCHANGE EXISTS EXTENDED EXTERNAL FALSE FETCH FLOAT FOLLOWING " +
+      "FOR FROM FULL FUNCTION GRANT GROUP GROUPING HAVING IF IMPORT IN INNER INSERT INT INTERSECT INTERVAL " +
+      "INTO IS JOIN LATERAL LEFT LESS LIKE LOCAL MACRO MAP MORE NONE NOT NULL OF ON OR ORDER OUT OUTER OVER " +
+      "PARTIALSCAN PARTITION PERCENT PRECEDING PRESERVE PROCEDURE RANGE READS REDUCE REVOKE RIGHT ROLLUP ROW " +
+      "ROWS SELECT SET SMALLINT TABLE TABLESAMPLE THEN TIMESTAMP TO TRANSFORM TRIGGER TRUE TRUNCATE UNBOUNDED " +
+      "UNION UNIQUEJOIN UPDATE USER USING UTC_TMESTAMP VALUES VARCHAR WHEN WHERE WINDOW WITH COMMIT ONLY " +
+      "REGEXP RLIKE ROLLBACK START CACHE CONSTRAINT FOREIGN PRIMARY REFERENCES DAYOFWEEK EXTRACT FLOOR " +
+      "INTEGER PRECISION VIEWS TIME NUMERIC SYNC").split(' ').toSet
+
+  /** Empty frames cannot be published (publish_parq.py:16). */
+  def checkNonEmpty(df: DataFrame): Unit =
+    require(!df.isEmpty, "Empty dataframes cannot be published.")
+
+  /** Interval columns have no parquet representation — the analogue of the
+    * reference's timedelta rejection (publish_parq.py:33).
+    */
+  def checkNoIntervals(df: DataFrame): Unit =
+    df.schema.fields.foreach { f =>
+      f.dataType match {
+        case _: CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType =>
+          throw new UnsupportedOperationException(
+            s"Parquet conversion of interval column ${f.name} is not supported.")
+        case _ => ()
+      }
+    }
+
+  /** Partitions must be existing columns and not hive reserved words
+    * (publish_parq.py:66 `check_partitions`).
+    */
+  def checkPartitions(partitions: Seq[String], df: DataFrame): Unit =
+    partitions.foreach { p =>
+      require(df.columns.contains(p),
+        s"Cannot set $p as a partition; this is not a valid column header for the supplied dataframe.")
+      require(!HiveReserved.contains(p.toUpperCase),
+        s"$p is a reserved word in hive that cannot be used as a partition.")
+    }
+
+  /** Sample-derived facts used to plan the write. */
+  private final case class SampleStats(approxDistinctPartitions: Long)
+
+  /** Estimated in-memory bytes of one row, from a driver-side sample of at
+    * most `n` rows (the Spark analogue of the reference's
+    * `sys.getsizeof(head(1))` row estimate, publish_parq.py:426), plus the
+    * distinct partition-tuple count observed in the sample.
+    */
+  private def sampleRowBytes(df: DataFrame, partitions: Seq[String] = Nil,
+                             n: Int = 1000): (Double, SampleStats) = {
+    val rows = df.limit(n).collect()
+    if (rows.isEmpty) return (64.0, SampleStats(1L))
+    val fixed: Map[String, Int] = df.schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case BooleanType => 1
+        case ByteType => 1; case ShortType => 2
+        case IntegerType | FloatType | DateType => 4
+        case _ => 8
+      })
+    }.toMap
+    var total = 0L
+    rows.foreach { r =>
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        total += (f.dataType match {
+          case StringType => if (r.isNullAt(i)) 4 else r.getString(i).length + 8
+          case BinaryType => if (r.isNullAt(i)) 4 else r.getAs[Array[Byte]](i).length + 8
+          case _: ArrayType => if (r.isNullAt(i)) 4 else r.getSeq[Any](i).length * 8 + 16
+          case _ => fixed(f.name)
+        })
+      }
+    }
+    val partIdx = partitions.map(df.schema.fieldIndex)
+    val distinct =
+      if (partIdx.isEmpty) 1L
+      else rows.iterator.map(r => partIdx.map(r.get)).toSet.size.toLong
+    (total.toDouble / rows.length, SampleStats(distinct))
+  }
+
+  /** Write `df` as a hive-partitioned snappy-parquet dataset at `root`,
+    * record the logical schema + partition types in the sidecar, and return
+    * the list of written data-file paths (the reference returns published
+    * object keys, publish_parq.py:573).
+    */
+  def publish(spark: SparkSession, df: DataFrame, root: String,
+              partitions: Seq[String]): Seq[String] = {
+    checkNonEmpty(df)
+    checkNoIntervals(df)
+    checkPartitions(partitions, df)
+
+    val (rowBytes, sampleRows) = sampleRowBytes(df, partitions)
+    // Parquet bytes/row ≈ in-memory bytes / compression ratio; cap records
+    // per file so no output file materially exceeds the 60 MB target.
+    val recordsPerFile = math.max(1L, (TargetFileBytes / (rowBytes / CompressionRatio)).toLong)
+
+    // Salted routing: repartition by (partition cols, salt) so rows of the
+    // same partition value land together (few files per value) but a hot
+    // value can still fan out over `saltBuckets` concurrent tasks — a plain
+    // repartition(partitionCols) funnels each value through ONE task, which
+    // is the write bottleneck at 100 TB. The salt is adaptive: when the
+    // sample shows many distinct partition values (parallelism already
+    // comes from the values themselves) it collapses to 1 so file counts
+    // stay low; when values are few/hot it fans each value out across the
+    // cluster. Derived from the row itself (deterministic, no rand()) so
+    // retried tasks re-route rows identically.
+    val dataCols = df.columns.filterNot(partitions.contains)
+    val out =
+      if (partitions.isEmpty) df
+      else {
+        val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
+        val parallelism = spark.sparkContext.defaultParallelism
+        val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
+        val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        val partKeys = partitions.map(col) :+ salt
+        df.repartition(partKeys: _*)
+      }
+
+    out.write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .partitionBy(partitions: _*)
+      .parquet(root)
+
+    DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
+    listDataFiles(spark, root)
+  }
+
+  /** `custom_publish` (publish_parq.py:576): publish with custom Redshift
+    * column types. DECIMAL(p,s) custom columns are cast to DecimalType
+    * before writing — the Spark-native form of the reference's
+    * decimal128 coercion (publish_parq.py:315-323); all other custom types
+    * only affect generated DDL, not the parquet bytes.
+    */
+  def customPublish(spark: SparkSession, df: DataFrame, root: String,
+                    partitions: Seq[String],
+                    customColumns: Map[String, String]): Seq[String] = {
+    val DecimalSpec = """(?i)DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    val cast = customColumns.foldLeft(df) { case (d, (c, typ)) =>
+      typ match {
+        case DecimalSpec(p, s) if d.columns.contains(c) =>
+          d.withColumn(c, col(c).cast(DecimalType(p.toInt, s.toInt)))
+        case _ => d
+      }
+    }
+    publish(spark, cast, root, partitions)
+  }
+
+  /** All data-file paths of a dataset (root-relative listing; the analogue
+    * of the reference's `.parquet`-suffix object listing,
+    * publish_parq.py:246-254).
+    */
+  def listDataFiles(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        buf += f.getPath.toUri.getPath
+    }
+    buf.toSeq.sorted
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for a training-data pipeline, over a documents
+  * table with a `text` column. All built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs): each is a narrow
+  * per-row projection that stays inside whole-stage codegen — scan-speed
+  * at 100 TB, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/marker language-ID heuristic.
+    * Ordered: earlier languages win ties.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  private def markerCount(textCol: Column, markers: Seq[String]): Column =
+    size(filter(words(textCol), w => w.isin(markers.map(lit): _*)))
+
+  /** Predicted language from marker-word counts (argmax, first-listed
+    * language wins ties; "und" = undetermined when nothing matched).
+    */
+  def langIdCol(textCol: Column): Column = {
+    val counts = LangMarkers.map { case (lang, ms) => lang -> markerCount(textCol, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === best && c > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** doc_id, lang prediction + per-language marker counts. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      (col(idCol) +:
+        LangMarkers.map { case (l, ms) => markerCount(col(textCol), ms).cast("long").as(s"n_$l") }) :+
+        langIdCol(col(textCol)).as("lang_pred"): _*)
+
+  /** Quality signals: size, word shape, punctuation + stopword ratios, and
+    * a blended 0..1 quality score. All ratios rounded to 4 decimals so an
+    * independent engine computing the same formula hash-matches.
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = size(words(t))
+    val nPunct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val stopwords = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+    val nStop = size(filter(words(t), w => w.isin(stopwords.map(lit): _*)))
+    val avgWordLen = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
+    val stopRatio = round(nStop.cast("double") / nWords, 4)
+    val punctRatio = round(nPunct.cast("double") / nChars, 4)
+    val score = round(
+      least(nWords.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+        stopRatio * lit(0.2) +
+        when(avgWordLen >= 2.5 && avgWordLen <= 8.0, lit(0.2)).otherwise(lit(0.0)), 4)
+    docs.select(col(idCol), nChars.cast("long").as("n_chars"), nWords.cast("long").as("n_words"),
+      nPunct.cast("long").as("n_punct"), avgWordLen.as("avg_word_len"),
+      stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+      least(score, lit(1.0)).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword-boundary tokens
+    * (letter runs, digit runs, single other non-space chars).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(words(t)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+  }
+
+  /** 64-bit rolling-hash fingerprint per document (native codegen'd
+    * expression, [[graft.functions.Fingerprint64]]).
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), GraftFunctions.fingerprint64(col(textCol)).as("fingerprint"))
+}

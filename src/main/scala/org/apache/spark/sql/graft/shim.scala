@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * `Column` API. Spark 4 made Column construction from expressions
+  * `private[sql]` (columnNodeSupport.scala); this shim re-exports just the
+  * two conversions graft needs. Lives in the `org.apache.spark.sql`
+  * namespace solely for access; contains no Spark code.
+  */
+object shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+
+/** Manual end-to-end probe of the library's guard rails (error paths,
+  * empty-match shape, plan pruning) — run: sbt "Test/runMain graft.ProbeMain"
+  */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def expectErr(tag: String)(f: => Any): Unit =
+      try { f; println(s"$tag NO-ERROR (BAD)") }
+      catch { case e: Exception => println(s"$tag rejected: ${e.getMessage.linesIterator.next()}") }
+
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    expectErr("P1")(Fetch.fetch(spark, "/tmp/none", Seq(ColFilter("l_linenumber", ">", Seq(1, 2)))))
+    expectErr("P2")(Fetch.fetch(spark, "/tmp/none", Seq(ColFilter("a", "~=", Seq(1)))))
+    Publish.publish(spark, df, "/tmp/probe_ds", Seq("l_returnflag"))
+    val empty = Fetch.fetch(spark, "/tmp/probe_ds", Seq(ColFilter("l_returnflag", "==", Seq("ZZZ"))))
+    println(s"P3 empty-match rows=${empty.count()} cols=${empty.columns.length} firstCol=${empty.columns.head}")
+    expectErr("P4")(Fetch.fetch(spark, "/tmp/probe_ds", Seq(ColFilter("l_quantity", "==", Seq(1.0)))))
+    df.limit(10).write.mode("overwrite").parquet("/tmp/probe_plain")
+    expectErr("P5")(Fetch.fetch(spark, "/tmp/probe_plain", Nil, acceptNotGraft = false))
+    println("P6 foreign-read rows=" + Fetch.fetch(spark, "/tmp/probe_plain").count())
+    expectErr("P7")(Publish.publish(spark, df.limit(0), "/tmp/probe_empty", Nil))
+    expectErr("P8")(Publish.publish(spark, df.withColumnRenamed("l_returnflag", "ORDER"), "/tmp/probe_res", Seq("ORDER")))
+    val pruned = Fetch.fetch(spark, "/tmp/probe_ds", Seq(ColFilter("l_returnflag", "==", Seq("R"))))
+    val plan = pruned.queryExecution.executedPlan.toString
+    println("P9 PartitionFilters-nonempty=" + raw"PartitionFilters: \[[^\]]".r.findFirstIn(plan).isDefined)
+    println("P10 entry rows=" + SparkEntry.entry(spark).count())
+    expectErr("P11")(Fetch.getMaxPartitionValue(spark, "/tmp/probe_ds", "l_returnflag"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+dumps against SparkEntry.oracleSql in DuckDB and compare (columns sorted by
+name, exact values). Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+ok = fail = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+    got = got[sorted(got.columns)]
+    if name not in oracle:
+        print(f"[rows-only] {name}: rows={len(got)}")
+        continue
+    exp = con.sql(oracle[name]).df()
+    exp = exp[sorted(exp.columns)]
+    status = []
+    if list(got.columns) != list(exp.columns):
+        status.append(f"cols {list(got.columns)} vs {list(exp.columns)}")
+    elif len(got) != len(exp):
+        status.append(f"rows {len(got)} vs {len(exp)}")
+    else:
+        import pandas as pd
+        # exact compare (the driver hashes values); report first diff cell
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            if str(a.dtype) != str(b.dtype):
+                status.append(f"dtype[{c}] {a.dtype} vs {b.dtype}")
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                status.append(f"val[{c}] row{i}: {a[i]!r} vs {b[i]!r} ({int(neq.sum())} diffs)")
+    if status:
+        fail += 1
+        print(f"[FAIL] {name}: " + "; ".join(status[:4]))
+    else:
+        ok += 1
+        print(f"[ok]   {name}: {len(got)} rows")
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
