@@ -82,9 +82,11 @@ object Fetch {
   // ------------------------------------------------- listing introspection
 
   /** All distinct values of `partition`, correctly typed, in no guaranteed
-    * order (fetch_parq.py:49). Directory listing only.
+    * order (fetch_parq.py:49). Directory listing only. An absent/empty
+    * dataset yields Nil (fetch_parq.py:63).
     */
   def getAllPartitionValues(spark: SparkSession, root: String, partition: String): Seq[Any] = {
+    if (allFiles(spark, root).isEmpty) return Nil
     val meta = requireMeta(spark, root)
     rawPartitionValues(spark, root, meta, partition)
       .map(parseValue(_, meta.partitionType(partition))).toSeq
@@ -96,6 +98,9 @@ object Fetch {
     */
   def getDiffPartitionValues(spark: SparkSession, root: String, partition: String,
                              valuesToDiff: Seq[Any], reverse: Boolean = false): Seq[Any] = {
+    // Absent/empty dataset (fetch_parq.py:92-98): nothing to diff against.
+    if (allFiles(spark, root).isEmpty)
+      return if (reverse) valuesToDiff.distinct else Nil
     val meta = requireMeta(spark, root)
     val dt = meta.partitionType(partition)
     val present: Set[Any] =
@@ -109,6 +114,7 @@ object Fetch {
     * partitions like the reference (fetch_parq.py:121,145).
     */
   def getMaxPartitionValue(spark: SparkSession, root: String, partition: String): Option[Any] = {
+    if (allFiles(spark, root).isEmpty) return None
     val meta = requireMeta(spark, root)
     val dt = meta.partitionType(partition)
     dt match {

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Dedup families against planted duplicates. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 40 distinct word-salad docs + planted dups:
+    *  - 100/101: exact copies of doc 0's text
+    *  - 102: doc 1's text with one word changed (near-dup)
+    *  - 103: doc 2's text with two words changed (weaker near-dup)
+    */
+  private lazy val docs = {
+    // vocab wide enough that distinct docs differ in token frequencies
+    // (simhash on a tiny vocab makes every doc's profile near-identical)
+    val vocab = Array.tabulate(400)(i => s"w$i")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val near1 = base(1)._2.split(" ").updated(10, "CHANGED").mkString(" ")
+    val near2 = base(2)._2.split(" ").updated(5, "X").updated(40, "Y").mkString(" ")
+    (base ++ Seq((100L, base(0)._2), (101L, base(0)._2), (102L, near1), (103L, near2)))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per distinct text") {
+    val out = Dedup.exactText(docs)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L))
+    assert(ids.contains(0L) && ids.contains(102L) && ids.contains(103L))
+    assert(out.count() == 42)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)) || pairs.contains((0L, 101L)))
+    assert(pairs.contains((1L, 102L)))
+    assert(pairs.contains((2L, 103L)))
+    // no pair between two distinct base docs
+    assert(!pairs.exists { case (a, b) => a < 40 && b < 40 })
+  }
+
+  test("jaccard threshold filters weak candidates") {
+    val strict = Dedup.minHashLsh(docs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 100L, 101L)) },
+      s"only exact copies survive tau=0.99, got $strict")
+  }
+
+  test("simhash finds planted near-dups within hamming budget") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 102L)))
+    assert(!pairs.exists { case (a, b) => a < 40 && b < 40 })
+  }
+
+  test("dropNearDuplicates keeps cluster minimum") {
+    val pairs = Dedup.minHashLsh(docs, threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(100L) && !kept.contains(101L)
+      && !kept.contains(102L) && !kept.contains(103L))
+    assert((0L until 40L).forall(kept.contains))
+  }
+
+  test("embedding near-dup finds planted vector copies") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 30).map(i => (i.toLong, vec()))
+    val v0 = base(0)._2
+    val nearCopy = v0.map(x => x + 0.001f)
+    val embs = (base :+ (200L, nearCopy)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(embs, threshold = 0.99, planes = 6, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 200L)), s"planted pair missing from $pairs")
+    assert(pairs.size == 1)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Structured Streaming windowed aggregation over a MemoryStream. */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("watermarked tumbling windows aggregate by event type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.windowedAgg(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("ev_agg")
+      .outputMode(OutputMode.Complete()).start()
+
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "view", 5.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "click", 7.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("ev_agg")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    query.stop()
+
+    assert(rows == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 5.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 7.0)))
+  }
+
+  test("batch and streaming share window semantics") {
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventStream.windowedAgg(batch)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(out == Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+  }
+}

@@ -35,6 +35,9 @@ object ProbeMain {
     println("P9 PartitionFilters-nonempty=" + raw"PartitionFilters: \[[^\]]".r.findFirstIn(plan).isDefined)
     println("P10 entry rows=" + SparkEntry.entry(spark).count())
     expectErr("P11")(Fetch.getMaxPartitionValue(spark, "/tmp/probe_ds", "l_returnflag"))
+    println("P12 empty-all=" + Fetch.getAllPartitionValues(spark, "/tmp/no_such_ds", "p"))
+    println("P13 empty-diff-rev=" + Fetch.getDiffPartitionValues(spark, "/tmp/no_such_ds", "p", Seq(1, 2, 2), reverse = true).sortBy(_.toString))
+    println("P14 empty-max=" + Fetch.getMaxPartitionValue(spark, "/tmp/no_such_ds", "p"))
     spark.stop()
   }
 }

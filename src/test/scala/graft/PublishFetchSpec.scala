@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Publish/fetch semantics, ported from the reference's
+  * tests/test_publish_parq.py and tests/test_fetch_parq.py.
+  */
+class PublishFetchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sampleDf = Seq(
+    (1L, "a", 10, true, Timestamp.valueOf("2024-01-01 00:00:00"), 1.5),
+    (2L, "b", 10, false, Timestamp.valueOf("2024-01-02 00:00:00"), 2.5),
+    (3L, "a", 20, true, Timestamp.valueOf("2024-01-01 00:00:00"), 3.5),
+    (4L, "c", 20, false, Timestamp.valueOf("2024-01-03 00:00:00"), 4.5)
+  ).toDF("id", "grp", "num", "flag", "ts", "value")
+
+  test("publish writes hive layout, sidecar, and returns file list") {
+    val root = TestSpark.tmpDir("pub")
+    val files = Publish.publish(spark, sampleDf, root, Seq("grp"))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("grp=")))
+    val meta = DatasetMeta.read(spark, root).get
+    assert(meta.partitions == Seq("grp"))
+    assert(meta.schema.fieldNames.toSeq ==
+      Seq("id", "grp", "num", "flag", "ts", "value"))
+  }
+
+  test("publish rejects empty frames (publish_parq.py:16)") {
+    val e = intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf.limit(0), TestSpark.tmpDir("pub"), Nil)
+    }
+    assert(e.getMessage.contains("Empty dataframes cannot be published"))
+  }
+
+  test("publish rejects missing partition column and hive reserved words (publish_parq.py:66)") {
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf, TestSpark.tmpDir("pub"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf.withColumnRenamed("grp", "TABLE"),
+        TestSpark.tmpDir("pub"), Seq("TABLE"))
+    }
+  }
+
+  test("round-trip restores values, column order, and partition types") {
+    val root = TestSpark.tmpDir("pub")
+    Publish.publish(spark, sampleDf, root, Seq("grp", "num", "flag", "ts"))
+    val back = Fetch.fetch(spark, root)
+    assert(back.columns.toSeq == sampleDf.columns.toSeq)
+    // parquet round-trips always come back nullable; compare name + type
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      sampleDf.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == sampleDf.orderBy("id").collect().toSeq)
+  }
+
+  test("fetch filters prune at the partition level (PartitionFilters in the scan)") {
+    val root = TestSpark.tmpDir("pub")
+    Publish.publish(spark, sampleDf, root, Seq("grp"))
+    val pruned = Fetch.fetch(spark, root, Seq(ColFilter("grp", "==", Seq("a"))))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]".r.findFirstIn(plan).isDefined,
+      s"expected non-empty PartitionFilters in:\n$plan")
+  }
+
+  test("filter value lists OR-fold (the reference 'in' form) and ranges compare typed") {
+    val root = TestSpark.tmpDir("pub")
+    Publish.publish(spark, sampleDf, root, Seq("grp", "num"))
+    assert(Fetch.fetch(spark, root, Seq(ColFilter("grp", "==", Seq("a", "c"))))
+      .count() == 3)
+    assert(Fetch.fetch(spark, root, Seq(ColFilter("num", ">=", Seq(20))))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("no matching partitions returns empty frame with headers (fetch_parq.py:222)") {
+    val root = TestSpark.tmpDir("pub")
+    Publish.publish(spark, sampleDf, root, Seq("grp"))
+    val empty = Fetch.fetch(spark, root, Seq(ColFilter("grp", "==", Seq("zzz"))))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == sampleDf.columns.toSeq)
+  }
+
+  test("custom publish casts DECIMAL custom columns (publish_parq.py:315)") {
+    val root = TestSpark.tmpDir("pub")
+    Publish.customPublish(spark, sampleDf, root, Seq("grp"),
+      Map("value" -> "DECIMAL(10,2)", "grp" -> "VARCHAR(8)"))
+    val back = Fetch.fetch(spark, root)
+    assert(back.schema("value").dataType == DecimalType(10, 2))
+  }
+
+  test("file sizing: maxRecordsPerFile keeps files near the target") {
+    val root = TestSpark.tmpDir("pub")
+    val big = spark.range(50000).select(col("id"),
+      concat_ws("", (0 until 20).map(_ => md5(col("id").cast("string"))): _*).as("payload"))
+    Publish.publish(spark, big, root, Nil)
+    val sizes = Publish.listDataFiles(spark, root).map(f => new java.io.File(f).length())
+    assert(sizes.forall(_ <= Publish.TargetFileBytes * 2),
+      s"file sizes ${sizes.mkString(",")} exceed 2x target")
+  }
+
+  test("fetchDiff returns rows of input absent from comparison, and reverse (fetch_parq.py:233)") {
+    val rootA = TestSpark.tmpDir("pub")
+    val rootB = TestSpark.tmpDir("pub")
+    Publish.publish(spark, sampleDf, rootA, Seq("grp"))
+    Publish.publish(spark, sampleDf.where($"grp" =!= "c"), rootB, Seq("grp"))
+    assert(Fetch.fetchDiff(spark, rootA, rootB, "grp")
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(Fetch.fetchDiff(spark, rootB, rootA, "grp", reverse = true)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+}
