@@ -30,22 +30,19 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash-LSH
 
-  /** Word n-gram shingles of a text column (distinct). */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val ws = split(textCol, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ws) - n, lit(0))),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of a text column (distinct) — native expression
+    * ([[graft.functions.ShinglesExpr]]).
+    */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    graft.functions.SketchFunctions.shinglesOf(textCol, n)
 
   /** MinHash signature: for each of `numHashes` hash families, the min over
-    * the shingle set of `xxhash64(shingle, seed)`. Computed entirely inside
-    * one codegen'd projection — no explode, no shuffle; cost is
-    * O(shingles × numHashes) per row.
+    * the shingle set of a family hash. Native expression
+    * ([[graft.functions.MinHashSigExpr]]) — one tight loop per row, no
+    * explode, no shuffle; cost O(shingles × numHashes) cheap ops.
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleCol, sh => xxhash64(sh, s))))
+    graft.functions.SketchFunctions.minHashSig(shingleCol, numHashes)
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by exact n-gram
     * Jaccard. Pipeline: shingle → signature (projection) → explode one row
@@ -62,33 +59,41 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
                  threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sig = docs
+    val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
 
-    val banded = sig.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)
-            .as("bhash")))).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bhash"))
+    // Candidate generation shuffles ONLY (id, band, bhash) scalars — the
+    // shingle arrays never ride the LSH shuffle (carrying them would copy
+    // each doc's shingles `bands` times through the wire; at 100 TB that
+    // dwarfs the data itself). Verification joins them back for just the
+    // surviving pairs.
+    val banded = shingled.select(col("id"),
+      posexplode(graft.functions.SketchFunctions.minHashBands(col("sh"), numHashes, bands))
+        .as(Seq("band", "bhash")))
 
-    // Skew guard: drop pathological buckets before the self-join.
-    val sized = banded.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
-      .where(col("bucket_n") <= maxBucket)
+    val pairs = selfJoinBuckets(banded, Seq("band", "bhash"), maxBucket)
 
-    val a = sized.select(col("band"), col("bhash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sized.select(col("band"), col("bhash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "bhash"))
+    val left = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    jaccardVerify(pairs.join(left, "id_a").join(right, "id_b"), threshold)
+  }
+
+  /** Within-bucket candidate pairs (id_a < id_b, distinct) from a slim
+    * (id, bucketKey...) frame, with a skew guard: buckets above `maxBucket`
+    * members are dropped (broadcast anti-join against the tiny over-cap
+    * bucket list) instead of joined quadratically.
+    */
+  private def selfJoinBuckets(slim: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val over = slim.groupBy(keys.map(col): _*).count().where(col("count") > maxBucket)
+      .select(keys.map(col): _*)
+    val ok = slim.join(broadcast(over), keys, "left_anti")
+    val a = ok.select((keys.map(col) :+ col("id").as("id_a")): _*)
+    val b = ok.select((keys.map(col) :+ col("id").as("id_b")): _*)
+    a.join(b, keys)
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-
-    jaccardVerify(pairs, threshold)
   }
 
   /** Exact n-gram Jaccard over candidate pairs carrying their shingle sets:
@@ -114,23 +119,11 @@ object Dedup {
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array: per-token 64-bit hashes vote ±1 on
-    * each bit; the sign vector packs into a long. Pure columnar lambda
-    * pipeline (aggregate + zip_with) — no UDF, no shuffle.
+    * each bit; the sign vector packs into a long. Native expression
+    * ([[graft.functions.SimHash64Expr]]) — per-row, no shuffle.
     */
-  def simHash64(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simHash64(tokens: Column): Column =
+    graft.functions.SketchFunctions.simHash64(tokens)
 
   /** SimHash near-dup pairs: docs are bucketed by each of the four 16-bit
     * chunks of their simhash (two near-identical docs differ in ≤3 bits ⇒
@@ -141,21 +134,17 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
       simHash64(split(col(textCol), " ")).as("sim"))
-    val chunked = hashed.select(col("id"), col("sim"),
+    val chunked = hashed.select(col("id"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("j"), call_function("shiftright", col("sim"), j * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("c"))
-      .select(col("id"), col("sim"), col("c.j"), col("c.chunk"))
-    val sized = chunked.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("j"), col("chunk"))))
-      .where(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("j"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = sized.select(col("j"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("j", "chunk"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("id"), col("c.j"), col("c.chunk"))
+    val pairs = selfJoinBuckets(chunked, Seq("j", "chunk"), maxBucket)
+    pairs
+      .join(hashed.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   // ----------------------------------------------- embedding-cosine near-dup
@@ -167,20 +156,17 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                        threshold: Double = 0.95, planes: Int = 12, tables: Int = 4,
                        maxBucket: Int = 2000): DataFrame = {
-    val withSig = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val base = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
       .where(col("norm") > 0)
-      .select(col("id"), col("v"), col("norm"),
-        explode(Similarity.hyperplaneSigs(col("v"), planes, tables)).as("tb"))
-      .select(col("id"), col("v"), col("norm"), col("tb.t"), col("tb.sig"))
-    val sized = withSig.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
-      .where(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
-    val b = sized.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    a.join(b, Seq("t", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Slim (id, table, sig) rows through the LSH shuffle; vectors join back
+    // only for the surviving candidate pairs.
+    val sigd = base.select(col("id"),
+      posexplode(Similarity.hyperplaneSigs(col("v"), planes, tables)).as(Seq("t", "sig")))
+    val pairs = selfJoinBuckets(sigd, Seq("t", "sig"), maxBucket)
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

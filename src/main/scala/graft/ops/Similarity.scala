@@ -18,33 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate — codegen'd, stays in the stage. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def l2Norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): uniform in [-1, 1), derived from xxhash64 so every executor
-    * materializes the same planes with no broadcast of plane matrices.
+  /** Σ aᵢ·bᵢ — native sequential loop ([[graft.functions.ArrayDotExpr]]),
+    * accumulation order identical to a sequential SQL `aggregate`.
     */
-  private def planeComponent(t: Column, p: Column, d: Column): Column =
-    pmod(xxhash64(concat_ws("_", t, p, d)), lit(20000)).cast("double") / 10000.0 - 1.0
+  def dot(a: Column, b: Column): Column =
+    graft.functions.SketchFunctions.arrayDot(a, b)
 
-  /** One `planes`-bit signature per hash table: bit p = sign of ⟨v, plane⟩. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** One `planes`-bit signature per hash table (array indexed by table):
+    * bit p = sign of ⟨v, plane⟩, hyperplanes derived deterministically so
+    * every executor materializes them with no broadcast
+    * ([[graft.functions.HyperplaneSigsExpr]]).
+    */
   def hyperplaneSigs(v: Column, planes: Int, tables: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), tIdx => struct(
-      tIdx.as("t"),
-      aggregate(
-        sequence(lit(0), lit(planes - 1)),
-        lit(0L),
-        (acc, p) => {
-          val proj = aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1),
-              (x, d) => x * planeComponent(tIdx, p, d)),
-            lit(0.0), (a2, x) => a2 + x)
-          acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
-        }).as("sig")))
+    graft.functions.SketchFunctions.hyperplaneSigs(v, planes, tables)
 
   /** Exact cosine top-k of each query vector against the corpus.
     * `queries` must be small (≲ thousands): it is broadcast and the corpus
@@ -75,17 +63,21 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               planes: Int = 10, tables: Int = 8): DataFrame = {
-    def signed(df: DataFrame, id: String, v: String, n: String) =
+    def base(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .withColumn(n, l2Norm(col(v)))
-        .select(col(id), col(v), col(n), explode(hyperplaneSigs(col(v), planes, tables)).as("tb"))
-        .select(col(id), col(v), col(n), col("tb.t"), col("tb.sig"))
+    def signed(df: DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(hyperplaneSigs(col(v), planes, tables)).as(Seq("t", "sig")))
 
-    val c = signed(corpus, "neighbor_id", "cv", "cn")
-    val q = signed(queries, "query_id", "qv", "qn")
-    val cands = c.join(q, Seq("t", "sig"))
+    val c = base(corpus, "neighbor_id", "cv", "cn")
+    val q = base(queries, "query_id", "qv", "qn")
+    // Slim (id, table, sig) rows join on the bucket key; vectors join back
+    // for the candidate union only.
+    val cands = signed(c, "neighbor_id", "cv").join(signed(q, "query_id", "qv"), Seq("t", "sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(c, "neighbor_id")
+      .join(q, "query_id")
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
