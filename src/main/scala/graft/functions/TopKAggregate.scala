@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
+
+/** Partial-aggregating top-k: keeps the k best (score desc, id asc) pairs
+  * in a bounded heap per aggregation buffer.
+  *
+  * The scale rationale: ranking n×q similarity rows with a window function
+  * shuffles EVERY row to the query's reducer and sorts there. As a
+  * TypedImperativeAggregate this combines map-side — each map task ships at
+  * most k pairs per query — so the shuffle is O(k · tasks) instead of O(n),
+  * the difference between feasible and not at 100 TB corpus scans.
+  *
+  * Output: array<struct<score double, id bigint>>, sorted score desc then
+  * id asc (deterministic under ties).
+  */
+case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
+                     override val mutableAggBufferOffset: Int = 0,
+                     override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  // Max-heap whose head is the WORST kept pair (lowest score, then highest
+  // id) — the eviction candidate.
+  private val evictionOrder: Ordering[(Double, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(evictionOrder)
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+                     other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit =
+    if (buf.size < k) buf.enqueue(e)
+    else if (evictionOrder.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def prettyName: String = "graft_top_k_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKPairs {
+  /** Aggregate column: top-k (score, id) pairs, score desc / id asc. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    shim.column(TopKPairs(shim.expression(score), shim.expression(id), k)
+      .toAggregateExpression())
+}

@@ -12,16 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the first row (lowest `orderCol`) per distinct value
-    * of `keyCols`. One shuffle on the md5/key, map-side combine free via
-    * window-on-hash; equivalent semantics to
-    * `ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord) = 1`.
+  /** Exact dedup: keep the first row (lowest `orderCol`, which must be
+    * unique within a key) per distinct value of `keyCols`. Implemented as
+    * `min_by(whole-row, orderCol)` — a hash aggregate with MAP-SIDE partial
+    * combine, so duplicate-heavy data collapses before the shuffle;
+    * a `ROW_NUMBER` window has identical semantics but shuffles and sorts
+    * every row. Same one-shuffle bound, far fewer bytes moved at 100 TB.
     */
   def exact(df: DataFrame, keyCols: Seq[Column], orderCol: Column): DataFrame = {
-    val w = Window.partitionBy(keyCols: _*).orderBy(orderCol)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(keyCols: _*)
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), orderCol).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")).toIndexedSeq: _*)
   }
 
   /** Exact text dedup on md5(text), keep lowest id. */

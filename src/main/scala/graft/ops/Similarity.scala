@@ -48,11 +48,20 @@ object Similarity {
     val sims = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(sims, k)
   }
+
+  /** Partial-aggregated per-query top-k ([[graft.functions.TopKPairs]]):
+    * each map task ships at most k candidates per query, so the rank
+    * shuffle is O(k·tasks), not O(candidates) — a window row_number here
+    * would shuffle and sort every similarity row.
+    */
+  private def topKPerQuery(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topK(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("sim"), (col("pos") + 1).as("rank"))
 
   /** Approximate cosine top-k via hyperplane-LSH bucketing: corpus and
     * queries are signed with the same `tables`×`planes` hyperplanes,
@@ -79,9 +88,6 @@ object Similarity {
       .join(c, "neighbor_id")
       .join(q, "query_id")
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(cands, k)
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints the physical-plan facts that matter at scale for the
+  * headline queries — run: sbt "Test/runMain graft.PlanAudit"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    def audit(name: String, checks: (String, String => Boolean)*): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize so AQE settles on the final plan (codegen markers)
+      val plan = df.queryExecution.executedPlan.toString
+      checks.foreach { case (label, f) =>
+        println(f"AUDIT $name%-28s $label%-34s ${if (f(plan)) "OK" else "MISS"}")
+      }
+    }
+    audit("fetch_filter_eq",
+      "PartitionFilters nonempty" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined))
+    audit("q1_agg",
+      "partial aggregate" -> (_.contains("partial_sum")),
+      "whole-stage codegen" -> (_.contains("*(")))
+    audit("q3_join",
+      "broadcast customer dim" -> (_.contains("BroadcastHashJoin")),
+      "pushed segment filter" -> (p => p.contains("PushedFilters: [IsNotNull(c_mktsegment)") || p.contains("EqualTo(c_mktsegment,BUILDING)")))
+    audit("dedup_exact",
+      "map-side partial min_by" -> (_.contains("partial_min_by")))
+    audit("ann_brute_topk",
+      "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")),
+      "broadcast query side" -> (_.contains("Broadcast")))
+    audit("text_token_counts",
+      "column-pruned scan" -> (p => raw"ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined))
+    audit("dedup_minhash",
+      "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin") ),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("events_window_agg",
+      "partial aggregate" -> (_.contains("partial_count")))
+    spark.stop()
+  }
+}
