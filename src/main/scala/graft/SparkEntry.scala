@@ -268,7 +268,25 @@ object SparkEntry {
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
-        Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id"))
+        Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
+
+    "emb_centroids" -> ((s, dir) =>
+      Similarity.centroids(s.read.parquet(t(dir, "embeddings"))).orderBy("label", "dim")),
+
+    "events_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(readEvents(s, dir), 1800)
+        .orderBy("user_id", "session_idx")),
+
+    "publish_catalog_ddl" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpRoot("ds_orders_cat", dir)
+      val (_, ddl) = Publish.publishWithCatalog(s, s.read.parquet(t(dir, "orders")), root,
+        Seq("o_orderstatus"), "my-bucket", "warehouse/orders",
+        graft.catalog.RedshiftParams("graft_schema", "Orders_Ext",
+          "arn:aws:iam::123456789012:role/spectrum", "us-east-1", "c1",
+          "host.example", "5439", "analytics"))
+      ddl.toDF("ddl").orderBy("ddl")
+    })
   )
 
   /** DuckDB oracle per SQL-expressible query (driver runs these on the same
@@ -429,6 +447,40 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH u AS (SELECT label, CAST(generate_subscripts(embedding,1)-1 AS BIGINT) AS dim,
+        |  unnest(embedding) AS x FROM embeddings)
+        |SELECT label, dim, round(avg(CAST(x AS DOUBLE)),4) AS m
+        |FROM u GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH lagged AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        | FROM lagged)
+        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "publish_catalog_ddl" ->
+      ("SELECT * FROM (VALUES " +
+        "('ALTER TABLE graft_schema.orders_ext ADD IF NOT EXISTS PARTITION (o_orderstatus=''F'') " +
+        "LOCATION ''s3://my-bucket/warehouse/orders/o_orderstatus=F'';'), " +
+        "('ALTER TABLE graft_schema.orders_ext ADD IF NOT EXISTS PARTITION (o_orderstatus=''O'') " +
+        "LOCATION ''s3://my-bucket/warehouse/orders/o_orderstatus=O'';'), " +
+        "('ALTER TABLE graft_schema.orders_ext ADD IF NOT EXISTS PARTITION (o_orderstatus=''P'') " +
+        "LOCATION ''s3://my-bucket/warehouse/orders/o_orderstatus=P'';'), " +
+        "('CREATE EXTERNAL SCHEMA IF NOT EXISTS graft_schema FROM DATA CATALOG " +
+        "database ''analytics'' iam_role ''arn:aws:iam::123456789012:role/spectrum'';'), " +
+        "('CREATE EXTERNAL TABLE graft_schema.orders_ext (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice FLOAT, o_orderdate TIMESTAMP, o_orderpriority VARCHAR) " +
+        "PARTITIONED BY (o_orderstatus VARCHAR) STORED AS PARQUET " +
+        "LOCATION ''s3://my-bucket/warehouse/orders'';')) t(ddl) ORDER BY ddl"),
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

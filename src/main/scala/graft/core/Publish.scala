@@ -183,6 +183,32 @@ object Publish {
     publish(spark, cast, root, partitions)
   }
 
+  /** Publish + generate the full catalog-registration DDL — the composed
+    * flow of the reference's `publish(..., redshift_params)` path
+    * (publish_parq.py:512-542 + publish_redshift calls): create schema,
+    * create table (reflecting the written logical schema), and one ADD
+    * PARTITION per written partition directory. graft returns the
+    * statements instead of executing them (engine generates, caller
+    * connects). `index` is rejected as a column name like the reference
+    * (publish_parq.py:515).
+    */
+  def publishWithCatalog(spark: SparkSession, df: DataFrame, root: String,
+                         partitions: Seq[String], bucket: String, key: String,
+                         params: graft.catalog.RedshiftParams): (Seq[String], Seq[String]) = {
+    require(!df.columns.contains("index"),
+      "'index' is a reserved keyword in Redshift. Please remove or rename your DataFrame's 'index' column.")
+    val p = graft.catalog.RedshiftParams.validate(params)
+    val files = publish(spark, df, root, partitions)
+    val location = s"s3://$bucket/$key"
+    val ddl = Seq(
+      graft.catalog.SpectrumDdl.createSchemaDdl(p.schemaName, p.dbName, p.iamRole),
+      graft.catalog.SpectrumDdl.createTableDdl(p.tableName, p.schemaName, df.schema,
+        partitions, location)) ++
+      graft.catalog.SpectrumDdl.addPartitionsDdl(bucket, p.schemaName, p.tableName,
+        files.map(f => key + "/" + f.stripPrefix(root).stripPrefix("/")))
+    (files, ddl)
+  }
+
   /** All data-file paths of a dataset (root-relative listing; the analogue
     * of the reference's `.parquet`-suffix object listing,
     * publish_parq.py:246-254).

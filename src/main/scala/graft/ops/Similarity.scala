@@ -51,6 +51,18 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
+  /** Per-label embedding centroids in exploded form (label, dim, mean):
+    * posexplode → hash aggregate on (label, dim) with map-side partial
+    * sums — one shuffle of (label, dim, partial) triples regardless of
+    * corpus size. Means rounded to 4 decimals (summation-order tolerance).
+    */
+  def centroids(embs: DataFrame, labelCol: String = "label",
+                vecCol: String = "embedding"): DataFrame =
+    embs.select(col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(round(avg("x"), 4).as("m"))
+
   /** Partial-aggregated per-query top-k ([[graft.functions.TopKPairs]]):
     * each map task ships at most k candidates per query, so the rank
     * shuffle is O(k·tasks), not O(candidates) — a window row_number here

@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed session of a user's event stream. */
+final case class Session(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Long)
 
 /** Structured-Streaming event aggregation: watermark + event-time tumbling
   * windows. The same transform works on a batch DataFrame (windows compute
@@ -26,5 +34,67 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Batch sessionization: a user's events split into sessions wherever the
+    * gap to the previous event exceeds `gapSeconds`. One shuffle on
+    * user_id; the lag + running-sum windows share that single partitioning
+    * (no re-shuffle between them).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > gapSeconds, 1L)
+      .otherwise(lit(0L))
+    events
+      .withColumn("session_idx",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization via custom keyed state
+    * (`flatMapGroupsWithState`): per-user open-session state, closed and
+    * emitted on a gap or on processing-time timeout. State is O(users),
+    * bounded by the timeout eviction — the canonical custom-state shape
+    * Structured Streaming can't express with windowed aggs.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapSeconds: Long = 1800,
+                       evictIdleState: Boolean = true): Dataset[Session] = {
+    import spark.implicits._
+    val timeout =
+      if (evictIdleState) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toList
+            state.remove()
+            out.iterator
+          } else {
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
+              open match {
+                case Some(s) if ts.getTime - s.session_end.getTime <= gapSeconds * 1000L =>
+                  open = Some(s.copy(session_end = ts, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(user, ts, ts, 1))
+                case None =>
+                  open = Some(Session(user, ts, ts, 1))
+              }
+            }
+            open.foreach(state.update)
+            if (evictIdleState) state.setTimeoutDuration(gapSeconds * 1000L)
+            closed.result().iterator
+          }
+      }
   }
 }

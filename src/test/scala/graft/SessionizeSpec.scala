@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Gap-based sessionization: batch window form and custom-state streaming
+  * form agree on closed sessions.
+  */
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L),
+    (2L, ts("2024-01-01 10:10:00"), 1L),
+    (3L, ts("2024-01-01 11:30:00"), 1L), // > 30 min gap -> new session
+    (4L, ts("2024-01-01 10:05:00"), 2L))
+
+  test("batch sessionize splits on gaps per user") {
+    val events = rows.map { case (e, t, u) => (e, t, u) }.toDF("event_id", "ts", "user_id")
+    val out = EventStream.sessionize(events, 1800)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("streaming sessionize closes sessions on gap (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    // evictIdleState=false: processing-time timeouts would schedule
+    // continuous empty micro-batches under the test harness
+    val query = EventStream.sessionizeStream(spark, events, 1800, evictIdleState = false)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+    query.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 11:30:00"))) // closes the first session
+    query.processAllAvailable()
+
+    val closed = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    query.stop()
+    assert(closed == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+  }
+}
