@@ -277,6 +277,39 @@ object SparkEntry {
       EventStream.sessionize(readEvents(s, dir), 1800)
         .orderBy("user_id", "session_idx")),
 
+    "q_percentiles" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          countDistinct(col("l_partkey")).as("nparts"))
+        .orderBy("l_returnflag")),
+
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sq"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("sq"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      readEvents(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day").pivot("event_type", types).count()
+        .na.fill(0, types)
+        .orderBy("day")
+    }),
+
+    "text_top_terms" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)),
+
     "publish_catalog_ddl" -> ((s, dir) => {
       import s.implicits._
       val root = tmpRoot("ds_orders_cat", dir)
@@ -368,8 +401,33 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props,
         | CAST(user_id % 10 AS INTEGER) AS bucket,
         | (user_id % 2 = 0) AS is_even,
-        | date_trunc('day', ts) AS day
+        | CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95),4) AS p95,
+        | count(DISTINCT l_partkey) AS nparts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_quantity),4) AS sq, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_top_terms" ->
+      """SELECT w, count(*) AS n FROM (
+        | SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, w LIMIT 20""".stripMargin,
 
     "ddl_create_table" ->
       ("SELECT 'CREATE EXTERNAL TABLE graft_schema.orders_ext (o_orderkey BIGINT, o_custkey BIGINT, " +

@@ -183,6 +183,22 @@ object Publish {
     publish(spark, cast, root, partitions)
   }
 
+  /** Publish as a BUCKETED parquet table (catalog-managed): rows hash into
+    * `numBuckets` files per bucket column value range, sorted within
+    * buckets. Two tables bucketed the same way join WITHOUT a shuffle —
+    * the co-located-join layout for repeated fact-fact joins at 100 TB
+    * (pay the shuffle once at write, never at read). Spark's bucketing
+    * needs the session catalog, so this writes a table, not a bare path.
+    */
+  def publishBucketed(spark: SparkSession, df: DataFrame, table: String,
+                      bucketCol: String, numBuckets: Int,
+                      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Publish + generate the full catalog-registration DDL — the composed
     * flow of the reference's `publish(..., redshift_params)` path
     * (publish_parq.py:512-542 + publish_redshift calls): create schema,
