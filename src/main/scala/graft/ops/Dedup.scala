@@ -61,9 +61,10 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
                  threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    // no emptiness filter: the native shingle kernel always emits >= 1
+    // element (short docs collapse to one whole-text shingle)
     val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
 
     // Candidate generation shuffles ONLY (id, band, bhash) scalars — the
     // shingle arrays never ride the LSH shuffle (carrying them would copy

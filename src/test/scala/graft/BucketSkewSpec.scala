@@ -15,6 +15,8 @@ class BucketSkewSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     val a = (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
     val b = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "bv")
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
     Publish.publishBucketed(spark, a, "bkt_a", "k", 8, Seq("k"))
     Publish.publishBucketed(spark, b, "bkt_b", "k", 8, Seq("k"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
