@@ -41,6 +41,50 @@ object Multimodal {
       (nBytes % 30 + 1).as("frames"))
   }
 
+  /** "Resize" metadata transform: recompute the stub dimensions to a
+    * bounded box, preserving aspect — the columnar seam where a real
+    * resize kernel (operating on the binary payload) would slot in. Pure
+    * projection: no shuffle, stays in codegen.
+    */
+  def resizeMeta(meta: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    meta.withColumn("width", floor(col("width") * scale).cast("long"))
+      .withColumn("height", floor(col("height") * scale).cast("long"))
+  }
+
+  /** Frame sampling for video-like payloads: one output row per sampled
+    * frame index (every `everyN`-th of `frames`). The explode shape is the
+    * real distribution pattern — per-frame rows fan out for downstream
+    * per-frame feature extraction; frame bytes themselves are the STUB
+    * (deterministic slice of the payload standing in for a decoded frame).
+    */
+  def sampleFrames(withPayload: DataFrame, everyN: Int, idCol: String = "doc_id"): DataFrame = {
+    val nFrames = length(col("payload")).cast("long") % 30 + 1
+    withPayload
+      .select(col(idCol), col("payload"), nFrames.as("n_frames"))
+      .select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))).as("frame_idx"),
+        col("payload"))
+      .withColumn("frame_bytes",
+        substring(col("payload"), (col("frame_idx") % 16 + 1).cast("int"), lit(16)))
+      .drop("payload")
+  }
+
+  /** Feature-extraction stub: a deterministic pseudo-embedding from the
+    * payload bytes (hash-seeded), with the real shape — fixed-dim
+    * array<float> column produced by a per-row kernel. Swap the generator
+    * for a real encoder; the schema, typing, and distribution are what the
+    * pipeline depends on.
+    */
+  def extractFeatures(withPayload: DataFrame, dim: Int = 16,
+                      idCol: String = "doc_id"): DataFrame =
+    withPayload.select(col(idCol),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => (pmod(xxhash64(col("payload"), d), lit(2000)).cast("double") / 1000.0 - 1.0)
+          .cast("float"))
+        .as("features"))
+
   /** Batch "decode" via mapPartitions — the real distribution shape for a
     * heavyweight decoder: one decoder instance per partition, rows streamed
     * through it in batch, typed `Dataset[MediaMeta]` out. The inner

@@ -36,6 +36,23 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream a graft dataset: incremental file-source read of a published
+    * hive-partitioned dataset using the sidecar schema — new files landing
+    * under the root become micro-batches (`maxFilesPerTrigger` bounds batch
+    * size). The streaming half of the publish/fetch contract: a pipeline
+    * stage publishes, a downstream stage streams.
+    */
+  def streamDataset(spark: SparkSession, root: String,
+                    maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val meta = graft.core.DatasetMeta.read(spark, root).getOrElse(
+      throw new graft.core.MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
+    spark.readStream
+      .schema(meta.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(root)
+      .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
   /** Batch sessionization: a user's events split into sessions wherever the
     * gap to the previous event exceeds `gapSeconds`. One shuffle on
     * user_id; the lag + running-sum windows share that single partitioning

@@ -38,6 +38,22 @@ object ProbeMain {
     println("P12 empty-all=" + Fetch.getAllPartitionValues(spark, "/tmp/no_such_ds", "p"))
     println("P13 empty-diff-rev=" + Fetch.getDiffPartitionValues(spark, "/tmp/no_such_ds", "p", Seq(1, 2, 2), reverse = true).sortBy(_.toString))
     println("P14 empty-max=" + Fetch.getMaxPartitionValue(spark, "/tmp/no_such_ds", "p"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val payload = graft.ops.Multimodal.attachPayload(docs)
+    println("P15 resize max dims=" + graft.ops.Multimodal.resizeMeta(
+      graft.ops.Multimodal.extractMeta(payload), 64)
+      .agg(org.apache.spark.sql.functions.max("width"),
+        org.apache.spark.sql.functions.max("height")).collect().head)
+    println("P16 frames rows=" + graft.ops.Multimodal.sampleFrames(payload, 3).count())
+    println("P17 features dim=" + graft.ops.Multimodal.extractFeatures(payload, 8)
+      .selectExpr("size(features)").distinct().collect().toSeq)
+    val dsRoot = "/tmp/probe_stream_ds"
+    Publish.publish(spark, docs, dsRoot, Nil)
+    val sq = graft.streaming.EventStream.streamDataset(spark, dsRoot)
+      .writeStream.format("memory").queryName("probe_ds")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination(60000)
+    println("P18 streamed rows=" + spark.table("probe_ds").count())
     spark.stop()
   }
 }

@@ -31,6 +31,20 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("streamDataset incrementally reads a published dataset with sidecar schema") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tmpDir("streamds")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "grp", "v")
+    graft.core.Publish.publish(spark, df, root, Seq("grp"))
+    val q = EventStream.streamDataset(spark, root)
+      .writeStream.format("memory").queryName("ds_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ds_stream").select("id", "grp", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+  }
+
   test("streaming sessionize closes sessions on gap (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
