@@ -42,16 +42,41 @@ object Filters {
     }
 
   /** Type-compatibility validation against the dataset's partition types
-    * (fetch_parq.py:617 `_validate_matching_filter_data_type`).
+    * (fetch_parq.py:617 `_validate_matching_filter_data_type`). Values must
+    * be representable in the partition's type — a string value for an int
+    * partition that doesn't parse raises here instead of silently matching
+    * nothing (the reference fails the same way inside `convert_type`).
     */
   def validateAgainst(meta: DatasetMeta, filters: Seq[ColFilter]): Unit =
     filters.foreach { f =>
       require(meta.partitions.contains(f.partition),
         "Filter does not have a matching partition.")
+      val dt = meta.partitionType(f.partition)
       if (SingleValueOps.contains(f.comparison))
-        require(!isNonNumeric(meta.partitionType(f.partition)),
-          s"Comparison ${f.comparison} cannot be used on partition types of ${meta.partitionType(f.partition)}")
+        require(!isNonNumeric(dt),
+          s"Comparison ${f.comparison} cannot be used on partition types of $dt")
+      f.values.foreach { v =>
+        try checkValue(v, dt)
+        catch {
+          case e: IllegalArgumentException => throw e
+          case _: Exception => throw new IllegalArgumentException(
+            s"Filter value $v cannot be converted to partition type $dt")
+        }
+      }
     }
+
+  /** Throws unless `v` is representable in `dt` (strings are parsed). */
+  private def checkValue(v: Any, dt: DataType): Unit = (v, dt) match {
+    case (s: String, t) if t != StringType => Fetch.parseValue(s, t)
+    case (_: String, StringType) => ()
+    case (_: Boolean, BooleanType) => ()
+    case (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double | _: BigDecimal,
+          IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType | _: DecimalType) => ()
+    case (_: java.sql.Timestamp, TimestampType | TimestampNTZType) => ()
+    case (_: java.sql.Date, DateType) => ()
+    case _ => throw new IllegalArgumentException(
+      s"Filter value $v (${v.getClass.getSimpleName}) does not match partition type $dt")
+  }
 
   /** Compile filters to ONE Catalyst predicate over partition columns.
     *

@@ -62,6 +62,28 @@ class IntrospectionSpec extends AnyFunSuite {
     }
   }
 
+  test("datetime partition diff values (test_get_partition_difference_datetime)") {
+    val root = publishTyped()
+    val diff = Fetch.getDiffPartitionValues(spark, root, "ts",
+      Seq(Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(diff.toSet == Set(Timestamp.valueOf("2024-03-01 00:00:00")))
+    val rev = Fetch.getDiffPartitionValues(spark, root, "ts",
+      Seq("2024-01-01 00:00:00", "2099-01-01 00:00:00"), reverse = true)
+    assert(rev.toSet == Set(Timestamp.valueOf("2099-01-01 00:00:00")))
+  }
+
+  test("filter values must be convertible to the partition type (fetch_parq mismatch)") {
+    val root = publishTyped()
+    intercept[IllegalArgumentException] {
+      Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq("not-a-number"))))
+    }
+    intercept[IllegalArgumentException] {
+      Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq(true))))
+    }
+    // parseable string form is fine
+    assert(Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq("10")))).count() == 1)
+  }
+
   test("allFiles lists only data files") {
     val root = publishTyped()
     val files = Fetch.allFiles(spark, root)
