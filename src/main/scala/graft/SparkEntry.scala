@@ -114,13 +114,16 @@ object SparkEntry {
     }),
 
     "q_window_topn" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // top-n per group via the partial top-k aggregate: map-side combine
+      // ships <= 3 rows per (task, priority) instead of window-sorting all
+      // orders per priority (ties break on o_orderkey asc, matching
+      // ROW_NUMBER OVER (ORDER BY price DESC, key))
       s.read.parquet(t(dir, "orders"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKPairs.topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), col("e.id").as("o_orderkey"),
+          col("e.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rnk"))
         .orderBy("o_orderpriority", "rnk")
     }),
 

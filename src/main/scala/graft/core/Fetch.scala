@@ -51,11 +51,11 @@ object Fetch {
         if (!acceptNotGraft)
           throw new MissingGraftMetadata(
             s"Dataset at $root is missing graft metadata; enable acceptNotGraft to read it anyway.")
-        if (allFiles(spark, root).isEmpty) spark.emptyDataFrame
+        if (!hasData(spark, root)) spark.emptyDataFrame
         else spark.read.parquet(root)
       case Some(meta) =>
         Filters.validateAgainst(meta, filters)
-        if (allFiles(spark, root).isEmpty)
+        if (!hasData(spark, root))
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
         val raw = spark.read.parquet(root)
         val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
@@ -129,6 +129,20 @@ object Fetch {
   /** All data-file paths of the dataset (fetch_parq.py:327). */
   def allFiles(spark: SparkSession, root: String): Seq[String] =
     Publish.listDataFiles(spark, root)
+
+  /** Cheap emptiness probe: does the root contain any partition dir or
+    * data file? First-level listing only — `fetch` must NOT pay a full
+    * recursive file listing (O(#files) driver work at 100 TB) just to
+    * special-case the empty dataset.
+    */
+  private def hasData(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory || (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+    }
+  }
 
   // -------------------------------------------------------------- internals
 
