@@ -280,6 +280,16 @@ object SparkEntry {
       EventStream.sessionize(readEvents(s, dir), 1800)
         .orderBy("user_id", "session_idx")),
 
+    "fetch_latest_partition" -> ((s, dir) => {
+      val df = Fetch.fetchLatest(s, lineitemDataset(s, dir), "l_linenumber")
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+    }),
+
+    "dataset_profile" -> ((s, dir) =>
+      graft.ops.Profile.numericProfile(s, s.read.parquet(t(dir, "lineitem")),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
+        .orderBy("col")),
+
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag")
@@ -406,6 +416,31 @@ object SparkEntry {
         | (user_id % 2 = 0) AS is_even,
         | CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fetch_latest_partition" ->
+      ("SELECT * FROM lineitem WHERE l_linenumber = (SELECT max(l_linenumber) FROM lineitem) " +
+        "ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, " +
+        "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"),
+
+    "dataset_profile" ->
+      """SELECT col, min, max, n_distinct, n_nulls FROM (
+        | SELECT 'l_discount' AS col, round(min(CAST(l_discount AS DOUBLE)),4) AS min,
+        |  round(max(CAST(l_discount AS DOUBLE)),4) AS max,
+        |  count(DISTINCT l_discount) AS n_distinct,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', round(min(CAST(l_extendedprice AS DOUBLE)),4),
+        |  round(max(CAST(l_extendedprice AS DOUBLE)),4), count(DISTINCT l_extendedprice),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_partkey', round(min(CAST(l_partkey AS DOUBLE)),4),
+        |  round(max(CAST(l_partkey AS DOUBLE)),4), count(DISTINCT l_partkey),
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity', round(min(CAST(l_quantity AS DOUBLE)),4),
+        |  round(max(CAST(l_quantity AS DOUBLE)),4), count(DISTINCT l_quantity),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |) ORDER BY col""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

@@ -79,6 +79,27 @@ object Fetch {
     else fetch(spark, inputRoot, filters)
   }
 
+  /** The incremental-load idiom composed: fetch only the rows of the
+    * maximum partition value (the reference's get_max + fetch-== pattern
+    * its docs describe for "latest batch" loads). Listing-only max, then
+    * one pruned scan.
+    */
+  def fetchLatest(spark: SparkSession, root: String, partition: String): DataFrame =
+    getMaxPartitionValue(spark, root, partition) match {
+      case Some(v) => fetch(spark, root, Seq(ColFilter(partition, "==", Seq(v))))
+      case None => fetch(spark, root)
+    }
+
+  /** Compact a dataset: rewrite into `dest` with the same partitioning but
+    * target-size files (the small-file repair every long-lived 100 TB
+    * dataset needs — publish's sizing applies on the way out). Writes to a
+    * NEW root; swapping roots is the caller's (atomic) move.
+    */
+  def compact(spark: SparkSession, src: String, dest: String): Seq[String] = {
+    val meta = requireMeta(spark, src)
+    Publish.publish(spark, fetch(spark, src), dest, meta.partitions)
+  }
+
   // ------------------------------------------------- listing introspection
 
   /** All distinct values of `partition`, correctly typed, in no guaranteed

@@ -106,6 +106,30 @@ class PublishFetchSpec extends AnyFunSuite {
       s"file sizes ${sizes.mkString(",")} exceed 2x target")
   }
 
+  test("compact rewrites many small files into few, preserving data and partitioning") {
+    val src = TestSpark.tmpDir("compact-src")
+    val dest = TestSpark.tmpDir("compact-dest")
+    // fragment: 24 files across 3 partition values
+    sampleDf.repartition(8).write.mode("overwrite")
+      .partitionBy("grp").parquet(src)
+    DatasetMeta.write(spark, src, DatasetMeta(sampleDf.schema, Seq("grp")))
+    val before = Publish.listDataFiles(spark, src).length
+    Fetch.compact(spark, src, dest)
+    val after = Publish.listDataFiles(spark, dest).length
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    val meta = DatasetMeta.read(spark, dest).get
+    assert(meta.partitions == Seq("grp"))
+    assert(Fetch.fetch(spark, dest).orderBy("id").collect().toSeq ==
+      sampleDf.orderBy("id").collect().toSeq)
+  }
+
+  test("fetchLatest returns only the max partition value's rows") {
+    val root = TestSpark.tmpDir("latest")
+    Publish.publish(spark, sampleDf, root, Seq("num"))
+    val out = Fetch.fetchLatest(spark, root, "num")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("fetchDiff returns rows of input absent from comparison, and reverse (fetch_parq.py:233)") {
     val rootA = TestSpark.tmpDir("pub")
     val rootB = TestSpark.tmpDir("pub")
