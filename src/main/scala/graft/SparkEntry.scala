@@ -290,6 +290,33 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
         .orderBy("col")),
 
+    "q18_big_orders" -> ((s, dir) => {
+      // orders whose lineitem quantity total clears a threshold, with
+      // customer attribution: agg-then-join, aggregate side first so the
+      // join input is already reduced (HAVING pushes the reduction before
+      // the join instead of joining raw lineitems)
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val customer = s.read.parquet(t(dir, "customer"))
+      val big = lineitem.groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("total_qty"))
+        .where(col("total_qty") > 150)
+      big.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_anti_semi" -> ((s, dir) => {
+      // customers with no orders (anti) and suppliers of shipped parts
+      // (semi) — the two join shapes that reduce instead of expand
+      val customer = s.read.parquet(t(dir, "customer"))
+      val bigOrders = s.read.parquet(t(dir, "orders")).where(col("o_totalprice") > 400000)
+      customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag")
@@ -441,6 +468,20 @@ object SparkEntry {
         |  round(max(CAST(l_quantity AS DOUBLE)),4), count(DISTINCT l_quantity),
         |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |) ORDER BY col""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, o_orderkey, o_totalprice, total_qty FROM (
+        | SELECT l_orderkey, round(sum(l_quantity),4) AS total_qty
+        | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),4) > 150) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_anti_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
