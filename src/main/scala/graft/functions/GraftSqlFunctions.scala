@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.shim
+
+/** SQL surface for graft's native expressions: after registration, plain
+  * `spark.sql` can call them —
+  * `SELECT graft_fingerprint64(text), graft_simhash64(split(text, ' ')) …`.
+  *
+  * Two registration paths:
+  *  - [[GraftSqlFunctions.register]] on any existing session;
+  *  - `spark.sql.extensions=graft.functions.GraftSparkExtensions` at
+  *    session build (the cluster-config path).
+  */
+object GraftSqlFunctions {
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name takes 1 argument")
+    args.head
+  }
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_fingerprint64" -> (args => Fingerprint64(one(args, "graft_fingerprint64"))),
+    "graft_simhash64" -> (args => SimHash64Expr(one(args, "graft_simhash64"))),
+    "graft_shingles" -> (args => {
+      require(args.length == 2, "graft_shingles(text, n)")
+      ShinglesExpr(args.head, intArg(args(1), "graft_shingles"))
+    }),
+    "graft_minhash_sig" -> (args => {
+      require(args.length == 2, "graft_minhash_sig(shingles, numHashes)")
+      MinHashSigExpr(args.head, intArg(args(1), "graft_minhash_sig"))
+    }),
+    "graft_minhash_bands" -> (args => {
+      require(args.length == 3, "graft_minhash_bands(shingles, numHashes, bands)")
+      MinHashBandsExpr(args.head, intArg(args(1), "graft_minhash_bands"),
+        intArg(args(2), "graft_minhash_bands"))
+    }),
+    "graft_hyperplane_sigs" -> (args => {
+      require(args.length == 3, "graft_hyperplane_sigs(vec, planes, tables)")
+      HyperplaneSigsExpr(args.head, intArg(args(1), "graft_hyperplane_sigs"),
+        intArg(args(2), "graft_hyperplane_sigs"))
+    }),
+    "graft_array_dot" -> (args => {
+      require(args.length == 2, "graft_array_dot(a, b)")
+      ArrayDotExpr(args.head, args(1))
+    }))
+
+  /** Make every graft function callable from SQL on `spark`. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => shim.registerFunction(spark, name, b) }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftSqlFunctions", name),
+        b))
+    }
+}

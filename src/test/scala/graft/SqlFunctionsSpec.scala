@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fingerprint64, GraftSqlFunctions}
+
+/** The SQL surface of the native expressions. */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registered functions are callable from spark.sql") {
+    GraftSqlFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_fingerprint64('hello world') AS fp,
+        |       graft_simhash64(array('a','b','c')) AS sh,
+        |       size(graft_shingles('a b c d', 2)) AS nsh,
+        |       graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       size(graft_minhash_bands(graft_shingles('a b c d e f', 3), 64, 16)) AS nbands
+        |""".stripMargin).collect().head
+    assert(row.getAs[Long]("fp") == Fingerprint64.hashBytes("hello world".getBytes("UTF-8")))
+    assert(row.getAs[Int]("nsh") == 3)
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Int]("nbands") == 16)
+  }
+
+  test("extensions class injects all builders without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+  }
+
+  test("non-literal size arguments are rejected with a clear error") {
+    GraftSqlFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("literal int"))
+  }
+}
