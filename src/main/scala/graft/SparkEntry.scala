@@ -307,9 +307,8 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    "q_anti_semi" -> ((s, dir) => {
-      // customers with no orders (anti) and suppliers of shipped parts
-      // (semi) — the two join shapes that reduce instead of expand
+    "q_anti_join" -> ((s, dir) => {
+      // customers with no large order — the reducing join shape (left_anti)
       val customer = s.read.parquet(t(dir, "customer"))
       val bigOrders = s.read.parquet(t(dir, "orders")).where(col("o_totalprice") > 400000)
       customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -477,7 +476,7 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q_anti_semi" ->
+    "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)

@@ -120,10 +120,23 @@ object Publish {
     * object keys, publish_parq.py:573).
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
-              partitions: Seq[String]): Seq[String] = {
+              partitions: Seq[String], mode: String = "overwrite"): Seq[String] = {
+    require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     checkNonEmpty(df)
     checkNoIntervals(df)
     checkPartitions(partitions, df)
+    if (mode == "append") {
+      // The reference's incremental flow: repeated publishes ADD files to
+      // the dataset (publish_parq.py writes into the existing key).
+      // Appends must agree with the recorded logical schema + partitioning.
+      DatasetMeta.read(spark, root).foreach { meta =>
+        require(meta.partitions == partitions,
+          s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
+        require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          "append schema does not match the dataset's recorded schema")
+      }
+    }
 
     val (rowBytes, sampleRows) = sampleRowBytes(df, partitions)
     // Parquet bytes/row ≈ in-memory bytes / compression ratio; cap records
@@ -153,7 +166,7 @@ object Publish {
       }
 
     out.write
-      .mode("overwrite")
+      .mode(mode)
       .option("compression", "snappy")
       .option("maxRecordsPerFile", recordsPerFile)
       .partitionBy(partitions: _*)

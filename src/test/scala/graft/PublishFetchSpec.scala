@@ -106,6 +106,21 @@ class PublishFetchSpec extends AnyFunSuite {
       s"file sizes ${sizes.mkString(",")} exceed 2x target")
   }
 
+  test("append publish adds files; mismatched schema or partitions rejected") {
+    val root = TestSpark.tmpDir("append")
+    Publish.publish(spark, sampleDf.where($"grp" =!= "c"), root, Seq("grp"))
+    Publish.publish(spark, sampleDf.where($"grp" === "c"), root, Seq("grp"), mode = "append")
+    assert(Fetch.getAllPartitionValues(spark, root, "grp").toSet == Set("a", "b", "c"))
+    assert(Fetch.fetch(spark, root).orderBy("id").collect().toSeq ==
+      sampleDf.orderBy("id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf, root, Seq("num"), mode = "append")
+    }
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf.drop("value"), root, Seq("grp"), mode = "append")
+    }
+  }
+
   test("compact rewrites many small files into few, preserving data and partitioning") {
     val src = TestSpark.tmpDir("compact-src")
     val dest = TestSpark.tmpDir("compact-dest")
