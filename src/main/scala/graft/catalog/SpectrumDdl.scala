@@ -121,6 +121,12 @@ object SpectrumDdl {
     segs.take(lastPart + 1).mkString("/")
   }
 
+  /** Escape a value for a single-quoted SQL literal — partition values are
+    * data-derived, so an apostrophe must not break (or inject into) the
+    * generated statement.
+    */
+  private def sqlQuote(v: String): String = v.replace("'", "''")
+
   /** ALTER TABLE … ADD PARTITION for one written data file
     * (publish_redshift.py:300 `create_partitions`).
     */
@@ -128,7 +134,7 @@ object SpectrumDdl {
                       filepath: String): String = {
     val formatted = partitionsOf(filepath).map { p =>
       val Array(k, v) = p.split("=", 2)
-      s"$k='${graft.core.Fetch.unescapePathName(v)}'"
+      s"$k='${sqlQuote(graft.core.Fetch.unescapePathName(v))}'"
     }
     s"ALTER TABLE $schemaName.$tableName ADD IF NOT EXISTS PARTITION (${formatted.mkString(", ")}) " +
       s"LOCATION 's3://$bucket/${partitionLocation(filepath)}';"

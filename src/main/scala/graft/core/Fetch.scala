@@ -57,7 +57,11 @@ object Fetch {
         Filters.validateAgainst(meta, filters)
         if (!hasData(spark, root))
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-        val raw = spark.read.parquet(root)
+        // Read with the SIDECAR schema: partition-type inference would
+        // otherwise corrupt string partition values that look numeric
+        // ("0001" → int 1 → restored as "1") and make filters on them
+        // silently match nothing.
+        val raw = spark.read.schema(meta.schema).parquet(root)
         val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
         // partition-column expression the scan can prune on.
@@ -154,14 +158,16 @@ object Fetch {
   /** Cheap emptiness probe: does the root contain any partition dir or
     * data file? First-level listing only — `fetch` must NOT pay a full
     * recursive file listing (O(#files) driver work at 100 TB) just to
-    * special-case the empty dataset.
+    * special-case the empty dataset. Hidden entries (`_temporary`, `.`)
+    * don't count as data in either form.
     */
-  private def hasData(spark: SparkSession, root: String): Boolean = {
+  private[core] def hasData(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
-      st.isDirectory || (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      !n.startsWith("_") && !n.startsWith(".") &&
+        (st.isDirectory || n.endsWith(".parquet"))
     }
   }
 
@@ -197,20 +203,12 @@ object Fetch {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Reverse of hive's path-name escaping (%XX hex sequences). */
-  private[graft] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** Reverse of hive's path-name escaping — delegates to the exact routine
+    * Spark's partitioned writer uses, so unescaping can never diverge from
+    * how Publish's `partitionBy` escaped the value.
+    */
+  private[graft] def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** Parse a hive directory value string into the partition's logical type
     * (the analogue of the reference's `convert_type`, fetch_parq.py:283).

@@ -65,17 +65,38 @@ object Filters {
       }
     }
 
-  /** Throws unless `v` is representable in `dt` (strings are parsed). */
-  private def checkValue(v: Any, dt: DataType): Unit = (v, dt) match {
-    case (s: String, t) if t != StringType => Fetch.parseValue(s, t)
-    case (_: String, StringType) => ()
-    case (_: Boolean, BooleanType) => ()
-    case (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double | _: BigDecimal,
-          IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType | _: DecimalType) => ()
-    case (_: java.sql.Timestamp, TimestampType | TimestampNTZType) => ()
-    case (_: java.sql.Date, DateType) => ()
-    case _ => throw new IllegalArgumentException(
-      s"Filter value $v (${v.getClass.getSimpleName}) does not match partition type $dt")
+  /** Throws unless `v` is representable in `dt` (strings are parsed). A
+    * fractional or out-of-range value for an integral partition is
+    * rejected — casting it would truncate and silently match the WRONG
+    * partition (1.5 == int partition would become 1 == partition).
+    */
+  private def checkValue(v: Any, dt: DataType): Unit = {
+    def asLong: Option[Long] = v match {
+      case i: Int => Some(i.toLong); case l: Long => Some(l)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def inRange(lo: Long, hi: Long): Unit = asLong match {
+      case Some(l) => require(l >= lo && l <= hi,
+        s"Filter value $v out of range for partition type $dt")
+      case None => throw new IllegalArgumentException(
+        s"Filter value $v (${v.getClass.getSimpleName}) is not integral; partition type is $dt")
+    }
+    (v, dt) match {
+      case (s: String, t) if t != StringType => Fetch.parseValue(s, t)
+      case (_: String, StringType) => ()
+      case (_: Boolean, BooleanType) => ()
+      case (_, IntegerType) => inRange(Int.MinValue, Int.MaxValue)
+      case (_, LongType) => inRange(Long.MinValue, Long.MaxValue)
+      case (_, ShortType) => inRange(Short.MinValue, Short.MaxValue)
+      case (_, ByteType) => inRange(Byte.MinValue, Byte.MaxValue)
+      case (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double | _: BigDecimal,
+            FloatType | DoubleType | _: DecimalType) => ()
+      case (_: java.sql.Timestamp, TimestampType | TimestampNTZType) => ()
+      case (_: java.sql.Date, DateType) => ()
+      case _ => throw new IllegalArgumentException(
+        s"Filter value $v (${v.getClass.getSimpleName}) does not match partition type $dt")
+    }
   }
 
   /** Compile filters to ONE Catalyst predicate over partition columns.

@@ -68,13 +68,17 @@ object Publish {
   /** Partitions must be existing columns and not hive reserved words
     * (publish_parq.py:66 `check_partitions`).
     */
-  def checkPartitions(partitions: Seq[String], df: DataFrame): Unit =
+  def checkPartitions(partitions: Seq[String], df: DataFrame): Unit = {
     partitions.foreach { p =>
       require(df.columns.contains(p),
         s"Cannot set $p as a partition; this is not a valid column header for the supplied dataframe.")
       require(!HiveReserved.contains(p.toUpperCase),
         s"$p is a reserved word in hive that cannot be used as a partition.")
     }
+    // Spark's writer rejects this downstream with a less direct message.
+    require(partitions.isEmpty || partitions.toSet != df.columns.toSet,
+      "Cannot use every column as a partition column; at least one data column is required.")
+  }
 
   /** Sample-derived facts used to plan the write. */
   private final case class SampleStats(approxDistinctPartitions: Long)
@@ -128,13 +132,21 @@ object Publish {
     if (mode == "append") {
       // The reference's incremental flow: repeated publishes ADD files to
       // the dataset (publish_parq.py writes into the existing key).
-      // Appends must agree with the recorded logical schema + partitioning.
-      DatasetMeta.read(spark, root).foreach { meta =>
-        require(meta.partitions == partitions,
-          s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
-        require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-          df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-          "append schema does not match the dataset's recorded schema")
+      // Appends must agree with the recorded logical schema + partitioning;
+      // data present WITHOUT a sidecar (e.g. a crashed earlier publish that
+      // died before writing metadata) is not appendable — blind appends
+      // into an unverifiable layout would mix schemas silently.
+      DatasetMeta.read(spark, root) match {
+        case Some(meta) =>
+          require(meta.partitions == partitions,
+            s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
+          require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            "append schema does not match the dataset's recorded schema")
+        case None =>
+          require(!Fetch.hasData(spark, root),
+            s"cannot append to $root: it contains data but no graft metadata " +
+              "(recover or republish with mode=overwrite)")
       }
     }
 
@@ -154,13 +166,16 @@ object Publish {
     // cluster. Derived from the row itself (deterministic, no rand()) so
     // retried tasks re-route rows identically.
     val dataCols = df.columns.filterNot(partitions.contains)
+    // salt from the data columns when there are any; a fully-partitioned
+    // frame salts on the partition columns (xxhash64 needs >= 1 input)
+    val saltCols = if (dataCols.nonEmpty) dataCols.toSeq else partitions
     val out =
       if (partitions.isEmpty) df
       else {
         val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
         val parallelism = spark.sparkContext.defaultParallelism
         val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
-        val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        val salt = pmod(xxhash64(saltCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
         val partKeys = partitions.map(col) :+ salt
         df.repartition(partKeys: _*)
       }
@@ -229,12 +244,16 @@ object Publish {
     val p = graft.catalog.RedshiftParams.validate(params)
     val files = publish(spark, df, root, partitions)
     val location = s"s3://$bucket/$key"
+    // listDataFiles returns URI paths; relativize against the root's own
+    // URI path so URI-form roots (s3a://bucket/key, file:/...) map
+    // correctly onto the catalog key instead of duplicating it.
+    val rootPath = new Path(root).toUri.getPath
+    val relative = files.map(f => key + "/" + f.stripPrefix(rootPath).stripPrefix("/"))
     val ddl = Seq(
       graft.catalog.SpectrumDdl.createSchemaDdl(p.schemaName, p.dbName, p.iamRole),
       graft.catalog.SpectrumDdl.createTableDdl(p.tableName, p.schemaName, df.schema,
         partitions, location)) ++
-      graft.catalog.SpectrumDdl.addPartitionsDdl(bucket, p.schemaName, p.tableName,
-        files.map(f => key + "/" + f.stripPrefix(root).stripPrefix("/")))
+      graft.catalog.SpectrumDdl.addPartitionsDdl(bucket, p.schemaName, p.tableName, relative)
     (files, ddl)
   }
 

@@ -32,6 +32,14 @@ case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
 
   require(k > 0, "k must be positive")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double score, bigint id), got " +
+          s"(${scoreExpr.dataType}, ${idExpr.dataType})")
+
   // Max-heap whose head is the WORST kept pair (lowest score, then highest
   // id) — the eviction candidate.
   private val evictionOrder: Ordering[(Double, Long)] =

@@ -101,9 +101,7 @@ object Multimodal {
         // A real implementation initializes the native decoder ONCE here.
         def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
           // STUB decode: deterministic pseudo-metadata from the bytes.
-          var h = 1125899906842597L
-          var i = 0
-          while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
+          val h = graft.functions.Fingerprint64.hashBytes(bytes)
           val magic = bytes.take(2).map(b => f"$b%02X").mkString
           MediaMeta(id, bytes.length, magic,
             bytes.length % 640 + 16, (bytes.length * 7) % 480 + 16, 3, h)

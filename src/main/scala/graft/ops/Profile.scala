@@ -21,8 +21,13 @@ object Profile {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def opt(name: String): Option[Double] =
+      if (row.isNullAt(row.fieldIndex(name))) None
+      else Some(row.getAs[Double](name))
+    // Option fields encode as nullable doubles — an all-null column
+    // reports null min/max instead of crashing the non-nullable encoder.
     cols.map { c =>
-      (c, row.getAs[Double](s"min_$c"), row.getAs[Double](s"max_$c"),
+      (c, opt(s"min_$c"), opt(s"max_$c"),
         row.getAs[Long](s"nd_$c"), row.getAs[Long](s"nn_$c"))
     }.toDF("col", "min", "max", "n_distinct", "n_nulls")
   }

@@ -106,6 +106,46 @@ class PublishFetchSpec extends AnyFunSuite {
       s"file sizes ${sizes.mkString(",")} exceed 2x target")
   }
 
+  test("numeric-looking STRING partition values survive the round-trip untouched") {
+    val root = TestSpark.tmpDir("strpart")
+    val df = Seq((1L, "0001"), (2L, "0002"), (3L, "10")).toDF("id", "batch")
+    Publish.publish(spark, df, root, Seq("batch"))
+    val back = Fetch.fetch(spark, root)
+    assert(back.schema("batch").dataType.typeName == "string")
+    assert(back.select("batch").as[String].collect().toSet == Set("0001", "0002", "10"))
+    // and filters on the padded form actually match
+    assert(Fetch.fetch(spark, root, Seq(ColFilter("batch", "==", Seq("0001"))))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(Fetch.getAllPartitionValues(spark, root, "batch").toSet == Set("0001", "0002", "10"))
+  }
+
+  test("fractional or out-of-range values for integral partitions are rejected") {
+    val root = TestSpark.tmpDir("fracfil")
+    Publish.publish(spark, sampleDf, root, Seq("num"))
+    intercept[IllegalArgumentException] {
+      Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq(1.5))))
+    }
+    intercept[IllegalArgumentException] {
+      Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq(Long.MaxValue))))
+    }
+  }
+
+  test("all-columns partitioning rejected with a direct message") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("g", "n")
+    val e = intercept[IllegalArgumentException] {
+      Publish.publish(spark, df, TestSpark.tmpDir("allpart"), Seq("g", "n"))
+    }
+    assert(e.getMessage.contains("every column"))
+  }
+
+  test("append onto data lacking a sidecar is refused") {
+    val root = TestSpark.tmpDir("nosidecar")
+    sampleDf.write.mode("overwrite").parquet(root) // data, no graft metadata
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, sampleDf, root, Nil, mode = "append")
+    }
+  }
+
   test("append publish adds files; mismatched schema or partitions rejected") {
     val root = TestSpark.tmpDir("append")
     Publish.publish(spark, sampleDf.where($"grp" =!= "c"), root, Seq("grp"))

@@ -61,6 +61,12 @@ class SpectrumDdlSpec extends AnyFunSuite {
         "LOCATION 's3://bkt/path/to/data/apple=abcd/banana=1234';")
   }
 
+  test("partition values with quotes are escaped in DDL") {
+    val ddl = SpectrumDdl.addPartitionDdl("bkt", "s", "t",
+      "d/name=O%27Brien/x.parquet")
+    assert(ddl.contains("(name='O''Brien')"))
+  }
+
   test("batch add partitions dedups by partition directory") {
     val ddls = SpectrumDdl.addPartitionsDdl("bkt", "s", "t", Seq(
       "d/p=1/a.parquet", "d/p=1/b.parquet", "d/p=2/c.parquet"))
