@@ -273,6 +273,21 @@ object SparkEntry {
       Multimodal.extractMeta(
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
 
+    "curation_pipeline" -> ((s, dir) => {
+      // the end-to-end curation story composed from the ops: exact dedup ->
+      // quality scoring -> threshold filter -> per-language corpus stats
+      val docs = s.read.parquet(t(dir, "documents"))
+      val deduped = Dedup.exactText(docs)
+      TextAnalysis.qualityScore(deduped)
+        .join(deduped.select("doc_id", "lang"), "doc_id")
+        .where(col("quality_score") >= 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality_score"), 4).as("avg_quality"),
+          sum("n_words").as("total_words"))
+        .orderBy("lang")
+    }),
+
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroids(s.read.parquet(t(dir, "embeddings"))).orderBy("label", "dim")),
 
@@ -583,6 +598,28 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline" ->
+      """WITH dd AS (SELECT * FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |stats AS (SELECT doc_id, lang,
+        |  len(string_split(text,' ')) AS n_words,
+        |  len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','a','of','and','to','is','in','it'))) AS n_stop,
+        |  length(replace(text,' ','')) AS n_nospace
+        | FROM dd),
+        |scored AS (SELECT doc_id, lang, n_words,
+        |  least(round(
+        |    least(CAST(n_words AS DOUBLE)/100.0, 1.0)*0.5 +
+        |    round(CAST(n_stop AS DOUBLE)/n_words, 4)*0.2 +
+        |    CASE WHEN round(CAST(n_nospace AS DOUBLE)/n_words, 4) >= 2.5
+        |          AND round(CAST(n_nospace AS DOUBLE)/n_words, 4) <= 8.0
+        |         THEN 0.2 ELSE 0.0 END, 4), 1.0) AS quality_score
+        | FROM stats)
+        |SELECT lang, count(*) AS n_docs, round(avg(quality_score),4) AS avg_quality,
+        | CAST(sum(n_words) AS BIGINT) AS total_words
+        |FROM scored WHERE quality_score >= 0.5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "emb_centroids" ->
       """WITH u AS (SELECT label, CAST(generate_subscripts(embedding,1)-1 AS BIGINT) AS dim,
