@@ -273,6 +273,24 @@ object SparkEntry {
       Multimodal.extractMeta(
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
 
+    "sample_split" -> ((s, dir) => {
+      // modulo slot (cross-engine reproducible); the production default is
+      // the xxhash64 slot, spec-verified
+      val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
+      graft.ops.Sampling.withSplit(s.read.parquet(t(dir, "documents")), slot,
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+        .groupBy("split").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("split")
+    }),
+
+    "sample_mixture" -> ((s, dir) => {
+      val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
+      graft.ops.Sampling.mixture(s.read.parquet(t(dir, "documents")), slot,
+        "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 1.0)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
     "curation_pipeline" -> ((s, dir) => {
       // the end-to-end curation story composed from the ops: exact dedup ->
       // quality scoring -> threshold filter -> per-language corpus stats
@@ -598,6 +616,23 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
+        | SELECT n_chars,
+        |  CASE WHEN (doc_id*997) % 10000 < 8000 THEN 'train'
+        |       WHEN (doc_id*997) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_mixture" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE (doc_id*997) % 10000 <
+        |  CASE WHEN source = 'src0' THEN 5000
+        |       WHEN source = 'src1' THEN 2500
+        |       ELSE 10000 END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "curation_pipeline" ->
       """WITH dd AS (SELECT * FROM documents

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: train/val/test
+  * splits and per-source mixture downsampling. Everything is a pure
+  * projection/filter over a 10000-slot assignment derived from the row's
+  * own key — no rand() (reruns and retried tasks assign identically), no
+  * shuffle, no driver state; exactly as cheap at 100 TB as a filter.
+  */
+object Sampling {
+
+  val Slots = 10000
+
+  /** Default slot assignment: xxhash64 of the id column (uniform,
+    * key-deterministic). Any custom slot expression in [0, Slots) works —
+    * e.g. a modulo form when cross-engine reproducibility matters.
+    */
+  def hashSlot(idCol: Column, seed: Int = 0): Column =
+    pmod(xxhash64(idCol, lit(seed)), lit(Slots))
+
+  /** Add a `split` column assigning each row to `names(i)` with
+    * probability `weights(i)` (weights sum to 1), by cumulative ranges
+    * over the slot expression.
+    */
+  def withSplit(df: DataFrame, slot: Column, weights: Seq[Double],
+                names: Seq[String]): DataFrame = {
+    require(weights.length == names.length && weights.nonEmpty, "weights/names must align")
+    require(math.abs(weights.sum - 1.0) < 1e-9, "weights must sum to 1")
+    val bounds = weights.scanLeft(0.0)(_ + _).tail.map(w => math.round(w * Slots))
+    val assigned = names.zip(bounds).foldRight(lit(names.last): Column) {
+      case ((name, bound), acc) => when(slot < bound, name).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Downsample each source to its configured keep-rate (default 1.0):
+    * row kept iff its slot falls under rate×Slots for its source — the
+    * "data mixing" op that rebalances corpus composition without a
+    * shuffle or a count.
+    */
+  def mixture(df: DataFrame, slot: Column, sourceCol: String,
+              rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * Slots)): Column) {
+      case (acc, (src, rate)) =>
+        when(col(sourceCol) === src, math.round(rate * Slots)).otherwise(acc)
+    }
+    df.where(slot < threshold)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+/** Deterministic splits and mixtures. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val rows = (0L until 10000L).map(i => (i, s"src${i % 4}"))
+    .toDF("id", "source")
+
+  test("hash split is deterministic, exhaustive, and near the weights") {
+    val slot = Sampling.hashSlot(col("id"))
+    val split = Sampling.withSplit(rows, slot, Seq(0.8, 0.1, 0.1),
+      Seq("train", "val", "test"))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150)
+    // same key -> same split across invocations
+    val again = Sampling.withSplit(rows, slot, Seq(0.8, 0.1, 0.1),
+      Seq("train", "val", "test"))
+    assert(split.select("id", "split").except(again.select("id", "split")).isEmpty)
+  }
+
+  test("mixture keeps configured rates per source, others untouched") {
+    val slot = Sampling.hashSlot(col("id"))
+    val mixed = Sampling.mixture(rows, slot, "source", Map("src0" -> 0.5))
+    val counts = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("src1") == 2500 && counts("src2") == 2500 && counts("src3") == 2500)
+    assert(math.abs(counts("src0") - 1250) < 200, s"src0=${counts("src0")}")
+    // kept set is a subset determined by key, not order
+    assert(Sampling.mixture(rows.orderBy(rand(7)), slot, "source", Map("src0" -> 0.5))
+      .count() == mixed.count())
+  }
+}
