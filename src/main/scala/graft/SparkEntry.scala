@@ -253,6 +253,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16, nprobe = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 8), 5)

@@ -51,6 +51,53 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, seeded)
+    * partitions the corpus into `nlist` cells; each query probes only its
+    * `nprobe` nearest cells and ranks that union by exact cosine. The
+    * second scale path besides LSH: one corpus pass to assign cells, then
+    * per-query work proportional to the probed fraction (nprobe/nlist of
+    * the corpus) instead of the whole corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    def base(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn(n, l2Norm(col(v)))
+
+    val c = base(corpus, "neighbor_id", "cv", "cn")
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select("neighbor_id", "cv", "cn", "cell")
+
+    // Each query's nprobe nearest cells, ranked by distance to the (tiny,
+    // driver-held) centroid set — centroids ride into the closure, no join.
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val probeCells = udf { (qv: Seq[Double]) =>
+      centroids.map { case (ctr, idx) =>
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length && i < qv.length) {
+          val diff = qv(i) - ctr(i); d += diff * diff; i += 1
+        }
+        (d, idx)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = base(queries, "query_id", "qv", "qn")
+      .withColumn("cell", explode(probeCells(col("qv"))))
+
+    val cands = assigned.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
+    topKPerQuery(cands, k)
+  }
+
   /** Per-label embedding centroids in exploded form (label, dim, mean):
     * posexplode → hash aggregate on (label, dim) with map-side partial
     * sums — one shuffle of (label, dim, partial) triples regardless of

@@ -33,6 +33,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    val queries = corpus.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = corpus.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)
