@@ -74,6 +74,11 @@ object Filters {
     def asLong: Option[Long] = v match {
       case i: Int => Some(i.toLong); case l: Long => Some(l)
       case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      // whole-valued fractional types are exactly representable (2024.0
+      // filtering an int partition is fine; 1.5 is not)
+      case d: Double if d.isWhole && d.abs <= Long.MaxValue.toDouble => Some(d.toLong)
+      case f: Float if f.isWhole && f.abs <= Long.MaxValue.toFloat => Some(f.toLong)
+      case bd: BigDecimal if bd.isWhole && bd.isValidLong => Some(bd.toLong)
       case _ => None
     }
     def inRange(lo: Long, hi: Long): Unit = asLong match {

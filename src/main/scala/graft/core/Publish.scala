@@ -78,6 +78,12 @@ object Publish {
     // Spark's writer rejects this downstream with a less direct message.
     require(partitions.isEmpty || partitions.toSet != df.columns.toSet,
       "Cannot use every column as a partition column; at least one data column is required.")
+    // Hidden-prefixed dirs are skipped by every parquet reader (and by
+    // graft's own emptiness probe) — such a dataset would fetch as empty.
+    partitions.find(p => p.startsWith("_") || p.startsWith(".")).foreach { p =>
+      throw new IllegalArgumentException(
+        s"$p cannot be a partition column: names starting with '_' or '.' produce hidden directories.")
+    }
   }
 
   /** Sample-derived facts used to plan the write. */
@@ -165,20 +171,24 @@ object Publish {
     // stay low; when values are few/hot it fans each value out across the
     // cluster. Derived from the row itself (deterministic, no rand()) so
     // retried tasks re-route rows identically.
+    // non-empty: checkPartitions rejects fully-partitioned frames
     val dataCols = df.columns.filterNot(partitions.contains)
-    // salt from the data columns when there are any; a fully-partitioned
-    // frame salts on the partition columns (xxhash64 needs >= 1 input)
-    val saltCols = if (dataCols.nonEmpty) dataCols.toSeq else partitions
     val out =
       if (partitions.isEmpty) df
       else {
         val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
         val parallelism = spark.sparkContext.defaultParallelism
         val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
-        val salt = pmod(xxhash64(saltCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
         val partKeys = partitions.map(col) :+ salt
         df.repartition(partKeys: _*)
       }
+
+    // Append must report ONLY the newly written files (the reference
+    // returns freshly published keys, publish_parq.py:573) — snapshot the
+    // existing listing first.
+    val preExisting: Set[String] =
+      if (mode == "append") listDataFiles(spark, root).toSet else Set.empty
 
     out.write
       .mode(mode)
@@ -188,7 +198,7 @@ object Publish {
       .parquet(root)
 
     DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
-    listDataFiles(spark, root)
+    listDataFiles(spark, root).filterNot(preExisting)
   }
 
   /** `custom_publish` (publish_parq.py:576): publish with custom Redshift
@@ -244,10 +254,13 @@ object Publish {
     val p = graft.catalog.RedshiftParams.validate(params)
     val files = publish(spark, df, root, partitions)
     val location = s"s3://$bucket/$key"
-    // listDataFiles returns URI paths; relativize against the root's own
-    // URI path so URI-form roots (s3a://bucket/key, file:/...) map
-    // correctly onto the catalog key instead of duplicating it.
-    val rootPath = new Path(root).toUri.getPath
+    // listDataFiles returns URI paths; relativize against the QUALIFIED
+    // root path so URI-form (s3a://bucket/key) and relative (warehouse/t)
+    // roots both map correctly onto the catalog key instead of
+    // duplicating it.
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(rootP).toUri.getPath
     val relative = files.map(f => key + "/" + f.stripPrefix(rootPath).stripPrefix("/"))
     val ddl = Seq(
       graft.catalog.SpectrumDdl.createSchemaDdl(p.schemaName, p.dbName, p.iamRole),

@@ -42,6 +42,8 @@ object Sampling {
     */
   def mixture(df: DataFrame, slot: Column, sourceCol: String,
               rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"keep-rate $r must be in [0, 1]"))
     val threshold = rates.foldLeft(lit(math.round(defaultRate * Slots)): Column) {
       case (acc, (src, rate)) =>
         when(col(sourceCol) === src, math.round(rate * Slots)).otherwise(acc)

@@ -67,9 +67,16 @@ object Similarity {
     def base(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .withColumn(n, l2Norm(col(v)))
+        .where(col(n) > 0)
+
+    // Quantize and probe on L2-NORMALIZED vectors: Euclidean nearness on
+    // the unit sphere is monotone in cosine, so cells agree with the final
+    // cosine ranking regardless of raw magnitudes (standard IVF-for-cosine;
+    // unnormalized k-means would cluster by magnitude and tank recall).
+    def normalized(v: String, n: String) = transform(col(v), x => x / col(n))
 
     val c = base(corpus, "neighbor_id", "cv", "cn")
-      .withColumn("fv", array_to_vector(col("cv")))
+      .withColumn("fv", array_to_vector(normalized("cv", "cn")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("cell")
     val model = km.fit(c)
@@ -89,11 +96,12 @@ object Similarity {
       }.sortBy(_._1).take(nprobe).map(_._2)
     }
     val q = base(queries, "query_id", "qv", "qn")
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell", explode(probeCells(normalized("qv", "qn"))))
 
+    // one cell per corpus vector + distinct probed cells per query ⇒ a
+    // (query, neighbor) pair matches at most once: no dedup shuffle needed
     val cands = assigned.join(q, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     topKPerQuery(cands, k)
   }

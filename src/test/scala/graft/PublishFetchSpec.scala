@@ -128,6 +128,16 @@ class PublishFetchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq(Long.MaxValue))))
     }
+    // whole-valued doubles are exactly representable and accepted
+    assert(Fetch.fetch(spark, root, Seq(ColFilter("num", "==", Seq(10.0))))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("hidden-prefixed partition names rejected at publish") {
+    val df = Seq((1L, "a")).toDF("id", "_batch")
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, df, TestSpark.tmpDir("hidden"), Seq("_batch"))
+    }
   }
 
   test("all-columns partitioning rejected with a direct message") {
@@ -148,8 +158,12 @@ class PublishFetchSpec extends AnyFunSuite {
 
   test("append publish adds files; mismatched schema or partitions rejected") {
     val root = TestSpark.tmpDir("append")
-    Publish.publish(spark, sampleDf.where($"grp" =!= "c"), root, Seq("grp"))
-    Publish.publish(spark, sampleDf.where($"grp" === "c"), root, Seq("grp"), mode = "append")
+    val first = Publish.publish(spark, sampleDf.where($"grp" =!= "c"), root, Seq("grp"))
+    val appended = Publish.publish(spark, sampleDf.where($"grp" === "c"), root,
+      Seq("grp"), mode = "append")
+    // append reports ONLY the newly written files
+    assert(appended.nonEmpty && appended.toSet.intersect(first.toSet).isEmpty)
+    assert(appended.forall(_.contains("grp=c")))
     assert(Fetch.getAllPartitionValues(spark, root, "grp").toSet == Set("a", "b", "c"))
     assert(Fetch.fetch(spark, root).orderBy("id").collect().toSeq ==
       sampleDf.orderBy("id").collect().toSeq)
