@@ -53,6 +53,28 @@ object EventStream {
       .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
+  /** Stream INTO a graft dataset: a parquet file sink writing the hive
+    * layout publish produces, with the sidecar stamped up front so
+    * concurrent/subsequent fetches see the right types from the first
+    * micro-batch. Completes the round trip with [[streamDataset]]: one
+    * stage streams in, another streams (or fetches) out.
+    *
+    * Returns the started query; the caller owns its lifecycle.
+    */
+  def streamToDataset(spark: SparkSession, events: DataFrame, root: String,
+                      partitions: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.core.Publish.checkNoIntervals(events)
+    graft.core.Publish.checkPartitions(partitions, events)
+    graft.core.DatasetMeta.write(spark, root,
+      graft.core.DatasetMeta(events.schema, partitions))
+    val w = events.writeStream
+      .format("parquet")
+      .option("path", root)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+  }
+
   /** Batch sessionization: a user's events split into sessions wherever the
     * gap to the previous event exceeds `gapSeconds`. One shuffle on
     * user_id; the lag + running-sum windows share that single partitioning

@@ -54,6 +54,17 @@ object ProbeMain {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     sq.awaitTermination(60000)
     println("P18 streamed rows=" + spark.table("probe_ds").count())
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val sinkRoot = "/tmp/probe_stream_sink"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(sinkRoot), true)
+    val sq2 = graft.streaming.EventStream.streamToDataset(spark,
+      ms.toDF().toDF("id", "grp"), sinkRoot, Seq("grp"), "/tmp/probe_stream_sink_ckpt_" + System.nanoTime())
+    ms.addData((1L, "x"), (2L, "y"))
+    sq2.processAllAvailable(); sq2.stop()
+    println("P19 sink-fetch rows=" + Fetch.fetch(spark, sinkRoot).count() +
+      " parts=" + Fetch.getAllPartitionValues(spark, sinkRoot, "grp").map(_.toString).sorted.mkString(","))
     spark.stop()
   }
 }

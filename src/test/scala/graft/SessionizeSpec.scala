@@ -45,6 +45,25 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
   }
 
+  test("streamToDataset writes a fetchable graft dataset from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, Double)]
+    val root = TestSpark.tmpDir("streamsink")
+    val q = EventStream.streamToDataset(spark,
+      input.toDF().toDF("id", "grp", "v"), root, Seq("grp"),
+      TestSpark.tmpDir("streamsink-ckpt"))
+    input.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    q.processAllAvailable()
+    input.addData((3L, "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.core.Fetch.fetch(spark, root)
+    assert(back.columns.toSeq == Seq("id", "grp", "v"))
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(graft.core.Fetch.getAllPartitionValues(spark, root, "grp").toSet == Set("a", "b"))
+  }
+
   test("streaming sessionize closes sessions on gap (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
