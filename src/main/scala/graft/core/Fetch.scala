@@ -130,8 +130,8 @@ object Fetch {
     val dt = meta.partitionType(partition)
     val present: Set[Any] =
       rawPartitionValues(spark, root, meta, partition).map(parseValue(_, dt)).toSet
-    val given: Set[Any] = valuesToDiff.map(normalize(_, dt)).toSet
-    val diff = if (reverse) given -- present else present -- given
+    val supplied: Set[Any] = valuesToDiff.map(normalize(_, dt)).toSet
+    val diff = if (reverse) supplied -- present else present -- supplied
     diff.toSeq
   }
 
