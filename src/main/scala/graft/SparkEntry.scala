@@ -276,6 +276,26 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
 
+    "text_redact" -> ((s, dir) => {
+      // synthesize deterministic PII so the scrub pass is actually
+      // exercised (the corpus itself contains none)
+      val aug = s.read.parquet(t(dir, "documents")).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or http://example.com/d/"), col("doc_id"),
+          lit(" tel 555-123-4567")))
+      TextAnalysis.redact(aug).orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(s.read.parquet(t(dir, "documents")), 3)
+        .orderBy("doc_id")),
+
+    "decontaminate_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.ops.Decontaminate.overlap(docs, docs.where(col("doc_id") < 5), n = 8)
+        .orderBy("doc_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
@@ -696,6 +716,34 @@ object SparkEntry {
         "o_totalprice FLOAT, o_orderdate TIMESTAMP, o_orderpriority VARCHAR) " +
         "PARTITIONED BY (o_orderstatus VARCHAR) STORED AS PARQUET " +
         "LOCATION ''s3://my-bucket/warehouse/orders'';')) t(ddl) ORDER BY ddl"),
+
+    "text_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or http://example.com/d/'
+        |       || doc_id || ' tel 555-123-4567' AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text,'[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(text,'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+','<EMAIL>','g'),
+        |   'https?://[A-Za-z0-9./_-]+','<URL>','g'),
+        |   '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}','<PHONE>','g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS words,
+        |  len(string_split(text,' ')) AS nw FROM documents)
+        |SELECT doc_id, CAST(greatest(nw-2,1) AS BIGINT) AS n_positions,
+        | CAST(CASE WHEN nw <= 3 THEN 1
+        |      ELSE len(list_distinct(list_transform(range(1, nw-1),
+        |           i -> array_to_string(words[i:i+2], ' ')))) END AS BIGINT) AS n_distinct,
+        | round(1.0 - CAST(CASE WHEN nw <= 3 THEN 1
+        |      ELSE len(list_distinct(list_transform(range(1, nw-1),
+        |           i -> array_to_string(words[i:i+2], ' ')))) END AS DOUBLE)
+        |   / greatest(nw-2,1), 4) AS rep_ratio
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -86,4 +86,44 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), GraftFunctions.fingerprint64(col(textCol)).as("fingerprint"))
+
+  /** PII redaction patterns — explicit character classes only (identical
+    * semantics across regex engines).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+  val UrlPattern = "https?://[A-Za-z0-9./_-]+"
+
+  /** Redact emails/phones/URLs from a text column, reporting per-kind
+    * match counts alongside the scrubbed text. A pure projection — the
+    * standard PII-scrub pass before training-data release.
+    */
+  def redact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def count(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    docs.select(
+      col(idCol),
+      count(EmailPattern).as("n_emails"),
+      count(PhonePattern).as("n_phones"),
+      count(UrlPattern).as("n_urls"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailPattern, "<EMAIL>"), UrlPattern, "<URL>"), PhonePattern, "<PHONE>")
+        .as("redacted"))
+  }
+
+  /** Repetition ratio: 1 − distinct n-gram shingles / total shingle
+    * positions — the boilerplate/loop-generation quality signal (near 0 =
+    * varied text, near 1 = heavy repetition). Uses the same shingle
+    * semantics as dedup (short docs collapse to one whole-text shingle).
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = size(split(col(textCol), " "))
+    val positions = greatest(words - n + 1, lit(1)).cast("long")
+    val distinctShingles = size(Dedup.shingles(col(textCol), n)).cast("long")
+    docs.select(col(idCol), positions.as("n_positions"),
+      distinctShingles.as("n_distinct"),
+      round(lit(1.0) - distinctShingles.cast("double") / positions, 4).as("rep_ratio"))
+  }
 }

@@ -46,6 +46,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe_tokens") == 6)
   }
 
+  test("redaction scrubs emails, urls, phones and counts them") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe@corp.io or https://ex.org/a_b see 555-123-4567"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_emails") == 1 && r1.getAs[Long]("n_urls") == 1
+      && r1.getAs[Long]("n_phones") == 1)
+    assert(r1.getAs[String]("redacted") ==
+      "reach me at <EMAIL> or <URL> see <PHONE>")
+    assert(out(2L).getAs[String]("redacted") == "nothing sensitive here")
+  }
+
+  test("repetition ratio flags repeated text") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam spam spam").mkString(" ")), // heavy repetition
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))      // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(docs, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(out(1L) > 0.9, s"repetitive doc scored ${out(1L)}")
+    assert(out(2L) == 0.0)
+  }
+
+  test("decontamination drops docs overlapping the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog today and more"),
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val overlap = graft.ops.Decontaminate.overlap(docs, bench, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(overlap.contains(1L) && !overlap.contains(2L))
+    val clean = graft.ops.Decontaminate.decontaminate(docs, bench, n = 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+  }
+
   test("fingerprint expression matches the reference loop and is injective on samples") {
     val docs = Seq((1L, "hello world"), (2L, "hello worle"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprint(docs).select("doc_id", "fingerprint")
