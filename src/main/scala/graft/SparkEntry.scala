@@ -722,15 +722,18 @@ object SparkEntry {
         |  text || ' contact user' || doc_id || '@example.com or http://example.com/d/'
         |       || doc_id || ' tel 555-123-4567' AS text
         | FROM documents)
+        |, staged AS (SELECT doc_id, text,
+        |  regexp_replace(text,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+','<EMAIL>','g') AS after_email
+        | FROM aug)
+        |, staged2 AS (SELECT doc_id, text, after_email,
+        |  regexp_replace(after_email,'https?://[A-Za-z0-9./_-]+','<URL>','g') AS after_url
+        | FROM staged)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(text,'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(text,'[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS BIGINT) AS n_phones,
-        | CAST(len(regexp_extract_all(text,'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
-        | regexp_replace(regexp_replace(regexp_replace(text,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+','<EMAIL>','g'),
-        |   'https?://[A-Za-z0-9./_-]+','<URL>','g'),
-        |   '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}','<PHONE>','g') AS redacted
-        |FROM aug ORDER BY doc_id""".stripMargin,
+        | CAST(len(regexp_extract_all(after_url,'[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(after_email,'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
+        | regexp_replace(after_url,'[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}','<PHONE>','g') AS redacted
+        |FROM staged2 ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS words,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find training documents sharing word n-grams
@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * 64-bit hash, so the shuffle carries two longs per shingle — never the
   * text. The benchmark side is typically tiny ⇒ broadcast join; overlap
   * counts aggregate map-side.
+  *
+  * Recall note: texts with fewer than `n` words collapse to ONE
+  * whole-text shingle (see [[graft.functions.ShinglesExpr]]), so a
+  * benchmark item shorter than `n` words only matches a training doc via
+  * an identical whole-text shingle, not as a substring. For short eval
+  * answers, pair this with exact/near dedup of the items themselves
+  * ([[Dedup.exactText]], [[Dedup.minHashLsh]]) or run a second pass at a
+  * smaller `n`.
   */
 object Decontaminate {
 
@@ -18,14 +26,14 @@ object Decontaminate {
     */
   def overlap(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def hashed(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
-        explode(Dedup.shingles(col(textCol), n)).as("sh"))
-      .select(col(out), xxhash64(col("sh")).as("h"))
+    def hashes(df: DataFrame) =
+      df.select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
+        .select(xxhash64(col("sh")).as("h"))
 
-    val d = hashed(docs, "doc_id")
-    val b = hashed(benchmark, "bench_id").select("h").distinct()
-    d.join(F.broadcast(b), "h")
+    val d = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    d.join(broadcast(hashes(benchmark).distinct()), "h")
       .groupBy("doc_id")
       .agg(countDistinct("h").as("n_contaminated_ngrams"))
   }

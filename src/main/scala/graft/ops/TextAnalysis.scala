@@ -97,19 +97,24 @@ object TextAnalysis {
   /** Redact emails/phones/URLs from a text column, reporting per-kind
     * match counts alongside the scrubbed text. A pure projection — the
     * standard PII-scrub pass before training-data release.
+    *
+    * Counts are taken at each stage of the sequential scrub
+    * (email → URL → phone), so they equal the number of placeholders
+    * actually emitted even when patterns overlap (a phone number inside a
+    * URL is swallowed by `<URL>` and NOT double-counted as a phone).
     */
   def redact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    def count(pat: String): Column =
-      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    def count(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlPattern, "<URL>")
     docs.select(
       col(idCol),
-      count(EmailPattern).as("n_emails"),
-      count(PhonePattern).as("n_phones"),
-      count(UrlPattern).as("n_urls"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        EmailPattern, "<EMAIL>"), UrlPattern, "<URL>"), PhonePattern, "<PHONE>")
-        .as("redacted"))
+      count(t, EmailPattern).as("n_emails"),
+      count(afterUrl, PhonePattern).as("n_phones"),
+      count(afterEmail, UrlPattern).as("n_urls"),
+      regexp_replace(afterUrl, PhonePattern, "<PHONE>").as("redacted"))
   }
 
   /** Repetition ratio: 1 − distinct n-gram shingles / total shingle

@@ -60,11 +60,28 @@ object EventStream {
     * stage streams in, another streams (or fetches) out.
     *
     * Returns the started query; the caller owns its lifecycle.
+    *
+    * Caveats vs published datasets: the parquet sink keeps a
+    * `_spark_metadata` commit log — `fetch` honors it (uncommitted files
+    * from failed micro-batches are invisible), but the LISTING-based
+    * introspection ops (`getAllPartitionValues`, `allFiles`, `fetchDiff`)
+    * see raw files and may over-report until the batch commits. To hand a
+    * stream-sink root to the introspection surface, normalize it first
+    * with `Fetch.compact` into a regular published dataset.
     */
   def streamToDataset(spark: SparkSession, events: DataFrame, root: String,
                       partitions: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     graft.core.Publish.checkNoIntervals(events)
     graft.core.Publish.checkPartitions(partitions, events)
+    // Same guard as append-mode publish: never clobber an existing
+    // dataset's recorded schema/partitioning with an incompatible stream.
+    graft.core.DatasetMeta.read(spark, root).foreach { meta =>
+      require(meta.partitions == partitions,
+        s"stream partitions $partitions do not match dataset partitions ${meta.partitions}")
+      require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        events.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "stream schema does not match the dataset's recorded schema")
+    }
     graft.core.DatasetMeta.write(spark, root,
       graft.core.DatasetMeta(events.schema, partitions))
     val w = events.writeStream

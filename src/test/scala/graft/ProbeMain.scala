@@ -57,10 +57,11 @@ object ProbeMain {
     import spark.implicits._
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
     val sinkRoot = "/tmp/probe_stream_sink"
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(sinkRoot), true)
+    val probeFs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    probeFs.delete(new org.apache.hadoop.fs.Path(sinkRoot), true)
+    probeFs.delete(new org.apache.hadoop.fs.Path("/tmp/probe_stream_sink_ckpt"), true)
     val sq2 = graft.streaming.EventStream.streamToDataset(spark,
-      ms.toDF().toDF("id", "grp"), sinkRoot, Seq("grp"), "/tmp/probe_stream_sink_ckpt_" + System.nanoTime())
+      ms.toDF().toDF("id", "grp"), sinkRoot, Seq("grp"), "/tmp/probe_stream_sink_ckpt")
     ms.addData((1L, "x"), (2L, "y"))
     sq2.processAllAvailable(); sq2.stop()
     println("P19 sink-fetch rows=" + Fetch.fetch(spark, sinkRoot).count() +

@@ -64,6 +64,19 @@ class SessionizeSpec extends AnyFunSuite {
     assert(graft.core.Fetch.getAllPartitionValues(spark, root, "grp").toSet == Set("a", "b"))
   }
 
+  test("streamToDataset refuses an incompatible existing dataset") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = TestSpark.tmpDir("streamsink-guard")
+    graft.core.Publish.publish(spark,
+      Seq((1L, "a", 1.0)).toDF("id", "grp", "v"), root, Seq("grp"))
+    val input = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      EventStream.streamToDataset(spark, input.toDF().toDF("id", "grp"),
+        root, Seq("grp"), TestSpark.tmpDir("guard-ckpt"))
+    }
+  }
+
   test("streaming sessionize closes sessions on gap (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]

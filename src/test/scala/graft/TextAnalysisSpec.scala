@@ -61,6 +61,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L).getAs[String]("redacted") == "nothing sensitive here")
   }
 
+  test("overlapping patterns are not double-counted (phone inside URL)") {
+    val docs = Seq((1L, "see http://x.com/555-123-4567 ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(docs).collect().head
+    assert(r.getAs[Long]("n_urls") == 1)
+    assert(r.getAs[Long]("n_phones") == 0) // swallowed by <URL>
+    assert(r.getAs[String]("redacted") == "see <URL> ok")
+  }
+
   test("repetition ratio flags repeated text") {
     val docs = Seq(
       (1L, Seq.fill(20)("spam spam spam").mkString(" ")), // heavy repetition
