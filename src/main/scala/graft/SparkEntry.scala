@@ -290,6 +290,14 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(t(dir, "documents")), 3)
         .orderBy("doc_id")),
 
+    "pack_sequences" -> ((s, dir) => {
+      val withTokens = TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))
+        .withColumnRenamed("ws_tokens", "n_tokens")
+      graft.ops.Packing.packSequences(s, withTokens, 512)
+        .toDF().select(col("seq_id"), col("n_docs"), col("total_tokens"))
+        .orderBy("seq_id")
+    }),
+
     "decontaminate_overlap" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       graft.ops.Decontaminate.overlap(docs, docs.where(col("doc_id") < 5), n = 8)
