@@ -109,13 +109,50 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Drop near-duplicates: remove every doc that has a verified duplicate
-    * with a smaller id (keep-first within each duplicate cluster; transitive
-    * chains collapse to their minimum over repeated application — single
-    * pass is the standard large-scale approximation).
+  /** Connected components of the verified duplicate-pair graph via
+    * distributed min-label propagation: every member's label converges to
+    * the MINIMUM id of its component, so transitive chains A~B~C collapse
+    * to one cluster even when the (A,C) pair was never emitted by the LSH
+    * stage. Iterations touch ONLY the pair graph (tiny relative to the
+    * corpus — verified duplicates only), each one a join + min-aggregate on
+    * id scalars, checkpointed to keep lineage flat; converges in
+    * O(component diameter) rounds (near-dup chains are short; `maxIters`
+    * bounds pathological graphs, where leftover under-collapse is the safe
+    * direction). Returns (id, cluster) with cluster = component min.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("cluster"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .where(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop near-duplicates: keep only the minimum-id member of every
+    * duplicate cluster ([[duplicateClusters]] — connected components, so
+    * transitive chains A~B~C collapse to {A} in ONE call; docs with no
+    * verified duplicate pass through untouched).
     */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -51,19 +51,24 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
-  /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, seeded)
-    * partitions the corpus into `nlist` cells; each query probes only its
-    * `nprobe` nearest cells and ranks that union by exact cosine. The
-    * second scale path besides LSH: one corpus pass to assign cells, then
-    * per-query work proportional to the probed fraction (nprobe/nlist of
-    * the corpus) instead of the whole corpus.
+  /** IVF-style ANN: a seeded k-means coarse quantizer partitions the corpus
+    * into `nlist` cells; each query probes only its `nprobe` nearest cells
+    * and ranks that union by exact cosine. The second scale path besides
+    * LSH: per-query work is proportional to the probed fraction
+    * (nprobe/nlist of the corpus) instead of the whole corpus.
+    *
+    * The quantizer fits on a BOUNDED sample (`maxFitSample` vectors,
+    * driver-side Lloyd iterations over ≤ a few MB) — a quantizer fit over
+    * the full corpus would iterate ~20 full passes over 100 TB and dominate
+    * the entire query; standard IVF practice needs only O(nlist·256)
+    * training points. Cell ASSIGNMENT of the corpus stays a single
+    * distributed pass with the centroid array riding the closure (no join,
+    * no extra shuffle).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+              maxFitSample: Int = 25000): DataFrame = {
     def base(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .withColumn(n, l2Norm(col(v)))
@@ -76,15 +81,28 @@ object Similarity {
     def normalized(v: String, n: String) = transform(col(v), x => x / col(n))
 
     val c = base(corpus, "neighbor_id", "cv", "cn")
-      .withColumn("fv", array_to_vector(normalized("cv", "cn")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
-      .setPredictionCol("cell")
-    val model = km.fit(c)
-    val assigned = model.transform(c).select("neighbor_id", "cv", "cn", "cell")
+    val sample: Array[Array[Double]] = c
+      .select(normalized("cv", "cn").as("nv"))
+      .limit(maxFitSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex
+
+    val nearestCell = udf { (cv: Seq[Double], cn: Double) =>
+      var best = 0; var bestD = Double.MaxValue
+      centroids.foreach { case (ctr, idx) =>
+        var d = 0.0; var i = 0
+        while (i < ctr.length && i < cv.length) {
+          val diff = cv(i) / cn - ctr(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = idx }
+      }
+      best
+    }
+    val assigned = c.withColumn("cell", nearestCell(col("cv"), col("cn")))
 
     // Each query's nprobe nearest cells, ranked by distance to the (tiny,
     // driver-held) centroid set — centroids ride into the closure, no join.
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
     val probeCells = udf { (qv: Seq[Double]) =>
       centroids.map { case (ctr, idx) =>
         var d = 0.0
@@ -156,5 +174,96 @@ object Similarity {
       .join(q, "query_id")
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     topKPerQuery(cands, k)
+  }
+}
+
+/** Seeded Lloyd's k-means over a driver-held sample — the IVF coarse
+  * quantizer trainer. Deliberately driver-side: IVF needs only
+  * O(nlist·256) training vectors, so a distributed fit (≈20 full corpus
+  * passes) would be pure overhead at any scale; the sample is bounded by
+  * the caller. k-means++ seeding, runs to `maxIter` or until assignments
+  * stop changing.
+  */
+private[ops] object KMeansLite {
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  def fit(points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val rnd = new java.util.Random(seed)
+    val kk = math.min(k, points.length)
+    val dim = points(0).length
+
+    // k-means++ init: first centroid uniform, then weighted by D²
+    val centroids = Array.ofDim[Array[Double]](kk)
+    centroids(0) = points(rnd.nextInt(points.length)).clone()
+    val d2 = points.map(sqDist(_, centroids(0)))
+    var c = 1
+    while (c < kk) {
+      val total = d2.sum
+      var pick = 0
+      if (total > 0) {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < points.length && r > d2(i)) { r -= d2(i); i += 1 }
+        pick = math.min(i, points.length - 1)
+      } else pick = rnd.nextInt(points.length)
+      centroids(c) = points(pick).clone()
+      var i = 0
+      while (i < points.length) {
+        val d = sqDist(points(i), centroids(c))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+
+    val assign = new Array[Int](points.length)
+    java.util.Arrays.fill(assign, -1)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = sqDist(points(i), centroids(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (changed) {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < points.length) {
+          val a = assign(i); counts(a) += 1
+          val p = points(i); val s = sums(a)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (counts(j) > 0) {
+            var t = 0
+            while (t < dim) { sums(j)(t) /= counts(j); t += 1 }
+            centroids(j) = sums(j)
+          } // empty cell keeps its previous centroid
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    centroids
   }
 }

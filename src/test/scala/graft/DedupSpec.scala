@@ -69,6 +69,19 @@ class DedupSpec extends AnyFunSuite {
     assert((0L until 40L).forall(kept.contains))
   }
 
+  test("duplicateClusters collapses transitive chains to the component min") {
+    // chain 1~2~3~4~5 with only adjacent pairs present (the LSH stage never
+    // emitted (1,5)) + an unrelated pair — one call must collapse both
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val docs = (1L to 12L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("embedding near-dup finds planted vector copies") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(32)(rnd.nextFloat() * 2 - 1)
