@@ -404,6 +404,14 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
         .orderBy("col")),
 
+    // sketch-based profile (HLL distinct + t-digest quantiles): estimates,
+    // so rows-only here; accuracy vs exact is contract-tested in
+    // SketchAggSpec
+    "dataset_profile_sketch" -> ((s, dir) =>
+      graft.ops.Profile.sketchProfile(s, s.read.parquet(t(dir, "lineitem")),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
+        .orderBy("col")),
+
     "q18_big_orders" -> ((s, dir) => {
       // orders whose lineitem quantity total clears a threshold, with
       // customer attribution: agg-then-join, aggregate side first so the

@@ -50,7 +50,30 @@ object GraftSqlFunctions {
     "graft_array_dot" -> (args => {
       require(args.length == 2, "graft_array_dot(a, b)")
       ArrayDotExpr(args.head, args(1))
+    }),
+    // aggregates: a bare AggregateFunction from a registry builder is
+    // wrapped into its AggregateExpression by the analyzer
+    "graft_hll_distinct" -> (args => {
+      require(args.length == 1 || args.length == 2, "graft_hll_distinct(x[, p])")
+      HllDistinct(args.head,
+        if (args.length == 2) intArg(args(1), "graft_hll_distinct") else 12)
+    }),
+    "graft_tdigest_quantiles" -> (args => {
+      require(args.length >= 2, "graft_tdigest_quantiles(x, prob...)")
+      TDigestQuantiles(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.DoubleType),
+        args.tail.map(doubleArg(_, "graft_tdigest_quantiles")), 100)
     }))
+
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name expects literal numeric probabilities, got $other")
+  }
 
   /** Make every graft function callable from SQL on `spark`. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,269 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
+
+/** Mergeable sketch aggregates (same partial-combine pattern as
+  * [[TopKPairs]]): each map task folds its rows into a small fixed-size
+  * sketch, the shuffle carries one sketch per (task, group) — O(sketch
+  * bytes · tasks), never O(rows) — and reducers merge sketches. The
+  * difference between a wide exact `countDistinct`/`percentile` (which
+  * must shuffle every distinct value / every row) and a cheap single pass
+  * at 100 TB.
+  */
+
+/** HyperLogLog distinct-count estimate over 2^p byte registers
+  * (relative error ≈ 1.04/√(2^p); p=12 → ~1.6% in 4 KB).
+  *
+  * Standard HLL: per value, a 64-bit hash routes to register
+  * `hash >>> (64-p)` which keeps the max leading-zero rank of the
+  * remaining bits; merge is the element-wise register max (commutative,
+  * associative, idempotent — estimates are identical under any
+  * partitioning or merge order). Harmonic-mean estimator with
+  * linear-counting small-range correction.
+  */
+case class HllDistinct(child: Expression, p: Int,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 18, s"precision p must be in [4,18], got $p")
+  private val m = 1 << p
+
+  // XxHash64Function hashes any non-map type (maps have no canonical
+  // element order, same reason Spark's hash() rejects them)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: MapType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName cannot hash map inputs, got ${child.dataType}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, child.dataType, 42L)
+      val idx = (h >>> (64 - p)).toInt
+      val rest = h << p
+      // rank = leading zeros of the remaining 64-p bits, +1; all-zero rest
+      // saturates at 64-p+1
+      val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rank > regs(idx)) regs(idx) = rank.toByte
+    }
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(regs: Array[Byte]): Any = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+
+  override def serialize(regs: Array[Byte]): Array[Byte] = regs
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_hll_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren(0))
+}
+
+/** Centroid buffer of a merging t-digest: compressed head + unsorted
+  * appended tail, compressed when the tail grows past the threshold.
+  */
+final class TDigestBuffer(val centroids: ArrayBuffer[(Double, Long)]) {
+  var unsorted: Int = 0 // appended-but-not-yet-compressed suffix length
+}
+
+/** Quantile estimates from a merging t-digest (Dunning's streaming
+  * algorithm): values fold into (mean, weight) centroids whose allowed
+  * width shrinks toward the distribution tails under the arcsine scale
+  * function, so extreme quantiles stay sharp while the middle compresses.
+  * Buffer size is O(compression), independent of row count; merge
+  * concatenates centroid lists and re-compresses.
+  *
+  * Output: array<double> of the estimated quantiles for `probs`, in order.
+  * Estimates depend (slightly) on merge order — accuracy is contract-
+  * tested in the spec, byte-determinism is not promised.
+  */
+case class TDigestQuantiles(child: Expression, probs: Seq[Double], compression: Int,
+                            override val mutableAggBufferOffset: Int = 0,
+                            override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigestBuffer] {
+
+  require(probs.nonEmpty && probs.forall(q => q >= 0 && q <= 1),
+    "quantile probabilities must be in [0,1]")
+  require(compression >= 20, s"compression must be >= 20, got $compression")
+
+  private val maxPending = 4 * compression
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double input (cast upstream), got $t")
+  }
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(ArrayBuffer.empty)
+
+  override def update(buf: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.centroids += ((v.asInstanceOf[Double], 1L))
+      buf.unsorted += 1
+      if (buf.unsorted > maxPending) compress(buf)
+    }
+    buf
+  }
+
+  override def merge(a: TDigestBuffer, b: TDigestBuffer): TDigestBuffer = {
+    a.centroids ++= b.centroids
+    a.unsorted = a.centroids.length // force full re-compress
+    compress(a)
+    a
+  }
+
+  /** Arcsine scale function k(q): a centroid spanning [qL, qR] is kept
+    * only while k(qR) - k(qL) <= 1 — tight near q=0/1, loose at q=0.5.
+    */
+  private def k(q: Double): Double = {
+    val c = math.min(1.0, math.max(0.0, q))
+    compression * (math.asin(2 * c - 1) / math.Pi + 0.5)
+  }
+
+  private def compress(buf: TDigestBuffer): Unit = {
+    if (buf.centroids.length <= 1) { buf.unsorted = 0; return }
+    val sorted = buf.centroids.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum.toDouble
+    val out = ArrayBuffer.empty[(Double, Long)]
+    var (curMean, curW) = sorted.head
+    var qLeft = 0.0
+    var i = 1
+    while (i < sorted.length) {
+      val (mean, w) = sorted(i)
+      if (k(qLeft + (curW + w) / total) - k(qLeft) <= 1.0) {
+        curMean = (curMean * curW + mean * w) / (curW + w)
+        curW += w
+      } else {
+        out += ((curMean, curW))
+        qLeft += curW / total
+        curMean = mean; curW = w
+      }
+      i += 1
+    }
+    out += ((curMean, curW))
+    buf.centroids.clear()
+    buf.centroids ++= out
+    buf.unsorted = 0
+  }
+
+  override def eval(buf: TDigestBuffer): Any = {
+    compress(buf)
+    val cs = buf.centroids
+    if (cs.isEmpty) return new GenericArrayData(probs.map(_ => null).toArray[Any])
+    val total = cs.iterator.map(_._2).sum.toDouble
+    // piecewise-linear CDF through centroid midpoints, clamped at the ends
+    val xs = new Array[Double](cs.length)
+    val qs = new Array[Double](cs.length)
+    var cum = 0L
+    var i = 0
+    while (i < cs.length) {
+      val (mean, w) = cs(i)
+      xs(i) = mean
+      qs(i) = (cum + w / 2.0) / total
+      cum += w
+      i += 1
+    }
+    def quantile(q: Double): Double =
+      if (q <= qs(0)) xs(0)
+      else if (q >= qs(qs.length - 1)) xs(xs.length - 1)
+      else {
+        var j = 1
+        while (qs(j) < q) j += 1
+        val f = (q - qs(j - 1)) / (qs(j) - qs(j - 1))
+        xs(j - 1) + f * (xs(j) - xs(j - 1))
+      }
+    new GenericArrayData(probs.map(quantile).toArray[Any])
+  }
+
+  override def serialize(buf: TDigestBuffer): Array[Byte] = {
+    compress(buf)
+    val bb = ByteBuffer.allocate(4 + buf.centroids.length * 16)
+    bb.putInt(buf.centroids.length)
+    buf.centroids.foreach { case (mean, w) => bb.putDouble(mean); bb.putLong(w) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val cs = ArrayBuffer.empty[(Double, Long)]
+    (0 until n).foreach(_ => cs += ((bb.getDouble, bb.getLong)))
+    new TDigestBuffer(cs)
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_tdigest_quantiles"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TDigestQuantiles =
+    copy(child = newChildren(0))
+}
+
+object SketchAggregates {
+
+  /** HLL distinct-count estimate column (default 4 KB sketch, ~1.6% error). */
+  def approxDistinct(c: Column, p: Int = 12): Column =
+    shim.column(HllDistinct(shim.expression(c), p).toAggregateExpression())
+
+  /** t-digest quantile estimates column: array<double>, one per prob. */
+  def approxQuantiles(c: Column, probs: Seq[Double], compression: Int = 100): Column =
+    shim.column(TDigestQuantiles(
+      shim.expression(c.cast("double")), probs, compression).toAggregateExpression())
+}

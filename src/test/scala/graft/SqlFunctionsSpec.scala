@@ -23,6 +23,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("nbands") == 16)
   }
 
+  test("sketch aggregates are callable from spark.sql") {
+    GraftSqlFunctions.register(spark)
+    import spark.implicits._
+    (0 until 2000).map(i => i % 300).toDF("x").createOrReplaceTempView("sk")
+    val row = spark.sql(
+      """SELECT graft_hll_distinct(x) AS nd,
+        |       graft_tdigest_quantiles(x, 0.5, 0.95) AS q
+        |FROM sk""".stripMargin).collect().head
+    assert(math.abs(row.getAs[Long]("nd") - 300) <= 10)
+    val q = row.getSeq[Double](row.fieldIndex("q"))
+    assert(math.abs(q(0) - 149.5) < 10 && math.abs(q(1) - 284) < 10, s"$q")
+  }
+
   test("extensions class injects all builders without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext)
