@@ -449,6 +449,35 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // each view event attached to the user's most recent purchase at or
+      // before it — the as-of join shape (one keyed window pass, no
+      // nested loop); only the matched ts is attached (deterministic
+      // under same-instant purchase ties)
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+      val purchases = ev.where(col("event_type") === "purchase")
+      graft.ops.TemporalJoins.asOfJoin(views, purchases, Seq("user_id"),
+        "ts", "ts", Seq("ts"), suffix = "_last_purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts_last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // events matched back into their user's session span — the
+      // point-in-interval join shape, bucketized to an equi-join (each
+      // event matches exactly its own session: session spans of one user
+      // are disjoint by construction, gaps > 1800 s)
+      val ev = readEvents(s, dir)
+      val sessions = EventStream.sessionize(ev, 1800)
+      graft.ops.TemporalJoins.pointInInterval(
+        ev.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_idx", "session_start", "session_end"),
+        Seq("user_id"), "ts", "session_start", "session_end", bucketSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy("event_id", "session_idx")
+    }),
+
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag")
@@ -621,6 +650,33 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        | SELECT event_id, user_id, ts, event_type,
+        |  max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+        |    ROWS UNBOUNDED PRECEDING) AS last_p
+        | FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT event_id, user_id, ts, last_p AS ts_last_purchase
+        |FROM u WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH lagged AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        | FROM lagged),
+        |sess AS (SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end
+        | FROM s GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, x.session_idx
+        |FROM events e JOIN sess x ON e.user_id = x.user_id
+        | AND e.ts >= x.session_start AND e.ts <= x.session_end
+        |ORDER BY event_id, session_idx""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
