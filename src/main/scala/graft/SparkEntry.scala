@@ -511,6 +511,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("w"))
         .limit(20)),
 
+    "text_top_terms_sketch" -> ((s, dir) =>
+      // heavy-hitters sketch instead of exact groupBy: one bounded summary
+      // per task, merged by counter addition. This corpus's vocabulary is
+      // far under the sketch capacity, so counts are exact here and the
+      // oracle can hash-check them; the pruning path is spec-covered.
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 20, 4096).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.item").as("w"), col("e.count").as("n"),
+          (col("pos") + 1).cast("long").as("rnk"))),
+
     "publish_catalog_ddl" -> ((s, dir) => {
       import s.implicits._
       val root = tmpRoot("ds_orders_cat", dir)
@@ -702,6 +714,14 @@ object SparkEntry {
       """SELECT w, count(*) AS n FROM (
         | SELECT unnest(string_split(text,' ')) AS w FROM documents)
         |GROUP BY 1 ORDER BY n DESC, w LIMIT 20""".stripMargin,
+
+    "text_top_terms_sketch" ->
+      """SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rnk
+        |FROM (
+        | SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        | GROUP BY 1 ORDER BY n DESC, w LIMIT 20)
+        |ORDER BY rnk""".stripMargin,
 
     "ddl_create_table" ->
       ("SELECT 'CREATE EXTERNAL TABLE graft_schema.orders_ext (o_orderkey BIGINT, o_custkey BIGINT, " +

@@ -58,6 +58,13 @@ object GraftSqlFunctions {
       HllDistinct(args.head,
         if (args.length == 2) intArg(args(1), "graft_hll_distinct") else 12)
     }),
+    "graft_heavy_hitters" -> (args => {
+      require(args.length == 2 || args.length == 3,
+        "graft_heavy_hitters(item, k[, capacity])")
+      val k = intArg(args(1), "graft_heavy_hitters")
+      val cap = if (args.length == 3) intArg(args(2), "graft_heavy_hitters") else 4096
+      HeavyHitters(args.head, cap, k)
+    }),
     "graft_tdigest_quantiles" -> (args => {
       require(args.length >= 2, "graft_tdigest_quantiles(x, prob...)")
       TDigestQuantiles(

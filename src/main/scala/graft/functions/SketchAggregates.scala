@@ -256,6 +256,112 @@ case class TDigestQuantiles(child: Expression, probs: Seq[Double], compression: 
     copy(child = newChildren(0))
 }
 
+/** Approximate heavy hitters (top frequent items) via a batched
+  * Misra-Gries summary: at most `capacity` counters survive any state;
+  * when the map overflows, the (capacity+1)-th largest count is
+  * subtracted from every counter and non-positive ones drop (the classic
+  * frequent-items decrement, batched). Guarantees: any item with true
+  * frequency > n/capacity is retained; reported counts are LOWER bounds
+  * undercounting by at most the sum of subtracted cuts (≤ n/capacity).
+  *
+  * The scale rationale mirrors [[HllDistinct]]: an exact top-k over an
+  * open vocabulary shuffles one row per distinct term; this ships one
+  * ≤ capacity-entry summary per task and merges by counter addition.
+  * Output: array<struct<item string, count long>>, top `k` by
+  * (count desc, item asc). Counts may vary slightly with partitioning
+  * (prune points differ); membership of true heavy hitters does not.
+  */
+case class HeavyHitters(child: Expression, capacity: Int, k: Int,
+                        override val mutableAggBufferOffset: Int = 0,
+                        override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+
+  require(capacity > 0 && k > 0 && k <= capacity,
+    s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string items, got $t")
+  }
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  private def prune(m: scala.collection.mutable.HashMap[String, Long]): Unit = {
+    if (m.size <= capacity) return
+    val counts = m.values.toArray
+    java.util.Arrays.sort(counts)
+    val cut = counts(m.size - capacity - 1) // (capacity+1)-th largest
+    m.filterInPlace((_, c) => c > cut)
+    m.mapValuesInPlace((_, c) => c - cut)
+  }
+
+  override def update(buf: scala.collection.mutable.HashMap[String, Long],
+                      input: InternalRow): scala.collection.mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.update(s, buf.getOrElse(s, 0L) + 1L)
+      if (buf.size > 2 * capacity) prune(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.HashMap[String, Long],
+                     other: scala.collection.mutable.HashMap[String, Long]): scala.collection.mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) => buf.update(s, buf.getOrElse(s, 0L) + c) }
+    prune(buf)
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any = {
+    prune(buf)
+    val top = buf.toArray.sortBy { case (s, c) => (-c, s) }.take(k)
+    new GenericArrayData(top.map { case (s, c) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s), c))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    prune(buf)
+    val items = buf.toArray
+    val bytes = items.map { case (s, _) => s.getBytes("UTF-8") }
+    val bb = ByteBuffer.allocate(4 + bytes.map(_.length + 12).sum)
+    bb.putInt(items.length)
+    items.zip(bytes).foreach { case ((_, c), b) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      m.update(new String(b, "UTF-8"), bb.getLong)
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("count", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HeavyHitters =
+    copy(child = newChildren(0))
+}
+
 object SketchAggregates {
 
   /** HLL distinct-count estimate column (default 4 KB sketch, ~1.6% error). */
@@ -266,4 +372,8 @@ object SketchAggregates {
   def approxQuantiles(c: Column, probs: Seq[Double], compression: Int = 100): Column =
     shim.column(TDigestQuantiles(
       shim.expression(c.cast("double")), probs, compression).toAggregateExpression())
+
+  /** Approximate top-k frequent items: array<struct<item,count>>. */
+  def heavyHitters(c: Column, k: Int, capacity: Int = 4096): Column =
+    shim.column(HeavyHitters(shim.expression(c), capacity, k).toAggregateExpression())
 }

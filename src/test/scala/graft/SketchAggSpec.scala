@@ -67,6 +67,32 @@ class SketchAggSpec extends AnyFunSuite {
     assert(math.abs(p999 - 99900) < 150, s"p999 $p999")
   }
 
+  test("heavy hitters retains planted frequent items over a long-tail vocab") {
+    // 50 hot items (200x each) + 20k singleton tail, capacity 1000:
+    // anything above n/capacity = 30 occurrences is guaranteed retained
+    val rnd = new scala.util.Random(13)
+    val rows = rnd.shuffle(
+      (0 until 50).flatMap(h => Seq.fill(200)(s"hot$h")) ++
+        (0 until 20000).map(i => s"tail$i"))
+    val top = rows.toDF("w").repartition(8)
+      .agg(SketchAggregates.heavyHitters(col("w"), 50, 1000).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select("e.item").as[String].collect().toSet
+    assert((0 until 50).forall(h => top.contains(s"hot$h")),
+      s"missing hot items: ${(0 until 50).map(h => s"hot$h").filterNot(top.contains)}")
+  }
+
+  test("heavy hitters is exact when the vocabulary fits the capacity") {
+    val rows = (0 until 10000).map(i => s"w${i % 200}")
+    val sketch = rows.toDF("w").repartition(5)
+      .agg(SketchAggregates.heavyHitters(col("w"), 10, 1024).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select("e.item", "e.count").as[(String, Long)].collect().toSeq
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (s, c) => (-c, s) }.take(10)
+    assert(sketch == exact)
+  }
+
   test("sketchProfile one-pass shape matches exact profile within tolerance") {
     val df = (0 until 20000).map(i => (i.toLong % 4000, (i % 1000).toDouble)).toDF("a", "b")
     val prof = graft.ops.Profile.sketchProfile(spark, df, Seq("a", "b"))
