@@ -92,6 +92,23 @@ object EventStream {
     (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state BOUNDED by the event-time watermark — a duplicate arriving
+    * within `watermark` of the first occurrence is dropped; keys older
+    * than the watermark are evicted from the state store, so state is
+    * O(keys per watermark window), not O(all keys ever). This is the
+    * streaming half of [[graft.ops.Dedup.exact]] for at-least-once
+    * sources (retries/replays produce near-in-time duplicates; a
+    * watermark-scoped key set is the standard scale-bounded guarantee).
+    * On a batch frame it degrades to a plain dropDuplicates.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermarkCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(watermarkCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else events.dropDuplicates(keyCols)
+
   /** Batch sessionization: a user's events split into sessions wherever the
     * gap to the previous event exceeds `gapSeconds`. One shuffle on
     * user_id; the lag + running-sum windows share that single partitioning

@@ -40,6 +40,31 @@ class EventStreamSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 7.0)))
   }
 
+  test("streaming dedup drops within-watermark duplicate keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+
+    val query = EventStream.dedupStream(events, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("ev_dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), 2L, "b"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "a-dup-same-batch"))
+    query.processAllAvailable()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 2L, "b-dup-next-batch"),
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 3L, "c"))
+    query.processAllAvailable()
+
+    val ids = spark.table("ev_dedup").select("event_id", "payload")
+      .as[(Long, String)].collect().toSet
+    query.stop()
+    assert(ids == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("batch and streaming share window semantics") {
     val batch = Seq(
       (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),

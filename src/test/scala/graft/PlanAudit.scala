@@ -43,6 +43,30 @@ object PlanAudit {
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("events_window_agg",
       "partial aggregate" -> (_.contains("partial_count")))
+    audit("q_asof_join",
+      "no nested-loop/cartesian join" -> (p =>
+        !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")),
+      "single window pass" -> (p => "(?s)Window".r.findAllIn(p).size >= 1))
+    audit("q_range_join",
+      "bucketized equi-join (no nested loop)" -> (p =>
+        !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")))
+    audit("text_top_terms_sketch",
+      "partial heavy-hitters sketch" -> (_.contains("partial_graft_heavy_hitters")))
+    // sketchProfile reshapes collected scalars into a local frame, so
+    // audit the underlying one-pass sketch aggregate directly
+    locally {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.parquet(s"$dir/lineitem.parquet").agg(
+        graft.functions.SketchAggregates.approxDistinct(col("l_partkey")),
+        graft.functions.SketchAggregates.approxQuantiles(col("l_quantity"), Seq(0.5)))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      Seq("partial HLL sketch" -> "partial_graft_hll_distinct",
+        "partial t-digest sketch" -> "partial_graft_tdigest_quantiles").foreach {
+        case (label, marker) =>
+          println(f"AUDIT sketch_profile_agg           $label%-34s ${if (plan.contains(marker)) "OK" else "MISS"}")
+      }
+    }
     spark.stop()
   }
 }
