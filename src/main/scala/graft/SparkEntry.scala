@@ -525,9 +525,13 @@ object SparkEntry {
 
     "publish_catalog_ddl" -> ((s, dir) => {
       import s.implicits._
-      val root = tmpRoot("ds_orders_cat", dir)
-      val (_, ddl) = Publish.publishWithCatalog(s, s.read.parquet(t(dir, "orders")), root,
-        Seq("o_orderstatus"), "my-bucket", "warehouse/orders",
+      // publish once per (sf, cache version); DDL derives from the
+      // published dataset either way (catalogDdl), so a warm cache skips
+      // only the identical re-write
+      val root = publishOnce(s, "ds_orders_cat", dir, Seq("o_orderstatus")) {
+        s.read.parquet(t(dir, "orders"))
+      }
+      val ddl = Publish.catalogDdl(s, root, "my-bucket", "warehouse/orders",
         graft.catalog.RedshiftParams("graft_schema", "Orders_Ext",
           "arn:aws:iam::123456789012:role/spectrum", "us-east-1", "c1",
           "host.example", "5439", "analytics"))

@@ -251,8 +251,24 @@ object Publish {
                          params: graft.catalog.RedshiftParams): (Seq[String], Seq[String]) = {
     require(!df.columns.contains("index"),
       "'index' is a reserved keyword in Redshift. Please remove or rename your DataFrame's 'index' column.")
-    val p = graft.catalog.RedshiftParams.validate(params)
     val files = publish(spark, df, root, partitions)
+    (files, catalogDdl(spark, root, bucket, key, params, files))
+  }
+
+  /** Catalog-registration DDL for an ALREADY-published dataset: schema +
+    * table (from the sidecar's recorded logical schema + partitioning) +
+    * one ADD PARTITION per data file's directory — the same statements
+    * `publishWithCatalog` emits, derivable at any later time (register a
+    * dataset published earlier, or re-register after compaction).
+    */
+  def catalogDdl(spark: SparkSession, root: String, bucket: String, key: String,
+                 params: graft.catalog.RedshiftParams,
+                 knownFiles: Seq[String] = Nil): Seq[String] = {
+    val p = graft.catalog.RedshiftParams.validate(params)
+    val meta = DatasetMeta.read(spark, root).getOrElse(
+      throw new MissingGraftMetadata(
+        s"Dataset at $root is missing graft metadata; cannot derive catalog DDL."))
+    val files = if (knownFiles.nonEmpty) knownFiles else listDataFiles(spark, root)
     val location = s"s3://$bucket/$key"
     // listDataFiles returns URI paths; relativize against the QUALIFIED
     // root path so URI-form (s3a://bucket/key) and relative (warehouse/t)
@@ -262,12 +278,11 @@ object Publish {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(rootP).toUri.getPath
     val relative = files.map(f => key + "/" + f.stripPrefix(rootPath).stripPrefix("/"))
-    val ddl = Seq(
+    Seq(
       graft.catalog.SpectrumDdl.createSchemaDdl(p.schemaName, p.dbName, p.iamRole),
-      graft.catalog.SpectrumDdl.createTableDdl(p.tableName, p.schemaName, df.schema,
-        partitions, location)) ++
+      graft.catalog.SpectrumDdl.createTableDdl(p.tableName, p.schemaName, meta.schema,
+        meta.partitions, location)) ++
       graft.catalog.SpectrumDdl.addPartitionsDdl(bucket, p.schemaName, p.tableName, relative)
-    (files, ddl)
   }
 
   /** All data-file paths of a dataset (root-relative listing; the analogue
