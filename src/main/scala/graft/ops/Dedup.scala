@@ -120,7 +120,39 @@ object Dedup {
     * bounds pathological graphs, where leftover under-collapse is the safe
     * direction). Returns (id, cluster) with cluster = component min.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        driverEdgeLimit: Int = 1000000): DataFrame = {
+    // Verified duplicate pairs are normally TINY relative to the corpus:
+    // take(limit+1) pulls them once (no second upstream pass) and a
+    // driver union-find with path compression resolves components in
+    // O(E α(E)) — no iterative Spark jobs at all. Only a pathologically
+    // large pair graph (> driverEdgeLimit edges) takes the distributed
+    // min-label propagation below.
+    val firstEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .take(driverEdgeLimit + 1)
+    if (firstEdges.length <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      firstEdges.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // min id becomes the root, so cluster = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        } else parent.getOrElseUpdate(ra, ra)
+      }
+      val memberIds: Seq[Long] = firstEdges.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet.toSeq
+      val members: Seq[(Long, Long)] = memberIds.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return members.toDF("id", "cluster")
+    }
+
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()

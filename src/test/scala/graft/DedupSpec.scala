@@ -80,6 +80,12 @@ class DedupSpec extends AnyFunSuite {
     val docs = (1L to 12L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 6L, 7L, 8L, 9L, 10L, 12L))
+    // distributed label-propagation path (forced past the driver fast
+    // path) must agree exactly
+    val distributed = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(distributed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
   }
 
   test("embedding near-dup finds planted vector copies") {
