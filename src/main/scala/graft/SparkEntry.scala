@@ -377,8 +377,9 @@ object SparkEntry {
       // quality scoring -> threshold filter -> per-language corpus stats
       val docs = s.read.parquet(t(dir, "documents"))
       val deduped = Dedup.exactText(docs)
-      TextAnalysis.qualityScore(deduped)
-        .join(deduped.select("doc_id", "lang"), "doc_id")
+      // lang rides through the scoring projection — joining back against
+      // `deduped` would recompute the dedup aggregate a second time
+      TextAnalysis.qualityScore(deduped, keep = Seq("lang"))
         .where(col("quality_score") >= 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

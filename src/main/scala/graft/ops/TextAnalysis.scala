@@ -49,8 +49,12 @@ object TextAnalysis {
   /** Quality signals: size, word shape, punctuation + stopword ratios, and
     * a blended 0..1 quality score. All ratios rounded to 4 decimals so an
     * independent engine computing the same formula hash-matches.
+    * `keep` columns ride through the projection — a downstream consumer
+    * that needs them (e.g. the curation pipeline's `lang`) avoids
+    * re-joining against the input and recomputing its lineage.
     */
-  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val nWords = size(words(t))
@@ -64,10 +68,11 @@ object TextAnalysis {
       least(nWords.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
         stopRatio * lit(0.2) +
         when(avgWordLen >= 2.5 && avgWordLen <= 8.0, lit(0.2)).otherwise(lit(0.0)), 4)
-    docs.select(col(idCol), nChars.cast("long").as("n_chars"), nWords.cast("long").as("n_words"),
+    docs.select((col(idCol) +: keep.map(col)) ++ Seq(
+      nChars.cast("long").as("n_chars"), nWords.cast("long").as("n_words"),
       nPunct.cast("long").as("n_punct"), avgWordLen.as("avg_word_len"),
       stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
-      least(score, lit(1.0)).as("quality_score"))
+      least(score, lit(1.0)).as("quality_score")): _*)
   }
 
   /** Token counts: whitespace tokens and BPE-ish subword-boundary tokens
