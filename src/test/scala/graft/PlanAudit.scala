@@ -23,8 +23,14 @@ object PlanAudit {
         println(f"AUDIT $name%-28s $label%-34s ${if (f(plan)) "OK" else "MISS"}")
       }
     }
-    audit("fetch_filter_eq",
-      "PartitionFilters nonempty" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined))
+    // every filter op must prune at the partition level — none may fall
+    // back to a post-scan filter over all directories
+    Seq("fetch_filter_eq", "fetch_filter_neq", "fetch_filter_in",
+      "fetch_filter_lt", "fetch_filter_gt", "fetch_filter_lte",
+      "fetch_filter_gte", "fetch_filter_multi", "fetch_latest_partition").foreach { q =>
+      audit(q,
+        "PartitionFilters nonempty" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined))
+    }
     audit("q1_agg",
       "partial aggregate" -> (_.contains("partial_sum")),
       "whole-stage codegen" -> (_.contains("*(")))
