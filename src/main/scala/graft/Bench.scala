@@ -14,18 +14,22 @@ object Bench {
     // Warm the session (JVM/codegen/FS) so the first timed query isn't
     // charged for startup.
     SparkEntry.entry(spark).count()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one
+        // a failed query must not masquerade as a fast one: flag it in
+        // the machine-readable output, not just stderr
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed += name
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -514,12 +514,14 @@ object SparkEntry {
 
     "text_top_terms_sketch" -> ((s, dir) =>
       // heavy-hitters sketch instead of exact groupBy: one bounded summary
-      // per task, merged by counter addition. This corpus's vocabulary is
-      // far under the sketch capacity, so counts are exact here and the
-      // oracle can hash-check them; the pruning path is spec-covered.
+      // per task, merged by counter addition. Counts are EXACT (and so
+      // oracle-checkable) while the vocabulary fits the capacity — the
+      // corpus has ~31 distinct tokens at every sf; 65536 leaves three
+      // orders of magnitude of headroom before the sketch would go
+      // approximate and the hash check would need the rows-only form.
       s.read.parquet(t(dir, "documents"))
         .select(explode(split(col("text"), " ")).as("w"))
-        .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 20, 4096).as("top"))
+        .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 20, 65536).as("top"))
         .select(posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("e.item").as("w"), col("e.count").as("n"),
           (col("pos") + 1).cast("long").as("rnk"))),

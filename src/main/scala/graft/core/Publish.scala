@@ -251,6 +251,10 @@ object Publish {
                          params: graft.catalog.RedshiftParams): (Seq[String], Seq[String]) = {
     require(!df.columns.contains("index"),
       "'index' is a reserved keyword in Redshift. Please remove or rename your DataFrame's 'index' column.")
+    // fail fast on bad catalog params BEFORE the (potentially hours-long)
+    // dataset write, like the reference's upfront validation
+    // (publish_parq.py:94)
+    graft.catalog.RedshiftParams.validate(params)
     val files = publish(spark, df, root, partitions)
     (files, catalogDdl(spark, root, bucket, key, params, files))
   }

@@ -125,32 +125,51 @@ object Dedup {
     // Verified duplicate pairs are normally TINY relative to the corpus:
     // take(limit+1) pulls them once (no second upstream pass) and a
     // driver union-find with path compression resolves components in
-    // O(E α(E)) — no iterative Spark jobs at all. Only a pathologically
-    // large pair graph (> driverEdgeLimit edges) takes the distributed
-    // min-label propagation below.
-    val firstEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .take(driverEdgeLimit + 1)
-    if (firstEdges.length <= driverEdgeLimit) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+    // O(E α(E)) — no iterative Spark jobs at all. The id TYPE is
+    // preserved (long, int, or string ids all cluster correctly and the
+    // output schema matches the distributed path); other id types, or a
+    // pathologically large pair graph (> driverEdgeLimit edges), take the
+    // distributed min-label propagation below.
+    val idType = pairs.schema("id_a").dataType
+    val idOrdering: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.Long.asInstanceOf[Ordering[Any]])
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.Int.asInstanceOf[Ordering[Any]])
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.String.asInstanceOf[Ordering[Any]])
+      case _ => None
+    }
+    val firstEdges =
+      if (idOrdering.isDefined) pairs.select("id_a", "id_b").take(driverEdgeLimit + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (idOrdering.isDefined && firstEdges.length <= driverEdgeLimit) {
+      val lt = idOrdering.get.lt _
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
       firstEdges.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
         if (ra != rb) { // min id becomes the root, so cluster = component min
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        } else parent.getOrElseUpdate(ra, ra)
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
       }
-      val memberIds: Seq[Long] = firstEdges.iterator
-        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet.toSeq
-      val members: Seq[(Long, Long)] = memberIds.map(id => (id, find(id)))
+      val memberIds: Set[Any] = firstEdges.iterator
+        .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+      val members: Seq[(Any, Any)] = memberIds.toSeq.map((id: Any) => (id, find(id)))
       val spark = pairs.sparkSession
-      import spark.implicits._
-      return members.toDF("id", "cluster")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(members.map { case (i, c) =>
+          org.apache.spark.sql.Row(i, c)
+        }, 1), schema)
     }
 
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -169,6 +188,7 @@ object Dedup {
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
         .where(col("cluster") =!= col("prev")).isEmpty
+      labels.unpersist() // release the superseded checkpoint's cached blocks
       labels = next
       iter += 1
     }

@@ -81,7 +81,18 @@ object Similarity {
     def normalized(v: String, n: String) = transform(col(v), x => x / col(n))
 
     val c = base(corpus, "neighbor_id", "cv", "cn")
-    val sample: Array[Array[Double]] = c
+    // UNBIASED training sample: a bare limit() takes the head of the
+    // scan, and a corpus sorted/clustered by source or label would put
+    // every centroid in one region of the space (recall collapse).
+    // Count the raw corpus (parquet metadata, no data read) to derive a
+    // fraction, then hash-sample uniformly; the 1.2 slack + limit cap
+    // keeps the collected set at ≤ maxFitSample without a second pass.
+    val corpusRows = math.max(1L, corpus.count())
+    val sampled =
+      if (corpusRows <= maxFitSample) c
+      else c.sample(withReplacement = false,
+        math.min(1.0, maxFitSample * 1.2 / corpusRows), seed)
+    val sample: Array[Array[Double]] = sampled
       .select(normalized("cv", "cn").as("nv"))
       .limit(maxFitSample)
       .collect()

@@ -45,6 +45,11 @@ object TemporalJoins {
         col(rightTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(left.select(struct(left.columns.map(col).toIndexedSeq: _*)).schema.head.dataType).as("__l"),
         rightStruct.as("__r")): _*)
+      // a null right timestamp would sort BEFORE every row (asc
+      // nulls-first) and become the spurious "latest prior" match for
+      // left rows that should get nulls — dirty rows can't be as-of
+      // matched at all, drop them
+      .where(col("__ts").isNotNull)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
@@ -78,10 +83,15 @@ object TemporalJoins {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val pb = points.withColumn("__bucket",
       floor(unix_timestamp(col(ptCol)) / bucketSeconds))
+    // inverted intervals (end < start, corrupted rows) must explode into
+    // ZERO buckets: sequence(a, b) with a > b would otherwise generate a
+    // huge DESCENDING range (|span| buckets of skew for a row whose
+    // correct match set is empty)
+    val startB = floor(unix_timestamp(col(startCol)) / bucketSeconds)
+    val endB = floor(unix_timestamp(col(endCol)) / bucketSeconds)
     val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_timestamp(col(startCol)) / bucketSeconds),
-        floor(unix_timestamp(col(endCol)) / bucketSeconds))))
+      explode(when(startB <= endB, sequence(startB, endB))
+        .otherwise(array().cast("array<bigint>"))))
     pb.join(ib, keys :+ "__bucket")
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")

@@ -88,6 +88,22 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters preserves string id types (both paths)") {
+    val pairs = Seq(("a1", "a2"), ("a2", "a3"), ("z1", "z2")).toDF("id_a", "id_b")
+    val expected = Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1", "z1" -> "z1", "z2" -> "z1")
+    val fast = Dedup.duplicateClusters(pairs)
+      .select("id", "cluster").as[(String, String)].collect().toMap
+    assert(fast == expected)
+    val distributed = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0)
+      .select("id", "cluster").as[(String, String)].collect().toMap
+    assert(distributed == expected)
+    // numeric-looking string ids must NOT collide ("007" vs "7")
+    val tricky = Seq(("007", "7")).toDF("id_a", "id_b")
+    val t = Dedup.duplicateClusters(tricky)
+      .select("id", "cluster").as[(String, String)].collect().toMap
+    assert(t == Map("007" -> "007", "7" -> "007"))
+  }
+
   test("embedding near-dup finds planted vector copies") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(32)(rnd.nextFloat() * 2 - 1)

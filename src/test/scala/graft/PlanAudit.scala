@@ -52,7 +52,11 @@ object PlanAudit {
     audit("q_asof_join",
       "no nested-loop/cartesian join" -> (p =>
         !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")),
-      "single window pass" -> (p => "(?s)Window".r.findAllIn(p).size >= 1))
+      // AQE's toString prints current + initial plan; count windows in the
+      // final section only — exactly ONE window pass, or the union trick
+      // regressed into stacked shuffles
+      "single window pass" -> (p =>
+        "Window ".r.findAllIn(p.split("== Initial Plan ==").head).size == 1))
     audit("q_range_join",
       "bucketized equi-join (no nested loop)" -> (p =>
         !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")))

@@ -43,6 +43,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("IVF recall holds on a corpus SORTED by cluster (sampling must not head-bias)") {
+    // rows grouped cluster-by-cluster with a tiny fit sample: a
+    // head-of-scan "sample" would train every centroid on cluster 0 only
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val sorted = (0 until 500).map { i =>
+      val c = centers(i / 100) // cluster-contiguous layout
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding").repartition(1)
+    val queries = sorted.where($"vec_id" % 100 < 2)
+    val exact = Similarity.bruteForceTopK(sorted, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(sorted, queries, 5, nlist = 8, nprobe = 2,
+      maxFitSample = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 on sorted corpus")
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = corpus.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)

@@ -49,6 +49,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out.where(col("id") === 26).select("rid_r").head().getLong(0) == 5L)
   }
 
+  test("null right timestamps never match (dirty rows are dropped, not nulls-first)") {
+    val left = Seq((1L, "u", ts(100))).toDF("id", "k", "t")
+    val right = Seq(("u", null.asInstanceOf[Timestamp], "bad"), ("u", ts(200), "late"))
+      .toDF("k", "t", "v")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v_r")),
+      "left row with no valid prior right row must get null, not the null-ts row")
+  }
+
+  test("inverted intervals (end < start) match nothing and explode no buckets") {
+    val intervals = Seq(("u", 1L, ts(500000), ts(0))).toDF("k", "iid", "lo", "hi")
+    val points = Seq((1L, "u", ts(100))).toDF("pid", "k", "t")
+    val out = TemporalJoins.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", bucketSeconds = 60)
+    assert(out.count() == 0)
+  }
+
   test("pointInInterval matches inclusively and across bucket boundaries") {
     // interval spans many 60 s buckets; points at/inside/outside bounds
     val intervals = Seq(("u", 1L, ts(100), ts(500)), ("u", 2L, ts(900), ts(950)))
