@@ -479,6 +479,20 @@ object SparkEntry {
         .orderBy("event_id", "session_idx")
     }),
 
+    "q_interval_join" -> ((s, dir) => {
+      // purchases joined to the same user's views in the preceding hour —
+      // the interval-join shape (equality key + bounded time predicate;
+      // same code path Structured Streaming uses with watermark state)
+      val ev = readEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventStream.intervalJoinStream(purchases, views, Seq("user_id"), "ts", "ts", 3600)
+        .select(col("event_id").as("purchase_id"), col("event_id_r").as("view_id"))
+        .orderBy("purchase_id", "view_id")
+    }),
+
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag")
@@ -696,6 +710,14 @@ object SparkEntry {
         |FROM events e JOIN sess x ON e.user_id = x.user_id
         | AND e.ts >= x.session_start AND e.ts <= x.session_end
         |ORDER BY event_id, session_idx""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        | ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

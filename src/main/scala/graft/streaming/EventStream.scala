@@ -109,6 +109,32 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-stream interval join: left rows joined to right rows of the
+    * same key whose `rightTs` falls within `[leftTs - lookbackSeconds,
+    * leftTs]` — e.g. each purchase joined to the views that led to it.
+    * Right-side columns come back `_r`-suffixed.
+    *
+    * Both sides get watermarks and the join condition BOUNDS BOTH event
+    * times, which is what lets Structured Streaming evict join state:
+    * buffered rows older than watermark + lookback are dropped, so state
+    * is O(rows per lookback window per key), not O(stream history). The
+    * same call works on batch frames (watermarks skipped; plain
+    * interval join).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTs: String, rightTs: String, lookbackSeconds: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty, "interval join requires at least one equality key")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    val r = if (renamed.isStreaming) renamed.withWatermark(s"${rightTs}_r", watermark)
+            else renamed
+    val cond = keys.map(k => col(k) === col(s"${k}_r")).reduce(_ && _) &&
+      col(s"${rightTs}_r") >= col(leftTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      col(s"${rightTs}_r") <= col(leftTs)
+    l.join(r, cond)
+  }
+
   /** Batch sessionization: a user's events split into sessions wherever the
     * gap to the previous event exceeds `gapSeconds`. One shuffle on
     * user_id; the lag + running-sum windows share that single partitioning

@@ -65,6 +65,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("stream-stream interval join pairs events within the lookback window") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val pdf = purchases.toDF().toDF("ts", "user_id", "amount")
+    val vdf = views.toDF().toDF("ts", "user_id", "page")
+
+    val joined = EventStream.intervalJoinStream(
+      pdf, vdf, Seq("user_id"), "ts", "ts", lookbackSeconds = 300)
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+
+    views.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "home"),   // 4 min before -> in window
+      (Timestamp.valueOf("2024-01-01 09:50:00"), 1L, "old"),    // 14 min before -> out
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "late"),   // after purchase -> out
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 2L, "other"))  // other user
+    purchases.addData((Timestamp.valueOf("2024-01-01 10:04:00"), 1L, 9.99))
+    query.processAllAvailable()
+
+    val rows = spark.table("ss_join").select("user_id", "amount", "page_r")
+      .as[(Long, Double, String)].collect().toSet
+    query.stop()
+    assert(rows == Set((1L, 9.99, "home")))
+  }
+
+  test("interval join works identically on batch frames") {
+    val p = Seq((Timestamp.valueOf("2024-01-01 10:04:00"), 1L, 9.99))
+      .toDF("ts", "user_id", "amount")
+    val v = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "home"),
+      (Timestamp.valueOf("2024-01-01 09:50:00"), 1L, "old"))
+      .toDF("ts", "user_id", "page")
+    val out = EventStream.intervalJoinStream(p, v, Seq("user_id"), "ts", "ts", 300)
+      .select("page_r").as[String].collect().toSeq
+    assert(out == Seq("home"))
+  }
+
   test("batch and streaming share window semantics") {
     val batch = Seq(
       (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
