@@ -86,16 +86,27 @@ object Dedup {
     * (id, bucketKey...) frame, with a skew guard: buckets above `maxBucket`
     * members are dropped (broadcast anti-join against the tiny over-cap
     * bucket list) instead of joined quadratically.
+    *
+    * `carry` columns ride through as `<c>_a`/`<c>_b` — ONLY for scalar
+    * payloads (a simhash long, a norm): carrying them here costs bytes on
+    * the bucket shuffle but saves the verify stage a join per side. Big
+    * payloads (shingle sets, vectors) must stay out and join back on the
+    * surviving pairs instead. Carried values must be functionally
+    * determined by the id (the pair-dedup keeps an arbitrary bucket's
+    * copy).
     */
-  private def selfJoinBuckets(slim: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private def selfJoinBuckets(slim: DataFrame, keys: Seq[String], maxBucket: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
     val over = slim.groupBy(keys.map(col): _*).count().where(col("count") > maxBucket)
       .select(keys.map(col): _*)
     val ok = slim.join(broadcast(over), keys, "left_anti")
-    val a = ok.select((keys.map(col) :+ col("id").as("id_a")): _*)
-    val b = ok.select((keys.map(col) :+ col("id").as("id_b")): _*)
+    val a = ok.select((keys.map(col) :+ col("id").as("id_a")) ++
+      carry.map(c => col(c).as(s"${c}_a")): _*)
+    val b = ok.select((keys.map(col) :+ col("id").as("id_b")) ++
+      carry.map(c => col(c).as(s"${c}_b")): _*)
     a.join(b, keys)
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select(("id_a" +: "id_b" +: carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col): _*)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -226,14 +237,14 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
       simHash64(split(col(textCol), " ")).as("sim"))
-    val chunked = hashed.select(col("id"),
+    val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("j"), call_function("shiftright", col("sim"), j * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("c"))
-      .select(col("id"), col("c.j"), col("c.chunk"))
-    val pairs = selfJoinBuckets(chunked, Seq("j", "chunk"), maxBucket)
-    pairs
-      .join(hashed.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id"), col("sim"), col("c.j"), col("c.chunk"))
+    // the simhash is ONE long — carrying it through the bucket shuffle
+    // (8 bytes × 4 chunks) is far cheaper than two attach joins (which
+    // also recomputed the simhash expression per join)
+    selfJoinBuckets(chunked, Seq("j", "chunk"), maxBucket, carry = Seq("sim"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
