@@ -178,10 +178,15 @@ object Fetch {
       throw new MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
 
   /** Distinct raw (unescaped string) values of one partition, by walking
-    * the hive directory tree to that partition's depth. Never opens a file.
+    * the hive directory tree to that partition's depth. Never opens a
+    * file. Each level's directories are listed IN PARALLEL (bounded pool):
+    * on an object store every `listStatus` is an HTTP round trip, and a
+    * dataset with thousands of first-level partitions would otherwise pay
+    * them sequentially on the driver.
     */
   private def rawPartitionValues(spark: SparkSession, root: String,
                                  meta: DatasetMeta, partition: String): Set[String] = {
+    import scala.collection.parallel.CollectionConverters._
     val depth = meta.partitions.indexOf(partition)
     require(depth >= 0, s"$partition is not a partition of the dataset at $root")
     val rootPath = new Path(root)
@@ -190,11 +195,11 @@ object Fetch {
     var dirs: Seq[Path] = Seq(rootPath)
     var values = Set.empty[String]
     meta.partitions.take(depth + 1).foreach { p =>
-      val level = dirs.flatMap { d =>
+      val level = dirs.par.flatMap { d =>
         fs.listStatus(d).toIndexedSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(p + "="))
           .map(st => unescapePathName(st.getPath.getName.substring(p.length + 1)) -> st.getPath)
-      }
+      }.seq
       if (p == partition) values = level.map(_._1).toSet
       dirs = level.map(_._2)
     }
