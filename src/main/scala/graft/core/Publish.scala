@@ -130,8 +130,11 @@ object Publish {
     * object keys, publish_parq.py:573).
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
-              partitions: Seq[String], mode: String = "overwrite"): Seq[String] = {
+              partitions: Seq[String], mode: String = "overwrite",
+              sortCols: Seq[String] = Nil): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    require(sortCols.forall(df.columns.contains),
+      s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     checkNonEmpty(df)
     checkNoIntervals(df)
     checkPartitions(partitions, df)
@@ -173,7 +176,7 @@ object Publish {
     // retried tasks re-route rows identically.
     // non-empty: checkPartitions rejects fully-partitioned frames
     val dataCols = df.columns.filterNot(partitions.contains)
-    val out =
+    val routed =
       if (partitions.isEmpty) df
       else {
         val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
@@ -183,6 +186,16 @@ object Publish {
         val partKeys = partitions.map(col) :+ salt
         df.repartition(partKeys: _*)
       }
+    // Optional clustering WITHIN each write task: sorted data gives every
+    // parquet row group tight min/max stats on sortCols, so later
+    // non-partition predicates on them skip whole row groups at scan time
+    // (the poor-man's z-order — a per-file sort, no extra shuffle). The
+    // sort is prefixed with the partition columns: the partitioned write
+    // path REQUIRES that ordering and would otherwise insert its own
+    // partition-cols-only sort, discarding the sortCols clustering.
+    val out =
+      if (sortCols.isEmpty) routed
+      else routed.sortWithinPartitions((partitions ++ sortCols).map(col): _*)
 
     // Append must report ONLY the newly written files (the reference
     // returns freshly published keys, publish_parq.py:573) — snapshot the

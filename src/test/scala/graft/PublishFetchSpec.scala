@@ -33,6 +33,22 @@ class PublishFetchSpec extends AnyFunSuite {
       Seq("id", "grp", "num", "flag", "ts", "value"))
   }
 
+  test("publish with sortCols clusters rows within every written file") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 5000)
+      .map(i => (rnd.nextLong(), if (i % 2 == 0) "x" else "y", rnd.nextInt(1000)))
+      .toDF("id", "grp", "score")
+    val root = TestSpark.tmpDir("pub_sorted")
+    val files = Publish.publish(spark, df, root, Seq("grp"), sortCols = Seq("score"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val scores = spark.read.parquet(f).select("score").collect().map(_.getInt(0)).toSeq
+      assert(scores == scores.sorted, s"file $f not sorted on score")
+    }
+    // data content unchanged by the sort
+    assert(Fetch.fetch(spark, root).count() == 5000)
+  }
+
   test("publish rejects empty frames (publish_parq.py:16)") {
     val e = intercept[IllegalArgumentException] {
       Publish.publish(spark, sampleDf.limit(0), TestSpark.tmpDir("pub"), Nil)
