@@ -15,15 +15,18 @@ object Bench {
     // charged for startup.
     SparkEntry.entry(spark).count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one: flag it in
-        // the machine-readable output, not just stderr
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed += name
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          // a failed query must not masquerade as a fast one: keep its
+          // name OUT of the timing map and total (a fast failure would
+          // read as a speedup) and flag it in the failed list
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          false
+        }
+      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -184,6 +184,13 @@ object Fetch {
     * dataset with thousands of first-level partitions would otherwise pay
     * them sequentially on the driver.
     */
+  /** Pool width for the parallel listing walk: listStatus against an
+    * object store is a blocking HTTP call, so the fan-out wants far more
+    * threads than cores — but bounded, and NOT the JVM-global pool
+    * (starving unrelated driver work).
+    */
+  private val ListingParallelism = 32
+
   private def rawPartitionValues(spark: SparkSession, root: String,
                                  meta: DatasetMeta, partition: String): Set[String] = {
     import scala.collection.parallel.CollectionConverters._
@@ -192,18 +199,23 @@ object Fetch {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Set.empty
-    var dirs: Seq[Path] = Seq(rootPath)
-    var values = Set.empty[String]
-    meta.partitions.take(depth + 1).foreach { p =>
-      val level = dirs.par.flatMap { d =>
-        fs.listStatus(d).toIndexedSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith(p + "="))
-          .map(st => unescapePathName(st.getPath.getName.substring(p.length + 1)) -> st.getPath)
-      }.seq
-      if (p == partition) values = level.map(_._1).toSet
-      dirs = level.map(_._2)
-    }
-    values - HiveDefaultPartition
+    val pool = new java.util.concurrent.ForkJoinPool(ListingParallelism)
+    try {
+      var dirs: Seq[Path] = Seq(rootPath)
+      var values = Set.empty[String]
+      meta.partitions.take(depth + 1).foreach { p =>
+        val par = dirs.par
+        par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        val level = par.flatMap { d =>
+          fs.listStatus(d).toIndexedSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(p + "="))
+            .map(st => unescapePathName(st.getPath.getName.substring(p.length + 1)) -> st.getPath)
+        }.seq
+        if (p == partition) values = level.map(_._1).toSet
+        dirs = level.map(_._2)
+      }
+      values - HiveDefaultPartition
+    } finally pool.shutdown()
   }
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"

@@ -83,18 +83,19 @@ object Similarity {
     val c = base(corpus, "neighbor_id", "cv", "cn")
     // UNBIASED training sample: a bare limit() takes the head of the
     // scan, and a corpus sorted/clustered by source or label would put
-    // every centroid in one region of the space (recall collapse).
-    // Count the raw corpus (parquet metadata, no data read) to derive a
-    // fraction, then hash-sample uniformly; the 1.2 slack + limit cap
-    // keeps the collected set at ≤ maxFitSample without a second pass.
-    val corpusRows = math.max(1L, corpus.count())
+    // every centroid in one region of the space (recall collapse). One
+    // counting pass over the filtered frame (the exact population being
+    // sampled) derives the fraction; uniform sample(), NO limit cap — a
+    // cap would deterministically exclude the scan tail and re-bias.
+    // maxFitSample is therefore a target (±sampling variance, 1.2×
+    // slack), which Lloyd's handles fine.
+    val corpusRows = math.max(1L, c.count())
     val sampled =
-      if (corpusRows <= maxFitSample) c
+      if (corpusRows <= maxFitSample * 1.2) c
       else c.sample(withReplacement = false,
         math.min(1.0, maxFitSample * 1.2 / corpusRows), seed)
     val sample: Array[Array[Double]] = sampled
       .select(normalized("cv", "cn").as("nv"))
-      .limit(maxFitSample)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex

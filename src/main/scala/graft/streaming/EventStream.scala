@@ -125,8 +125,11 @@ object EventStream {
                          leftTs: String, rightTs: String, lookbackSeconds: Long,
                          watermark: String = "10 minutes"): DataFrame = {
     require(keys.nonEmpty, "interval join requires at least one equality key")
+    require(lookbackSeconds > 0,
+      s"lookbackSeconds must be positive, got $lookbackSeconds (a non-positive " +
+        "window silently matches nothing)")
     val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
-    val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    val renamed = right.toDF(right.columns.map(_ + "_r").toIndexedSeq: _*)
     val r = if (renamed.isStreaming) renamed.withWatermark(s"${rightTs}_r", watermark)
             else renamed
     val cond = keys.map(k => col(k) === col(s"${k}_r")).reduce(_ && _) &&
