@@ -372,6 +372,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "sample_stratified" -> ((s, dir) => {
+      // exactly 5 docs per source, chosen by the deterministic modulo
+      // slot (cross-engine reproducible; production default is the
+      // xxhash64 slot, spec-verified)
+      val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
+      graft.ops.Sampling.stratifiedSample(
+        s.read.parquet(t(dir, "documents")), "source", 5, slot, col("doc_id"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
+
     "curation_pipeline" -> ((s, dir) => {
       // the end-to-end curation story composed from the ops: exact dedup ->
       // quality scoring -> threshold filter -> per-language corpus stats
@@ -856,6 +867,14 @@ object SparkEntry {
         |       WHEN source = 'src1' THEN 2500
         |       ELSE 10000 END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT source, doc_id FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY (doc_id*997) % 10000, doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
 
     "curation_pipeline" ->
       """WITH dd AS (SELECT * FROM documents

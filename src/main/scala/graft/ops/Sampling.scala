@@ -50,4 +50,24 @@ object Sampling {
     }
     df.where(slot < threshold)
   }
+
+  /** EXACTLY `n` rows per stratum (fewer only when the stratum is
+    * smaller), deterministically: rows rank by (`orderCol`, `tieCol`)
+    * within each stratum and the first n survive. Rate-based sampling
+    * ([[mixture]]) can't hit exact per-group counts; this is the
+    * eval-set / per-source-quota op. One shuffle on the stratum column;
+    * a stratum's candidates sort within one task, so n and stratum sizes
+    * are assumed moderate (for top-n over a HUGE skewed stratum, the
+    * [[graft.functions.TopKPairs]] partial aggregate is the map-side
+    * alternative).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, n: Int,
+                       orderCol: Column, tieCol: Column): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(orderCol, tieCol)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -27,6 +27,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(split.select("id", "split").except(again.select("id", "split")).isEmpty)
   }
 
+  test("stratified sample takes exactly n per stratum, deterministically") {
+    val out = Sampling.stratifiedSample(rows, "source", 7,
+      Sampling.hashSlot(col("id")), col("id"))
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 7L, "src1" -> 7L, "src2" -> 7L, "src3" -> 7L))
+    // same rows on a rerun (no rand())
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(rows, "source", 7,
+      Sampling.hashSlot(col("id")), col("id")).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // a stratum smaller than n returns all its rows
+    val small = rows.where(col("id") < 2)
+    assert(Sampling.stratifiedSample(small, "source", 7,
+      Sampling.hashSlot(col("id")), col("id")).count() == 2)
+  }
+
   test("mixture keeps configured rates per source, others untouched") {
     val slot = Sampling.hashSlot(col("id"))
     val mixed = Sampling.mixture(rows, slot, "source", Map("src0" -> 0.5))
