@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare a fresh graft.Bench JSON line against a
+baseline (BENCH_r02.json wrapper or a raw bench line) query by query.
+
+Usage: tools/bench_gate.py <new_bench.json> [baseline.json=BENCH_r02.json]
+
+Flags a query when it is BOTH >2x its baseline AND >0.5 s absolute (small
+queries live in scheduling noise). New queries (absent from the baseline)
+are listed informationally. Exit code 1 if any regression or failed query.
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    text = open(path).read()
+    # accept either the raw one-line bench JSON (possibly sbt-prefixed) or
+    # the driver's wrapper with the line embedded in "tail"
+    try:
+        obj = json.loads(text)
+        if "queries" in obj:
+            return obj
+        m = re.search(r'\{"metric"[^\n]*', obj.get("tail", ""))
+        if m:
+            return json.loads(m.group(0))
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*', text)
+    if not m:
+        raise SystemExit(f"no bench JSON found in {path}")
+    return json.loads(m.group(0))
+
+
+# Known-deliberate slowdowns, with the reason on record:
+#  - custom_publish_roundtrip: since round 3 it ALWAYS republishes instead
+#    of trusting a cross-version /tmp cache (round 2's only red
+#    correctness cell was a suspected stale-cache hash mismatch); ~2 s of
+#    write per run bought determinism of the correctness gate.
+ALLOWED = {"custom_publish_roundtrip"}
+
+
+def main():
+    new_path = sys.argv[1]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_r02.json"
+    new, base = load_bench(new_path), load_bench(base_path)
+    nq, bq = new["queries"], base["queries"]
+
+    failed = new.get("failed", [])
+    regressions = [
+        (name, t, bq[name])
+        for name, t in nq.items()
+        if name in bq and name not in ALLOWED and t > 2 * bq[name] and t > 0.5
+    ]
+    added = sorted(set(nq) - set(bq))
+    comparable = sum(t for name, t in nq.items() if name in bq)
+
+    print(f"total {new['value']:.1f}s over {len(nq)} queries | "
+          f"comparable subset {comparable:.1f}s vs baseline {base['value']:.1f}s")
+    if added:
+        print(f"new queries ({len(added)}): " +
+              ", ".join(f"{n}={nq[n]:.2f}s" for n in added))
+    for name, t, b in sorted(regressions, key=lambda x: -x[1] / x[2]):
+        print(f"REGRESSION {name}: {t:.2f}s vs {b:.2f}s ({t/b:.1f}x)")
+    for name in failed:
+        print(f"FAILED {name}")
+    if not regressions and not failed:
+        print("gate OK: no query >2x baseline (and >0.5s), none failed")
+    sys.exit(1 if regressions or failed else 0)
+
+
+if __name__ == "__main__":
+    main()
