@@ -28,11 +28,20 @@ object Bench {
         }
       if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: sub-ms precision is noise, and the shorter line
+    // matters — the driver keeps only the TAIL of stdout, and round 3's
+    // full-precision line outgrew the capture window, truncating the
+    // {"metric" prefix and leaving the round's bench JSON unparseable.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Belt and braces: also persist the line to a file the regression gate
+    // can always read, independent of any stdout capture window.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

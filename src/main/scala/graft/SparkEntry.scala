@@ -161,14 +161,23 @@ object SparkEntry {
     "custom_publish_roundtrip" -> ((s, dir) => {
       // Always republish: never trust a /tmp dataset written by another
       // code version for the one query that hash-checks custom-cast bytes
-      // (round 2's only red cell; warm republish is ~0.1 s). Order by ALL
-      // columns so no uniqueness assumption can bite at any scale factor.
+      // (round 2's only red cell; warm republish is ~0.1 s).
       val root = tmpRoot("custom_publish_roundtrip", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       Publish.customPublish(s, s.read.parquet(t(dir, "part")), root, Seq("p_brand"),
         Map("p_retailprice" -> "DECIMAL(12,2)", "p_name" -> "VARCHAR(55)"))
       val df = Fetch.fetch(s, root)
-      df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+      // Compare the DECIMAL(12,2) column as its canonical scale-2 STRING
+      // ("900.10"): a decimal travels to the driver's hasher as
+      // Decimal('900.10') from a pyarrow read of our dump but as float64
+      // 900.1 from DuckDB's fetchdf of the oracle — identical values,
+      // different stringifications, hash_match=false forever (rounds 2+3).
+      // The round-trip substance is unchanged: the string can only be
+      // "900.10" if the published parquet really carries scale-2 decimal
+      // bytes. Order by the unique key first, everything else as tiebreak,
+      // in the SAME sequence as the oracle's ORDER BY.
+      df.withColumn("p_retailprice", col("p_retailprice").cast("string"))
+        .orderBy("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
     }),
 
     "fetch_filter_eq" -> ((s, dir) =>
@@ -605,7 +614,7 @@ object SparkEntry {
 
     "custom_publish_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size,
-        | CAST(p_retailprice AS DECIMAL(12,2)) AS p_retailprice
+        | CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS p_retailprice
         |FROM part
         |ORDER BY p_partkey, p_name, p_brand, p_type, p_size, p_retailprice""".stripMargin,
 

@@ -177,13 +177,6 @@ object Fetch {
     DatasetMeta.read(spark, root).getOrElse(
       throw new MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
 
-  /** Distinct raw (unescaped string) values of one partition, by walking
-    * the hive directory tree to that partition's depth. Never opens a
-    * file. Each level's directories are listed IN PARALLEL (bounded pool):
-    * on an object store every `listStatus` is an HTTP round trip, and a
-    * dataset with thousands of first-level partitions would otherwise pay
-    * them sequentially on the driver.
-    */
   /** Pool width for the parallel listing walk: listStatus against an
     * object store is a blocking HTTP call, so the fan-out wants far more
     * threads than cores — but bounded, and NOT the JVM-global pool
@@ -191,6 +184,13 @@ object Fetch {
     */
   private val ListingParallelism = 32
 
+  /** Distinct raw (unescaped string) values of one partition, by walking
+    * the hive directory tree to that partition's depth. Never opens a
+    * file. Each level's directories are listed IN PARALLEL (bounded pool):
+    * on an object store every `listStatus` is an HTTP round trip, and a
+    * dataset with thousands of first-level partitions would otherwise pay
+    * them sequentially on the driver.
+    */
   private def rawPartitionValues(spark: SparkSession, root: String,
                                  meta: DatasetMeta, partition: String): Set[String] = {
     import scala.collection.parallel.CollectionConverters._

@@ -199,7 +199,9 @@ object Dedup {
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
         .where(col("cluster") =!= col("prev")).isEmpty
-      labels.unpersist() // release the superseded checkpoint's cached blocks
+      // The superseded checkpoint's blocks are NOT freeable via
+      // Dataset.unpersist (that only touches CacheManager entries);
+      // dropping the reference lets the ContextCleaner GC them.
       labels = next
       iter += 1
     }

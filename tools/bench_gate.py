@@ -13,23 +13,54 @@ import re
 import sys
 
 
+def reconstruct(text):
+    """Rebuild a bench dict from a PARTIAL tail whose '{"metric"' prefix was
+    truncated by the driver's stdout capture window (BENCH_r03.json): scrape
+    the per-query name:seconds pairs and the failed list directly."""
+    pairs = re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+\.[0-9]+)', text)
+    queries = {k: float(v) for k, v in pairs if k not in ("value",)}
+    if not queries:
+        return None
+    failed = []
+    mf = re.search(r'"failed":\[([^\]]*)\]', text)
+    if mf:
+        failed = re.findall(r'"([^"]+)"', mf.group(1))
+    mv = re.search(r'"value":([0-9]+\.[0-9]+)', text)
+    value = float(mv.group(1)) if mv else sum(queries.values())
+    note = None if mv else "total reconstructed from partial tail"
+    return {"metric": "total", "value": value, "unit": "sec",
+            "queries": queries, "failed": failed, "note": note}
+
+
 def load_bench(path):
     text = open(path).read()
-    # accept either the raw one-line bench JSON (possibly sbt-prefixed) or
-    # the driver's wrapper with the line embedded in "tail"
+    # accept: the raw one-line bench JSON (possibly sbt-prefixed), the
+    # driver's wrapper (prefer its "parsed" field, else the line embedded in
+    # "tail"), or — last resort — a truncated tail, reconstructed pair by
+    # pair
     try:
         obj = json.loads(text)
         if "queries" in obj:
             return obj
-        m = re.search(r'\{"metric"[^\n]*', obj.get("tail", ""))
+        parsed = obj.get("parsed")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return parsed
+        tail = obj.get("tail", "")
+        m = re.search(r'\{"metric"[^\n]*\}', tail)
         if m:
             return json.loads(m.group(0))
+        rec = reconstruct(tail)
+        if rec:
+            return rec
     except json.JSONDecodeError:
         pass
-    m = re.search(r'\{"metric".*', text)
-    if not m:
-        raise SystemExit(f"no bench JSON found in {path}")
-    return json.loads(m.group(0))
+    m = re.search(r'\{"metric".*\}', text)
+    if m:
+        return json.loads(m.group(0))
+    rec = reconstruct(text)
+    if rec:
+        return rec
+    raise SystemExit(f"no bench JSON found in {path}")
 
 
 # Known-deliberate slowdowns, with the reason on record:
