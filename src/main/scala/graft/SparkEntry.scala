@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.catalog.SpectrumDdl
 import graft.core.{ColFilter, DatasetMeta, Fetch, Publish}
 import graft.naming.S3Naming
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.ProbFilters
+import graft.ops.{BloomPrune, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where the
@@ -42,7 +43,7 @@ object SparkEntry {
     * older build could silently serve a newer query — the suspected cause
     * of round 2's one non-reproducible hash mismatch.
     */
-  private val CacheVersion = "r3"
+  private val CacheVersion = "r4"
 
   private def versionMarker(root: String) =
     java.nio.file.Paths.get(root, "_graft_cache_version")
@@ -58,11 +59,12 @@ object SparkEntry {
     * data). A stale or version-mismatched cache is wiped and republished.
     */
   private def publishOnce(s: SparkSession, name: String, dir: String,
-                          partitions: Seq[String])(build: => DataFrame): String = {
+                          partitions: Seq[String], zorderCols: Seq[String] = Nil)
+                         (build: => DataFrame): String = {
     val root = tmpRoot(name, dir)
     if (!cacheIsCurrent(s, root)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      Publish.publish(s, build, root, partitions)
+      Publish.publish(s, build, root, partitions, zorderCols = zorderCols)
       java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
     }
     root
@@ -470,6 +472,22 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_bloom_prune_join" -> ((s, dir) => {
+      // bloom semi-join reduction: the fact side is pre-filtered by a
+      // broadcast Bloom filter of the selective dim's keys BEFORE the join
+      // shuffle (~80% of lineitem dropped map-side here). The result is
+      // exactly the plain join's — the oracle below IS the plain join.
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+      val bigOrders = s.read.parquet(t(dir, "orders"))
+        .where(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+      BloomPrune.pruneJoin(lineitem, bigOrders, "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          max("o_totalprice").as("o_totalprice"))
+        .orderBy("l_orderkey")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // each view event attached to the user's most recent purchase at or
       // before it — the as-of join shape (one keyed window pass, no
@@ -560,6 +578,33 @@ object SparkEntry {
         .select(col("e.item").as("w"), col("e.count").as("n"),
           (col("pos") + 1).cast("long").as("rnk"))),
 
+    "text_word_freq_sketch" -> ((s, dir) => {
+      // count-min point estimates for every distinct term. Estimates are
+      // upper bounds that go EXACT when no term collides in all `depth`
+      // rows — with ~31 distinct tokens in 5x8192 cells, collision odds
+      // are ~1e-12 per term and the hash is deterministic, so the oracle
+      // can demand exact counts (the generic error bound is contract-
+      // tested in ProbFilterSpec).
+      val words = s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+      val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 8192).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      words.distinct()
+        .withColumn("n", ProbFilters.cmEstimate(s, col("w"), sketch))
+        .orderBy("w")
+    }),
+
+    "zorder_publish_roundtrip" -> ((s, dir) => {
+      // z-order-clustered publish (range-partitioned + sorted by the
+      // Morton interleave of custkey x totalprice) must round-trip the
+      // exact same rows; layout quality is asserted in ZOrderSpec.
+      val root = publishOnce(s, "ds_orders_zorder", dir, Seq("o_orderstatus"),
+        zorderCols = Seq("o_custkey", "o_totalprice")) {
+        s.read.parquet(t(dir, "orders"))
+      }
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
     "publish_catalog_ddl" -> ((s, dir) => {
       import s.implicits._
       // publish once per (sf, cache version); DDL derives from the
@@ -611,6 +656,13 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "text_word_freq_sketch" ->
+      """SELECT w, count(*) AS n FROM (
+        | SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY w""".stripMargin,
 
     "custom_publish_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size,
@@ -703,6 +755,13 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_bloom_prune_join" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | max(o_totalprice) AS o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (

@@ -131,10 +131,17 @@ object Publish {
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
               partitions: Seq[String], mode: String = "overwrite",
-              sortCols: Seq[String] = Nil): Seq[String] = {
+              sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
+              zorderBits: Int = 16, zorderPartitions: Int = 0): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
+    require(zorderCols.forall(df.columns.contains),
+      s"zorder columns ${zorderCols.filterNot(df.columns.contains).mkString(",")} do not exist")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are alternative clustering strategies; pass one")
+    require(zorderCols.size <= 1 || zorderCols.size * zorderBits <= 63,
+      s"${zorderCols.size} zorder columns x $zorderBits bits must fit a long")
     checkNonEmpty(df)
     checkNoIntervals(df)
     checkPartitions(partitions, df)
@@ -164,38 +171,60 @@ object Publish {
     // per file so no output file materially exceeds the 60 MB target.
     val recordsPerFile = math.max(1L, (TargetFileBytes / (rowBytes / CompressionRatio)).toLong)
 
-    // Salted routing: repartition by (partition cols, salt) so rows of the
-    // same partition value land together (few files per value) but a hot
-    // value can still fan out over `saltBuckets` concurrent tasks — a plain
-    // repartition(partitionCols) funnels each value through ONE task, which
-    // is the write bottleneck at 100 TB. The salt is adaptive: when the
-    // sample shows many distinct partition values (parallelism already
-    // comes from the values themselves) it collapses to 1 so file counts
-    // stay low; when values are few/hot it fans each value out across the
-    // cluster. Derived from the row itself (deterministic, no rand()) so
-    // retried tasks re-route rows identically.
     // non-empty: checkPartitions rejects fully-partitioned frames
     val dataCols = df.columns.filterNot(partitions.contains)
-    val routed =
-      if (partitions.isEmpty) df
-      else {
-        val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
-        val parallelism = spark.sparkContext.defaultParallelism
-        val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
-        val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
-        val partKeys = partitions.map(col) :+ salt
-        df.repartition(partKeys: _*)
-      }
+    // Z-order clustering: range-partition by (partition cols, z-value) —
+    // the Morton interleave of the zorder columns scaled to [0, 2^bits)
+    // against their global min/max (one cheap agg pass) — then sort within
+    // each task by the same key. Files then cover small HYPER-RECTANGLES
+    // of the key space: min/max stats prune on ALL zorder columns at once,
+    // where a lexicographic sortCols layout prunes only on its leading
+    // column. Range routing (not hash+salt) is what makes spans shrink
+    // ACROSS files, and it subsumes salting — a hot partition value fans
+    // out over tasks by z-range. The z-value rides as an UNNAMED
+    // repartition/sort expression: no synthetic column reaches the files.
+    // The sort is prefixed with the partition columns: the partitioned
+    // write path REQUIRES that ordering and would otherwise insert its own
+    // partition-cols-only sort, discarding the clustering.
+    val zvOpt =
+      if (zorderCols.isEmpty) None else Some(zvalueColumn(df, zorderCols, zorderBits))
+    // zorderPartitions=0 lets AQE coalesce the range shuffle to its
+    // advisory partition size (the right call at scale); an explicit count
+    // pins the task layout (deterministic file counts, e.g. for tests).
+    val routed = zvOpt match {
+      case Some(zv) if zorderPartitions > 0 =>
+        df.repartitionByRange(zorderPartitions, partitions.map(col) :+ zv: _*)
+      case Some(zv) => df.repartitionByRange(partitions.map(col) :+ zv: _*)
+      case None =>
+        if (partitions.isEmpty) df
+        else {
+          // Salted routing: repartition by (partition cols, salt) so rows
+          // of the same partition value land together (few files per
+          // value) but a hot value can still fan out over `saltBuckets`
+          // concurrent tasks — a plain repartition(partitionCols) funnels
+          // each value through ONE task, which is the write bottleneck at
+          // 100 TB. The salt is adaptive: when the sample shows many
+          // distinct partition values it collapses to 1 so file counts
+          // stay low. Derived from the row itself (deterministic, no
+          // rand()) so retried tasks re-route rows identically.
+          val distinctInSample = math.max(1L, sampleRows.approxDistinctPartitions)
+          val parallelism = spark.sparkContext.defaultParallelism
+          val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
+          val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
+          val partKeys = partitions.map(col) :+ salt
+          df.repartition(partKeys: _*)
+        }
+    }
     // Optional clustering WITHIN each write task: sorted data gives every
     // parquet row group tight min/max stats on sortCols, so later
     // non-partition predicates on them skip whole row groups at scan time
-    // (the poor-man's z-order — a per-file sort, no extra shuffle). The
-    // sort is prefixed with the partition columns: the partitioned write
-    // path REQUIRES that ordering and would otherwise insert its own
-    // partition-cols-only sort, discarding the sortCols clustering.
-    val out =
-      if (sortCols.isEmpty) routed
-      else routed.sortWithinPartitions((partitions ++ sortCols).map(col): _*)
+    // (single-column clustering, no extra shuffle).
+    val out = zvOpt match {
+      case Some(zv) => routed.sortWithinPartitions(partitions.map(col) :+ zv: _*)
+      case None =>
+        if (sortCols.isEmpty) routed
+        else routed.sortWithinPartitions((partitions ++ sortCols).map(col): _*)
+    }
 
     // Append must report ONLY the newly written files (the reference
     // returns freshly published keys, publish_parq.py:573) — snapshot the
@@ -212,6 +241,35 @@ object Publish {
 
     DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
     listDataFiles(spark, root).filterNot(preExisting)
+  }
+
+  /** Z-value sort expression over `cols`: each column scales linearly from
+    * its global [min, max] (one aggregate pass, collected as one row) onto
+    * [0, 2^bits), and [[graft.functions.ZValueExpr]] interleaves the bits.
+    * Numeric, date and timestamp columns only — z-ordering needs a total
+    * order with meaningful distance.
+    */
+  private def zvalueColumn(df: DataFrame, cols: Seq[String], bits: Int): org.apache.spark.sql.Column = {
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[NumericType] || t == DateType || t == TimestampType,
+        s"zorder column $c must be numeric/date/timestamp, got $t")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(row.get(2 * i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val hi = Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      if (hi <= lo) lit(0L) // constant (or all-null) column carries no information
+      else {
+        val pos = (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble)
+        // clamp guards rounding at the edges; nulls sort as 0 (first)
+        coalesce(least(greatest(round(pos, 0), lit(0.0)), lit(top.toDouble)), lit(0.0)).cast("long")
+      }
+    }
+    graft.functions.ZOrderFunctions.zvalue(array(scaled: _*), bits)
   }
 
   /** `custom_publish` (publish_parq.py:576): publish with custom Redshift

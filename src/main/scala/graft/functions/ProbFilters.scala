@@ -1,0 +1,339 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.xxhash64
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
+
+/** Probabilistic membership / frequency filters: a mergeable Bloom filter
+  * and a count-min sketch, both as [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]s
+  * (the [[TopKPairs]] partial-combine pattern — each map task folds its
+  * rows into one fixed-size buffer, the shuffle carries O(buffer · tasks),
+  * reducers merge) plus codegen'd probe expressions whose sketch state
+  * rides an executor-shared `Broadcast` instead of being inlined into the
+  * plan.
+  *
+  * The motivating 100-TB use is semi-join reduction ([[graft.ops.BloomPrune]]):
+  * build a Bloom filter over the small side's join keys, broadcast it, and
+  * drop non-matching rows of the big side BEFORE the join shuffle. With a
+  * selective small side that turns a full-table shuffle into a
+  * fraction-of-a-table shuffle for the price of one map-side scan — the
+  * same trick Spark's own runtime row-group filtering plays, here available
+  * deliberately and at any join the optimizer can't prove out itself.
+  *
+  * Hashing contract: both sides hash with XXH64 seed 42 — the aggregate
+  * via `XxHash64Function` and the probe via the public `xxhash64()` column
+  * (same kernel, same seed), so a filter built by the aggregate is always
+  * readable by the probe. Bit positions come from double hashing
+  * (h₁ + i·h₂ with h₂ forced odd), the standard Kirsch-Mitzenmacher
+  * construction.
+  */
+object ProbFilterOps {
+
+  /** i-th probe position in [0, size): double hashing off one 64-bit hash. */
+  @inline final def position(h: Long, i: Int, size: Long): Int = {
+    val h2 = Sketch.mix64(h) | 1L // odd stride cycles any size
+    (((h + i * h2) & Long.MaxValue) % size).toInt
+  }
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Optimal bit count for `n` items at false-positive rate `fpp`. */
+  def bloomBits(n: Long, fpp: Double): Long = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
+    math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  }
+
+  /** Optimal hash count for `n` items in `m` bits. */
+  def bloomHashes(n: Long, m: Long): Int =
+    math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
+
+  def setBit(words: Array[Long], h: Long, numHashes: Int, numBits: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val pos = position(h, i, numBits)
+      words(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  /** Probe kernel — the whole-stage-codegen'd hot path of the big side. */
+  def mightContain(words: Array[Long], h: Long, numHashes: Int, numBits: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val pos = position(h, i, numBits)
+      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Serialized layout: int numHashes, long numBits, the words. */
+  def serializeBloom(numHashes: Int, numBits: Long, words: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + words.length * 8)
+    bb.putInt(numHashes).putLong(numBits)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def deserializeBloom(bytes: Array[Byte]): (Int, Long, Array[Long]) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val numHashes = bb.getInt
+    val numBits = bb.getLong
+    val words = new Array[Long](((numBits + 63) / 64).toInt)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong; i += 1 }
+    (numHashes, numBits, words)
+  }
+
+  // ------------------------------------------------------------ count-min
+
+  def cmAdd(counts: Array[Long], h: Long, depth: Int, width: Int): Unit = {
+    var d = 0
+    while (d < depth) {
+      // re-mix the row index into the hash so rows probe independently
+      counts(d * width + position(Sketch.mix64(h + d), d + 1, width)) += 1L
+      d += 1
+    }
+  }
+
+  /** Point-estimate kernel: min over rows — an UPPER bound on the true
+    * count (collisions only ever add).
+    */
+  def cmEstimate(counts: Array[Long], h: Long, depth: Int, width: Int): Long = {
+    var min = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = counts(d * width + position(Sketch.mix64(h + d), d + 1, width))
+      if (c < min) min = c
+      d += 1
+    }
+    min
+  }
+}
+
+/** Mergeable Bloom filter over the XXH64(seed 42) hashes of `child`.
+  * Buffer = the bit words; merge = bitwise OR (commutative, associative,
+  * idempotent — identical under any partitioning). Output: BinaryType,
+  * [[ProbFilterOps.serializeBloom]] layout.
+  */
+case class BloomAgg(child: Expression, numBits: Long, numHashes: Int,
+                    override val mutableAggBufferOffset: Int = 0,
+                    override val inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashes >= 1 && numHashes <= 32, s"numHashes must be in [1,32], got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: MapType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName cannot hash map inputs, got ${child.dataType}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](((numBits + 63) / 64).toInt)
+
+  override def update(words: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      ProbFilterOps.setBit(words, XxHash64Function.hash(v, child.dataType, 42L), numHashes, numBits)
+    words
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(words: Array[Long]): Any =
+    ProbFilterOps.serializeBloom(numHashes, numBits, words)
+
+  override def serialize(words: Array[Long]): Array[Byte] =
+    ProbFilterOps.serializeBloom(numHashes, numBits, words)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    ProbFilterOps.deserializeBloom(bytes)._3
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_bloom_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BloomAgg =
+    copy(child = newChildren(0))
+}
+
+/** `words` membership probe of a precomputed 64-bit hash column (wrap the
+  * key in `xxhash64(key)` — the aggregate hashed with the same kernel and
+  * seed). The filter rides a `Broadcast`, NOT a plan literal: a 100-TB
+  * build side can need a multi-hundred-MB filter, which must ship to each
+  * executor once, not serialize into every task binary.
+  */
+case class BloomMightContain(child: Expression, numHashes: Int, numBits: Long,
+                             words: Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects the xxhash64 of the key (bigint), got $t")
+  }
+
+  override protected def nullSafeEval(h: Any): Any =
+    ProbFilterOps.mightContain(words.value, h.asInstanceOf[Long], numHashes, numBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // resolve the broadcast once per generated class, not once per row
+    val bc = ctx.addReferenceObj("bloomBc", words, "org.apache.spark.broadcast.Broadcast")
+    val w = ctx.addMutableState("long[]", "bloomWords", v => s"$v = (long[]) $bc.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.ProbFilterOps.mightContain($w, $h, $numHashes, ${numBits}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+/** Mergeable count-min sketch over the XXH64(seed 42) hashes of `child`:
+  * depth×width counters, merge = element-wise add. Estimates are upper
+  * bounds; error ≤ 2n/width with probability 1 − 2^−depth. Output:
+  * BinaryType (int depth, int width, the counters).
+  */
+case class CountMinAgg(child: Expression, depth: Int, width: Int,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+  require(width >= 16, s"width must be >= 16, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: MapType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName cannot hash map inputs, got ${child.dataType}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(counts: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      ProbFilterOps.cmAdd(counts, XxHash64Function.hash(v, child.dataType, 42L), depth, width)
+    counts
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(counts: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(8 + counts.length * 8)
+    bb.putInt(depth).putInt(width)
+    counts.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def serialize(counts: Array[Long]): Array[Byte] = eval(counts).asInstanceOf[Array[Byte]]
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.getInt; bb.getInt
+    val counts = new Array[Long](depth * width)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    counts
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_count_min_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren(0))
+}
+
+/** Count-min point estimate of a precomputed 64-bit hash column (same
+  * broadcast rationale as [[BloomMightContain]]).
+  */
+case class CountMinEstimate(child: Expression, depth: Int, width: Int,
+                            counts: Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cm_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects the xxhash64 of the key (bigint), got $t")
+  }
+
+  override protected def nullSafeEval(h: Any): Any =
+    ProbFilterOps.cmEstimate(counts.value, h.asInstanceOf[Long], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("cmBc", counts, "org.apache.spark.broadcast.Broadcast")
+    val w = ctx.addMutableState("long[]", "cmCounts", v => s"$v = (long[]) $bc.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.ProbFilterOps.cmEstimate($w, $h, $depth, $width);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountMinEstimate =
+    copy(child = newChild)
+}
+
+/** Column wrappers. */
+object ProbFilters {
+
+  /** Bloom-filter aggregate sized for `expectedItems` at `fpp`. */
+  def bloomAgg(key: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    val bits = ProbFilterOps.bloomBits(expectedItems, fpp)
+    val m = ((bits + 63) / 64) * 64 // word-align
+    shim.column(BloomAgg(shim.expression(key), m,
+      ProbFilterOps.bloomHashes(expectedItems, m)).toAggregateExpression())
+  }
+
+  /** Membership probe against collected filter bytes (broadcast once). */
+  def mightContain(spark: SparkSession, key: Column, bloomBytes: Array[Byte]): Column = {
+    val (numHashes, numBits, words) = ProbFilterOps.deserializeBloom(bloomBytes)
+    val bc = spark.sparkContext.broadcast(words)
+    shim.column(BloomMightContain(shim.expression(xxhash64(key)), numHashes, numBits, bc))
+  }
+
+  /** Count-min aggregate; width ≈ 2/ε counters per row, depth ≈ log(1/δ). */
+  def countMinAgg(key: Column, depth: Int = 5, width: Int = 4096): Column =
+    shim.column(CountMinAgg(shim.expression(key), depth, width).toAggregateExpression())
+
+  /** Frequency upper-bound estimate against collected sketch bytes. */
+  def cmEstimate(spark: SparkSession, key: Column, sketchBytes: Array[Byte]): Column = {
+    val bb = ByteBuffer.wrap(sketchBytes)
+    val depth = bb.getInt
+    val width = bb.getInt
+    val counts = new Array[Long](depth * width)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    val bc = spark.sparkContext.broadcast(counts)
+    shim.column(CountMinEstimate(shim.expression(xxhash64(key)), depth, width, bc))
+  }
+}

@@ -62,6 +62,37 @@ object PlanAudit {
         !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")))
     audit("text_top_terms_sketch",
       "partial heavy-hitters sketch" -> (_.contains("partial_graft_heavy_hitters")))
+    audit("q_bloom_prune_join",
+      // the bloom probe must sit in the fact table's SCAN stage (filter
+      // before the exchange), and participate in whole-stage codegen
+      "bloom probe before the shuffle" -> (_.contains("graft_might_contain")),
+      "partial aggregate after join" -> (_.contains("partial_sum")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    locally {
+      // the count-min probe collapses into the final distinct-aggregate's
+      // result projection (one probe per distinct word, not per row) —
+      // the one-line physical format omits result expressions, so check
+      // placement in the analyzed plan and codegen on the aggregate stage
+      val df = SparkEntry.queries("text_word_freq_sketch")(spark, dir)
+      df.collect()
+      val analyzed = df.queryExecution.analyzed.toString
+      val physical = df.queryExecution.executedPlan.toString
+      val ok = analyzed.contains("graft_cm_estimate") &&
+        raw"\*\(\d+\) HashAggregate".r.findFirstIn(physical).isDefined
+      println(f"AUDIT text_word_freq_sketch       count-min probe in codegen'd agg   ${if (ok) "OK" else "MISS"}")
+    }
+    locally {
+      // z-order publish: the write plan must contain ONE range exchange on
+      // the z-value and keep the in-task sort (no later partition-only
+      // re-sort discarding the clustering)
+      import org.apache.spark.sql.functions.col
+      val src = spark.read.parquet(s"$dir/orders.parquet")
+      val route = src.repartitionByRange(8, col("o_orderstatus"),
+        graft.functions.ZOrderFunctions.zvalue(
+          org.apache.spark.sql.functions.array(col("o_custkey"), col("o_orderkey")), 16))
+      val plan = route.queryExecution.executedPlan.toString
+      println(f"AUDIT zorder_route                range exchange on zvalue           ${if (plan.contains("rangepartitioning") && plan.contains("graft_zvalue")) "OK" else "MISS"}")
+    }
     // sketchProfile reshapes collected scalars into a local frame, so
     // audit the underlying one-pass sketch aggregate directly
     locally {

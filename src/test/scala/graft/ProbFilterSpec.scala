@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ProbFilterOps, ProbFilters}
+import graft.ops.BloomPrune
+
+/** Bloom filter + count-min contracts: zero false negatives (the property
+  * [[BloomPrune.pruneJoin]]'s exactness rests on), bounded false
+  * positives, merge-order invariance (partial aggregation correctness),
+  * and count-min's upper-bound guarantee.
+  */
+class ProbFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bloom: no false negatives, fpp within 3x of configured") {
+    val members = (0L until 5000L).map(i => i * 31 + 7)
+    val bytes = members.toDF("k")
+      .agg(ProbFilters.bloomAgg(col("k"), 5000, 0.01).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val (nh, nb, words) = ProbFilterOps.deserializeBloom(bytes)
+    // every member must probe true — a single false negative breaks join pruning
+    members.foreach { k =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.LongType, 42L)
+      assert(ProbFilterOps.mightContain(words, h, nh, nb), s"false negative for $k")
+    }
+    // non-members: observed fpp should be in the ballpark of configured 1%
+    val nonMembers = (0L until 20000L).map(i => i * 31 + 8)
+    val fp = nonMembers.count { k =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.LongType, 42L)
+      ProbFilterOps.mightContain(words, h, nh, nb)
+    }
+    assert(fp.toDouble / nonMembers.size <= 0.03, s"fpp=${fp.toDouble / nonMembers.size}")
+  }
+
+  test("bloom: merge-order invariant across partitionings") {
+    val df = (0L until 10000L).toDF("k")
+    val one = df.repartition(1).agg(ProbFilters.bloomAgg(col("k"), 10000, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val many = df.repartition(17).agg(ProbFilters.bloomAgg(col("k"), 10000, 0.01))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many),
+      "bloom bytes must not depend on partitioning (OR is order-free)")
+  }
+
+  test("mightContain column probes via codegen and matches membership") {
+    val members = (0L until 2000L).toDF("k")
+    val bytes = members.agg(ProbFilters.bloomAgg(col("k"), 2000, 0.001).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probed = (0L until 4000L).toDF("k")
+      .where(ProbFilters.mightContain(spark, col("k"), bytes))
+      .select("k").as[Long].collect().toSet
+    assert((0L until 2000L).forall(probed.contains), "dropped a true member")
+    // [2000, 4000) are non-members; at fpp 0.1% expect ~2 false positives
+    assert(probed.count(_ >= 2000L) <= 20, s"fp=${probed.count(_ >= 2000L)}")
+  }
+
+  test("pruneJoin equals the plain join exactly") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val small = orders.where(col("o_totalprice") > 300000).select("o_orderkey", "o_totalprice")
+    val pruned = BloomPrune.pruneJoin(lineitem, small, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    val plain = lineitem.join(small, lineitem("l_orderkey") === small("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "bloom pruning must not change the join result")
+  }
+
+  test("pruneJoin rejects result-changing join types") {
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      BloomPrune.pruneJoin(df, df, "k", "k", joinType = "left_outer")
+    }
+  }
+
+  test("count-min: estimates are upper bounds and exact for a small vocab") {
+    val words = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
+    val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 4096).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val exact = words.groupBy("w").count().as[(String, Long)].collect().toMap
+    val est = words.select(col("w")).distinct()
+      .withColumn("est", ProbFilters.cmEstimate(spark, col("w"), sketch))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"count-min under-counted $w: ${est(w)} < $n")
+      // 40 items in 5x4096 cells: collisions in all 5 rows are vanishingly rare
+      assert(est(w) == n, s"unexpected collision on $w: ${est(w)} != $n")
+    }
+  }
+
+  test("count-min: merge-order invariant across partitionings") {
+    val df = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
+    val one = df.repartition(1).agg(ProbFilters.countMinAgg(col("w"), 5, 1024))
+      .head().getAs[Array[Byte]](0)
+    val many = df.repartition(13).agg(ProbFilters.countMinAgg(col("w"), 5, 1024))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many),
+      "count-min bytes must not depend on partitioning (addition is order-free)")
+  }
+}
