@@ -59,12 +59,14 @@ object SparkEntry {
     * data). A stale or version-mismatched cache is wiped and republished.
     */
   private def publishOnce(s: SparkSession, name: String, dir: String,
-                          partitions: Seq[String], zorderCols: Seq[String] = Nil)
+                          partitions: Seq[String], zorderCols: Seq[String] = Nil,
+                          statsCols: Seq[String] = Nil)
                          (build: => DataFrame): String = {
     val root = tmpRoot(name, dir)
     if (!cacheIsCurrent(s, root)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      Publish.publish(s, build, root, partitions, zorderCols = zorderCols)
+      Publish.publish(s, build, root, partitions, zorderCols = zorderCols,
+        statsCols = statsCols)
       java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
     }
     root
@@ -594,6 +596,24 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    "fetch_indexed_filter" -> ((s, dir) => {
+      // data-column predicate served by the file-level min/max index over
+      // a z-order-clustered publish: the driver hands the scan only the
+      // files whose range intersects the predicate (most are skipped —
+      // asserted in StatsIndexSpec), then the same predicate re-applies
+      // row-level, so the result is exactly the plain WHERE
+      val root = publishOnce(s, "ds_lineitem_zstats", dir, Nil,
+        zorderCols = Seq("l_extendedprice", "l_quantity"),
+        statsCols = Seq("l_extendedprice", "l_quantity")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      Fetch.fetchIndexed(s, root, dataFilters = Seq(
+        ColFilter("l_extendedprice", ">=", Seq(90000.0)),
+        ColFilter("l_quantity", "<=", Seq(10.0))))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    }),
+
     "zorder_publish_roundtrip" -> ((s, dir) => {
       // z-order-clustered publish (range-partitioned + sorted by the
       // Morton interleave of custkey x totalprice) must round-trip the
@@ -658,6 +678,12 @@ object SparkEntry {
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "fetch_indexed_filter" ->
+      """SELECT * FROM lineitem
+        |WHERE l_extendedprice >= 90000 AND l_quantity <= 10
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
 
     "text_word_freq_sketch" ->
       """SELECT w, count(*) AS n FROM (

@@ -70,6 +70,41 @@ object Fetch {
     }
   }
 
+  /** [[fetch]] plus DATA-column predicates served by the file-level
+    * min/max index ([[StatsIndex]]): the driver intersects every data
+    * filter with each file's recorded range and hands the scan ONLY the
+    * files that might match — predicates on non-partition columns skip
+    * whole files before any task launches, not just row groups inside
+    * them. Exactness is unconditional: the same predicate is re-applied
+    * row-level (and pushed to parquet), and files the index doesn't know
+    * (no sidecar, appended later, un-indexed column) are always scanned.
+    * Pair with a z-order publish on the filtered columns for
+    * multiplicative effect — clustering is what makes the file ranges
+    * narrow enough to skip.
+    */
+  def fetchIndexed(spark: SparkSession, root: String,
+                   filters: Seq[ColFilter] = Nil,
+                   dataFilters: Seq[ColFilter] = Nil): DataFrame = {
+    Filters.validateRules(filters ++ dataFilters)
+    val meta = requireMeta(spark, root)
+    Filters.validateAgainst(meta, filters)
+    Filters.validateDataFilters(meta, dataFilters)
+    if (!hasData(spark, root))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    val files = StatsIndex.candidateFiles(spark, root, meta, dataFilters)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    val raw = spark.read.option("basePath", root).schema(meta.schema)
+      .parquet(files: _*)
+    val pred = Seq(
+      Filters.compile(meta, filters),
+      Filters.compileOn(c => meta.schema(c).dataType, dataFilters)).flatten
+      .reduceOption(_ && _)
+    val filtered = pred.map(raw.where).getOrElse(raw)
+    val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+    filtered.select(restored: _*)
+  }
+
   /** Rows of `inputRoot` whose `partition` value does not occur in
     * `comparisonRoot` (vice versa when `reverse`) — fetch_parq.py:233.
     * Listing-only diff, then one pruned scan.

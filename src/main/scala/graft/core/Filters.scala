@@ -52,6 +52,21 @@ object Filters {
       require(meta.partitions.contains(f.partition),
         "Filter does not have a matching partition.")
       val dt = meta.partitionType(f.partition)
+      validateTyped(f, dt)
+    }
+
+  /** [[validateAgainst]] for DATA-column filters (fetchIndexed): the column
+    * must exist and not be a partition (partition predicates go through the
+    * partition-pruning path, which is strictly cheaper).
+    */
+  def validateDataFilters(meta: DatasetMeta, filters: Seq[ColFilter]): Unit =
+    filters.foreach { f =>
+      require(meta.dataColumns.contains(f.partition),
+        s"Data filter column ${f.partition} is not a data column of the dataset.")
+      validateTyped(f, meta.schema(f.partition).dataType)
+    }
+
+  private def validateTyped(f: ColFilter, dt: DataType): Unit = {
       if (SingleValueOps.contains(f.comparison))
         require(!isNonNumeric(dt),
           s"Comparison ${f.comparison} cannot be used on partition types of $dt")
@@ -117,11 +132,19 @@ object Filters {
     * An empty value list compiles to `false` (matches the reference:
     * no value ⇒ no matching partitions ⇒ empty frame with headers).
     */
-  def compile(meta: DatasetMeta, filters: Seq[ColFilter]): Option[Column] = {
+  def compile(meta: DatasetMeta, filters: Seq[ColFilter]): Option[Column] =
+    compileOn(meta.partitionType, filters)
+
+  /** [[compile]] generalized over any column-type lookup — the same
+    * predicate compiler serves data-column filters ([[Fetch.fetchIndexed]]),
+    * where the type comes from the full schema instead of the partition
+    * list.
+    */
+  def compileOn(typeOf: String => DataType, filters: Seq[ColFilter]): Option[Column] = {
     val preds = filters.map { f =>
-      val c = col(f.partition).cast(meta.partitionType(f.partition))
+      val c = col(f.partition).cast(typeOf(f.partition))
       val perValue: Seq[Column] = f.values.map { v =>
-        val l = typedLit(meta.partitionType(f.partition), v)
+        val l = typedLit(typeOf(f.partition), v)
         f.comparison match {
           case "==" => c === l
           case "!=" => c =!= l

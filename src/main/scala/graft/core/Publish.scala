@@ -132,7 +132,8 @@ object Publish {
   def publish(spark: SparkSession, df: DataFrame, root: String,
               partitions: Seq[String], mode: String = "overwrite",
               sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
-              zorderBits: Int = 16, zorderPartitions: Int = 0): Seq[String] = {
+              zorderBits: Int = 16, zorderPartitions: Int = 0,
+              statsCols: Seq[String] = Nil): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
@@ -240,6 +241,9 @@ object Publish {
       .parquet(root)
 
     DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
+    // after append the index would be stale for new files — rebuilding
+    // covers them; the extra pass only reads the indexed columns
+    if (statsCols.nonEmpty) StatsIndex.build(spark, root, statsCols)
     listDataFiles(spark, root).filterNot(preExisting)
   }
 

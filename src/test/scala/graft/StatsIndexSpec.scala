@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, StatsIndex}
+
+/** File-level data-skipping: the index must (1) never change results,
+  * (2) actually drop files when the layout clusters the filtered column,
+  * (3) stay conservative for files it has never seen (append after build).
+  */
+class StatsIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val root = "/tmp/graft_test/stats_lineitem"
+
+  private lazy val src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+  private def published: String = {
+    // z-order on the two filtered columns + stats over them: 16 range
+    // tasks -> 16 files, each a tight hyper-rectangle
+    if (!new java.io.File(s"$root/${graft.core.DatasetMeta.FileName}").exists()) {
+      Publish.publish(spark, src, root, Nil,
+        zorderCols = Seq("l_extendedprice", "l_quantity"), zorderPartitions = 16,
+        statsCols = Seq("l_extendedprice", "l_quantity"))
+    }
+    root
+  }
+
+  test("fetchIndexed equals the unindexed filter exactly") {
+    val r = published
+    val got = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("l_extendedprice", ">=", Seq(5000.0)),
+        ColFilter("l_quantity", "<", Seq(10.0))))
+    val want = src.where(col("l_extendedprice") >= 5000.0 && col("l_quantity") < 10.0)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("index prunes most files for a tight range on z-ordered data") {
+    val r = published
+    val meta = DatasetMeta.read(spark, r).get
+    val all = Fetch.allFiles(spark, r)
+    val tight = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("l_extendedprice", ">=", Seq(90000.0))))
+    assert(all.size >= 8, s"layout should have many files, got ${all.size}")
+    assert(tight.size < all.size / 2,
+      s"tight top-of-range filter should skip >half the files: ${tight.size}/${all.size}")
+    // and the pruned read still returns the exact rows
+    val got = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("l_extendedprice", ">=", Seq(90000.0)))).count()
+    val want = src.where(col("l_extendedprice") >= 90000.0).count()
+    assert(got == want)
+  }
+
+  test("no-match filter yields empty frame with full schema") {
+    val r = published
+    val got = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("l_extendedprice", ">", Seq(1e12))))
+    assert(got.isEmpty && got.columns.sameElements(src.columns))
+  }
+
+  test("files appended after the index build are always scanned") {
+    val r = "/tmp/graft_test/stats_append"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    Publish.publish(spark, a, r, Nil, statsCols = Seq("v"))
+    // append WITHOUT statsCols: the new file is unknown to the index
+    val b = Seq((3L, 1000.0)).toDF("id", "v")
+    Publish.publish(spark, b, r, Nil, mode = "append")
+    val got = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("v", ">", Seq(500.0))))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L), s"appended out-of-index row must be found, got $got")
+  }
+
+  test("data filters are validated: unknown and partition columns rejected") {
+    val r = published
+    intercept[IllegalArgumentException] {
+      Fetch.fetchIndexed(spark, r, dataFilters = Seq(ColFilter("nope", "==", Seq(1))))
+    }
+    val rp = "/tmp/graft_test/stats_partitioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rp))
+    Publish.publish(spark, Seq((1L, "a", 5.0)).toDF("id", "p", "v"), rp, Seq("p"))
+    intercept[IllegalArgumentException] {
+      Fetch.fetchIndexed(spark, rp, dataFilters = Seq(ColFilter("p", "==", Seq("a"))))
+    }
+  }
+}
