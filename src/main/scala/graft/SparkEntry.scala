@@ -596,6 +596,26 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    "compact_small_files" -> ((s, dir) => {
+      // selective compaction of a fragmented append history: fragments
+      // re-encode through the sizing path, healthy files byte-copy, and
+      // the merged dataset must hold exactly the original rows
+      val src = tmpRoot("ds_orders_frag", dir)
+      if (!cacheIsCurrent(s, src)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+        val slices = s.read.parquet(t(dir, "orders"))
+          .withColumn("s", pmod(col("o_orderkey"), lit(4)))
+        Publish.publish(s, slices.where(col("s") === 0).drop("s"), src, Seq("o_orderstatus"))
+        (1 to 3).foreach(i => Publish.publish(s, slices.where(col("s") === i).drop("s"),
+          src, Seq("o_orderstatus"), mode = "append"))
+        java.nio.file.Files.writeString(versionMarker(src), CacheVersion)
+      }
+      val dest = tmpRoot("ds_orders_compacted", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
+      Fetch.compactSmallFiles(s, src, dest)
+      Fetch.fetch(s, dest).orderBy("o_orderkey")
+    }),
+
     "fetch_indexed_filter" -> ((s, dir) => {
       // data-column predicate served by the file-level min/max index over
       // a z-order-clustered publish: the driver hands the scan only the
@@ -678,6 +698,8 @@ object SparkEntry {
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "fetch_indexed_filter" ->
       """SELECT * FROM lineitem

@@ -139,6 +139,57 @@ object Fetch {
     Publish.publish(spark, fetch(spark, src), dest, meta.partitions)
   }
 
+  /** Selective compaction: rewrite ONLY the fragment files (smaller than
+    * `smallBytesThreshold`), copying healthy files into `dest` verbatim.
+    *
+    * A long-lived incrementally-appended dataset accumulates small files
+    * where each append's tail lands; full [[compact]] re-encodes ALL of it
+    * — at 100 TB that's reading, shuffling and re-compressing 100 TB to
+    * fix maybe 2% of the bytes. This pass re-encodes only the fragments
+    * (one distributed read of just those files, re-published through the
+    * normal sizing/routing path) and moves every already-good file as a
+    * byte copy — pure IO, no decode, and on an object store a server-side
+    * copy. Returns (copiedCount, rewrittenCount). A stats index on the
+    * source is rebuilt on the destination (copied files keep their stats
+    * validity, rewritten ones need fresh rows anyway).
+    */
+  def compactSmallFiles(spark: SparkSession, src: String, dest: String,
+                        smallBytesThreshold: Long = Publish.TargetFileBytes / 2): (Int, Int) = {
+    val meta = requireMeta(spark, src)
+    val sized = Publish.listDataFilesWithSize(spark, src)
+    val (healthy, fragments) = sized.partition(_._2 >= smallBytesThreshold)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(src).getFileSystem(conf)
+    val destFs = new Path(dest).getFileSystem(conf)
+
+    if (fragments.nonEmpty) {
+      // re-encode just the fragments through the normal publish path
+      // (sizing, salted routing); basePath keeps their partition values,
+      // which the file-list read appends LAST regardless of their sidecar
+      // position — reorder by name so dest records the original schema
+      val fragDf = spark.read.option("basePath", src).schema(meta.schema)
+        .parquet(fragments.map(_._1): _*)
+        .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+      Publish.publish(spark, fragDf, dest, meta.partitions)
+    } else {
+      DatasetMeta.write(spark, dest, meta)
+    }
+    // byte-copy the healthy files, preserving their partition paths; the
+    // writer's part-<task>-<uuid> names cannot collide with fresh ones
+    val srcRoot = new Path(src).toUri.getPath
+    healthy.foreach { case (f, _) =>
+      val rel = f.stripPrefix(srcRoot).stripPrefix("/")
+      val to = new Path(dest, rel)
+      destFs.mkdirs(to.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(f), destFs, to, false, conf)
+    }
+    StatsIndex.read(spark, src).foreach { stats =>
+      val cols = stats.select("column").distinct().collect().map(_.getString(0)).toSeq
+      StatsIndex.build(spark, dest, cols)
+    }
+    (healthy.size, fragments.size)
+  }
+
   // ------------------------------------------------- listing introspection
 
   /** All distinct values of `partition`, correctly typed, in no guaranteed

@@ -368,18 +368,30 @@ object Publish {
     * of the reference's `.parquet`-suffix object listing,
     * publish_parq.py:246-254).
     */
-  def listDataFiles(spark: SparkSession, root: String): Seq[String] = {
+  def listDataFiles(spark: SparkSession, root: String): Seq[String] =
+    listDataFilesWithSize(spark, root).map(_._1)
+
+  /** Data files with their byte sizes (one recursive listing). A file
+    * counts as data only if NO path segment under the root is hidden —
+    * `_graft_stats/part-0.parquet` is sidecar, not data, even though the
+    * file's own name looks ordinary (every parquet reader applies the same
+    * per-segment rule).
+    */
+  def listDataFilesWithSize(spark: SparkSession, root: String): Seq[(String, Long)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
+    val rootPath = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.getPath
     val it = fs.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        buf += f.getPath.toUri.getPath
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      val visible = rel.split('/').forall(s => !s.startsWith("_") && !s.startsWith("."))
+      if (rel.endsWith(".parquet") && visible)
+        buf += (f.getPath.toUri.getPath -> f.getLen)
     }
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
 }
