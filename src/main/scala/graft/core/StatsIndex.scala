@@ -131,7 +131,7 @@ object StatsIndex {
   /** Can any value in [lo, hi] satisfy the filter? (OR across the value
     * list, mirroring the reference's per-value union semantics.)
     */
-  private def mightMatch(f: ColFilter, lo: Double, hi: Double, meta: DatasetMeta): Boolean = {
+  private[graft] def mightMatch(f: ColFilter, lo: Double, hi: Double, meta: DatasetMeta): Boolean = {
     val dt = meta.schema(f.partition).dataType
     def d(v: Any): Double = v match {
       case n: Number => n.doubleValue()

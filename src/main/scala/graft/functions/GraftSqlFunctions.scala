@@ -71,6 +71,20 @@ object GraftSqlFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(args.head,
           org.apache.spark.sql.types.DoubleType),
         args.tail.map(doubleArg(_, "graft_tdigest_quantiles")), 100)
+    }),
+    "graft_zvalue" -> (args => {
+      require(args.length == 2, "graft_zvalue(array<bigint>, bits)")
+      ZValueExpr(args.head, intArg(args(1), "graft_zvalue"))
+    }),
+    "graft_bloom_agg" -> (args => {
+      require(args.length == 3, "graft_bloom_agg(key, numBits, numHashes)")
+      BloomAgg(args.head, intArg(args(1), "graft_bloom_agg").toLong,
+        intArg(args(2), "graft_bloom_agg"))
+    }),
+    "graft_count_min_agg" -> (args => {
+      require(args.length == 3, "graft_count_min_agg(key, depth, width)")
+      CountMinAgg(args.head, intArg(args(1), "graft_count_min_agg"),
+        intArg(args(2), "graft_count_min_agg"))
     }))
 
   private def doubleArg(e: Expression, name: String): Double = e match {

@@ -36,6 +36,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(math.abs(q(0) - 149.5) < 10 && math.abs(q(1) - 284) < 10, s"$q")
   }
 
+  test("zvalue, bloom and count-min are callable from spark.sql") {
+    GraftSqlFunctions.register(spark)
+    import spark.implicits._
+    // interleave(x=3,y=1, 2 bits) = 0b111
+    val z = spark.sql("SELECT graft_zvalue(array(3L, 1L), 2) AS z").collect().head.getLong(0)
+    assert(z == 7L)
+    (0L until 100L).toDF("k").createOrReplaceTempView("bl")
+    val bloom = spark.sql("SELECT graft_bloom_agg(k, 4096, 5) AS b FROM bl")
+      .collect().head.getAs[Array[Byte]]("b")
+    val (nh, nb, words) = graft.functions.ProbFilterOps.deserializeBloom(bloom)
+    assert(nh == 5 && nb == 4096 && words.exists(_ != 0L))
+    val cm = spark.sql("SELECT graft_count_min_agg(k, 5, 64) AS s FROM bl")
+      .collect().head.getAs[Array[Byte]]("s")
+    assert(cm.length == 8 + 5 * 64 * 8)
+  }
+
   test("extensions class injects all builders without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext)
