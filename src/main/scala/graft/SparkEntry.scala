@@ -596,6 +596,23 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    "append_dedup_idempotent" -> ((s, dir) => {
+      // at-least-once ingestion made idempotent: publish half of orders,
+      // then deliver an OVERLAPPING batch (second half + a re-delivered
+      // slice of the first). Only the genuinely new keys may land — the
+      // oracle is simply all of orders, exactly once each. Exercises the
+      // bloom fast path AND the exact anti-join correction.
+      val root = tmpRoot("ds_orders_appendnew", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val firstHalf = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      val overlapping = orders.where(
+        pmod(col("o_orderkey"), lit(2)) === 1 || pmod(col("o_orderkey"), lit(4)) === 0)
+      Publish.publishDedupAppend(s, firstHalf, root, Seq("o_orderkey"))
+      Publish.publishDedupAppend(s, overlapping, root, Seq("o_orderkey"))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
     "compact_small_files" -> ((s, dir) => {
       // selective compaction of a fragmented append history: fragments
       // re-encode through the sizing path, healthy files byte-copy, and
@@ -700,6 +717,8 @@ object SparkEntry {
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "append_dedup_idempotent" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "fetch_indexed_filter" ->
       """SELECT * FROM lineitem

@@ -247,6 +247,50 @@ object Publish {
     listDataFiles(spark, root).filterNot(preExisting)
   }
 
+  /** Idempotent append: publish only the rows of `df` whose `keyCols`
+    * tuple is NOT already present in the dataset — re-delivering the same
+    * batch (the at-least-once reality of every large ingestion pipeline)
+    * appends nothing the second time.
+    *
+    * Exact, at scale, WITHOUT anti-joining the full batch against the
+    * full dataset: a Bloom filter of the existing keys (one column-pruned
+    * pass) splits the batch map-side — rows the filter rejects are
+    * DEFINITELY new (no false negatives) and skip the join entirely; only
+    * the ~fpp + true-duplicate fraction pays an exact anti-join. The
+    * batch itself must be unique on `keyCols` (it is deduplicated here
+    * defensively, keeping an arbitrary row per key like the reference's
+    * last-write-wins object overwrite).
+    *
+    * Returns the newly written files (empty when nothing was new).
+    */
+  def publishDedupAppend(spark: SparkSession, df: DataFrame, root: String,
+                         keyCols: Seq[String], fpp: Double = 0.01): Seq[String] = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.filterNot(df.columns.contains).mkString(",")} do not exist")
+    val meta = DatasetMeta.read(spark, root)
+    if (meta.isEmpty || !Fetch.hasData(spark, root))
+      return publish(spark, df.dropDuplicates(keyCols), root,
+        meta.map(_.partitions).getOrElse(Nil))
+    val m = meta.get
+    require(keyCols.forall(m.schema.fieldNames.contains),
+      "key columns must exist in the dataset schema")
+    val batch = df.dropDuplicates(keyCols)
+    // one column-pruned pass over the existing dataset: keys only
+    val existing = Fetch.fetch(spark, root).select(keyCols.map(col): _*)
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val n = math.max(1L, existing.count())
+    val bloomBytes = existing
+      .agg(graft.functions.ProbFilters.bloomAgg(keyHash, n, fpp).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val seen = graft.functions.ProbFilters.mightContain(spark, keyHash, bloomBytes)
+    val definitelyNew = batch.where(!seen)
+    val candidates = batch.where(seen)
+    val trulyNew = candidates.join(existing.dropDuplicates(keyCols), keyCols, "left_anti")
+    val newRows = definitelyNew.unionByName(trulyNew)
+    if (newRows.isEmpty) Nil
+    else publish(spark, newRows, root, m.partitions, mode = "append")
+  }
+
   /** Z-value sort expression over `cols`: each column scales linearly from
     * its global [min, max] (one aggregate pass, collected as one row) onto
     * [0, 2^bits), and [[graft.functions.ZValueExpr]] interleaves the bits.
