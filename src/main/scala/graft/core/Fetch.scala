@@ -175,8 +175,11 @@ object Fetch {
       DatasetMeta.write(spark, dest, meta)
     }
     // byte-copy the healthy files, preserving their partition paths; the
-    // writer's part-<task>-<uuid> names cannot collide with fresh ones
-    val srcRoot = new Path(src).toUri.getPath
+    // writer's part-<task>-<uuid> names cannot collide with fresh ones.
+    // Qualify the root exactly as the listing qualified the files — a
+    // relative `src` would otherwise never strip and the copies would
+    // land at a bogus nested path under dest
+    val srcRoot = srcFs.makeQualified(new Path(src)).toUri.getPath
     healthy.foreach { case (f, _) =>
       val rel = f.stripPrefix(srcRoot).stripPrefix("/")
       val to = new Path(dest, rel)

@@ -274,6 +274,14 @@ object Publish {
     val m = meta.get
     require(keyCols.forall(m.schema.fieldNames.contains),
       "key columns must exist in the dataset schema")
+    // XxHash64 hashes the Int and Long forms of the same value differently
+    // — a batch/dataset key-type mismatch would produce bloom false
+    // negatives and silent duplicate appends. Fail fast instead.
+    keyCols.foreach { c =>
+      require(df.schema(c).dataType == m.schema(c).dataType,
+        s"key column $c: batch type ${df.schema(c).dataType} must equal " +
+          s"dataset type ${m.schema(c).dataType}")
+    }
     val batch = df.dropDuplicates(keyCols)
     // one column-pruned pass over the existing dataset: keys only
     val existing = Fetch.fetch(spark, root).select(keyCols.map(col): _*)
@@ -285,10 +293,21 @@ object Publish {
     val seen = graft.functions.ProbFilters.mightContain(spark, keyHash, bloomBytes)
     val definitelyNew = batch.where(!seen)
     val candidates = batch.where(seen)
-    val trulyNew = candidates.join(existing.dropDuplicates(keyCols), keyCols, "left_anti")
-    val newRows = definitelyNew.unionByName(trulyNew)
-    if (newRows.isEmpty) Nil
-    else publish(spark, newRows, root, m.partitions, mode = "append")
+    // null-safe equality: a redelivered null-keyed row must match its
+    // stored twin (plain = treats null keys as never-equal and would
+    // re-append them forever)
+    val ex = existing.dropDuplicates(keyCols)
+      .select(keyCols.map(c => col(c).as(s"__ex_$c")): _*)
+    val cond = keyCols.map(c => candidates(c) <=> ex(s"__ex_$c")).reduce(_ && _)
+    val trulyNew = candidates.join(ex, cond, "left_anti")
+    // persist: emptiness check, publish's sizing sample and the write
+    // would otherwise each re-run the bloom probe + anti-join (and their
+    // full pass over the existing dataset)
+    val newRows = definitelyNew.unionByName(trulyNew).persist()
+    try {
+      if (newRows.isEmpty) Nil
+      else publish(spark, newRows, root, m.partitions, mode = "append")
+    } finally newRows.unpersist()
   }
 
   /** Z-value sort expression over `cols`: each column scales linearly from
@@ -303,8 +322,14 @@ object Publish {
       require(t.isInstanceOf[NumericType] || t == DateType || t == TimestampType,
         s"zorder column $c must be numeric/date/timestamp, got $t")
     }
+    // ANSI mode rejects a direct date→numeric cast — embed dates as epoch
+    // days; everything else casts to double directly
+    def embedded(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+      Seq(min(embedded(c)).as(s"__min_$c"), max(embedded(c)).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
@@ -312,7 +337,7 @@ object Publish {
       val hi = Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       if (hi <= lo) lit(0L) // constant (or all-null) column carries no information
       else {
-        val pos = (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble)
+        val pos = (embedded(c) - lit(lo)) / lit(hi - lo) * lit(top.toDouble)
         // clamp guards rounding at the edges; nulls sort as 0 (first)
         coalesce(least(greatest(round(pos, 0), lit(0.0)), lit(top.toDouble)), lit(0.0)).cast("long")
       }

@@ -118,13 +118,14 @@ object StatsIndex {
   }
 
   /** The numeric embedding stats are stored in: timestamps as epoch
-    * seconds (Spark's timestamp→double cast), dates as epoch days.
+    * seconds (Spark's timestamp→double cast), dates as epoch days
+    * (`unix_date` — ANSI mode rejects a direct date→numeric cast).
     * [[mightMatch]] embeds filter values with the SAME mapping — keep the
     * two in lockstep or skipping silently drops matching files.
     */
   private def normalized(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column =
     dt match {
-      case DateType => c.cast("int").cast("double")
+      case DateType => unix_date(c).cast("double")
       case _ => c.cast("double")
     }
 
@@ -135,21 +136,43 @@ object StatsIndex {
     val dt = meta.schema(f.partition).dataType
     def d(v: Any): Double = v match {
       case n: Number => n.doubleValue()
+      case bd: scala.math.BigDecimal => bd.toDouble // parseValue's decimal form
       case ts: java.sql.Timestamp => ts.getTime.toDouble / 1000.0 // epoch seconds
       case dt0: java.sql.Date => dt0.toLocalDate.toEpochDay.toDouble
-      case s: String => s.toDouble
+      // string-form values are legal for typed filters (checkValue parses
+      // them) — parse to the column's type first, then embed
+      case s: String => d(Fetch.parseValue(s, dt))
+      case b: java.lang.Boolean => if (b) 1.0 else 0.0
       case other => throw new IllegalArgumentException(
         s"filter value $other not comparable to $dt stats")
+    }
+    // The stored bounds and the embedded value each round through double
+    // once (a long beyond 2^53, a timestamp's fractional seconds) — up to
+    // ~2 ulps of combined error. Widen the interval by 2 ulps before
+    // testing so a rounding tie can only KEEP a file, never skip one
+    // whose rows match.
+    val loS = Math.nextDown(Math.nextDown(lo))
+    val hiS = Math.nextUp(Math.nextUp(hi))
+    // A value whose double embedding is exact (so the == equality below
+    // is trustworthy): integrals within the 2^53 mantissa, native floats.
+    def exact(v: Any): Boolean = v match {
+      case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte => true
+      case l: java.lang.Long => math.abs(l) <= (1L << 53)
+      case _: java.lang.Double | _: java.lang.Float => true
+      case s: String => exact(Fetch.parseValue(s, dt))
+      case _ => false // timestamps/dates/bools: never skip on !=
     }
     f.values.exists { v =>
       val x = d(v)
       f.comparison match {
-        case "==" => lo <= x && x <= hi
-        case "!=" => !(lo == hi && lo == x) // only a constant-valued file can fail !=
-        case ">"  => hi > x
-        case ">=" => hi >= x
-        case "<"  => lo < x
-        case "<=" => lo <= x
+        case "==" => loS <= x && x <= hiS
+        // only a provably-constant file of exactly the filtered value can
+        // fail a != — and only when the embedding is exact
+        case "!=" => !(lo == hi && lo == x && exact(v))
+        case ">"  => hiS > x
+        case ">=" => hiS >= x
+        case "<"  => loS < x
+        case "<=" => loS <= x
       }
     }
   }

@@ -37,10 +37,14 @@ import org.apache.spark.sql.types._
   */
 object ProbFilterOps {
 
-  /** i-th probe position in [0, size): double hashing off one 64-bit hash. */
-  @inline final def position(h: Long, i: Int, size: Long): Int = {
+  /** i-th probe position in [0, size): double hashing off one 64-bit hash.
+    * Long result — an Int truncation here would silently wrap positions
+    * mod 2^32 for filters beyond 512 MB, concentrating every bit in the
+    * low words and inflating the real fpp far past the configured one.
+    */
+  @inline final def position(h: Long, i: Int, size: Long): Long = {
     val h2 = Sketch.mix64(h) | 1L // odd stride cycles any size
-    (((h + i * h2) & Long.MaxValue) % size).toInt
+    ((h + i * h2) & Long.MaxValue) % size
   }
 
   // ---------------------------------------------------------------- bloom
@@ -59,7 +63,7 @@ object ProbFilterOps {
     var i = 0
     while (i < numHashes) {
       val pos = position(h, i, numBits)
-      words(pos >>> 6) |= 1L << (pos & 63)
+      words((pos >>> 6).toInt) |= 1L << (pos & 63L).toInt
       i += 1
     }
   }
@@ -69,7 +73,7 @@ object ProbFilterOps {
     var i = 0
     while (i < numHashes) {
       val pos = position(h, i, numBits)
-      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L) return false
       i += 1
     }
     true
@@ -99,7 +103,7 @@ object ProbFilterOps {
     var d = 0
     while (d < depth) {
       // re-mix the row index into the hash so rows probe independently
-      counts(d * width + position(Sketch.mix64(h + d), d + 1, width)) += 1L
+      counts(d * width + position(Sketch.mix64(h + d), d + 1, width).toInt) += 1L
       d += 1
     }
   }
@@ -111,7 +115,7 @@ object ProbFilterOps {
     var min = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = counts(d * width + position(Sketch.mix64(h + d), d + 1, width))
+      val c = counts(d * width + position(Sketch.mix64(h + d), d + 1, width).toInt)
       if (c < min) min = c
       d += 1
     }

@@ -21,6 +21,12 @@ object ZOrderOps {
     */
   def interleave(xs: ArrayData, bits: Int): Long = {
     val n = xs.numElements()
+    // Java << wraps shift distances mod 64 — without this guard an
+    // over-wide call (e.g. 5 columns x 16 bits from SQL) would silently
+    // collide bits from different columns into garbage z-values
+    if (n * bits > 63)
+      throw new IllegalArgumentException(
+        s"$n columns x $bits bits = ${n * bits} output bits exceed a long (63)")
     var z = 0L
     var b = 0
     while (b < bits) {

@@ -40,6 +40,13 @@ object BloomPrune {
                 fpp: Double = 0.01): DataFrame = {
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    // XxHash64 hashes Int and Long forms of the same value differently: a
+    // key-type mismatch would make every probe a false negative and prune
+    // MATCHING rows (where the plain join would coerce and match)
+    require(large.schema(largeKey).dataType == small.schema(smallKey).dataType,
+      s"join key types must match exactly for bloom probing: " +
+        s"$largeKey is ${large.schema(largeKey).dataType}, " +
+        s"$smallKey is ${small.schema(smallKey).dataType}")
     val n = if (expectedItems > 0) expectedItems else math.max(1L, small.count())
     val spark = large.sparkSession
     val bloomBytes = small

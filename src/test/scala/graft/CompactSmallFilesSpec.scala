@@ -60,6 +60,22 @@ class CompactSmallFilesSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, dest2).count() == orders.count())
   }
 
+  test("relative source paths byte-copy to the right destination paths") {
+    val src = "target/tmp_csf_rel_src" // deliberately relative
+    val dest = "/tmp/graft_test/csf_rel_dest"
+    Seq(new java.io.File(src), new java.io.File(dest))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    Publish.publish(spark, Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "p", "v"),
+      src, Seq("p"))
+    val (copied, rewritten) = Fetch.compactSmallFiles(spark, src, dest, smallBytesThreshold = 1L)
+    assert(copied == 2 && rewritten == 0)
+    val destFiles = Publish.listDataFiles(spark, dest)
+    assert(destFiles.forall(f => f.contains("/p=a/") || f.contains("/p=b/")),
+      s"copies must preserve the partition layout directly under dest: $destFiles")
+    assert(Fetch.fetch(spark, dest).count() == 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+  }
+
   test("stats index follows the compacted dataset") {
     val src = "/tmp/graft_test/csf_stats_src"
     val dest = "/tmp/graft_test/csf_stats_dest"

@@ -52,6 +52,25 @@ class DedupAppendSpec extends AnyFunSuite {
       s"got ${ids.length} rows")
   }
 
+  test("null-keyed rows are idempotent too (null-safe anti-join)") {
+    val r = fresh("nulls")
+    val batch = Seq(Some(1L), Some(2L), None).toDF("id")
+    Publish.publishDedupAppend(spark, batch, r, Seq("id"))
+    Publish.publishDedupAppend(spark, batch, r, Seq("id")) // exact redelivery
+    val got = Fetch.fetch(spark, r)
+    assert(got.count() == 3, "null-keyed row must not re-append on redelivery")
+  }
+
+  test("key-type mismatch between batch and dataset is rejected") {
+    val r = fresh("types")
+    Publish.publishDedupAppend(spark, spark.range(0, 10).toDF("id"), r, Seq("id"))
+    val intBatch = Seq(5, 20).toDF("id") // int, dataset has bigint
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishDedupAppend(spark, intBatch, r, Seq("id"))
+    }
+    assert(e.getMessage.contains("must equal"))
+  }
+
   test("multi-column keys and in-batch duplicates") {
     val r = fresh("multi")
     val batch = Seq((1L, "a", 10.0), (1L, "b", 11.0), (2L, "a", 12.0),

@@ -78,6 +78,15 @@ class ProbFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("pruneJoin rejects mismatched key types (hashes would disagree)") {
+    val longs = Seq(1L).toDF("k")
+    val ints = Seq(1).toDF("j")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.pruneJoin(longs, ints, "k", "j")
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
   test("count-min: estimates are upper bounds and exact for a small vocab") {
     val words = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
     val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 4096).as("s"))

@@ -75,6 +75,39 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(got == Set(3L), s"appended out-of-index row must be found, got $got")
   }
 
+  test("date and timestamp columns: index builds, string filter values work") {
+    val r = "/tmp/graft_test/stats_temporal"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val df = spark.range(0, 100).select(
+      col("id"),
+      expr("date_add(date'2024-01-01', cast(id as int))").as("d"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)").as("ts"))
+    Publish.publish(spark, df, r, Nil, zorderCols = Seq("d"), statsCols = Seq("d", "ts"))
+    // typed filter values
+    val byDate = Fetch.fetchIndexed(spark, r, dataFilters =
+      Seq(ColFilter("d", ">=", Seq(java.sql.Date.valueOf("2024-03-01"))))).count()
+    assert(byDate == df.where(col("d") >= "2024-03-01").count())
+    // string-form filter values (legal per checkValue) must not crash the
+    // skip decision and must stay exact
+    val byTsStr = Fetch.fetchIndexed(spark, r, dataFilters =
+      Seq(ColFilter("ts", ">=", Seq("2024-01-03 00:00:00")))).count()
+    assert(byTsStr == df.where(col("ts") >= "2024-01-03 00:00:00").count())
+  }
+
+  test("strict comparisons near the 2^53 double boundary never false-skip") {
+    val meta = DatasetMeta(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))), Nil)
+    val big = (1L << 53) // 2^53: x and x+1 collapse to the same double
+    // file containing only big+1 (stats store it rounded to 2^53):
+    // filter v > big matches the row, so the file must be kept
+    val lo = (big + 1).toDouble
+    assert(StatsIndex.mightMatch(ColFilter("v", ">", Seq(big)), lo, lo, meta))
+    // constant file of big, filter != big+1: every row matches (big != big+1)
+    // but both embed to the same double — must NOT skip
+    assert(StatsIndex.mightMatch(
+      ColFilter("v", "!=", Seq(big + 1)), big.toDouble, big.toDouble, meta))
+  }
+
   test("data filters are validated: unknown and partition columns rejected") {
     val r = published
     intercept[IllegalArgumentException] {

@@ -61,6 +61,12 @@ class ZOrderSpec extends AnyFunSuite {
     assert(priceZ < pricePlain * 0.7, s"o_totalprice span $priceZ vs plain $pricePlain")
   }
 
+  test("interleave rejects over-wide inputs instead of wrapping shifts") {
+    val five = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] { ZOrderOps.interleave(five, 16) }
+  }
+
   test("zorder publish validates inputs") {
     val df = Seq((1L, "a")).toDF("k", "s")
     intercept[IllegalArgumentException] {
