@@ -651,6 +651,21 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "fetch_indexed_combined" -> ((s, dir) => {
+      // the three pruning layers composed: hive partition pruning
+      // (l_returnflag), file-level min/max skipping (l_extendedprice),
+      // and the row-level exact predicate — one fetch call
+      val root = publishOnce(s, "ds_lineitem_pzstats", dir, Seq("l_returnflag"),
+        zorderCols = Seq("l_extendedprice"), statsCols = Seq("l_extendedprice")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      Fetch.fetchIndexed(s, root,
+        filters = Seq(ColFilter("l_returnflag", "==", Seq("R"))),
+        dataFilters = Seq(ColFilter("l_extendedprice", ">=", Seq(90000.0))))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    }),
+
     "zorder_publish_roundtrip" -> ((s, dir) => {
       // z-order-clustered publish (range-partitioned + sorted by the
       // Morton interleave of custkey x totalprice) must round-trip the
@@ -719,6 +734,12 @@ object SparkEntry {
     "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "append_dedup_idempotent" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "fetch_indexed_combined" ->
+      """SELECT * FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_extendedprice >= 90000
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
 
     "fetch_indexed_filter" ->
       """SELECT * FROM lineitem

@@ -62,6 +62,13 @@ object PlanAudit {
         !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")))
     audit("text_top_terms_sketch",
       "partial heavy-hitters sketch" -> (_.contains("partial_graft_heavy_hitters")))
+    audit("fetch_indexed_combined",
+      // all three pruning layers visible in one scan: hive partition
+      // pruning on the partition filter, parquet row-group pushdown of
+      // the data predicate (file-level skip happened driver-side before
+      // the plan — asserted by StatsIndexSpec on candidate counts)
+      "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
+      "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
     audit("q_bloom_prune_join",
       // the bloom probe must sit in the fact table's SCAN stage (filter
       // before the exchange), and participate in whole-stage codegen
