@@ -92,6 +92,45 @@ object EventStream {
     (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
   }
 
+  /** Stream into a dataset with EXACTLY-ONCE row semantics on an
+    * at-least-once source: each micro-batch lands via
+    * [[graft.core.Publish.publishDedupAppend]], so a replayed batch (the
+    * normal failure-recovery path of any streaming source) re-appends
+    * nothing — the bloom of existing keys proves most rows new without a
+    * join, and the exact anti-join absorbs replays and false positives.
+    *
+    * Compared to [[streamToDataset]] (raw file sink: at-least-once, dedup
+    * left to readers), this trades per-batch key-scan work for a dataset
+    * that is ALWAYS exactly-once-clean for downstream fetches — the right
+    * default when the stream carries natural keys. State lives in the
+    * dataset itself, so the guarantee survives checkpoint loss and even
+    * source re-delivery BEYOND any watermark (where
+    * `dropDuplicatesWithinWatermark` upstream would stop protecting).
+    */
+  def streamToDatasetDedup(spark: SparkSession, events: DataFrame, root: String,
+                           partitions: Seq[String], keyCols: Seq[String],
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.core.Publish.checkNoIntervals(events)
+    graft.core.Publish.checkPartitions(partitions, events)
+    require(keyCols.nonEmpty && keyCols.forall(events.columns.contains),
+      s"key columns ${keyCols.filterNot(events.columns.contains).mkString(",")} do not exist")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // first batch creates the dataset (with the requested
+          // partitioning); later batches append only unseen keys
+          if (graft.core.DatasetMeta.read(spark, root).isEmpty)
+            graft.core.Publish.publish(spark, batch.dropDuplicates(keyCols),
+              root, partitions)
+          else
+            graft.core.Publish.publishDedupAppend(spark, batch, root, keyCols)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
     * with state BOUNDED by the event-time watermark — a duplicate arriving
     * within `watermark` of the first occurrence is dropped; keys older

@@ -40,6 +40,27 @@ class EventStreamSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 7.0)))
   }
 
+  test("streamToDatasetDedup lands replayed batches exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/stream_dedup_sink"
+    val ckpt = "/tmp/graft_test/stream_dedup_ckpt"
+    Seq(root, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("id", "p", "v")
+    val query = EventStream.streamToDatasetDedup(spark, events, root,
+      Seq("p"), Seq("id"), ckpt)
+    input.addData((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+    query.processAllAvailable()
+    // replay: the same rows again (at-least-once delivery), plus one new
+    input.addData((2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = graft.core.Fetch.fetch(spark, root)
+    assert(got.count() == 4, "replayed rows must not duplicate")
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming dedup drops within-watermark duplicate keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
