@@ -264,13 +264,49 @@ object Publish {
     * Returns the newly written files (empty when nothing was new).
     */
   def publishDedupAppend(spark: SparkSession, df: DataFrame, root: String,
-                         keyCols: Seq[String], fpp: Double = 0.01): Seq[String] = {
+                         keyCols: Seq[String], fpp: Double = 0.01,
+                         firstCreatePartitions: Seq[String] = Nil): Seq[String] =
+    publishDedupAppendWithState(spark, df, root, keyCols, fpp,
+      firstCreatePartitions, knownBloom = None)._1
+
+  /** [[publishDedupAppend]] returning the Bloom filter of ALL keys now in
+    * the dataset (existing ∪ appended) alongside the written files. A
+    * caller appending repeatedly (a streaming sink) passes the returned
+    * filter back as `knownBloom` and skips the existing-key count + bloom
+    * build passes on every subsequent batch — only the exact anti-join of
+    * the (small) candidate fraction still reads the dataset's keys. A
+    * carried filter's fpp degrades as the dataset outgrows its sizing;
+    * that costs anti-join work, never correctness (false positives are
+    * resolved exactly). Drop the state to rebuild at the right size.
+    */
+  def publishDedupAppendWithState(spark: SparkSession, df: DataFrame, root: String,
+                                  keyCols: Seq[String], fpp: Double = 0.01,
+                                  firstCreatePartitions: Seq[String] = Nil,
+                                  knownBloom: Option[Array[Byte]] = None): (Seq[String], Array[Byte]) = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     val meta = DatasetMeta.read(spark, root)
-    if (meta.isEmpty || !Fetch.hasData(spark, root))
-      return publish(spark, df.dropDuplicates(keyCols), root,
-        meta.map(_.partitions).getOrElse(Nil))
+    // Same guard as append-mode publish: data without a sidecar (a crashed
+    // earlier publish, or a foreign directory) must never be silently
+    // clobbered by the first-create overwrite path.
+    require(meta.nonEmpty || !Fetch.hasData(spark, root),
+      s"cannot dedup-append to $root: it contains data but no graft metadata " +
+        "(recover or republish with mode=overwrite)")
+    if (meta.isEmpty || !Fetch.hasData(spark, root)) {
+      val parts = meta.map(_.partitions).getOrElse(firstCreatePartitions)
+      require(meta.isEmpty || firstCreatePartitions.isEmpty ||
+        firstCreatePartitions == meta.get.partitions,
+        s"firstCreatePartitions $firstCreatePartitions do not match the " +
+          s"existing dataset's partitions ${meta.get.partitions}")
+      val deduped = df.dropDuplicates(keyCols)
+      val files = publish(spark, deduped, root, parts)
+      val keyHash0 = xxhash64(keyCols.map(col): _*)
+      val n0 = math.max(1L, deduped.count())
+      val bloom0 = deduped
+        .agg(graft.functions.ProbFilters.bloomAgg(keyHash0, n0, fpp).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      return (files, bloom0)
+    }
     val m = meta.get
     require(keyCols.forall(m.schema.fieldNames.contains),
       "key columns must exist in the dataset schema")
@@ -286,10 +322,11 @@ object Publish {
     // one column-pruned pass over the existing dataset: keys only
     val existing = Fetch.fetch(spark, root).select(keyCols.map(col): _*)
     val keyHash = xxhash64(keyCols.map(col): _*)
-    val n = math.max(1L, existing.count())
-    val bloomBytes = existing
-      .agg(graft.functions.ProbFilters.bloomAgg(keyHash, n, fpp).as("b"))
-      .head().getAs[Array[Byte]]("b")
+    val bloomBytes = knownBloom.getOrElse {
+      val n = math.max(1L, existing.count())
+      existing.agg(graft.functions.ProbFilters.bloomAgg(keyHash, n, fpp).as("b"))
+        .head().getAs[Array[Byte]]("b")
+    }
     val seen = graft.functions.ProbFilters.mightContain(spark, keyHash, bloomBytes)
     val definitelyNew = batch.where(!seen)
     val candidates = batch.where(seen)
@@ -300,13 +337,26 @@ object Publish {
       .select(keyCols.map(c => col(c).as(s"__ex_$c")): _*)
     val cond = keyCols.map(c => candidates(c) <=> ex(s"__ex_$c")).reduce(_ && _)
     val trulyNew = candidates.join(ex, cond, "left_anti")
-    // persist: emptiness check, publish's sizing sample and the write
-    // would otherwise each re-run the bloom probe + anti-join (and their
-    // full pass over the existing dataset)
+    // persist: emptiness check, publish's sizing sample, the write and
+    // the bloom fold would otherwise each re-run the bloom probe +
+    // anti-join (and their full pass over the existing dataset)
     val newRows = definitelyNew.unionByName(trulyNew).persist()
     try {
-      if (newRows.isEmpty) Nil
-      else publish(spark, newRows, root, m.partitions, mode = "append")
+      if (newRows.isEmpty) (Nil, bloomBytes)
+      else {
+        val files = publish(spark, newRows, root, m.partitions, mode = "append")
+        // fold the appended keys into the filter (same geometry) so the
+        // caller can carry complete state into the next batch — one tiny
+        // pass over newRows, no dataset rescan
+        val (nh, nb, words) = graft.functions.ProbFilterOps.deserializeBloom(bloomBytes)
+        val appended = newRows
+          .agg(graft.functions.ProbFilters.bloomAggSized(keyHash, nb, nh).as("b"))
+          .head().getAs[Array[Byte]]("b")
+        val (_, _, addWords) = graft.functions.ProbFilterOps.deserializeBloom(appended)
+        var i = 0
+        while (i < words.length) { words(i) |= addWords(i); i += 1 }
+        (files, graft.functions.ProbFilterOps.serializeBloom(nh, nb, words))
+      }
     } finally newRows.unpersist()
   }
 

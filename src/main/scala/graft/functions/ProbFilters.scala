@@ -318,6 +318,12 @@ object ProbFilters {
       ProbFilterOps.bloomHashes(expectedItems, m)).toAggregateExpression())
   }
 
+  /** Bloom-filter aggregate with EXPLICIT geometry — for folding new keys
+    * into an existing filter, where the bit layout must match exactly.
+    */
+  def bloomAggSized(key: Column, numBits: Long, numHashes: Int): Column =
+    shim.column(BloomAgg(shim.expression(key), numBits, numHashes).toAggregateExpression())
+
   /** Membership probe against collected filter bytes (broadcast once). */
   def mightContain(spark: SparkSession, key: Column, bloomBytes: Array[Byte]): Column = {
     val (numHashes, numBits, words) = ProbFilterOps.deserializeBloom(bloomBytes)

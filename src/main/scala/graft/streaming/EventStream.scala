@@ -114,17 +114,29 @@ object EventStream {
     graft.core.Publish.checkPartitions(partitions, events)
     require(keyCols.nonEmpty && keyCols.forall(events.columns.contains),
       s"key columns ${keyCols.filterNot(events.columns.contains).mkString(",")} do not exist")
+    // Fail fast, like streamToDataset: an existing dataset must agree on
+    // partitioning and schema NOW, not as a mid-stream batch failure.
+    graft.core.DatasetMeta.read(spark, root).foreach { meta =>
+      require(meta.partitions == partitions,
+        s"stream partitions $partitions do not match dataset partitions ${meta.partitions}")
+      require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        events.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "stream schema does not match the dataset's recorded schema")
+    }
+    // Bloom state carried across batches: after the first batch, appends
+    // skip the per-batch existing-key count + filter rebuild (which would
+    // otherwise make ingest cost grow with dataset size); the dedup-append
+    // folds each batch's new keys back into the carried filter. Lost on
+    // restart — the next first batch rebuilds it at the then-right size.
+    var bloom: Option[Array[Byte]] = None
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // first batch creates the dataset (with the requested
-          // partitioning); later batches append only unseen keys
-          if (graft.core.DatasetMeta.read(spark, root).isEmpty)
-            graft.core.Publish.publish(spark, batch.dropDuplicates(keyCols),
-              root, partitions)
-          else
-            graft.core.Publish.publishDedupAppend(spark, batch, root, keyCols)
+          val (_, state) = graft.core.Publish.publishDedupAppendWithState(
+            spark, batch, root, keyCols,
+            firstCreatePartitions = partitions, knownBloom = bloom)
+          bloom = Some(state)
         }
         ()
       }

@@ -71,6 +71,33 @@ class DedupAppendSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must equal"))
   }
 
+  test("data without a sidecar is never clobbered by the first-create path") {
+    val r = fresh("clobber")
+    // simulate a crashed publish: parquet data present, no graft metadata
+    spark.range(0, 5).toDF("id").write.parquet(r)
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishDedupAppend(spark, spark.range(0, 3).toDF("id"), r, Seq("id"))
+    }
+    assert(e.getMessage.contains("no graft metadata"))
+    assert(spark.read.parquet(r).count() == 5, "pre-existing data must survive")
+  }
+
+  test("carried bloom state skips the rebuild and stays exact across batches") {
+    val r = fresh("state")
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+    val (_, s1) = Publish.publishDedupAppendWithState(spark, rows(0, 300), r, Seq("id"))
+    // second batch: overlap + new keys, probed against the carried filter
+    val (_, s2) = Publish.publishDedupAppendWithState(spark, rows(200, 500), r, Seq("id"),
+      knownBloom = Some(s1))
+    assert(Fetch.fetch(spark, r).count() == 500)
+    // exact redelivery against the FOLDED state must append nothing —
+    // proving the returned filter includes the keys batch 2 appended
+    val (files3, _) = Publish.publishDedupAppendWithState(spark, rows(0, 500), r, Seq("id"),
+      knownBloom = Some(s2))
+    assert(files3.isEmpty, "state must cover all appended keys")
+    assert(Fetch.fetch(spark, r).select("id").distinct().count() == 500)
+  }
+
   test("multi-column keys and in-batch duplicates") {
     val r = fresh("multi")
     val batch = Seq((1L, "a", 10.0), (1L, "b", 11.0), (2L, "a", 12.0),

@@ -61,8 +61,10 @@ object RoundTripFuzzProperties extends Properties("PublishFetchRoundTrip") {
   private var caseId = 0
   private var zCaseId = 0
 
+  private val opGen = Gen.oneOf("==", "!=", ">", "<", ">=", "<=")
+
   property("z-ordered + stats-indexed publish round-trips the same rows") =
-    forAll(caseGen) { case (cols, parts, rows) =>
+    forAll(caseGen, opGen) { case ((cols, parts, rows), op) =>
       // z-order/stats apply to numeric/ts data columns not used as partitions
       val zCandidates = cols.filter(c => !parts.contains(c.name) &&
         (c.dt.isInstanceOf[NumericType] || c.dt == TimestampType)).map(_.name)
@@ -93,7 +95,8 @@ object RoundTripFuzzProperties extends Properties("PublishFetchRoundTrip") {
         val skipSound = probe match {
           case None => true // all-null column: nothing to probe
           case Some(v) =>
-            val op = Seq("==", "!=", ">", "<", ">=", "<=")(zCaseId % 6)
+            // op comes from the generator (not a mutable counter) so
+            // shrinks and seed replays re-test the SAME comparison
             val f = graft.core.ColFilter(zc, op, Seq(v))
             val pred = graft.core.Filters.compileOn(
               c => cols.find(_.name == c).get.dt, Seq(f)).get
