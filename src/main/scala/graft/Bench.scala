@@ -28,16 +28,20 @@ object Bench {
         }
       if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }
-    // 3-decimal seconds: sub-ms precision is noise, and the shorter line
-    // matters — the driver keeps only the TAIL of stdout, and round 3's
-    // full-precision line outgrew the capture window, truncating the
-    // {"metric" prefix and leaving the round's bench JSON unparseable.
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // 2-decimal per-query seconds: sub-10ms precision is scheduling noise,
+    // and the line LENGTH matters — the driver keeps only the last ~2000
+    // bytes of stdout, and round 3's full-precision line outgrew the
+    // capture window, truncating the {"metric" prefix and leaving the
+    // round's bench JSON unparseable. The empty failed list is omitted
+    // for the same reason (round 2's line had no such field either).
+    def f2(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val failedJson =
+      if (failed.isEmpty) ""
+      else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     // Belt and braces: also persist the line to a file the regression gate
     // can always read, independent of any stdout capture window.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
