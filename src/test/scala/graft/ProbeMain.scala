@@ -66,6 +66,18 @@ object ProbeMain {
     sq2.processAllAvailable(); sq2.stop()
     println("P19 sink-fetch rows=" + Fetch.fetch(spark, sinkRoot).count() +
       " parts=" + Fetch.getAllPartitionValues(spark, sinkRoot, "grp").map(_.toString).sorted.mkString(","))
+    // round-4 guard rails
+    expectErr("P20")(graft.ops.BloomPrune.pruneJoin(
+      Seq(1L).toDF("k"), Seq(1).toDF("j"), "k", "j")) // key-type mismatch
+    val clobberRoot = "/tmp/probe_clobber"
+    probeFs.delete(new org.apache.hadoop.fs.Path(clobberRoot), true)
+    spark.range(0, 3).toDF("id").write.parquet(clobberRoot) // data, no sidecar
+    expectErr("P21")(Publish.publishDedupAppend(
+      spark, spark.range(0, 2).toDF("id"), clobberRoot, Seq("id")))
+    expectErr("P22")(Fetch.fetchIndexed(spark, "/tmp/probe_ds",
+      dataFilters = Seq(ColFilter("l_returnflag", "==", Seq("R"))))) // partition col as data filter
+    expectErr("P23")(Publish.publish(spark, df, "/tmp/probe_zbad", Nil,
+      zorderCols = Seq("l_quantity"), sortCols = Seq("l_quantity"))) // both clusterings
     spark.stop()
   }
 }
