@@ -266,8 +266,8 @@ object Publish {
   def publishDedupAppend(spark: SparkSession, df: DataFrame, root: String,
                          keyCols: Seq[String], fpp: Double = 0.01,
                          firstCreatePartitions: Seq[String] = Nil): Seq[String] =
-    publishDedupAppendWithState(spark, df, root, keyCols, fpp,
-      firstCreatePartitions, knownBloom = None)._1
+    dedupAppendImpl(spark, df, root, keyCols, fpp,
+      firstCreatePartitions, knownBloom = None, needState = false)._1
 
   /** [[publishDedupAppend]] returning the Bloom filter of ALL keys now in
     * the dataset (existing ∪ appended) alongside the written files. A
@@ -283,6 +283,20 @@ object Publish {
                                   keyCols: Seq[String], fpp: Double = 0.01,
                                   firstCreatePartitions: Seq[String] = Nil,
                                   knownBloom: Option[Array[Byte]] = None): (Seq[String], Array[Byte]) = {
+    val (files, state) = dedupAppendImpl(spark, df, root, keyCols, fpp,
+      firstCreatePartitions, knownBloom, needState = true)
+    (files, state.get)
+  }
+
+  /** Shared core: `needState=false` (the plain append) skips the state
+    * bloom construction entirely — building and folding a filter nobody
+    * will read costs an extra aggregate pass per call.
+    */
+  private def dedupAppendImpl(spark: SparkSession, df: DataFrame, root: String,
+                              keyCols: Seq[String], fpp: Double,
+                              firstCreatePartitions: Seq[String],
+                              knownBloom: Option[Array[Byte]],
+                              needState: Boolean): (Seq[String], Option[Array[Byte]]) = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     val meta = DatasetMeta.read(spark, root)
@@ -300,11 +314,15 @@ object Publish {
           s"existing dataset's partitions ${meta.get.partitions}")
       val deduped = df.dropDuplicates(keyCols)
       val files = publish(spark, deduped, root, parts)
-      val keyHash0 = xxhash64(keyCols.map(col): _*)
-      val n0 = math.max(1L, deduped.count())
-      val bloom0 = deduped
-        .agg(graft.functions.ProbFilters.bloomAgg(keyHash0, n0, fpp).as("b"))
-        .head().getAs[Array[Byte]]("b")
+      val bloom0 =
+        if (!needState) None
+        else {
+          val keyHash0 = xxhash64(keyCols.map(col): _*)
+          val n0 = math.max(1L, deduped.count())
+          Some(deduped
+            .agg(graft.functions.ProbFilters.bloomAgg(keyHash0, n0, fpp).as("b"))
+            .head().getAs[Array[Byte]]("b"))
+        }
       return (files, bloom0)
     }
     val m = meta.get
@@ -342,20 +360,23 @@ object Publish {
     // anti-join (and their full pass over the existing dataset)
     val newRows = definitelyNew.unionByName(trulyNew).persist()
     try {
-      if (newRows.isEmpty) (Nil, bloomBytes)
+      if (newRows.isEmpty) (Nil, Some(bloomBytes).filter(_ => needState))
       else {
         val files = publish(spark, newRows, root, m.partitions, mode = "append")
-        // fold the appended keys into the filter (same geometry) so the
-        // caller can carry complete state into the next batch — one tiny
-        // pass over newRows, no dataset rescan
-        val (nh, nb, words) = graft.functions.ProbFilterOps.deserializeBloom(bloomBytes)
-        val appended = newRows
-          .agg(graft.functions.ProbFilters.bloomAggSized(keyHash, nb, nh).as("b"))
-          .head().getAs[Array[Byte]]("b")
-        val (_, _, addWords) = graft.functions.ProbFilterOps.deserializeBloom(appended)
-        var i = 0
-        while (i < words.length) { words(i) |= addWords(i); i += 1 }
-        (files, graft.functions.ProbFilterOps.serializeBloom(nh, nb, words))
+        if (!needState) (files, None)
+        else {
+          // fold the appended keys into the filter (same geometry) so the
+          // caller can carry complete state into the next batch — one
+          // tiny pass over newRows, no dataset rescan
+          val (nh, nb, words) = graft.functions.ProbFilterOps.deserializeBloom(bloomBytes)
+          val appended = newRows
+            .agg(graft.functions.ProbFilters.bloomAggSized(keyHash, nb, nh).as("b"))
+            .head().getAs[Array[Byte]]("b")
+          val (_, _, addWords) = graft.functions.ProbFilterOps.deserializeBloom(appended)
+          var i = 0
+          while (i < words.length) { words(i) |= addWords(i); i += 1 }
+          (files, Some(graft.functions.ProbFilterOps.serializeBloom(nh, nb, words)))
+        }
       }
     } finally newRows.unpersist()
   }
