@@ -55,9 +55,13 @@ object ProbFilterOps {
     math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
   }
 
-  /** Optimal hash count for `n` items in `m` bits. */
+  /** Optimal hash count for `n` items in `m` bits, clamped to [1, 32]:
+    * the 64-bit word-aligned floor on `m` makes the textbook optimum blow
+    * past any sensible probe count for tiny n (n=1 in 64 bits → k=44),
+    * and beyond ~32 probes more hashing buys nothing measurable.
+    */
   def bloomHashes(n: Long, m: Long): Int =
-    math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
+    math.min(32, math.max(1, math.round(m.toDouble / n * math.log(2)).toInt))
 
   def setBit(words: Array[Long], h: Long, numHashes: Int, numBits: Long): Unit = {
     var i = 0
