@@ -580,6 +580,18 @@ object SparkEntry {
         .select(col("e.item").as("w"), col("e.count").as("n"),
           (col("pos") + 1).cast("long").as("rnk"))),
 
+    "text_unigram_logprob" -> ((s, dir) =>
+      // corpus-LM quality signal: per-doc avg token log-probability under
+      // the corpus's own empirical distribution (rare-token docs score low)
+      TextAnalysis.unigramLogProb(s.read.parquet(t(dir, "documents")))
+        .orderBy("doc_id")),
+
+    "text_bigram_surprisal" -> ((s, dir) =>
+      // sharper LM signal: avg -ln P(w2|w1), add-one smoothed; the bigram
+      // pairs are built inside the words array (no positional self-join)
+      TextAnalysis.bigramSurprisal(s.read.parquet(t(dir, "documents")))
+        .orderBy("doc_id")),
+
     "text_word_freq_sketch" -> ((s, dir) => {
       // count-min point estimates for every distinct term. Estimates are
       // upper bounds that go EXACT when no term collides in all `depth`
@@ -746,6 +758,25 @@ object SparkEntry {
         |WHERE l_extendedprice >= 90000 AND l_quantity <= 10
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | c AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+        | t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w)
+        |SELECT doc_id, round(avg(ln(n / total)), 4) AS logprob
+        |FROM w JOIN c USING (w) CROSS JOIN t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_surprisal" ->
+      """WITH p AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       UNNEST(range(1, len(ws))) AS t(i)
+        |), b AS (SELECT w1, w2, count(*) AS n12 FROM p GROUP BY 1, 2),
+        | u AS (SELECT w1, count(*) AS n1 FROM p GROUP BY 1),
+        | v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vocab FROM p)
+        |SELECT doc_id, round(avg(-ln(CAST(n12 + 1 AS DOUBLE) / (n1 + vocab))), 4) AS surprisal
+        |FROM p JOIN b USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_word_freq_sketch" ->
       """SELECT w, count(*) AS n FROM (

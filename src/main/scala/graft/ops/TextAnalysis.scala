@@ -136,4 +136,51 @@ object TextAnalysis {
       distinctShingles.as("n_distinct"),
       round(lit(1.0) - distinctShingles.cast("double") / positions, 4).as("rep_ratio"))
   }
+
+  /** Per-document average unigram log-probability under the corpus's own
+    * empirical distribution — the simplest corpus-LM quality signal
+    * (documents built from globally-rare tokens score low). Two tiny
+    * aggregations build the model (per-token counts + the total), a
+    * broadcast join scores every token, and one per-doc aggregate
+    * averages — the shape of every CCNet-style LM filter: model build is
+    * O(vocab), scoring is one scan + broadcast join.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("n"))
+    val total = toks.count().toDouble
+    toks.join(broadcast(counts), "w")
+      .groupBy(idCol)
+      .agg(round(avg(log(col("n").cast("double") / lit(total))), 4).as("logprob"))
+  }
+
+  /** Per-document average bigram surprisal −ln P(w₂|w₁) with add-one
+    * smoothing over the corpus vocabulary: repetitive/templated text
+    * scores LOW (its transitions are all high-probability), novel or
+    * shuffled text scores high — a sharper quality/novelty signal than
+    * unigrams, same scale shape (model = one groupBy over bigrams + one
+    * over unigrams, both broadcast; scoring = one scan). Documents
+    * shorter than two tokens yield null (no transitions to score).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // adjacent pairs built INSIDE the words array (transform + index), so
+    // there is no positional self-join — the only wide ops are the two
+    // count aggregations (tiny outputs) and the final per-doc average
+    val pairs = docs.select(col(idCol), expr(
+      s"""explode(transform(
+         |  slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
+         |  (x, i) -> struct(x AS w1, split($textCol, ' ')[i + 1] AS w2)))""".stripMargin).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val unigramCounts = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vocab = pairs.select("w1").distinct().count().toDouble
+    pairs
+      .join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(unigramCounts), Seq("w1"))
+      .groupBy(idCol)
+      .agg(round(avg(-log((col("n12") + 1).cast("double") /
+        (col("n1") + lit(vocab)))), 4).as("surprisal"))
+  }
 }

@@ -102,4 +102,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) != out(2L))
     assert(out(3L) == 1125899906842597L)
   }
+
+  test("corpus LM: repetitive text scores lower bigram surprisal than varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),          // one dominant transition
+      (2L, "c d e f g h i j k l m n"),          // every transition unique
+      (3L, "a b a b c d a b a b a b")).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1) < scored(3) && scored(3) < scored(2),
+      s"expected repetitive < mixed < novel, got $scored")
+    val uni = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 uses only the two globally-commonest tokens -> highest logprob
+    assert(uni(1) > uni(2), s"common-token doc must score higher, got $uni")
+  }
 }
