@@ -69,6 +69,17 @@ object PlanAudit {
       // the plan — asserted by StatsIndexSpec on candidate counts)
       "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
       "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
+    audit("text_bigram_surprisal",
+      // pairs must come from the in-array transform — a positional
+      // self-join (shuffle of every token against itself) would show as
+      // a SortMergeJoin on (doc_id, pos); only the two broadcast count
+      // joins and the per-doc aggregate may be wide
+      "no token self-join" -> (p => !p.contains("SortMergeJoin")),
+      "broadcast count models" -> (_.contains("BroadcastHashJoin")),
+      "partial per-doc aggregate" -> (_.contains("partial_avg")))
+    audit("text_unigram_logprob",
+      "broadcast count model" -> (_.contains("BroadcastHashJoin")),
+      "partial per-doc aggregate" -> (_.contains("partial_avg")))
     audit("q_bloom_prune_join",
       // the bloom probe must sit in the fact table's SCAN stage (filter
       // before the exchange), and participate in whole-stage codegen
