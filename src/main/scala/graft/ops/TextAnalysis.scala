@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
 /** Text-analysis operators for a training-data pipeline, over a documents
-  * table with a `text` column. All built from codegen'd
-  * `org.apache.spark.sql.functions` (no UDFs): each is a narrow
-  * per-row projection that stays inside whole-stage codegen — scan-speed
-  * at 100 TB, no shuffle.
+  * table with a `text` column. All built from `org.apache.spark.sql.functions`
+  * (no UDFs). The signal extractors (langId, quality, tokens, fingerprint,
+  * redact, repetition) are narrow per-row projections inside whole-stage
+  * codegen — scan-speed at 100 TB, no shuffle. The corpus-LM scorers
+  * ([[unigramLogProb]], [[bigramSurprisal]]) are the exception by nature:
+  * they aggregate a count model over the corpus and join it back.
   */
 object TextAnalysis {
 
@@ -139,48 +141,56 @@ object TextAnalysis {
 
   /** Per-document average unigram log-probability under the corpus's own
     * empirical distribution — the simplest corpus-LM quality signal
-    * (documents built from globally-rare tokens score low). Two tiny
-    * aggregations build the model (per-token counts + the total), a
-    * broadcast join scores every token, and one per-doc aggregate
-    * averages — the shape of every CCNet-style LM filter: model build is
-    * O(vocab), scoring is one scan + broadcast join.
+    * (documents built from globally-rare tokens score low). The model is
+    * one tiny aggregation (per-token counts; the total derives from it
+    * LAZILY via a cross join, so the returned frame snapshots nothing and
+    * triggers no job until acted on); scoring joins every token against
+    * the counts and averages per doc — the CCNet-style LM-filter shape.
+    * Docs with no tokens (null text) are omitted, matching the oracle's
+    * inner join. Unlike this file's per-row projections, the LM ops DO
+    * aggregate and join — model size is O(vocab), which Spark broadcasts
+    * while small and shuffles when an open vocabulary outgrows that.
     */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("n"))
-    val total = toks.count().toDouble
-    toks.join(broadcast(counts), "w")
+    val totalDf = counts.agg(sum("n").cast("double").as("total"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(totalDf))
       .groupBy(idCol)
-      .agg(round(avg(log(col("n").cast("double") / lit(total))), 4).as("logprob"))
+      .agg(round(avg(log(col("n").cast("double") / col("total"))), 4).as("logprob"))
   }
 
   /** Per-document average bigram surprisal −ln P(w₂|w₁) with add-one
     * smoothing over the corpus vocabulary: repetitive/templated text
     * scores LOW (its transitions are all high-probability), novel or
     * shuffled text scores high — a sharper quality/novelty signal than
-    * unigrams, same scale shape (model = one groupBy over bigrams + one
-    * over unigrams, both broadcast; scoring = one scan). Documents
-    * shorter than two tokens yield null (no transitions to score).
+    * unigrams. The bigram model is a groupBy over adjacent pairs (built
+    * INSIDE the words array — no positional self-join; the array is
+    * projected once so each element costs one O(1) lookup, not a
+    * re-split); note distinct-bigram count grows with the corpus, so at
+    * open-vocabulary scale the model join becomes a shuffle, not a
+    * broadcast — correct either way. The vocabulary size derives lazily
+    * from the unigram model. Documents shorter than two tokens are
+    * OMITTED (no transitions to score), matching the oracle's inner join.
     */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // adjacent pairs built INSIDE the words array (transform + index), so
-    // there is no positional self-join — the only wide ops are the two
-    // count aggregations (tiny outputs) and the final per-doc average
-    val pairs = docs.select(col(idCol), expr(
-      s"""explode(transform(
-         |  slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
-         |  (x, i) -> struct(x AS w1, split($textCol, ' ')[i + 1] AS w2)))""".stripMargin).as("bg"))
+    val pairs = docs.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(transform(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        (x, i) => struct(x.as("w1"), element_at(col("ws"), i + lit(2)).as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val unigramCounts = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val vocab = pairs.select("w1").distinct().count().toDouble
+    val vocabDf = unigramCounts.agg(count(lit(1)).cast("double").as("vocab"))
     pairs
-      .join(broadcast(bigramCounts), Seq("w1", "w2"))
-      .join(broadcast(unigramCounts), Seq("w1"))
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(unigramCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabDf))
       .groupBy(idCol)
       .agg(round(avg(-log((col("n12") + 1).cast("double") /
-        (col("n1") + lit(vocab)))), 4).as("surprisal"))
+        (col("n1") + col("vocab")))), 4).as("surprisal"))
   }
 }
