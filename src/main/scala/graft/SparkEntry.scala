@@ -592,6 +592,11 @@ object SparkEntry {
       TextAnalysis.bigramSurprisal(s.read.parquet(t(dir, "documents")))
         .orderBy("doc_id")),
 
+    "text_source_kl" -> ((s, dir) =>
+      // data-mixture diagnostic: KL(source unigram dist || corpus dist)
+      TextAnalysis.sourceKlDivergence(s.read.parquet(t(dir, "documents")))
+        .orderBy("source")),
+
     "text_word_freq_sketch" -> ((s, dir) => {
       // count-min point estimates for every distinct term. Estimates are
       // upper bounds that go EXACT when no term collides in all `depth`
@@ -777,6 +782,16 @@ object SparkEntry {
         |SELECT doc_id, round(avg(-ln(CAST(n12 + 1 AS DOUBLE) / (n1 + vocab))), 4) AS surprisal
         |FROM p JOIN b USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_source_kl" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        | sc AS (SELECT source, w, count(*) AS ns FROM w GROUP BY 1, 2),
+        | st AS (SELECT source, CAST(count(*) AS DOUBLE) AS ts FROM w GROUP BY 1),
+        | cc AS (SELECT w, count(*) AS nc FROM w GROUP BY 1),
+        | ct AS (SELECT CAST(count(*) AS DOUBLE) AS tc FROM w)
+        |SELECT source, round(sum((ns / ts) * ln((ns / ts) / (nc / tc))), 4) AS kl_nats
+        |FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "text_word_freq_sketch" ->
       """SELECT w, count(*) AS n FROM (

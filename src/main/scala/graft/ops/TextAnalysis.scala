@@ -175,6 +175,30 @@ object TextAnalysis {
     * from the unigram model. Documents shorter than two tokens are
     * OMITTED (no transitions to score), matching the oracle's inner join.
     */
+  /** Per-source KL divergence (nats) of the source's unigram distribution
+    * from the whole corpus's — the data-mixture diagnostic: a source
+    * whose language drifts from the blend (templated boilerplate, another
+    * domain, degenerate scrapes) stands out with high KL, a
+    * representative source sits near 0. Wide ops are the three count
+    * aggregations (tiny outputs keyed by source/token) and the per-source
+    * sum; the corpus total derives lazily from the token counts.
+    */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(sourceCol), explode(words(col(textCol))).as("w"))
+    val perSourceWord = toks.groupBy(sourceCol, "w").agg(count(lit(1)).as("ns"))
+    val perSource = toks.groupBy(sourceCol).agg(count(lit(1)).cast("double").as("ts"))
+    val perWord = toks.groupBy("w").agg(count(lit(1)).as("nc"))
+    val corpusTotal = perWord.agg(sum("nc").cast("double").as("tc"))
+    perSourceWord
+      .join(perSource, sourceCol)
+      .join(perWord, "w")
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(sourceCol)
+      .agg(round(sum((col("ns") / col("ts")) *
+        log((col("ns") / col("ts")) / (col("nc") / col("tc")))), 4).as("kl_nats"))
+  }
+
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val pairs = docs.select(col(idCol), words(col(textCol)).as("ws"))

@@ -118,4 +118,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 1 uses only the two globally-commonest tokens -> highest logprob
     assert(uni(1) > uni(2), s"common-token doc must score higher, got $uni")
   }
+
+  test("source KL: a drifted source scores higher than representative ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c d", "balanced"),
+      (2L, "a b c d a b c d", "balanced2"),
+      (3L, "z z z z z z z z", "drifted")).toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceKlDivergence(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl("drifted") > kl("balanced") && kl("drifted") > 1.0,
+      s"single-token source must diverge strongly, got $kl")
+    assert(kl("balanced") == kl("balanced2"), s"identical sources must tie, got $kl")
+  }
 }
