@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Benchmark capture keeps only the TAIL of stdout and parses the last
+// JSON line; sbt's "[success] Total time ..." epilogue would otherwise
+// trail the bench line and break that parse. Suppress it (ScalaTest's
+// own summary lines are unaffected).
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

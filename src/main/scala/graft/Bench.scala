@@ -34,7 +34,12 @@ object Bench {
     // capture window, truncating the {"metric" prefix and leaving the
     // round's bench JSON unparseable. The empty failed list is omitted
     // for the same reason (round 2's line had no such field either).
-    def f2(v: Double): String = "%.2f".format(v)
+    // ...and trailing zeros are trimmed ("1.20"→"1.2", "3.00"→"3"): ~1
+    // byte per query of headroom inside the capture window.
+    def f2(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

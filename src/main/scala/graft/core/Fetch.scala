@@ -162,33 +162,41 @@ object Fetch {
     val srcFs = new Path(src).getFileSystem(conf)
     val destFs = new Path(dest).getFileSystem(conf)
 
-    if (fragments.nonEmpty) {
-      // re-encode just the fragments through the normal publish path
-      // (sizing, salted routing); basePath keeps their partition values,
-      // which the file-list read appends LAST regardless of their sidecar
-      // position — reorder by name so dest records the original schema
-      val fragDf = spark.read.option("basePath", src).schema(meta.schema)
-        .parquet(fragments.map(_._1): _*)
-        .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
-      Publish.publish(spark, fragDf, dest, meta.partitions)
-    } else {
-      DatasetMeta.write(spark, dest, meta)
-    }
+    val rewritten: Seq[String] =
+      if (fragments.nonEmpty) {
+        // re-encode just the fragments through the normal publish path
+        // (sizing, salted routing); basePath keeps their partition values,
+        // which the file-list read appends LAST regardless of their sidecar
+        // position — reorder by name so dest records the original schema
+        val fragDf = spark.read.option("basePath", src).schema(meta.schema)
+          .parquet(fragments.map(_._1): _*)
+          .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+        Publish.publish(spark, fragDf, dest, meta.partitions)
+      } else {
+        DatasetMeta.write(spark, dest, meta)
+        Nil
+      }
     // byte-copy the healthy files, preserving their partition paths; the
     // writer's part-<task>-<uuid> names cannot collide with fresh ones.
     // Qualify the root exactly as the listing qualified the files — a
     // relative `src` would otherwise never strip and the copies would
     // land at a bogus nested path under dest
     val srcRoot = srcFs.makeQualified(new Path(src)).toUri.getPath
-    healthy.foreach { case (f, _) =>
+    val destRoot = destFs.makeQualified(new Path(dest)).toUri.getPath
+    val copied = healthy.map { case (f, _) =>
       val rel = f.stripPrefix(srcRoot).stripPrefix("/")
       val to = new Path(dest, rel)
       destFs.mkdirs(to.getParent)
       org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(f), destFs, to, false, conf)
+      f -> s"$destRoot/$rel"
     }
+    // Carry the index instead of rebuilding: byte-copied files keep their
+    // stats rows (paths rewritten); only the re-encoded output pays a
+    // fresh stats pass — the untouched 98% of a 100 TB dataset is never
+    // re-read for its index.
     StatsIndex.read(spark, src).foreach { stats =>
-      val cols = stats.select("column").distinct().collect().map(_.getString(0)).toSeq
-      StatsIndex.build(spark, dest, cols)
+      val cols = StatsIndex.indexedColumns(spark, src)
+      StatsIndex.migrateCompacted(spark, stats, dest, meta, copied, rewritten, cols)
     }
     (healthy.size, fragments.size)
   }

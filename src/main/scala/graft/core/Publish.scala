@@ -241,10 +241,16 @@ object Publish {
       .parquet(root)
 
     DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
-    // after append the index would be stale for new files — rebuilding
-    // covers them; the extra pass only reads the indexed columns
-    if (statsCols.nonEmpty) StatsIndex.build(spark, root, statsCols)
-    listDataFiles(spark, root).filterNot(preExisting)
+    val allAfter = listDataFiles(spark, root)
+    val newFiles = allAfter.filterNot(preExisting)
+    // Index maintenance is O(this batch), never O(dataset): an append
+    // stats only the files it just wrote and appends their rows to the
+    // sidecar; overwrite (a fresh dataset) builds from the same listing.
+    if (statsCols.nonEmpty) {
+      if (mode == "append") StatsIndex.appendFiles(spark, root, newFiles, statsCols)
+      else StatsIndex.buildFor(spark, root, DatasetMeta(df.schema, partitions), allAfter, statsCols)
+    }
+    newFiles
   }
 
   /** Idempotent append: publish only the rows of `df` whose `keyCols`

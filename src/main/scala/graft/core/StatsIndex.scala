@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,18 +11,26 @@ import org.apache.spark.sql.types._
   * Partition pruning answers predicates on PARTITION columns for free;
   * predicates on data columns normally read every file and rely on
   * row-group stats inside each one. This index lifts per-FILE min/max of
-  * chosen data columns into one tiny parquet sidecar (`_graft_stats`,
-  * underscore-hidden from every data listing), so the driver can drop
-  * whole files from the scan's split list before any task launches. It
-  * composes multiplicatively with z-order publish: clustering makes the
-  * per-file ranges tight, the index makes the driver act on them —
-  * together a range predicate on any z-ordered column touches only the
-  * files whose hyper-rectangle intersects it.
+  * chosen data columns into a parquet sidecar (`_graft_stats`,
+  * underscore-hidden from every data listing), so whole files drop from
+  * the scan's split list before any task launches. It composes
+  * multiplicatively with z-order publish: clustering makes the per-file
+  * ranges tight, the index makes the driver act on them — together a
+  * range predicate on any z-ordered column touches only the files whose
+  * hyper-rectangle intersects it.
   *
-  * Build cost is one distributed pass at publish time (a groupBy on
-  * `input_file_name`); the sidecar holds one row per (file, column) and at
-  * pathological file counts would itself become a partitioned manifest —
-  * out of scope here, noted for honesty.
+  * Scale design (the manifest is itself a dataset at 100 TB / millions
+  * of files, and is treated as one):
+  *  - BUILD is one distributed pass over only the indexed columns,
+  *    written distributed (no driver collect, sidecar file count scales
+  *    with manifest rows).
+  *  - APPEND stats only the newly written files and appends their rows
+  *    to the sidecar — maintenance cost is O(batch), not O(dataset).
+  *    Accumulated sidecar fragments are folded back into few files once
+  *    they pass a threshold.
+  *  - PRUNING evaluates the skip decision distributed-side on the stats
+  *    frame and collects only the pruned file paths; the (file, column,
+  *    min, max) manifest never rides to the driver.
   *
   * Skipping is CONSERVATIVE and therefore always correct: a file is
   * dropped only when NO value in [min, max] can satisfy the predicate;
@@ -35,6 +43,16 @@ import org.apache.spark.sql.types._
 object StatsIndex {
 
   val DirName = "_graft_stats"
+  private val TmpDirName = "_graft_stats_tmp"
+
+  /** Sidecar sizing: one row per (file, column); ~500k rows (~a few MB
+    * compressed) per sidecar file keeps a 2M-file manifest at a handful
+    * of parquet files while sf-scale datasets stay at one.
+    */
+  private val SidecarRowsPerFile = 500000L
+
+  /** Fold appended sidecar fragments back into few files past this count. */
+  private val SidecarCompactThreshold = 64
 
   /** Indexable column types: need a total order with a numeric embedding. */
   private[core] def indexable(dt: DataType): Boolean = dt match {
@@ -48,36 +66,141 @@ object StatsIndex {
     StructField("min_v", DoubleType, nullable = true),
     StructField("max_v", DoubleType, nullable = true)))
 
-  /** One distributed pass: per-file min/max of every indexable `cols`
-    * member, written (overwrite) as the `_graft_stats` sidecar.
+  /** `input_file_name()` yields a URI; the listings compare by
+    * `Path.toUri.getPath` — same normalization, executor-side (one row
+    * per file, nowhere near the hot path).
     */
-  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
-    val meta = DatasetMeta.read(spark, root).getOrElse(
+  private val normPath = udf((s: String) => new Path(s).toUri.getPath)
+
+  private def requireMeta(spark: SparkSession, root: String): DatasetMeta =
+    DatasetMeta.read(spark, root).getOrElse(
       throw new MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
+
+  private def validTarget(meta: DatasetMeta, cols: Seq[String]): Seq[String] = {
     val target = cols.filter(c => meta.dataColumns.contains(c))
     target.foreach { c =>
       require(indexable(meta.schema(c).dataType),
         s"stats column $c must be numeric/date/timestamp, got ${meta.schema(c).dataType}")
     }
     require(target.nonEmpty, s"no indexable data columns among ${cols.mkString(",")}")
-    val df = spark.read.schema(meta.schema).parquet(root)
+    target
+  }
+
+  /** One distributed pass over `files` (reading ONLY the indexed columns):
+    * per-file min/max pivoted to (file, column, min_v, max_v) rows. Stays
+    * a DataFrame end-to-end — the caller writes it, nothing collects.
+    */
+  private def statsFor(spark: SparkSession, root: String, meta: DatasetMeta,
+                       files: Seq[String], target: Seq[String]): DataFrame = {
+    val df = spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
     val aggs = target.flatMap { c =>
       val n = normalized(col(c), meta.schema(c).dataType)
       Seq(min(n).as(s"min_$c"), max(n).as(s"max_$c"))
     }
     val perFile = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per data file
-    val rows = perFile.flatMap { r =>
-      val file = new Path(r.getString(0)).toUri.getPath
-      target.zipWithIndex.map { case (c, i) =>
-        Row(file, c,
-          if (r.isNullAt(1 + 2 * i)) null else r.getDouble(1 + 2 * i),
-          if (r.isNullAt(2 + 2 * i)) null else r.getDouble(2 + 2 * i))
-      }
+    val entries = array(target.map { c =>
+      struct(lit(c).as("column"),
+        col(s"min_$c").cast("double").as("min_v"),
+        col(s"max_$c").cast("double").as("max_v"))
+    }: _*)
+    perFile.select(normPath(col("file")).as("file"), explode(entries).as("s"))
+      .select(col("file"), col("s.column").as("column"),
+        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"))
+  }
+
+  private def sidecarPartitions(rows: Long): Int =
+    math.max(1L, (rows + SidecarRowsPerFile - 1) / SidecarRowsPerFile).toInt
+
+  private def writeSidecar(root: String, stats: DataFrame, approxRows: Long,
+                           mode: String): Unit =
+    stats.repartition(sidecarPartitions(approxRows))
+      .write.mode(mode).parquet(s"$root/$DirName")
+
+  /** Full (re)build: one distributed pass, sidecar overwritten. */
+  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    val meta = requireMeta(spark, root)
+    buildFor(spark, root, meta, Publish.listDataFiles(spark, root), cols)
+  }
+
+  private[core] def buildFor(spark: SparkSession, root: String, meta: DatasetMeta,
+                             files: Seq[String], cols: Seq[String]): Unit = {
+    val target = validTarget(meta, cols)
+    if (files.isEmpty) return
+    writeSidecar(root, statsFor(spark, root, meta, files, target),
+      files.size.toLong * target.size, "overwrite")
+  }
+
+  /** Incremental maintenance: stat ONLY `newFiles` and append their rows
+    * to the existing sidecar — an append's index cost is proportional to
+    * the batch, never the dataset. Falls back to a full build when the
+    * sidecar is absent or covers a different column set (the incremental
+    * rows would otherwise leave old files dark on the new columns).
+    */
+  def appendFiles(spark: SparkSession, root: String, newFiles: Seq[String],
+                  cols: Seq[String]): Unit = {
+    if (newFiles.isEmpty) return
+    val meta = requireMeta(spark, root)
+    val target = validTarget(meta, cols)
+    read(spark, root) match {
+      case Some(existing) if coveredColumns(existing) == target.toSet =>
+        writeSidecar(root, statsFor(spark, root, meta, newFiles, target),
+          newFiles.size.toLong * target.size, "append")
+        maybeCompactSidecar(spark, root)
+      case _ => build(spark, root, cols)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), statsSchema)
-      .write.mode("overwrite").parquet(s"$root/$DirName")
+  }
+
+  private def coveredColumns(stats: DataFrame): Set[String] =
+    stats.select("column").distinct().collect().map(_.getString(0)).toSet
+
+  /** The column set an existing sidecar covers (for rebuilds that must
+    * preserve it, e.g. after compaction). Empty when no index exists.
+    */
+  def indexedColumns(spark: SparkSession, root: String): Seq[String] =
+    read(spark, root).map(s => coveredColumns(s).toSeq.sorted).getOrElse(Nil)
+
+  /** Fold accumulated append fragments back into few sidecar files.
+    * Rewrites through a temp dir + rename — the sidecar being compacted
+    * is also the frame being read, and parquet cannot overwrite its own
+    * input in-flight.
+    */
+  private def maybeCompactSidecar(spark: SparkSession, root: String): Unit = {
+    val p = new Path(s"$root/$DirName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    if (parts.length <= SidecarCompactThreshold) return
+    val totalBytes = parts.map(_.getLen).sum
+    val tmp = new Path(s"$root/$TmpDirName")
+    fs.delete(tmp, true)
+    spark.read.schema(statsSchema).parquet(p.toString)
+      .repartition(math.max(1L, totalBytes / (32L << 20)).toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Carry an index across a compaction: byte-copied files keep their
+    * stats rows (path rewritten src→dest via a distributed join against
+    * the copy mapping); only the re-encoded output files pay a fresh
+    * stats pass. The rebuilt sidecar is identical to a from-scratch
+    * build without re-reading the untouched bytes.
+    */
+  private[core] def migrateCompacted(spark: SparkSession, srcStats: DataFrame,
+                                     dest: String, meta: DatasetMeta,
+                                     copied: Seq[(String, String)],
+                                     freshFiles: Seq[String],
+                                     cols: Seq[String]): Unit = {
+    val target = validTarget(meta, cols)
+    import spark.implicits._
+    val mapDf = copied.toDF("src_file", "dest_file")
+    val carried = srcStats.join(mapDf, srcStats("file") === mapDf("src_file"))
+      .select(col("dest_file").as("file"), col("column"), col("min_v"), col("max_v"))
+    val merged =
+      if (freshFiles.isEmpty) carried
+      else carried.unionByName(statsFor(spark, dest, meta, freshFiles, target))
+    writeSidecar(dest, merged,
+      (copied.size + freshFiles.size).toLong * target.size, "overwrite")
   }
 
   /** The index contents, or None when the dataset has no stats sidecar. */
@@ -89,6 +212,11 @@ object StatsIndex {
 
   /** Data files that MIGHT satisfy every filter: the full listing minus
     * files the index proves out. No index ⇒ the full listing.
+    *
+    * The skip decision runs distributed-side ([[pruneExpr]], the Column
+    * twin of [[mightMatch]]) and only PRUNED paths return to the driver —
+    * never the manifest. Files or columns the index doesn't know have no
+    * stats row, so they can't be pruned: conservative by construction.
     */
   def candidateFiles(spark: SparkSession, root: String, meta: DatasetMeta,
                      dataFilters: Seq[ColFilter]): Seq[String] = {
@@ -98,82 +226,103 @@ object StatsIndex {
     read(spark, root) match {
       case None => all
       case Some(stats) =>
-        // (file, column) -> [min, max]; tiny (one row per file per column)
-        val byFile: Map[(String, String), (Option[Double], Option[Double])] =
-          stats.collect().map { r =>
-            (r.getString(0), r.getString(1)) ->
-              (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-                if (r.isNullAt(3)) None else Some(r.getDouble(3)))
-          }.toMap
-        all.filter { f =>
-          relevant.forall { flt =>
-            byFile.get((f, flt.partition)) match {
-              case None => true // file/column unknown to the index: keep
-              case Some((None, _)) | Some((_, None)) => false // all-null file: no row matches
-              case Some((Some(lo), Some(hi))) => mightMatch(flt, lo, hi, meta)
-            }
-          }
-        }
+        val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
+        val pruned = stats.where(pruneCond).select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        all.filterNot(pruned)
     }
   }
 
   /** The numeric embedding stats are stored in: timestamps as epoch
     * seconds (Spark's timestamp→double cast), dates as epoch days
     * (`unix_date` — ANSI mode rejects a direct date→numeric cast).
-    * [[mightMatch]] embeds filter values with the SAME mapping — keep the
-    * two in lockstep or skipping silently drops matching files.
+    * [[mightMatch]]/[[pruneExpr]] embed filter values with the SAME
+    * mapping — keep them in lockstep or skipping silently drops matching
+    * files.
     */
-  private def normalized(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column =
+  private def normalized(c: Column, dt: DataType): Column =
     dt match {
       case DateType => unix_date(c).cast("double")
       case _ => c.cast("double")
     }
 
+  /** Double embedding of a filter value for comparison against stats. */
+  private def embed(v: Any, dt: DataType): Double = v match {
+    // Number covers parseValue's scala.math.BigDecimal form too (it
+    // extends ScalaNumber <: java.lang.Number)
+    case n: Number => n.doubleValue()
+    case ts: java.sql.Timestamp => ts.getTime.toDouble / 1000.0 // epoch seconds
+    case dt0: java.sql.Date => dt0.toLocalDate.toEpochDay.toDouble
+    // string-form values are legal for typed filters (checkValue parses
+    // them) — parse to the column's type first, then embed
+    case s: String => embed(Fetch.parseValue(s, dt), dt)
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case other => throw new IllegalArgumentException(
+      s"filter value $other not comparable to $dt stats")
+  }
+
+  /** A value whose double embedding is exact (so an == equality on it is
+    * trustworthy): integrals within the 2^53 mantissa, native floats.
+    */
+  private def exactEmbed(v: Any, dt: DataType): Boolean = v match {
+    case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte => true
+    case l: java.lang.Long => math.abs(l) <= (1L << 53)
+    case _: java.lang.Double | _: java.lang.Float => true
+    case s: String => exactEmbed(Fetch.parseValue(s, dt), dt)
+    case _ => false // timestamps/dates/bools: never skip on !=
+  }
+
+  // The stored bounds and the embedded value each round through double
+  // once (a long beyond 2^53, a timestamp's fractional seconds) — up to
+  // ~2 ulps of combined error. Widening by 2 ulps before testing means a
+  // rounding tie can only KEEP a file, never skip one whose rows match.
+  private def up2(x: Double): Double = Math.nextUp(Math.nextUp(x))
+  private def dn2(x: Double): Double = Math.nextDown(Math.nextDown(x))
+
   /** Can any value in [lo, hi] satisfy the filter? (OR across the value
-    * list, mirroring the reference's per-value union semantics.)
+    * list, mirroring the reference's per-value union semantics.) The
+    * widening is applied to the CONSTANT side (via monotonicity of
+    * nextUp∘nextUp / nextDown∘nextDown) so the same decision is
+    * expressible over stats columns in [[pruneExpr]]; a property test
+    * holds the two implementations equal.
     */
   private[graft] def mightMatch(f: ColFilter, lo: Double, hi: Double, meta: DatasetMeta): Boolean = {
     val dt = meta.schema(f.partition).dataType
-    def d(v: Any): Double = v match {
-      case n: Number => n.doubleValue()
-      case bd: scala.math.BigDecimal => bd.toDouble // parseValue's decimal form
-      case ts: java.sql.Timestamp => ts.getTime.toDouble / 1000.0 // epoch seconds
-      case dt0: java.sql.Date => dt0.toLocalDate.toEpochDay.toDouble
-      // string-form values are legal for typed filters (checkValue parses
-      // them) — parse to the column's type first, then embed
-      case s: String => d(Fetch.parseValue(s, dt))
-      case b: java.lang.Boolean => if (b) 1.0 else 0.0
-      case other => throw new IllegalArgumentException(
-        s"filter value $other not comparable to $dt stats")
-    }
-    // The stored bounds and the embedded value each round through double
-    // once (a long beyond 2^53, a timestamp's fractional seconds) — up to
-    // ~2 ulps of combined error. Widen the interval by 2 ulps before
-    // testing so a rounding tie can only KEEP a file, never skip one
-    // whose rows match.
-    val loS = Math.nextDown(Math.nextDown(lo))
-    val hiS = Math.nextUp(Math.nextUp(hi))
-    // A value whose double embedding is exact (so the == equality below
-    // is trustworthy): integrals within the 2^53 mantissa, native floats.
-    def exact(v: Any): Boolean = v match {
-      case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte => true
-      case l: java.lang.Long => math.abs(l) <= (1L << 53)
-      case _: java.lang.Double | _: java.lang.Float => true
-      case s: String => exact(Fetch.parseValue(s, dt))
-      case _ => false // timestamps/dates/bools: never skip on !=
-    }
     f.values.exists { v =>
-      val x = d(v)
+      val x = embed(v, dt)
       f.comparison match {
-        case "==" => loS <= x && x <= hiS
+        case "==" => lo <= up2(x) && dn2(x) <= hi
         // only a provably-constant file of exactly the filtered value can
         // fail a != — and only when the embedding is exact
-        case "!=" => !(lo == hi && lo == x && exact(v))
-        case ">"  => hiS > x
-        case ">=" => hiS >= x
-        case "<"  => loS < x
-        case "<=" => loS <= x
+        case "!=" => !(lo == hi && lo == x && exactEmbed(v, dt))
+        case ">"  => hi > dn2(x)
+        case ">=" => hi >= dn2(x)
+        case "<"  => lo < up2(x)
+        case "<=" => lo <= up2(x)
       }
     }
+  }
+
+  /** Distributed twin of [[mightMatch]]: TRUE when a stats row PROVES the
+    * file cannot match filter `f` — evaluated on the stats frame so only
+    * pruned paths are collected. An all-null file (null min or max) has
+    * no row satisfying any comparison and prunes unconditionally.
+    */
+  private[graft] def pruneExpr(f: ColFilter, meta: DatasetMeta): Column = {
+    val dt = meta.schema(f.partition).dataType
+    val lo = col("min_v")
+    val hi = col("max_v")
+    val might = f.values.map { v =>
+      val x = embed(v, dt)
+      f.comparison match {
+        case "==" => lo <= up2(x) && hi >= dn2(x)
+        case "!=" => !(lo === hi && lo === x && lit(exactEmbed(v, dt)))
+        case ">"  => hi > dn2(x)
+        case ">=" => hi >= dn2(x)
+        case "<"  => lo < up2(x)
+        case "<=" => lo <= up2(x)
+      }
+    }.reduce(_ || _)
+    col("column") === f.partition && (lo.isNull || hi.isNull || !might)
   }
 }

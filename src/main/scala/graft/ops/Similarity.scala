@@ -51,53 +51,76 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
-  /** IVF-style ANN: a seeded k-means coarse quantizer partitions the corpus
-    * into `nlist` cells; each query probes only its `nprobe` nearest cells
-    * and ranks that union by exact cosine. The second scale path besides
-    * LSH: per-query work is proportional to the probed fraction
-    * (nprobe/nlist of the corpus) instead of the whole corpus.
+  private def ivfBase(df: DataFrame, idCol: String, vecCol: String,
+                      id: String, v: String, n: String) =
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+      .withColumn(n, l2Norm(col(v)))
+      .where(col(n) > 0)
+
+  // Quantize and probe on L2-NORMALIZED vectors: Euclidean nearness on
+  // the unit sphere is monotone in cosine, so cells agree with the final
+  // cosine ranking regardless of raw magnitudes (standard IVF-for-cosine;
+  // unnormalized k-means would cluster by magnitude and tank recall).
+  private def unitized(v: String, n: String) = transform(col(v), x => x / col(n))
+
+  /** A fitted IVF index: the (tiny, driver-held) coarse-quantizer
+    * centroids plus the corpus with its cell assignment. Fit ONCE with
+    * [[ivfFit]], then serve any number of [[ivfQuery]] calls — persist
+    * (or publish) `assigned` and each query pays one pass over the probed
+    * cells only, with no refit and no extra corpus scan.
+    */
+  final class IvfIndex private[ops](private[ops] val centroids: Array[(Array[Double], Int)],
+                                    val assigned: DataFrame)
+
+  /** Catalyst-stats row estimate — no job, no scan. The sample fraction
+    * only needs the order of magnitude; [[ivfFit]] biases it UP and
+    * down-samples driver-side, so an off estimate costs a slightly larger
+    * collected sample, never a biased or undersized one.
+    */
+  private def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / math.max(1, df.schema.defaultSize)).toLong)
+  }
+
+  /** Fit the IVF coarse quantizer and assign the corpus to cells.
     *
     * The quantizer fits on a BOUNDED sample (`maxFitSample` vectors,
     * driver-side Lloyd iterations over ≤ a few MB) — a quantizer fit over
-    * the full corpus would iterate ~20 full passes over 100 TB and dominate
-    * the entire query; standard IVF practice needs only O(nlist·256)
-    * training points. Cell ASSIGNMENT of the corpus stays a single
-    * distributed pass with the centroid array riding the closure (no join,
-    * no extra shuffle).
+    * the full corpus would iterate ~20 full passes over 100 TB and
+    * dominate everything; standard IVF practice needs only O(nlist·256)
+    * training points. The sample is UNBIASED: a bare limit() takes the
+    * head of the scan, and a corpus sorted by source or label would put
+    * every centroid in one region of the space (recall collapse). The
+    * fraction derives from a free Catalyst-stats row estimate (no
+    * counting pass), aimed 4× above target; the driver then shuffles the
+    * collected (uniform) sample down to target size, so estimate error
+    * moves collect volume, not statistics. Cell ASSIGNMENT of the corpus
+    * is a single distributed pass with the centroid array riding the
+    * closure — no join, no shuffle.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
-              maxFitSample: Int = 25000): DataFrame = {
-    def base(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-        .withColumn(n, l2Norm(col(v)))
-        .where(col(n) > 0)
-
-    // Quantize and probe on L2-NORMALIZED vectors: Euclidean nearness on
-    // the unit sphere is monotone in cosine, so cells agree with the final
-    // cosine ranking regardless of raw magnitudes (standard IVF-for-cosine;
-    // unnormalized k-means would cluster by magnitude and tank recall).
-    def normalized(v: String, n: String) = transform(col(v), x => x / col(n))
-
-    val c = base(corpus, "neighbor_id", "cv", "cn")
-    // UNBIASED training sample: a bare limit() takes the head of the
-    // scan, and a corpus sorted/clustered by source or label would put
-    // every centroid in one region of the space (recall collapse). One
-    // counting pass over the filtered frame (the exact population being
-    // sampled) derives the fraction; uniform sample(), NO limit cap — a
-    // cap would deterministically exclude the scan tail and re-bias.
-    // maxFitSample is therefore a target (±sampling variance, 1.2×
-    // slack), which Lloyd's handles fine.
-    val corpusRows = math.max(1L, c.count())
-    val sampled =
-      if (corpusRows <= maxFitSample * 1.2) c
-      else c.sample(withReplacement = false,
-        math.min(1.0, maxFitSample * 1.2 / corpusRows), seed)
-    val sample: Array[Array[Double]] = sampled
-      .select(normalized("cv", "cn").as("nv"))
+  def ivfFit(corpus: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             nlist: Int = 16, seed: Long = 42L,
+             maxFitSample: Int = 25000): IvfIndex = {
+    val c = ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val estRows = math.max(1L, estimatedRows(c))
+    val target = (maxFitSample * 1.2).toLong
+    val fraction = math.min(1.0, 4.0 * target.toDouble / estRows)
+    val sampled = if (fraction >= 1.0) c else c.sample(withReplacement = false, fraction, seed)
+    val collected: Array[Array[Double]] = sampled
+      .select(unitized("cv", "cn").as("nv"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // estimate came in low → collected overshot the target: down-sample
+    // uniformly driver-side (seeded shuffle of an already-uniform sample
+    // stays uniform)
+    val sample =
+      if (collected.length <= target) collected
+      else {
+        val rnd = new scala.util.Random(seed)
+        rnd.shuffle(collected.toSeq).take(target.toInt).toArray
+      }
     val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex
 
     val nearestCell = udf { (cv: Seq[Double], cn: Double) =>
@@ -111,8 +134,20 @@ object Similarity {
       }
       best
     }
-    val assigned = c.withColumn("cell", nearestCell(col("cv"), col("cn")))
+    new IvfIndex(centroids, c.withColumn("cell", nearestCell(col("cv"), col("cn"))))
+  }
 
+  /** IVF-style ANN against a fitted index: each query probes only its
+    * `nprobe` nearest cells and ranks that union by exact cosine —
+    * per-query work is proportional to the probed fraction
+    * (nprobe/nlist of the corpus) instead of the whole corpus, and a
+    * persisted `index.assigned` makes repeated queries refit- and
+    * rescan-free.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               nprobe: Int = 3): DataFrame = {
+    val centroids = index.centroids
     // Each query's nprobe nearest cells, ranked by distance to the (tiny,
     // driver-held) centroid set — centroids ride into the closure, no join.
     val probeCells = udf { (qv: Seq[Double]) =>
@@ -125,16 +160,26 @@ object Similarity {
         (d, idx)
       }.sortBy(_._1).take(nprobe).map(_._2)
     }
-    val q = base(queries, "query_id", "qv", "qn")
-      .withColumn("cell", explode(probeCells(normalized("qv", "qn"))))
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("cell", explode(probeCells(unitized("qv", "qn"))))
 
     // one cell per corpus vector + distinct probed cells per query ⇒ a
     // (query, neighbor) pair matches at most once: no dedup shuffle needed
-    val cands = assigned.join(q, Seq("cell"))
+    val cands = index.assigned.join(q, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     topKPerQuery(cands, k)
   }
+
+  /** One-shot fit + query (the original surface; fit cost amortizes over
+    * nothing — prefer [[ivfFit]]/[[ivfQuery]] for repeated queries).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+              maxFitSample: Int = 25000): DataFrame =
+    ivfQuery(ivfFit(corpus, idCol, vecCol, nlist, seed, maxFitSample),
+      queries, k, idCol, vecCol, nprobe)
 
   /** Per-label embedding centroids in exploded form (label, dim, mean):
     * posexplode → hash aggregate on (label, dim) with map-side partial

@@ -62,6 +62,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 on sorted corpus")
   }
 
+  test("a pre-fitted IVF index serves repeated queries without refit or corpus rescan") {
+    // Index over a PUBLISHED (on-disk) corpus so file-input metrics see
+    // every corpus read; fit once, persist the assignment, then each
+    // query must not re-read the corpus files and must return the same
+    // results as the one-shot path. (Cached-block reads also register in
+    // input metrics, so the bound is "far below corpus size", not zero.)
+    val root = "/tmp/graft_test/ivf_fitted"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val big = (0 until 2000).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    big.write.mode("overwrite").parquet(root)
+    val onDisk = spark.read.parquet(root)
+    val index = Similarity.ivfFit(onDisk, nlist = 8)
+    index.assigned.persist().count() // materialize the one corpus pass
+    try {
+      val queries = big.where($"vec_id" < 10)
+      val (out1, read1) = IoMetrics.recordsReadDuring(spark) {
+        Similarity.ivfQuery(index, queries, 5, nprobe = 2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      }
+      val (out2, read2) = IoMetrics.recordsReadDuring(spark) {
+        Similarity.ivfQuery(index, queries, 5, nprobe = 8)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      }
+      assert(read1 < 200 && read2 < 200,
+        s"queries on a persisted index must not rescan the 2000-row corpus: read $read1/$read2")
+      // nprobe = nlist probes every cell: recall 1.0 vs brute force
+      val exact = Similarity.bruteForceTopK(onDisk, queries, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(out2 == exact, "full-probe IVF query must equal brute force")
+      assert((exact & out1).size.toDouble / exact.size >= 0.8)
+    } finally index.assigned.unpersist()
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = corpus.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)
