@@ -18,6 +18,10 @@ run / fork := true
 Global / showSuccess := false
 Global / showTiming := false
 Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// ...and the forked run inherits stdout directly (no "[info] " logger
+// prefix): stdout of a bench run is then exactly the JSON line, parseable
+// by both last-line and whole-tail consumers. Spark's logs go to stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

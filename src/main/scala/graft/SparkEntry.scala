@@ -490,6 +490,22 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    "q_bloom_part_join" -> ((s, dir) => {
+      // partition-aligned bloom reduction: one filter PER l_linestatus
+      // value, probed as (partition, key) — a key-only filter would keep
+      // every line whose order has a big-quantity line under ANY status.
+      // The result is exactly the plain compound-key join's — the oracle
+      // below IS that join.
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+      val hot = lineitem.where(col("l_quantity") > 49)
+        .select(col("l_linestatus").as("s_ls"), col("l_orderkey").as("s_ok")).distinct()
+      BloomPrune.pruneJoinPartitioned(lineitem, hot,
+          "l_linestatus", "l_orderkey", "s_ls", "s_ok")
+        .groupBy("l_linestatus", "l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_linestatus", "l_orderkey")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // each view event attached to the user's most recent purchase at or
       // before it — the as-of join shape (one keyed window pass, no
@@ -896,6 +912,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_bloom_part_join" ->
+      """SELECT l.l_linestatus, l.l_orderkey, count(*) AS n_lines,
+        | round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN (SELECT DISTINCT l_linestatus, l_orderkey
+        |                      FROM lineitem WHERE l_quantity > 49) s
+        |ON l.l_linestatus = s.l_linestatus AND l.l_orderkey = s.l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (

@@ -296,6 +296,18 @@ object Fetch {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Set.empty
+    // A stream-sink root's directory tree can contain partitions whose
+    // only files belong to an uncommitted micro-batch; derive values from
+    // the COMMITTED listing (sink-log-aware) instead of walking dirs.
+    if (fs.exists(new Path(rootPath, "_spark_metadata"))) {
+      val qualified = fs.makeQualified(rootPath).toUri.getPath
+      val prefix = partition + "="
+      return Publish.listDataFiles(spark, root).flatMap { f =>
+        f.stripPrefix(qualified).stripPrefix("/").split('/')
+          .find(_.startsWith(prefix))
+          .map(seg => unescapePathName(seg.substring(prefix.length)))
+      }.toSet - HiveDefaultPartition
+    }
     val pool = new java.util.concurrent.ForkJoinPool(ListingParallelism)
     try {
       var dirs: Seq[Path] = Seq(rootPath)

@@ -522,11 +522,26 @@ object Publish {
     * `_graft_stats/part-0.parquet` is sidecar, not data, even though the
     * file's own name looks ordinary (every parquet reader applies the same
     * per-segment rule).
+    *
+    * A root written by a streaming file sink carries a `_spark_metadata`
+    * commit log; there the LOG is authoritative: only files a committed
+    * micro-batch added count as data, so a crashed batch's orphans are as
+    * invisible to listings as they already are to `fetch`'s scan (which
+    * honors the log natively). This keeps every listing-based
+    * introspection op exact on stream-sink roots.
     */
   def listDataFilesWithSize(spark: SparkSession, root: String): Seq[(String, Long)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
+    val sinkLogPath = new Path(p, "_spark_metadata")
+    if (fs.exists(sinkLogPath)) {
+      import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+      val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, sinkLogPath.toString)
+      return log.allFiles().toIndexedSeq
+        .map(s => new Path(s.path).toUri.getPath -> s.size)
+        .sortBy(_._1)
+    }
     val rootPath = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(p).toUri.getPath
     val it = fs.listFiles(p, true)

@@ -217,6 +217,51 @@ case class BloomMightContain(child: Expression, numHashes: Int, numBits: Long,
     copy(child = newChild)
 }
 
+/** Partition-keyed membership probe: `left` = xxhash64 of the partition
+  * value, `right` = xxhash64 of the key; `filters` maps partition-hash →
+  * that partition's filter words (uniform geometry). A partition with no
+  * entry prunes UNCONDITIONALLY — fpp is exactly 0 for partition values
+  * absent from the build side, and keys of one partition never pollute
+  * another's filter. The map rides one `Broadcast`; each probe costs a
+  * hash lookup + ≤ k word loads, inside whole-stage codegen.
+  */
+case class BloomMightContainKeyed(left: Expression, right: Expression,
+                                  numHashes: Int, numBits: Long,
+                                  filters: Broadcast[java.util.HashMap[java.lang.Long, Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain_keyed"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects xxhash64 of (partition, key) (bigint, bigint), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(p: Any, h: Any): Any = {
+    val w = filters.value.get(p.asInstanceOf[Long])
+    w != null && ProbFilterOps.mightContain(w, h.asInstanceOf[Long], numHashes, numBits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("bloomMapBc", filters, "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("java.util.HashMap", "bloomMap",
+      v => s"$v = (java.util.HashMap) $bc.value();")
+    nullSafeCodeGen(ctx, ev, (p, h) => {
+      val w = ctx.freshName("bloomWords")
+      s"""long[] $w = (long[]) $m.get(java.lang.Long.valueOf($p));
+         |${ev.value} = $w != null &&
+         |  graft.functions.ProbFilterOps.mightContain($w, $h, $numHashes, ${numBits}L);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BloomMightContainKeyed =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Mergeable count-min sketch over the XXH64(seed 42) hashes of `child`:
   * depth×width counters, merge = element-wise add. Estimates are upper
   * bounds; error ≤ 2n/width with probability 1 − 2^−depth. Output:
@@ -333,6 +378,18 @@ object ProbFilters {
     val (numHashes, numBits, words) = ProbFilterOps.deserializeBloom(bloomBytes)
     val bc = spark.sparkContext.broadcast(words)
     shim.column(BloomMightContain(shim.expression(xxhash64(key)), numHashes, numBits, bc))
+  }
+
+  /** Partition-keyed probe: TRUE iff `part`'s filter exists in `filters`
+    * (keyed by xxhash64 of the partition value) AND it might contain
+    * `key`. One broadcast of the whole filter map.
+    */
+  def mightContainKeyed(spark: SparkSession, part: Column, key: Column,
+                        numHashes: Int, numBits: Long,
+                        filters: java.util.HashMap[java.lang.Long, Array[Long]]): Column = {
+    val bc = spark.sparkContext.broadcast(filters)
+    shim.column(BloomMightContainKeyed(shim.expression(xxhash64(part)),
+      shim.expression(xxhash64(key)), numHashes, numBits, bc))
   }
 
   /** Count-min aggregate; width ≈ 2/ε counters per row, depth ≈ log(1/δ). */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.ProbFilters
+import graft.functions.{ProbFilterOps, ProbFilters}
 
 /** Bloom semi-join reduction: drop big-side rows that cannot possibly have
   * a join partner BEFORE the join's shuffle.
@@ -54,5 +54,63 @@ object BloomPrune {
       .head().getAs[Array[Byte]]("bloom")
     val pruned = large.where(ProbFilters.mightContain(spark, col(largeKey), bloomBytes))
     pruned.join(small, pruned(largeKey) === small(smallKey), joinType)
+  }
+
+  /** [[pruneJoin]] for a COMPOUND key `(partition, key)` — e.g. a join
+    * aligned with the dataset's partitioning — with one Bloom filter PER
+    * partition value of the small side instead of one global filter.
+    *
+    * Why per-partition beats one filter over the composite key at the
+    * same total bytes:
+    *  - a big-side partition value ABSENT from the small side prunes at
+    *    fpp = 0 without spending a bit on it;
+    *  - each probe touches only its partition's (smaller, cache-resident)
+    *    words; and at 100 TB, where a global filter for billions of keys
+    *    outgrows a single broadcast value, the map ships per-partition
+    *    chunks that executors fault in as their partitions need them.
+    * Against the NAIVE alternative — a global filter over the key column
+    * alone — it also removes every cross-partition collision: a key
+    * present only under partition A no longer keeps partition B's rows
+    * alive (asserted in the spec).
+    *
+    * All partition filters share one geometry, sized for the LARGEST
+    * partition's key count (`expectedItemsPerPartition` or one light
+    * count pass over the small side) — skewed small sides waste some bits
+    * on tiny partitions but never exceed the configured fpp.
+    */
+  def pruneJoinPartitioned(large: DataFrame, small: DataFrame,
+                           largePartKey: String, largeKey: String,
+                           smallPartKey: String, smallKey: String,
+                           joinType: String = "inner",
+                           expectedItemsPerPartition: Long = 0L,
+                           fpp: Double = 0.01): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    Seq((largePartKey, smallPartKey), (largeKey, smallKey)).foreach { case (l, s) =>
+      require(large.schema(l).dataType == small.schema(s).dataType,
+        s"join key types must match exactly for bloom probing: " +
+          s"$l is ${large.schema(l).dataType}, $s is ${small.schema(s).dataType}")
+    }
+    val spark = large.sparkSession
+    val n =
+      if (expectedItemsPerPartition > 0) expectedItemsPerPartition
+      else math.max(1L, small.groupBy(col(smallPartKey)).count()
+        .agg(max("count")).head().getLong(0))
+    val m = ((ProbFilterOps.bloomBits(n, fpp) + 63) / 64) * 64 // word-align
+    val k = ProbFilterOps.bloomHashes(n, m)
+    // one distributed agg pass: (partition, filter) rows, O(m · partitions)
+    val rows = small.groupBy(col(smallPartKey))
+      .agg(ProbFilters.bloomAggSized(col(smallKey), m, k).as("bloom"))
+      .select(xxhash64(col(smallPartKey)).as("ph"), col("bloom"))
+      .collect()
+    val filters = new java.util.HashMap[java.lang.Long, Array[Long]](rows.length * 2)
+    rows.foreach { r =>
+      filters.put(r.getLong(0), ProbFilterOps.deserializeBloom(r.getAs[Array[Byte]](1))._3)
+    }
+    val pruned = large.where(ProbFilters.mightContainKeyed(spark,
+      col(largePartKey), col(largeKey), k, m, filters))
+    pruned.join(small,
+      pruned(largePartKey) === small(smallPartKey) && pruned(largeKey) === small(smallKey),
+      joinType)
   }
 }

@@ -1,21 +1,38 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media metadata produced by the (stubbed) decoder. */
+/** Decoded-media metadata: real header facts for payloads `ImageIO` can
+  * decode (PNG/JPEG/GIF/BMP — JVM-builtin codecs), deterministic stub
+  * values otherwise.
+  */
 final case class MediaMeta(doc_id: Long, n_bytes: Int, magic: String,
                            width: Int, height: Int, channels: Int, checksum: Long)
+
+/** A (possibly re-encoded) image payload with its decoded dimensions;
+  * width/height are -1 when the payload is not a decodable image.
+  */
+final case class MediaPayload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
 /** Multimodal column handling: media (image/audio/video) ride through the
   * pipeline as opaque `binary` columns with typed metadata beside them.
   * The Spark-side plumbing — schema, batch shape, partition-parallel decode
-  * via `mapPartitions`, metadata projection — is real; the byte-level
-  * decode itself is a DETERMINISTIC STUB (this container has no media
-  * libraries), clearly marked below, with the exact seam where a real
-  * decoder (JNI/javacv/etc.) would slot in.
+  * via `mapPartitions`, metadata projection — is real throughout. The
+  * IMAGE kernels (decode, resize, pixel features) are real too, built on
+  * the JVM's own `javax.imageio` codecs (PNG/JPEG/GIF/BMP) — no native
+  * libraries needed. Payloads no codec accepts (audio/video — the
+  * container ships no such codec) fall back to a DETERMINISTIC STUB,
+  * clearly marked below, at the exact seam a JNI/javacv decoder would
+  * slot into.
   */
 object Multimodal {
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case _: Exception => null } // corrupt/truncated: not an image
 
   /** Attach a fake binary payload derived from the text column — stands in
     * for real media bytes so the binary-column plumbing is exercised
@@ -85,12 +102,13 @@ object Multimodal {
           .cast("float"))
         .as("features"))
 
-  /** Batch "decode" via mapPartitions — the real distribution shape for a
-    * heavyweight decoder: one decoder instance per partition, rows streamed
-    * through it in batch, typed `Dataset[MediaMeta]` out. The inner
-    * `decodeOne` is the STUB seam: swap its body for a real media decode
-    * (the surrounding plumbing — per-partition init, streaming iterator,
-    * typed encoder schema — is what matters at 100 TB).
+  /** Batch decode via mapPartitions — the real distribution shape for a
+    * heavyweight decoder: decoder state per partition, rows streamed
+    * through it in batch, typed `Dataset[MediaMeta]` out. Image payloads
+    * decode FOR REAL through `ImageIO` (width/height/bands from the
+    * actual header+raster); payloads no JVM codec accepts (audio/video)
+    * take the STUB branch — deterministic pseudo-metadata at the seam a
+    * native decoder would slot into.
     */
   def decodeBatch(spark: SparkSession, withPayload: DataFrame,
                   idCol: String = "doc_id"): Dataset[MediaMeta] = {
@@ -98,15 +116,102 @@ object Multimodal {
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // A real implementation initializes the native decoder ONCE here.
+        // A heavier native decoder would initialize ONCE here.
         def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
-          // STUB decode: deterministic pseudo-metadata from the bytes.
           val h = graft.functions.Fingerprint64.hashBytes(bytes)
           val magic = bytes.take(2).map(b => f"$b%02X").mkString
-          MediaMeta(id, bytes.length, magic,
-            bytes.length % 640 + 16, (bytes.length * 7) % 480 + 16, 3, h)
+          val img = readImage(bytes)
+          if (img != null)
+            MediaMeta(id, bytes.length, magic,
+              img.getWidth, img.getHeight, img.getRaster.getNumBands, h)
+          else
+            // STUB branch (non-image media): deterministic pseudo-metadata.
+            MediaMeta(id, bytes.length, magic,
+              bytes.length % 640 + 16, (bytes.length * 7) % 480 + 16, 3, h)
         }
         rows.map { case (id, bytes) => decodeOne(id, bytes) }
       }
+  }
+
+  /** REAL image resize: decode via `ImageIO`, scale the long side to
+    * `maxSide` (aspect preserved, bilinear), re-encode as PNG. Runs
+    * partition-parallel with no shuffle; images already inside the box
+    * pass through byte-identical (no decode-recode churn), non-image
+    * payloads pass through with (-1, -1) dimensions so callers can route
+    * them to a different decoder.
+    */
+  def resizeImages(spark: SparkSession, withPayload: DataFrame, maxSide: Int,
+                   idCol: String = "doc_id"): Dataset[MediaPayload] = {
+    require(maxSide >= 1, s"maxSide must be positive, got $maxSide")
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = readImage(bytes)
+          if (img == null) MediaPayload(id, bytes, -1, -1)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = maxSide.toDouble / math.max(w, h)
+            if (scale >= 1.0) MediaPayload(id, bytes, w, h)
+            else {
+              val nw = math.max(1, math.round(w * scale).toInt)
+              val nh = math.max(1, math.round(h * scale).toInt)
+              val out = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              MediaPayload(id, bos.toByteArray, nw, nh)
+            }
+          }
+        }
+      }
+  }
+
+  /** REAL pixel features: per-channel means (RGB, normalized to [0,1]),
+    * aspect ratio, and an 8-bin luminance histogram — a 12-dim
+    * `array<float>` per image, the shape a learned encoder would emit.
+    * Rows whose payload doesn't decode are dropped (route them by
+    * [[decodeBatch]]'s metadata first).
+    */
+  def imageFeatures(spark: SparkSession, withPayload: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val img = readImage(bytes)
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0.0, 0.0, 0.0)
+            val hist = new Array[Long](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                // ITU-R BT.601 luma, binned to 8
+                hist(((r * 299 + g * 587 + b * 114) / 1000) >> 5) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            val feats = Array(
+              (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+              (w.toDouble / h).toFloat) ++ hist.map(c => (c / n).toFloat)
+            Some((id, feats))
+          }
+        }
+      }.toDF(idCol, "features")
   }
 }

@@ -61,13 +61,12 @@ object EventStream {
     *
     * Returns the started query; the caller owns its lifecycle.
     *
-    * Caveats vs published datasets: the parquet sink keeps a
-    * `_spark_metadata` commit log — `fetch` honors it (uncommitted files
-    * from failed micro-batches are invisible), but the LISTING-based
-    * introspection ops (`getAllPartitionValues`, `allFiles`, `fetchDiff`)
-    * see raw files and may over-report until the batch commits. To hand a
-    * stream-sink root to the introspection surface, normalize it first
-    * with `Fetch.compact` into a regular published dataset.
+    * The parquet sink keeps a `_spark_metadata` commit log, and the whole
+    * read surface honors it: `fetch`'s scan natively, and the
+    * listing-based introspection ops (`getAllPartitionValues`,
+    * `allFiles`, `fetchDiff`, `getMaxPartitionValue`) through the
+    * sink-log-aware listing — a crashed micro-batch's orphan files are
+    * invisible everywhere until a commit covers them.
     */
   def streamToDataset(spark: SparkSession, events: DataFrame, root: String,
                       partitions: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

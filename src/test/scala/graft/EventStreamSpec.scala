@@ -61,6 +61,51 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("listing introspection on a stream-sink root sees only committed files") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/stream_sink_listing"
+    val ckpt = "/tmp/graft_test/stream_sink_listing_ckpt"
+    Seq(root, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("id", "p", "v")
+    val query = EventStream.streamToDataset(spark, events, root, Seq("p"), ckpt)
+    input.addData((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val committed = graft.core.Fetch.allFiles(spark, root)
+    assert(committed.nonEmpty)
+
+    // simulate a crashed micro-batch: an orphan parquet file in an
+    // existing partition and a whole orphan partition dir — present on
+    // disk, absent from the sink commit log
+    val orphanDirA = new java.io.File(s"$root/p=a")
+    val orphanDirC = new java.io.File(s"$root/p=c")
+    orphanDirC.mkdirs()
+    // copy a real committed file's bytes as the orphans (valid parquet)
+    val src = new java.io.File(committed.head)
+    val orphanA = new java.io.File(orphanDirA, "part-orphan-a.parquet")
+    val orphanC = new java.io.File(orphanDirC, "part-orphan-c.parquet")
+    java.nio.file.Files.copy(src.toPath, orphanA.toPath)
+    java.nio.file.Files.copy(src.toPath, orphanC.toPath)
+
+    // listings: the orphans are invisible
+    val files = graft.core.Fetch.allFiles(spark, root)
+    assert(files.toSet == committed.toSet, "orphan files must not appear in listings")
+    assert(graft.core.Fetch.getAllPartitionValues(spark, root, "p").toSet == Set("a", "b"),
+      "an uncommitted partition dir must not appear in partition values")
+    // fetch agrees with the listing surface (scan honors the log natively)
+    assert(graft.core.Fetch.fetch(spark, root).count() == 3)
+    // diff against a published comparison dataset is exact
+    val cmp = "/tmp/graft_test/stream_sink_listing_cmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cmp))
+    graft.core.Publish.publish(spark,
+      Seq((10L, "a", 0.0)).toDF("id", "p", "v"), cmp, Seq("p"))
+    val diff = graft.core.Fetch.fetchDiff(spark, root, cmp, "p")
+    assert(diff.select("p").distinct().as[String].collect().toSet == Set("b"),
+      "fetchDiff must diff committed partitions only")
+  }
+
   test("streaming dedup drops within-watermark duplicate keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]

@@ -57,4 +57,68 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => (m.doc_id, m.n_bytes.toLong, m.magic)).collect().toSet
     assert(batch == columnar)
   }
+
+  /** A real PNG of the given size filled with one RGB color. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private lazy val images = Seq(
+    (1L, png(40, 20, 0xff0000)), // red, landscape
+    (2L, png(8, 32, 0x0000ff)),  // blue, portrait
+    (3L, "definitely not an image".getBytes("UTF-8"))
+  ).toDF("doc_id", "payload")
+
+  test("decodeBatch reads REAL dimensions and bands from actual PNG bytes") {
+    val metas = Multimodal.decodeBatch(spark, images).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).width == 40 && metas(1L).height == 20 && metas(1L).channels == 3)
+    assert(metas(2L).width == 8 && metas(2L).height == 32 && metas(2L).channels == 3)
+    assert(metas(1L).magic == "8950", "PNG signature bytes") //  P
+    // the non-image payload takes the deterministic stub branch, not a crash
+    assert(metas(3L).width == (metas(3L).n_bytes % 640 + 16))
+  }
+
+  test("resizeImages scales real pixels, preserves aspect, round-trips via ImageIO") {
+    val out = Multimodal.resizeImages(spark, images, maxSide = 16)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(out(1L).width == 16 && out(1L).height == 8, "40x20 -> 16x8")
+    assert(out(2L).width == 4 && out(2L).height == 16, "8x32 -> 4x16")
+    // the resized payload is itself a decodable PNG of the new size
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(re.getWidth == 16 && re.getHeight == 8)
+    // an all-red source stays red after bilinear resize
+    assert((re.getRGB(8, 4) & 0xffffff) == 0xff0000)
+    // non-image passes through untouched, flagged
+    assert(out(3L).width == -1 && out(3L).payload.sameElements(
+      "definitely not an image".getBytes("UTF-8")))
+    // already-small images pass through byte-identical
+    val small = Multimodal.resizeImages(spark, images, maxSide = 64)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(small(1L).payload.sameElements(
+      images.where($"doc_id" === 1L).select("payload").as[Array[Byte]].head()))
+  }
+
+  test("imageFeatures computes real pixel statistics") {
+    val feats = Multimodal.imageFeatures(spark, images)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(!feats.contains(3L), "non-images are dropped")
+    val red = feats(1L)
+    assert(red.length == 12)
+    assert(math.abs(red(0) - 1.0f) < 1e-3 && red(1) < 1e-3 && red(2) < 1e-3,
+      s"all-red image must have mean RGB ~ (1,0,0), got ${red.take(3)}")
+    assert(math.abs(red(3) - 2.0f) < 1e-3, "aspect 40/20 = 2")
+    // luminance of pure red = 76 (bin 2 of 8); histogram is a point mass
+    assert(math.abs(red(4 + 2) - 1.0f) < 1e-3,
+      s"red luma bin should hold all pixels: ${red.drop(4)}")
+    val blue = feats(2L)
+    assert(blue(2) > 0.999f && blue(0) < 1e-3 && math.abs(blue(3) - 0.25f) < 1e-3)
+  }
 }

@@ -87,6 +87,55 @@ class ProbFilterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must match"))
   }
 
+  test("partitioned pruneJoin equals the plain compound-key join exactly") {
+    // partition p of the small side holds only keys with k % 2 == p % 2:
+    // the same key VALUES recur under other partitions with different
+    // membership — the adversarial case for any key-only filter
+    val small = (0 until 10).flatMap(p => (0 until 100).collect {
+      case k if k % 2 == p % 2 => (p, k.toLong)
+    }).toDF("p", "k")
+    val large = (0 until 10).flatMap(p => (0 until 100).map(k => (p, k.toLong, p * 1000 + k)))
+      .toDF("p", "k", "payload")
+    val got = BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k")
+      .select(large("p"), large("k"), col("payload"))
+    val want = large.join(small, large("p") === small("p") && large("k") === small("k"))
+      .select(large("p"), large("k"), col("payload"))
+    assert(got.count() == 500)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("per-partition filters prune cross-partition collisions a key-only filter keeps") {
+    val small = (0 until 10).flatMap(p => (0 until 100).collect {
+      case k if k % 2 == p % 2 => (p, k.toLong)
+    }).toDF("p", "k")
+    val large = (0 until 12).flatMap(p => (0 until 100).map(k => (p, k.toLong)))
+      .toDF("p", "k") // partitions 10, 11 absent from the small side
+    // global filter over the key column alone (equal total bytes: 10
+    // filters sized for 50 keys each ≈ one filter sized for 500)
+    val globalBytes = small.agg(ProbFilters.bloomAgg(col("k"), 500, 0.01).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val globalSurvivors = large
+      .where(ProbFilters.mightContain(spark, col("k"), globalBytes)).count()
+    // per-partition filters, same per-key budget
+    val m = ((ProbFilterOps.bloomBits(50, 0.01) + 63) / 64) * 64
+    val kHashes = ProbFilterOps.bloomHashes(50, m)
+    val rows = small.groupBy(col("p"))
+      .agg(ProbFilters.bloomAggSized(col("k"), m, kHashes).as("b"))
+      .select(xxhash64(col("p")).as("ph"), col("b")).collect()
+    val filters = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    rows.foreach(r => filters.put(r.getLong(0),
+      ProbFilterOps.deserializeBloom(r.getAs[Array[Byte]](1))._3))
+    val keyedSurvivors = large
+      .where(ProbFilters.mightContainKeyed(spark, col("p"), col("k"), kHashes, m, filters))
+      .count()
+    // every key value exists SOMEWHERE in the small side: the key-only
+    // filter keeps all 1200 rows; keyed filters keep the 500 true matches
+    // (+ ~fpp) and drop the absent partitions 10/11 at fpp exactly 0
+    assert(globalSurvivors == 1200L, s"key-only filter should keep everything: $globalSurvivors")
+    assert(keyedSurvivors < 550L,
+      s"keyed filters must prune to ~true matches: $keyedSurvivors of 1200")
+  }
+
   test("count-min: estimates are upper bounds and exact for a small vocab") {
     val words = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
     val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 4096).as("s"))

@@ -119,6 +119,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(uni(1) > uni(2), s"common-token doc must score higher, got $uni")
   }
 
+  test("LM scorers stay exact on the shuffle path (open-vocabulary scale)") {
+    // At 100 TB an open vocabulary outgrows any broadcast: the model
+    // joins carry NO broadcast hint, so AQE shuffles them once the count
+    // frames look big. Force that plan (threshold -1) and assert both
+    // the plan shape and bit-identical results. The one-row total/vocab
+    // frames keep their explicit broadcast hints — they are O(1) at any
+    // corpus size.
+    import spark.implicits._
+    // long-tail vocab: 400 distinct tokens across 60 docs
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 20).map(j => s"tok${(i * 7 + j * 13) % 400}").mkString(" "),
+        s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val wantUni = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wantBi = TextAnalysis.bigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wantKl = TextAnalysis.sourceKlDivergence(docs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val uni = TextAnalysis.unigramLogProb(docs)
+      // final AQE plan only (the plan string also embeds the initial one)
+      val plan = uni.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastHashJoin"),
+        "model join must not broadcast when the vocabulary is deemed large")
+      assert(uni.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == wantUni)
+      assert(TextAnalysis.bigramSurprisal(docs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == wantBi)
+      assert(TextAnalysis.sourceKlDivergence(docs)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet == wantKl)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("source KL: a drifted source scores higher than representative ones") {
     import spark.implicits._
     val docs = Seq(
