@@ -34,6 +34,12 @@ object BloomPrune {
     * distinct key count when known, or leave 0 to spend one `count()` on
     * it. Join-type restriction is semantic: for outer/anti joins, dropping
     * big-side rows changes the result.
+    *
+    * NOTE: the filter build is EAGER — this call runs one Spark job over
+    * the small side (the aggregate + `head()`) before returning the lazy
+    * joined frame. Necessary: the bit array must exist to be broadcast
+    * into the probe expression. Call it where a job is acceptable, not
+    * inside plan-construction-only code paths.
     */
   def pruneJoin(large: DataFrame, small: DataFrame, largeKey: String, smallKey: String,
                 joinType: String = "inner", expectedItems: Long = 0L,

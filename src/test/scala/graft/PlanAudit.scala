@@ -86,6 +86,11 @@ object PlanAudit {
       "bloom probe before the shuffle" -> (_.contains("graft_might_contain")),
       "partial aggregate after join" -> (_.contains("partial_sum")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_bloom_part_join",
+      // the per-partition probe sits in the fact scan stage like the
+      // global one; the map lookup + probe are codegen'd
+      "keyed bloom probe in the scan" -> (_.contains("graft_might_contain_keyed")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     locally {
       // the count-min probe collapses into the final distinct-aggregate's
       // result projection (one probe per distinct word, not per row) —
