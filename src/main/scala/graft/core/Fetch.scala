@@ -195,8 +195,7 @@ object Fetch {
     // fresh stats pass — the untouched 98% of a 100 TB dataset is never
     // re-read for its index.
     StatsIndex.read(spark, src).foreach { stats =>
-      val cols = StatsIndex.indexedColumns(spark, src)
-      StatsIndex.migrateCompacted(spark, stats, dest, meta, copied, rewritten, cols)
+      StatsIndex.migrateCompacted(spark, stats, dest, meta, copied, rewritten)
     }
     (healthy.size, fragments.size)
   }

@@ -163,7 +163,10 @@ object StatsIndex {
   /** Fold accumulated append fragments back into few sidecar files.
     * Rewrites through a temp dir + rename — the sidecar being compacted
     * is also the frame being read, and parquet cannot overwrite its own
-    * input in-flight.
+    * input in-flight. The delete→rename window is crash-covered: a
+    * completed `_graft_stats_tmp` with no main dir is recognized and the
+    * swap finished by [[read]] (and a failed rename raises instead of
+    * silently leaving the index gone).
     */
   private def maybeCompactSidecar(spark: SparkSession, root: String): Unit = {
     val p = new Path(s"$root/$DirName")
@@ -177,7 +180,8 @@ object StatsIndex {
       .repartition(math.max(1L, totalBytes / (32L << 20)).toInt)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(p, true)
-    fs.rename(tmp, p)
+    require(fs.rename(tmp, p),
+      s"sidecar compaction swap failed: $tmp could not replace $p — rebuild the index")
   }
 
   /** Carry an index across a compaction: byte-copied files keep their
@@ -189,9 +193,9 @@ object StatsIndex {
   private[core] def migrateCompacted(spark: SparkSession, srcStats: DataFrame,
                                      dest: String, meta: DatasetMeta,
                                      copied: Seq[(String, String)],
-                                     freshFiles: Seq[String],
-                                     cols: Seq[String]): Unit = {
-    val target = validTarget(meta, cols)
+                                     freshFiles: Seq[String]): Unit = {
+    // one distinct-scan of the in-scope frame — not a second sidecar read
+    val target = validTarget(meta, coveredColumns(srcStats).toSeq.sorted)
     import spark.implicits._
     val mapDf = copied.toDF("src_file", "dest_file")
     val carried = srcStats.join(mapDf, srcStats("file") === mapDf("src_file"))
@@ -203,11 +207,19 @@ object StatsIndex {
       (copied.size + freshFiles.size).toLong * target.size, "overwrite")
   }
 
-  /** The index contents, or None when the dataset has no stats sidecar. */
+  /** The index contents, or None when the dataset has no stats sidecar.
+    * Recovers a compaction that crashed between its delete and rename:
+    * a complete `_graft_stats_tmp` with no main dir IS the index — finish
+    * the swap and carry on.
+    */
   def read(spark: SparkSession, root: String): Option[DataFrame] = {
     val p = new Path(s"$root/$DirName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None else Some(spark.read.schema(statsSchema).parquet(p.toString))
+    if (!fs.exists(p)) {
+      val tmp = new Path(s"$root/$TmpDirName")
+      if (!fs.exists(tmp) || !fs.rename(tmp, p)) return None
+    }
+    Some(spark.read.schema(statsSchema).parquet(p.toString))
   }
 
   /** Data files that MIGHT satisfy every filter: the full listing minus

@@ -71,9 +71,11 @@ object BloomPrune {
     *  - a big-side partition value ABSENT from the small side prunes at
     *    fpp = 0 without spending a bit on it;
     *  - each probe touches only its partition's (smaller, cache-resident)
-    *    words; and at 100 TB, where a global filter for billions of keys
-    *    outgrows a single broadcast value, the map ships per-partition
-    *    chunks that executors fault in as their partitions need them.
+    *    words. The whole map still ships in ONE broadcast — same total
+    *    bytes as the global filter; a build side so large that even that
+    *    broadcast won't fit would need partition-selective shipping
+    *    (e.g. probing partition-aligned tasks against per-partition
+    *    sidecar files), which this operator does not implement.
     * Against the NAIVE alternative — a global filter over the key column
     * alone — it also removes every cross-partition collision: a key
     * present only under partition A no longer keeps partition B's rows
@@ -100,8 +102,12 @@ object BloomPrune {
     val spark = large.sparkSession
     val n =
       if (expectedItemsPerPartition > 0) expectedItemsPerPartition
-      else math.max(1L, small.groupBy(col(smallPartKey)).count()
-        .agg(max("count")).head().getLong(0))
+      else {
+        // max over zero groups is NULL (empty small side) — an empty
+        // build must degrade to an empty join, like pruneJoin does
+        val r = small.groupBy(col(smallPartKey)).count().agg(max("count")).head()
+        if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
+      }
     val m = ((ProbFilterOps.bloomBits(n, fpp) + 63) / 64) * 64 // word-align
     val k = ProbFilterOps.bloomHashes(n, m)
     // one distributed agg pass: (partition, filter) rows, O(m · partitions)
@@ -111,7 +117,14 @@ object BloomPrune {
       .collect()
     val filters = new java.util.HashMap[java.lang.Long, Array[Long]](rows.length * 2)
     rows.foreach { r =>
-      filters.put(r.getLong(0), ProbFilterOps.deserializeBloom(r.getAs[Array[Byte]](1))._3)
+      val words = ProbFilterOps.deserializeBloom(r.getAs[Array[Byte]](1))._3
+      val prev = filters.get(r.getLong(0))
+      // a 64-bit hash collision between two partition VALUES (~n²/2^65) —
+      // OR the filters together: probes then admit either partition's
+      // keys (a cost, removed by the real join), never a false negative
+      // (which would silently drop matching rows)
+      if (prev == null) filters.put(r.getLong(0), words)
+      else { var i = 0; while (i < prev.length) { prev(i) |= words(i); i += 1 } }
     }
     val pruned = large.where(ProbFilters.mightContainKeyed(spark,
       col(largePartKey), col(largeKey), k, m, filters))

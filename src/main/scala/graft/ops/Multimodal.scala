@@ -30,9 +30,21 @@ final case class MediaPayload(doc_id: Long, payload: Array[Byte], width: Int, he
   */
 object Multimodal {
 
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  /** ImageIO defaults to a DISK-backed stream cache — a temp file (plus
+    * fsync churn) per decode/encode, turning an in-memory transform into
+    * per-row disk I/O in the executor hot loop. The payload is already a
+    * byte array; switch the JVM to memory caching once.
+    */
+  private lazy val imageIoInMemory: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoInMemory
     try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case _: Exception => null } // corrupt/truncated: not an image
+  }
 
   /** Attach a fake binary payload derived from the text column — stands in
     * for real media bytes so the binary-column plumbing is exercised
@@ -192,11 +204,16 @@ object Multimodal {
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0.0, 0.0, 0.0)
             val hist = new Array[Long](8)
+            // bulk row fetch: one color-model conversion per ROW, not the
+            // per-pixel getRGB(x, y) call path (bounds check + conversion
+            // per pixel — dominant at media scale)
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
                 sr += r; sg += g; sb += b
                 // ITU-R BT.601 luma, binned to 8

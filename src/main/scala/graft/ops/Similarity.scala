@@ -108,10 +108,22 @@ object Similarity {
     val target = (maxFitSample * 1.2).toLong
     val fraction = math.min(1.0, 4.0 * target.toDouble / estRows)
     val sampled = if (fraction >= 1.0) c else c.sample(withReplacement = false, fraction, seed)
-    val collected: Array[Array[Double]] = sampled
-      .select(unitized("cv", "cn").as("nv"))
+    val nv = unitized("cv", "cn").as("nv")
+    var collected: Array[Array[Double]] = sampled.select(nv)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    if (collected.length < math.max(64, 4 * nlist) && fraction < 1.0) {
+      // Stats-less plans (RDD-backed frames, some views) report
+      // sizeInBytes = defaultSizeInBytes = Long.MaxValue, collapsing the
+      // fraction to ~0 and the sample to nothing — which would quietly
+      // fit ZERO centroids and return empty ANN results. Pay the exact
+      // count() only on this degenerate path and resample correctly.
+      val exact = math.max(1L, c.count())
+      val f = math.min(1.0, 1.2 * target.toDouble / exact)
+      collected =
+        (if (f >= 1.0) c else c.sample(withReplacement = false, f, seed))
+          .select(nv).collect().map(_.getSeq[Double](0).toArray)
+    }
     // estimate came in low → collected overshot the target: down-sample
     // uniformly driver-side (seeded shuffle of an already-uniform sample
     // stays uniform)

@@ -136,6 +136,12 @@ class ProbFilterSpec extends AnyFunSuite {
       s"keyed filters must prune to ~true matches: $keyedSurvivors of 1200")
   }
 
+  test("partitioned pruneJoin with an empty small side yields an empty join, not a crash") {
+    val small = Seq.empty[(Int, Long)].toDF("p", "k")
+    val large = (0 until 5).map(i => (i, i.toLong)).toDF("p", "k")
+    assert(BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k").count() == 0)
+  }
+
   test("count-min: estimates are upper bounds and exact for a small vocab") {
     val words = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
     val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 4096).as("s"))

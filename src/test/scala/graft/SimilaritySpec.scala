@@ -100,6 +100,23 @@ class SimilaritySpec extends AnyFunSuite {
     } finally index.assigned.unpersist()
   }
 
+  test("IVF works on stats-less plans (RDD-backed frame) — no silent empty fit") {
+    // createDataFrame(rdd, schema) reports sizeInBytes = Long.MaxValue:
+    // the stats-derived sample fraction collapses to ~0 and, without the
+    // exact-count fallback, the quantizer fit zero centroids and every
+    // query returned empty
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val rows = corpus.collect()
+    val rddCorpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), schema)
+    val queries = rddCorpus.where($"vec_id" < 10)
+    val out = Similarity.ivfTopK(rddCorpus, queries, 5, nlist = 8, nprobe = 8)
+    assert(out.count() == 50, "every query must get k neighbors")
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = corpus.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)
