@@ -226,9 +226,19 @@ object StatsIndex {
     * files the index proves out. No index ⇒ the full listing.
     *
     * The skip decision runs distributed-side ([[pruneExpr]], the Column
-    * twin of [[mightMatch]]) and only PRUNED paths return to the driver —
-    * never the manifest. Files or columns the index doesn't know have no
-    * stats row, so they can't be pruned: conservative by construction.
+    * twin of [[mightMatch]]) and the driver collects whichever side of the
+    * verdict is SMALLER — pruned paths when the predicate is broad,
+    * surviving paths (via a distributed anti-join of the listing against
+    * the pruned set) when it is selective — so inbound driver transfer is
+    * min(pruned, survivors), never the manifest. Files or columns the
+    * index doesn't know have no stats row, so they can't be pruned:
+    * conservative by construction (the anti-join keeps them too — an
+    * unindexed path matches no pruned row).
+    *
+    * Remaining ceiling, by design: `all` itself is a driver-side list of
+    * path strings (~200 MB at 2M files) — the same ceiling Spark's
+    * InMemoryFileIndex carries. A manifest-based scan (split planning
+    * from the sidecar, no listing) is the eventual fix.
     */
   def candidateFiles(spark: SparkSession, root: String, meta: DatasetMeta,
                      dataFilters: Seq[ColFilter]): Seq[String] = {
@@ -239,9 +249,17 @@ object StatsIndex {
       case None => all
       case Some(stats) =>
         val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
-        val pruned = stats.where(pruneCond).select("file").distinct()
-          .collect().map(_.getString(0)).toSet
-        all.filterNot(pruned)
+        val prunedDf = stats.where(pruneCond).select("file").distinct()
+        if (prunedDf.count() * 2 <= all.size) {
+          val pruned = prunedDf.collect().map(_.getString(0)).toSet
+          all.filterNot(pruned)
+        } else {
+          import spark.implicits._
+          val survivors = all.toDF("path")
+            .join(prunedDf, col("path") === prunedDf("file"), "left_anti")
+            .collect().map(_.getString(0)).toSet
+          all.filter(survivors) // survivors in stable listing order
+        }
     }
   }
 

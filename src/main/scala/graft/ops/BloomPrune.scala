@@ -91,7 +91,8 @@ object BloomPrune {
                            smallPartKey: String, smallKey: String,
                            joinType: String = "inner",
                            expectedItemsPerPartition: Long = 0L,
-                           fpp: Double = 0.01): DataFrame = {
+                           fpp: Double = 0.01,
+                           maxFilterMapBytes: Long = 256L << 20): DataFrame = {
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
     Seq((largePartKey, smallPartKey), (largeKey, smallKey)).foreach { case (l, s) =>
@@ -100,15 +101,27 @@ object BloomPrune {
           s"$l is ${large.schema(l).dataType}, $s is ${small.schema(s).dataType}")
     }
     val spark = large.sparkSession
-    val n =
-      if (expectedItemsPerPartition > 0) expectedItemsPerPartition
-      else {
-        // max over zero groups is NULL (empty small side) — an empty
-        // build must degrade to an empty join, like pruneJoin does
-        val r = small.groupBy(col(smallPartKey)).count().agg(max("count")).head()
-        if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
-      }
+    // one light agg over the (small) build side gives both the sizing input
+    // and the partition cardinality the driver-memory guard below needs
+    val stats = small.groupBy(col(smallPartKey)).count()
+      .agg(max("count").as("mx"), count(lit(1)).as("parts")).head()
+    // max over zero groups is NULL (empty small side) — an empty build
+    // must degrade to an empty join, like pruneJoin does
+    val maxPerPart = if (stats.isNullAt(0)) 1L else math.max(1L, stats.getLong(0))
+    val partCount = stats.getLong(1)
+    val n = if (expectedItemsPerPartition > 0) expectedItemsPerPartition else maxPerPart
     val m = ((ProbFilterOps.bloomBits(n, fpp) + 63) / 64) * 64 // word-align
+    // The whole filter map is collect()ed to the driver and shipped as ONE
+    // broadcast (see scaladoc) — O(partitions × m/8) driver memory. A
+    // high-cardinality partition key would OOM the driver long after the
+    // collect started; fail fast while the cost is still one cheap agg.
+    val mapBytes = partCount * (m / 8)
+    require(mapBytes <= maxFilterMapBytes,
+      s"per-partition bloom filter map would need $mapBytes bytes on the driver " +
+        s"($partCount distinct '$smallPartKey' values x ${m / 8} bytes/filter), over the " +
+        s"$maxFilterMapBytes ceiling. This operator ships the whole map as one broadcast " +
+        s"and does not implement partition-selective shipping; raise maxFilterMapBytes, " +
+        s"widen fpp, or fall back to pruneJoin's single filter over the key column.")
     val k = ProbFilterOps.bloomHashes(n, m)
     // one distributed agg pass: (partition, filter) rows, O(m · partitions)
     val rows = small.groupBy(col(smallPartKey))

@@ -136,6 +136,27 @@ class ProbFilterSpec extends AnyFunSuite {
       s"keyed filters must prune to ~true matches: $keyedSurvivors of 1200")
   }
 
+  test("partitioned pruneJoin fails fast when the filter map would swamp the driver") {
+    // 5,000 distinct partition values x (filter bytes for 1M expected keys)
+    // ≈ 6 GB of driver memory — the guard must trip on the cheap stats agg,
+    // BEFORE the per-partition filter build/collect runs
+    val small = (0 until 5000).map(p => (p, p.toLong)).toDF("p", "k")
+    val large = Seq((1, 1L)).toDF("p", "k")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k",
+        expectedItemsPerPartition = 1000000L)
+    }
+    assert(e.getMessage.contains("5000 distinct"), e.getMessage)
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+    // the ceiling is a knob, not a constant: the map that fits the default
+    // trips a deliberately tiny ceiling (without ever building filters)
+    val tiny = (0 until 10).map(p => (p, p.toLong)).toDF("p", "k")
+    intercept[IllegalArgumentException] {
+      BloomPrune.pruneJoinPartitioned(large, tiny, "p", "k", "p", "k",
+        maxFilterMapBytes = 16L)
+    }
+  }
+
   test("partitioned pruneJoin with an empty small side yields an empty join, not a crash") {
     val small = Seq.empty[(Int, Long)].toDF("p", "k")
     val large = (0 until 5).map(i => (i, i.toLong)).toDF("p", "k")

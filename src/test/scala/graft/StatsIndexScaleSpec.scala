@@ -108,6 +108,15 @@ class StatsIndexScaleSpec extends AnyFunSuite {
       Seq(ColFilter("v", "==", Seq(4242.25)))).toSet
     assert(one == (Set(f"$qualified/part-04242.parquet") ++
       (0 until 10).map(i => f"$qualified/extra-$i%02d.parquet")))
+    // BOTH driver-collection modes must yield identical survivor sets: the
+    // selective filters above prune >half the manifest (survivor-collect
+    // mode); this broad one prunes only 100 files (pruned-collect mode)
+    val broad = StatsIndex.candidateFiles(spark, root, meta,
+      Seq(ColFilter("v", ">=", Seq(100.0)))).toSet
+    val wantBroad = ((100 until n).map(i => f"$qualified/part-$i%05d.parquet") ++
+      (0 until 10).map(i => f"$qualified/extra-$i%02d.parquet")).toSet
+    assert(broad == wantBroad,
+      s"pruned-collect mode: expected ${wantBroad.size} survivors, got ${broad.size}")
   }
 
   test("compaction migrates the index; only re-encoded fragments are re-read") {
