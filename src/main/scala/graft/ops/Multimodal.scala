@@ -17,6 +17,15 @@ final case class MediaMeta(doc_id: Long, n_bytes: Int, magic: String,
   */
 final case class MediaPayload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
+/** Decoded-audio metadata: real header facts for payloads the JVM's own
+  * `javax.sound.sampled` parsers accept (WAV/AIFF/AU ship with the JDK),
+  * deterministic stub values otherwise. `frames` is -1 when the container
+  * doesn't declare a frame count.
+  */
+final case class AudioMeta(doc_id: Long, n_bytes: Int, magic: String,
+                           sample_rate: Float, channels: Int, frames: Long,
+                           duration_sec: Double, checksum: Long)
+
 /** Multimodal column handling: media (image/audio/video) ride through the
   * pipeline as opaque `binary` columns with typed metadata beside them.
   * The Spark-side plumbing — schema, batch shape, partition-parallel decode
@@ -45,6 +54,14 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case _: Exception => null } // corrupt/truncated: not an image
   }
+
+  /** Header parse for JDK-decodable audio containers (WAV/AIFF/AU); null
+    * when no parser accepts the bytes. `getAudioFileFormat` sniffs the
+    * header only — no sample data is decoded.
+    */
+  private def readAudioFormat(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat =
+    try javax.sound.sampled.AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+    catch { case _: Exception => null } // not WAV/AIFF/AU
 
   /** Attach a fake binary payload derived from the text column — stands in
     * for real media bytes so the binary-column plumbing is exercised
@@ -136,12 +153,52 @@ object Multimodal {
           if (img != null)
             MediaMeta(id, bytes.length, magic,
               img.getWidth, img.getHeight, img.getRaster.getNumBands, h)
-          else
-            // STUB branch (non-image media): deterministic pseudo-metadata.
-            MediaMeta(id, bytes.length, magic,
-              bytes.length % 640 + 16, (bytes.length * 7) % 480 + 16, 3, h)
+          else {
+            val audio = readAudioFormat(bytes)
+            if (audio != null)
+              // real audio: no spatial dims (-1), channels from the header
+              MediaMeta(id, bytes.length, magic, -1, -1,
+                audio.getFormat.getChannels, h)
+            else
+              // STUB branch (video/unknown media): deterministic
+              // pseudo-metadata — no JVM video codec exists.
+              MediaMeta(id, bytes.length, magic,
+                bytes.length % 640 + 16, (bytes.length * 7) % 480 + 16, 3, h)
+          }
         }
         rows.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** REAL audio metadata: sample rate / channels / frame count / duration
+    * parsed from the actual bytes for the JDK's own containers (WAV/AIFF/
+    * AU) — the audio twin of [[decodeBatch]]'s `ImageIO` branch, at the
+    * same partition-parallel seam. Bytes no JVM parser accepts (mp3/ogg —
+    * the container ships no such codec) take the clearly-marked STUB
+    * branch where a JNI decoder would slot in.
+    */
+  def decodeAudioBatch(spark: SparkSession, withPayload: DataFrame,
+                       idCol: String = "doc_id"): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val h = graft.functions.Fingerprint64.hashBytes(bytes)
+          val magic = bytes.take(2).map(b => f"$b%02X").mkString
+          val aff = readAudioFormat(bytes)
+          if (aff != null) {
+            val f = aff.getFormat
+            val frames = aff.getFrameLength.toLong // NOT_SPECIFIED = -1
+            val dur =
+              if (frames >= 0 && f.getFrameRate > 0) frames / f.getFrameRate.toDouble
+              else -1.0
+            AudioMeta(id, bytes.length, magic, f.getSampleRate, f.getChannels, frames, dur, h)
+          } else
+            // STUB branch (non-JDK audio): deterministic pseudo-metadata.
+            AudioMeta(id, bytes.length, magic, 8000f + bytes.length % 40000,
+              bytes.length % 2 + 1, bytes.length.toLong, (bytes.length % 600) / 10.0, h)
+        }
       }
   }
 

@@ -65,12 +65,51 @@ object Similarity {
 
   /** A fitted IVF index: the (tiny, driver-held) coarse-quantizer
     * centroids plus the corpus with its cell assignment. Fit ONCE with
-    * [[ivfFit]], then serve any number of [[ivfQuery]] calls — persist
-    * (or publish) `assigned` and each query pays one pass over the probed
-    * cells only, with no refit and no extra corpus scan.
+    * [[ivfFit]], then serve any number of [[ivfQuery]] calls — and
+    * [[IvfIndex.save]]/[[IvfIndex.load]] carry the index ACROSS sessions:
+    * the 100 TB assignment pass is paid once, and queries on a loaded
+    * index read only their probed cells' partitions.
     */
   final class IvfIndex private[ops](private[ops] val centroids: Array[(Array[Double], Int)],
-                                    val assigned: DataFrame)
+                                    val assigned: DataFrame,
+                                    private[ops] val persistedRoot: Option[String] = None) {
+
+    /** Persist the index at `root`: the assignment as a graft dataset
+      * HIVE-PARTITIONED BY CELL (so a loaded index serves [[ivfQuery]]
+      * through graft's own partition pruning — probed cells map to listed
+      * directories, unprobed cells are never opened), the centroids as a
+      * small underscore-hidden parquet sidecar (invisible to data
+      * listings, like `_graft_stats`). Data first, sidecar last: a save
+      * that dies mid-way leaves no centroids file and [[IvfIndex.load]]
+      * fails loudly instead of serving a half-written index.
+      */
+    def save(root: String): Unit = {
+      val spark = assigned.sparkSession
+      graft.core.Publish.publish(spark, assigned, root, Seq("cell"))
+      import spark.implicits._
+      centroids.toSeq.map { case (vec, cell) => (cell, vec.toSeq) }
+        .toDF("cell", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/${IvfIndex.CentroidsDir}")
+    }
+  }
+
+  object IvfIndex {
+    private[ops] val CentroidsDir = "_graft_ivf_centroids"
+
+    /** Re-open a saved index. The centroid sidecar (≤ nlist small rows)
+      * collects to the driver; the assignment stays a lazy frame — nothing
+      * of the corpus is read until a query probes it, and then only the
+      * probed cells' partitions are.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+      val centroids = spark.read.parquet(s"$root/$CentroidsDir")
+        .collect()
+        .map(r => (r.getSeq[Double](r.fieldIndex("vec")).toArray, r.getInt(r.fieldIndex("cell"))))
+        .sortBy(_._2)
+      require(centroids.nonEmpty, s"no IVF centroids found at $root/$CentroidsDir")
+      new IvfIndex(centroids, graft.core.Fetch.fetch(spark, root), Some(root))
+    }
+  }
 
   /** Catalyst-stats row estimate — no job, no scan. The sample fraction
     * only needs the order of magnitude; [[ivfFit]] biases it UP and
@@ -175,9 +214,20 @@ object Similarity {
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
       .withColumn("cell", explode(probeCells(unitized("qv", "qn"))))
 
+    // A persisted index is cell-partitioned on disk: resolve the probed
+    // cell set (≤ nlist values — one cheap pass over the query side) and
+    // fetch ONLY those partitions. Unprobed cells' files are never listed,
+    // let alone read. The in-memory path keeps the zero-extra-job join.
+    val assigned = index.persistedRoot match {
+      case Some(root) =>
+        val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+        graft.core.Fetch.fetch(index.assigned.sparkSession, root,
+          Seq(graft.core.ColFilter("cell", "==", probed)))
+      case None => index.assigned
+    }
     // one cell per corpus vector + distinct probed cells per query ⇒ a
     // (query, neighbor) pair matches at most once: no dedup shuffle needed
-    val cands = index.assigned.join(q, Seq("cell"))
+    val cands = assigned.join(q, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     topKPerQuery(cands, k)

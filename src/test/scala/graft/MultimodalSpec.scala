@@ -121,4 +121,40 @@ class MultimodalSpec extends AnyFunSuite {
     val blue = feats(2L)
     assert(blue(2) > 0.999f && blue(0) < 1e-3 && math.abs(blue(3) - 0.25f) < 1e-3)
   }
+
+  /** A real WAV container: `rate` Hz, `channels` channels, 16-bit PCM,
+    * `frames` sample frames of silence.
+    */
+  private def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudioBatch reads REAL rate/channels/duration from actual WAV bytes") {
+    val audio = Seq(
+      (1L, wav(16000f, 2, 8000)),  // 0.5 s stereo
+      (2L, wav(44100f, 1, 44100)), // 1 s mono
+      (3L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val metas = Multimodal.decodeAudioBatch(spark, audio).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).sample_rate == 16000f && metas(1L).channels == 2
+      && metas(1L).frames == 8000L)
+    assert(math.abs(metas(1L).duration_sec - 0.5) < 1e-6)
+    assert(metas(2L).sample_rate == 44100f && metas(2L).channels == 1)
+    assert(math.abs(metas(2L).duration_sec - 1.0) < 1e-6)
+    assert(metas(1L).magic == "5249", "RIFF signature bytes") // 'RI'
+    // non-audio takes the deterministic stub branch, not a crash
+    assert(metas(3L).channels == (metas(3L).n_bytes % 2 + 1))
+    // decodeBatch routes the same bytes to real channel counts, no spatial dims
+    val mixed = Multimodal.decodeBatch(spark, audio).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(mixed(1L).width == -1 && mixed(1L).height == -1 && mixed(1L).channels == 2)
+  }
 }

@@ -100,6 +100,38 @@ class SimilaritySpec extends AnyFunSuite {
     } finally index.assigned.unpersist()
   }
 
+  test("a saved IVF index reloads from disk and queries read only probed-cell partitions") {
+    val idxRoot = "/tmp/graft_test/ivf_saved_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxRoot))
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val big = (0 until 2000).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfFit(big, nlist = 8).save(idxRoot)
+    // the loaded index takes NOTHING from the in-memory fit — centroids
+    // come off the sidecar, the assignment off the cell-partitioned
+    // dataset: exactly what a fresh session sees
+    val loaded = Similarity.IvfIndex.load(spark, idxRoot)
+    val queries = big.where($"vec_id" === 0L)
+    val (out, read) = IoMetrics.recordsReadDuring(spark) {
+      Similarity.ivfQuery(loaded, queries, 5, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    // one query probing 2 of 8 cells: only those cells' partitions may be
+    // read — a strict fraction of the 2000-row assignment
+    assert(read <= 1200, s"query must read only probed-cell partitions: read $read of 2000")
+    assert(out.nonEmpty && out.forall { case (_, n) => n % 5 == 0 },
+      s"neighbors of query 0 must be cluster-0 members: $out")
+    // probing every cell on the loaded index reproduces brute force exactly
+    val exact = Similarity.bruteForceTopK(big, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfQuery(loaded, queries, 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe query on a loaded index must equal brute force")
+  }
+
   test("IVF works on stats-less plans (RDD-backed frame) — no silent empty fit") {
     // createDataFrame(rdd, schema) reports sizeInBytes = Long.MaxValue:
     // the stats-derived sample fraction collapses to ~0 and, without the
