@@ -70,6 +70,22 @@ def load_bench(path):
 #    write per run bought determinism of the correctness gate.
 ALLOWED = {"custom_publish_roundtrip"}
 
+# Queries that read a publishOnce-built /tmp scratch dataset: in a COLD
+# sandbox, whichever of these ran first used to be charged the one-time
+# dataset construction (r05: fetch_filter_in 42.4s for a 0.7s query).
+# Bench now warms every query untimed before the timed loop, but old
+# artifacts (and any future harness regression) show the signature:
+# the top inflated queries are all scratch-dataset first-touchers.
+FIRST_TOUCHERS = {
+    "fetch_filter_eq", "fetch_filter_neq", "fetch_filter_gt", "fetch_filter_gte",
+    "fetch_filter_lt", "fetch_filter_lte", "fetch_filter_in", "fetch_filter_multi",
+    "fetch_diff", "fetch_diff_reverse", "fetch_latest_partition",
+    "get_all_partition_values", "get_diff_partition_values",
+    "get_max_partition_value", "get_all_files_list", "partition_types_roundtrip",
+    "fetch_indexed_filter", "fetch_indexed_combined", "zorder_publish_roundtrip",
+    "publish_catalog_ddl", "q1_agg",
+}
+
 
 def main():
     new_path = sys.argv[1]
@@ -91,8 +107,19 @@ def main():
     if added:
         print(f"new queries ({len(added)}): " +
               ", ".join(f"{n}={nq[n]:.2f}s" for n in added))
-    for name, t, b in sorted(regressions, key=lambda x: -x[1] / x[2]):
+    ranked = sorted(regressions, key=lambda x: -x[1] / x[2])
+    for name, t, b in ranked:
         print(f"REGRESSION {name}: {t:.2f}s vs {b:.2f}s ({t/b:.1f}x)")
+    # ≥2 of the top-3 inflated cells being first-touchers is the cold
+    # fingerprint (the remainder is usually a cold page-cache read of the
+    # source tables); a single noisy cell is not a signature
+    if (len(ranked) >= 2
+            and sum(name in FIRST_TOUCHERS for name, _, _ in ranked[:3]) >= 2):
+        print("COLD-ENVIRONMENT SIGNATURE: the most-inflated queries are all "
+              "scratch-dataset first-touchers — this artifact almost certainly "
+              "measured one-time /tmp dataset construction in a cold sandbox, "
+              "not a code regression. Compare a warm re-run of the same build "
+              "before treating any cell above as real.")
     for name in failed:
         print(f"FAILED {name}")
     if not regressions and not failed:
