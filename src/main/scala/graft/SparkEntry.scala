@@ -272,6 +272,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactText(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
 
+    "dedup_paragraphs" -> ((s, dir) => {
+      // The synthetic texts carry no newlines, so derive 3-word
+      // "paragraphs" first (short chunks over a ~40-word vocabulary DO
+      // repeat across documents); the operator then drops every repeated
+      // paragraph corpus-wide and reassembles the survivors in order
+      val words = split(col("text"), " ")
+      val chunked = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        array_join(transform(sequence(lit(0), floor((size(words) - 1) / 3).cast("int")),
+          i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
+      Dedup.dropDuplicateParagraphs(chunked).orderBy("doc_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(s.read.parquet(t(dir, "documents")), threshold = 0.8)
         .orderBy("id_a", "id_b")),
@@ -281,16 +293,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "dedup_clusters" -> ((s, dir) => {
-      // transitive exact-dup chains: the first 10 docs copied at +10000 and
-      // +20000; only ADJACENT pairs (a chain, not a clique) feed the
+      // transitive exact-dup chains: the first 10 docs copied twice at
+      // high offsets; only ADJACENT pairs (a chain, not a clique) feed the
       // connected-components pass, so cluster = component-min REQUIRES
       // transitive propagation — the oracle derives the same clusters
       // directly from the md5 text groups.
       val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      // offsets far above any real doc_id at ANY scale factor — planted
+      // ids colliding with genuine ones would merge unrelated clusters
       val extra1 = docs.where(col("doc_id") < 10)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       val extra2 = docs.where(col("doc_id") < 10)
-        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
       val hashed = docs.union(extra1).union(extra2)
         .select(col("doc_id"), md5(col("text")).as("h"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")
@@ -1013,11 +1027,25 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
+    "dedup_paragraphs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |wp AS (SELECT doc_id, unnest(words) AS word,
+        |              generate_subscripts(words, 1) AS pos FROM w),
+        |paras AS (
+        | SELECT doc_id, (pos - 1) // 3 AS ppos,
+        |        string_agg(word, ' ' ORDER BY pos) AS para
+        | FROM wp GROUP BY doc_id, (pos - 1) // 3),
+        |kept AS (
+        | SELECT doc_id, ppos, para FROM paras
+        | QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, ppos) = 1)
+        |SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY ppos) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_clusters" ->
       """WITH all_docs AS (
         | SELECT doc_id, text FROM documents
-        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
-        | UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 10)
+        | UNION ALL SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 10
+        | UNION ALL SELECT doc_id + 2000000000, text FROM documents WHERE doc_id < 10)
         |SELECT id, cluster FROM (
         | SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
         |        count(*) OVER (PARTITION BY md5(text)) AS n

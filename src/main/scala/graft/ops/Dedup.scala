@@ -221,6 +221,45 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** PARAGRAPH-level exact dedup (the CCNet/RefinedWeb shape): drop every
+    * repeated paragraph across the WHOLE corpus, keeping only its first
+    * occurrence (lowest `(id, position)`), then reassemble each document
+    * from its surviving paragraphs in original order. Boilerplate
+    * (headers, footers, cookie banners) survives in one document corpus-
+    * wide; documents left with zero paragraphs drop out entirely.
+    *
+    * Scale shape: paragraphs explode map-side; the keeper election is a
+    * hash aggregate over `(md5, min(id, pos))` — paragraph TEXT never
+    * rides that shuffle, and map-side combine collapses duplicate-heavy
+    * corpora before the exchange. Text shuffles exactly twice (the
+    * join back and the per-document reassembly), both keyed joins/aggs —
+    * no window sort over the corpus.
+    */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              sep: String = "\n\n"): DataFrame = {
+    val cols = docs.columns
+    val paras = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    val keep = paras.groupBy(col("__h").as("__kh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      .select(col("__kh"), col("__first.__id").as("__kid"),
+        col("__first.__pos").as("__kpos"))
+    val surviving = paras.join(keep,
+      paras("__h") === keep("__kh") && paras("__id") === keep("__kid")
+        && paras("__pos") === keep("__kpos"))
+    val rebuilt = surviving.groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s("__para")), sep).as("__text"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"))
+      .select(cols.map(c =>
+        if (c == textCol) col("__text").as(textCol) else docs(c)).toIndexedSeq: _*)
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array: per-token 64-bit hashes vote ±1 on

@@ -116,4 +116,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 200L)), s"planted pair missing from $pairs")
     assert(pairs.size == 1)
   }
+
+  test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\n\nalpha beta\n\nCOOKIE BANNER", "web"), // banner repeats in-doc
+      (2L, "COOKIE BANNER\n\ngamma delta", "web"),
+      (3L, "alpha beta\n\nepsilon", "books"),
+      (4L, "COOKIE BANNER", "web") // every paragraph is a dup: doc drops out
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Dedup.dropDuplicateParagraphs(docs).orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "COOKIE BANNER\n\nalpha beta", "web"), // keeper stays, in-doc repeat drops
+      (2L, "gamma delta", "web"),
+      (3L, "epsilon", "books")),
+      s"got $out")
+  }
 }
