@@ -74,6 +74,30 @@ object Similarity {
                                     val assigned: DataFrame,
                                     private[ops] val persistedRoot: Option[String] = None) {
 
+    /** Assign a NEW batch of vectors to this index's (frozen) cells and
+      * extend the index with them — one pass over the BATCH, never a
+      * refit or corpus re-read, so a 100 TB index grows at the cost of
+      * what's appended. A persisted index appends the assignment to its
+      * cell-partitioned dataset on disk; an in-memory one unions it.
+      * (Freezing the coarse quantizer is standard IVF practice — recall
+      * degrades only if the data distribution drifts far from the fit
+      * sample; refit with [[ivfFit]] when it does.)
+      */
+    def append(newVectors: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfIndex = {
+      val batch = Similarity.assignCells(
+        ivfBase(newVectors, idCol, vecCol, "neighbor_id", "cv", "cn"), centroids)
+      persistedRoot match {
+        case Some(root) =>
+          graft.core.Publish.publish(batch.sparkSession, batch, root, Seq("cell"),
+            mode = "append")
+          new IvfIndex(centroids,
+            graft.core.Fetch.fetch(batch.sparkSession, root), persistedRoot)
+        case None =>
+          new IvfIndex(centroids, assigned.unionByName(batch), None)
+      }
+    }
+
     /** Persist the index at `root`: the assignment as a graft dataset
       * HIVE-PARTITIONED BY CELL (so a loaded index serves [[ivfQuery]]
       * through graft's own partition pruning — probed cells map to listed
@@ -173,7 +197,15 @@ object Similarity {
         rnd.shuffle(collected.toSeq).take(target.toInt).toArray
       }
     val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex
+    new IvfIndex(centroids, assignCells(c, centroids))
+  }
 
+  /** Nearest-centroid cell assignment of an [[ivfBase]]-shaped frame: one
+    * distributed pass with the (tiny) centroid array riding the closure —
+    * no join, no shuffle. Shared by [[ivfFit]] and [[IvfIndex.append]].
+    */
+  private def assignCells(c: DataFrame,
+                          centroids: Array[(Array[Double], Int)]): DataFrame = {
     val nearestCell = udf { (cv: Seq[Double], cn: Double) =>
       var best = 0; var bestD = Double.MaxValue
       centroids.foreach { case (ctr, idx) =>
@@ -185,7 +217,7 @@ object Similarity {
       }
       best
     }
-    new IvfIndex(centroids, c.withColumn("cell", nearestCell(col("cv"), col("cn"))))
+    c.withColumn("cell", nearestCell(col("cv"), col("cn")))
   }
 
   /** IVF-style ANN against a fitted index: each query probes only its

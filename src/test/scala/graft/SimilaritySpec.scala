@@ -132,6 +132,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "full-probe query on a loaded index must equal brute force")
   }
 
+  test("IvfIndex.append extends a persisted index batch-at-a-time, no refit") {
+    val root = "/tmp/graft_test/ivf_append_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Similarity.ivfFit(corpus, nlist = 8).save(root)
+    val loaded = Similarity.IvfIndex.load(spark, root)
+    // the appended batch plants exact twins of vectors 0-4 under new ids
+    val batch = corpus.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val appended = loaded.append(batch)
+    assert(graft.core.Fetch.fetch(spark, root).count() == 105,
+      "the persisted dataset must grow by the batch")
+    // a full probe finds the planted twin at similarity 1.0
+    val q0 = corpus.where($"vec_id" === 0L)
+    def top(ix: Similarity.IvfIndex) =
+      Similarity.ivfQuery(ix, q0, 5, nprobe = 8)
+        .select("neighbor_id").as[Long].collect().toSet
+    assert(top(appended).contains(1000L), "appended twin must be a top neighbor")
+    // a FRESH load (what a later session sees) serves the appended rows too
+    assert(top(Similarity.IvfIndex.load(spark, root)).contains(1000L))
+  }
+
   test("IVF works on stats-less plans (RDD-backed frame) — no silent empty fit") {
     // createDataFrame(rdd, schema) reports sizeInBytes = Long.MaxValue:
     // the stats-derived sample fraction collapses to ~0 and, without the
