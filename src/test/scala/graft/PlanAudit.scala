@@ -91,6 +91,14 @@ object PlanAudit {
       // global one; the map lookup + probe are codegen'd
       "keyed bloom probe in the scan" -> (_.contains("graft_might_contain_keyed")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("dedup_paragraphs",
+      // keeper election must be the map-side-combined hash aggregate —
+      // a row_number window (shuffle + SORT of all paragraph text) is the
+      // shape this operator exists to avoid
+      "no window sort over paragraphs" -> (p =>
+        !"Window ".r.findFirstIn(p.split("== Initial Plan ==").head).isDefined),
+      "partial keeper aggregate" -> (_.contains("partial_min")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     locally {
       // the count-min probe collapses into the final distinct-aggregate's
       // result projection (one probe per distinct word, not per row) —
