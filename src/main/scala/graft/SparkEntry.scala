@@ -60,13 +60,14 @@ object SparkEntry {
     */
   private def publishOnce(s: SparkSession, name: String, dir: String,
                           partitions: Seq[String], zorderCols: Seq[String] = Nil,
-                          statsCols: Seq[String] = Nil)
+                          statsCols: Seq[String] = Nil,
+                          sortCols: Seq[String] = Nil)
                          (build: => DataFrame): String = {
     val root = tmpRoot(name, dir)
     if (!cacheIsCurrent(s, root)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       Publish.publish(s, build, root, partitions, zorderCols = zorderCols,
-        statsCols = statsCols)
+        statsCols = statsCols, sortCols = sortCols)
       java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
     }
     root
@@ -698,6 +699,23 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "fetch_indexed_string" -> ((s, dir) => {
+      // STRING data-column equality served by the min_s/max_s half of the
+      // stats index: sorting by l_returnflag makes each file's string
+      // range tight, so the category filter skips whole files before any
+      // task launches, and the row-level predicate keeps the result exact
+      val root = publishOnce(s, "ds_lineitem_sstats", dir, Nil,
+        sortCols = Seq("l_returnflag"),
+        statsCols = Seq("l_returnflag", "l_extendedprice")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      Fetch.fetchIndexed(s, root, dataFilters = Seq(
+        ColFilter("l_returnflag", "==", Seq("R")),
+        ColFilter("l_extendedprice", ">=", Seq(50000.0))))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    }),
+
     "fetch_indexed_combined" -> ((s, dir) => {
       // the three pruning layers composed: hive partition pruning
       // (l_returnflag), file-level min/max skipping (l_extendedprice),
@@ -791,6 +809,12 @@ object SparkEntry {
     "fetch_indexed_filter" ->
       """SELECT * FROM lineitem
         |WHERE l_extendedprice >= 90000 AND l_quantity <= 10
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    "fetch_indexed_string" ->
+      """SELECT * FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_extendedprice >= 50000
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
 

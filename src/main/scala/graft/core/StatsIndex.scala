@@ -54,17 +54,30 @@ object StatsIndex {
   /** Fold appended sidecar fragments back into few files past this count. */
   private val SidecarCompactThreshold = 64
 
-  /** Indexable column types: need a total order with a numeric embedding. */
+  /** Indexable column types: a numeric embedding (numerics/dates/
+    * timestamps → `min_v`/`max_v`) or binary-ordered strings (→ `min_s`/
+    * `max_s` — the ordering Spark's own min/max aggregates use, so stats
+    * and probes agree by construction). Strings matter at scale: equality
+    * skipping on category-ish data columns (`source = 'web'`) drops whole
+    * files the same way a numeric range does.
+    */
   private[core] def indexable(dt: DataType): Boolean = dt match {
-    case _: NumericType | DateType | TimestampType => true
+    case _: NumericType | DateType | TimestampType | StringType => true
     case _ => false
   }
 
+  /** Old (pre-string) sidecars lack `min_s`/`max_s`; reading them through
+    * this schema yields nulls there, and the string prune branch treats
+    * null string stats as UNKNOWN (never prunes) — old indexes stay valid,
+    * they just can't skip on string columns until rebuilt.
+    */
   private def statsSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("column", StringType, nullable = false),
     StructField("min_v", DoubleType, nullable = true),
-    StructField("max_v", DoubleType, nullable = true)))
+    StructField("max_v", DoubleType, nullable = true),
+    StructField("min_s", StringType, nullable = true),
+    StructField("max_s", StringType, nullable = true)))
 
   /** `input_file_name()` yields a URI; the listings compare by
     * `Path.toUri.getPath` — same normalization, executor-side (one row
@@ -80,7 +93,7 @@ object StatsIndex {
     val target = cols.filter(c => meta.dataColumns.contains(c))
     target.foreach { c =>
       require(indexable(meta.schema(c).dataType),
-        s"stats column $c must be numeric/date/timestamp, got ${meta.schema(c).dataType}")
+        s"stats column $c must be numeric/date/timestamp/string, got ${meta.schema(c).dataType}")
     }
     require(target.nonEmpty, s"no indexable data columns among ${cols.mkString(",")}")
     target
@@ -94,19 +107,31 @@ object StatsIndex {
                        files: Seq[String], target: Seq[String]): DataFrame = {
     val df = spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
     val aggs = target.flatMap { c =>
-      val n = normalized(col(c), meta.schema(c).dataType)
+      val n = meta.schema(c).dataType match {
+        case StringType => col(c)
+        case dt => normalized(col(c), dt)
+      }
       Seq(min(n).as(s"min_$c"), max(n).as(s"max_$c"))
     }
     val perFile = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val entries = array(target.map { c =>
-      struct(lit(c).as("column"),
-        col(s"min_$c").cast("double").as("min_v"),
-        col(s"max_$c").cast("double").as("max_v"))
+      meta.schema(c).dataType match {
+        case StringType =>
+          struct(lit(c).as("column"),
+            lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v"),
+            col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+        case _ =>
+          struct(lit(c).as("column"),
+            col(s"min_$c").cast("double").as("min_v"),
+            col(s"max_$c").cast("double").as("max_v"),
+            lit(null).cast("string").as("min_s"), lit(null).cast("string").as("max_s"))
+      }
     }: _*)
     perFile.select(normPath(col("file")).as("file"), explode(entries).as("s"))
       .select(col("file"), col("s.column").as("column"),
-        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"))
+        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
+        col("s.min_s").as("min_s"), col("s.max_s").as("max_s"))
   }
 
   private def sidecarPartitions(rows: Long): Int =
@@ -199,7 +224,8 @@ object StatsIndex {
     import spark.implicits._
     val mapDf = copied.toDF("src_file", "dest_file")
     val carried = srcStats.join(mapDf, srcStats("file") === mapDf("src_file"))
-      .select(col("dest_file").as("file"), col("column"), col("min_v"), col("max_v"))
+      .select(col("dest_file").as("file"), col("column"),
+        col("min_v"), col("max_v"), col("min_s"), col("max_s"))
     val merged =
       if (freshFiles.isEmpty) carried
       else carried.unionByName(statsFor(spark, dest, meta, freshFiles, target))
@@ -333,26 +359,63 @@ object StatsIndex {
     }
   }
 
+  /** Scalar string twin of the [[pruneExpr]] string branch (spec
+    * lockstep). String stats need no embedding and no ulp slack — the
+    * comparison is exact on both sides.
+    */
+  private[graft] def mightMatchString(f: ColFilter, lo: String, hi: String): Boolean =
+    f.values.exists { v =>
+      val s = v.toString
+      f.comparison match {
+        case "==" => lo <= s && s <= hi
+        case "!=" => !(lo == hi && lo == s)
+        case ">"  => hi > s
+        case ">=" => hi >= s
+        case "<"  => lo < s
+        case "<=" => lo <= s
+      }
+    }
+
   /** Distributed twin of [[mightMatch]]: TRUE when a stats row PROVES the
     * file cannot match filter `f` — evaluated on the stats frame so only
-    * pruned paths are collected. An all-null file (null min or max) has
-    * no row satisfying any comparison and prunes unconditionally.
+    * pruned paths are collected. An all-null NUMERIC file (null min or
+    * max) has no row satisfying any comparison and prunes unconditionally;
+    * null STRING stats instead mean UNKNOWN (an old pre-string sidecar)
+    * and never prune — all-null string files lose that one skip, old
+    * indexes stay correct.
     */
   private[graft] def pruneExpr(f: ColFilter, meta: DatasetMeta): Column = {
-    val dt = meta.schema(f.partition).dataType
-    val lo = col("min_v")
-    val hi = col("max_v")
-    val might = f.values.map { v =>
-      val x = embed(v, dt)
-      f.comparison match {
-        case "==" => lo <= up2(x) && hi >= dn2(x)
-        case "!=" => !(lo === hi && lo === x && lit(exactEmbed(v, dt)))
-        case ">"  => hi > dn2(x)
-        case ">=" => hi >= dn2(x)
-        case "<"  => lo < up2(x)
-        case "<=" => lo <= up2(x)
-      }
-    }.reduce(_ || _)
-    col("column") === f.partition && (lo.isNull || hi.isNull || !might)
+    meta.schema(f.partition).dataType match {
+      case StringType =>
+        val lo = col("min_s")
+        val hi = col("max_s")
+        val might = f.values.map { v =>
+          val s = lit(v.toString)
+          f.comparison match {
+            case "==" => lo <= s && hi >= s
+            case "!=" => !(lo === hi && lo === s)
+            case ">"  => hi > s
+            case ">=" => hi >= s
+            case "<"  => lo < s
+            case "<=" => lo <= s
+          }
+        }.reduce(_ || _)
+        col("column") === f.partition && lo.isNotNull && hi.isNotNull && !might
+      case dt =>
+        val lo = col("min_v")
+        val hi = col("max_v")
+        val might = f.values.map { v =>
+          val x = embed(v, dt)
+          f.comparison match {
+            case "==" => lo <= up2(x) && hi >= dn2(x)
+            case "!=" => !(lo === hi && lo === x && lit(exactEmbed(v, dt)))
+            case ">"  => hi > dn2(x)
+            case ">=" => hi >= dn2(x)
+            case "<"  => lo < up2(x)
+            case "<=" => lo <= up2(x)
+          }
+        }.reduce(_ || _)
+        col("column") === f.partition && (lo.isNull || hi.isNull || !might)
+    }
   }
 }

@@ -156,6 +156,37 @@ class StatsIndexScaleSpec extends AnyFunSuite {
     assert(got == 50)
   }
 
+  test("string pruneExpr and mightMatchString decide identically (lockstep)") {
+    val meta = DatasetMeta(StructType(Seq(StructField("s", StringType))), Nil)
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Seq("", "a", "ab", "abc", "b", "ba", "code", "web", "z")
+    def v() = vocab(rnd.nextInt(vocab.size))
+    val intervals = (0 until 100).map { i =>
+      val (a, b) = (v(), v())
+      (i, if (a <= b) a else b, if (a <= b) b else a)
+    }
+    val df = intervals.toDF("i", "min_s", "max_s")
+      .withColumn("column", lit("s"))
+      .withColumn("min_v", lit(null).cast("double"))
+      .withColumn("max_v", lit(null).cast("double")).cache()
+    val ops = Seq("==", "!=", ">", "<", ">=", "<=")
+    val filters = (0 until 40).map { _ =>
+      val op = ops(rnd.nextInt(ops.size))
+      val nVals = if (op == "==" || op == "!=") 1 + rnd.nextInt(3) else 1
+      ColFilter("s", op, Seq.fill(nVals)(v()))
+    }
+    filters.foreach { f =>
+      val prunedIds = df.where(StatsIndex.pruneExpr(f, meta))
+        .select("i").as[Int].collect().toSet
+      intervals.foreach { case (i, lo, hi) =>
+        val keepScalar = StatsIndex.mightMatchString(f, lo, hi)
+        assert(prunedIds.contains(i) == !keepScalar,
+          s"filter $f on [$lo,$hi]: scalar keep=$keepScalar, distributed prune=${prunedIds.contains(i)}")
+      }
+    }
+    df.unpersist()
+  }
+
   test("pruneExpr and mightMatch decide identically (distributed twin lockstep)") {
     val meta = DatasetMeta(StructType(Seq(StructField("v", DoubleType))), Nil)
     val rnd = new scala.util.Random(20260812L)

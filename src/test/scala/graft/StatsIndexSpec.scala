@@ -54,6 +54,41 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("string stats skip files on equality filters (category pruning)") {
+    val r = "/tmp/graft_test/stats_string"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    // three appends, one category each: every file's [min_s, max_s] is a
+    // single category value
+    Seq("books", "code", "web").zipWithIndex.foreach { case (src0, i) =>
+      val batch = spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), lit(src0).as("src"), (col("id") * 2).cast("double").as("v"))
+      Publish.publish(spark, batch, r, Nil,
+        mode = if (i == 0) "overwrite" else "append", statsCols = Seq("src", "v"))
+    }
+    val meta = DatasetMeta.read(spark, r).get
+    val all = Fetch.allFiles(spark, r)
+    val hit = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("src", "==", Seq("code"))))
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"equality on a category must skip other categories' files: ${hit.size}/${all.size}")
+    val got = Fetch.fetchIndexed(spark, r, dataFilters = Seq(ColFilter("src", "==", Seq("code"))))
+    assert(got.count() == 100 && got.select(min("id"), max("id"))
+      .as[(Long, Long)].head() == ((100L, 199L)))
+    // != prunes exactly the single-constant matching files
+    val ne = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("src", "!=", Seq("web"))))
+    assert(ne.size < all.size, "constant web files must prune under !=")
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("src", "!=", Seq("web")))).count() == 200)
+    // value-list (IN) equality keeps both named categories
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("src", "==", Seq("books", "web")))).count() == 200)
+    // combined string + numeric filters prune multiplicatively and stay exact
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("src", "==", Seq("code")),
+        ColFilter("v", ">=", Seq(250.0)))).count() == 75)
+  }
+
   test("no-match filter yields empty frame with full schema") {
     val r = published
     val got = Fetch.fetchIndexed(spark, r,
