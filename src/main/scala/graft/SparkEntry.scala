@@ -273,6 +273,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactText(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
 
+    "text_repeated_ngrams" -> ((s, dir) =>
+      TextAnalysis.repeatedNgramStats(s.read.parquet(t(dir, "documents")))
+        .orderBy("doc_id")),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // The synthetic texts carry no newlines, so derive 3-word
       // "paragraphs" first (short chunks over a ~40-word vocabulary DO
@@ -1050,6 +1054,17 @@ object SparkEntry {
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repeated_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 3, 0) + 2)) AS t(i)),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |       round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS repeated_frac
+        |FROM g JOIN c USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -139,6 +139,34 @@ object TextAnalysis {
       round(lit(1.0) - distinctShingles.cast("double") / positions, 4).as("rep_ratio"))
   }
 
+  /** CORPUS-WIDE repeated n-gram statistics — the distributed shape of the
+    * "duplicated spans" signal (exact-substring dedup's accounting half):
+    * per document, how many of its word n-grams occur more than
+    * `minCount` times across the WHOLE corpus, and the repeated fraction.
+    * High fractions flag boilerplate-heavy or template-generated docs for
+    * removal or down-weighting.
+    *
+    * Scale shape: n-grams build IN the words array (a `transform` over a
+    * slice — no positional self-join, no window); only 64-bit n-gram
+    * hashes ride the two shuffles (global count agg with map-side
+    * combine, then the count join back); the per-doc rollup is a hash
+    * agg. Nothing quadratic, nothing sorted corpus-wide.
+    */
+  def repeatedNgramStats(docs: DataFrame, n: Int = 3, minCount: Long = 2,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => xxhash64(array_join(slice(words, i + 1, lit(n)), " ")))).as("__g"))
+    val counts = grams.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
+    grams.join(counts, grams("__g") === counts("__cg"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__n") > minCount - 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        round(col("n_repeated").cast("double") / col("n_ngrams"), 4))
+  }
+
   /** Per-document average unigram log-probability under the corpus's own
     * empirical distribution — the simplest corpus-LM quality signal
     * (documents built from globally-rare tokens score low). The model is

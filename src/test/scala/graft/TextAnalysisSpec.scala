@@ -167,4 +167,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"single-token source must diverge strongly, got $kl")
     assert(kl("balanced") == kl("balanced2"), s"identical sources must tie, got $kl")
   }
+
+  test("repeated n-gram stats count occurrences CORPUS-wide, not per doc") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b c", "b c d"
+      (2L, "a b c e"), // grams: "a b c", "b c e" — "a b c" repeats across docs
+      (3L, "x y")      // short doc: one truncated gram "x y", unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgramStats(docs, n = 3, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5), // "a b c" is corpus-repeated, "b c d" is not
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)),
+      s"got $out")
+  }
 }
