@@ -91,6 +91,15 @@ object PlanAudit {
       // global one; the map lookup + probe are codegen'd
       "keyed bloom probe in the scan" -> (_.contains("graft_might_contain_keyed")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("text_repeated_ngrams",
+      // n-grams must come from the in-array transform — no positional
+      // self-join, no corpus-wide window; counts partial-aggregate
+      "no self-join or window" -> (p => {
+        val cur = p.split("== Initial Plan ==").head
+        !cur.contains("SortMergeJoin") && !"Window ".r.findFirstIn(cur).isDefined
+      }),
+      "partial count aggregate" -> (_.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("dedup_paragraphs",
       // keeper election must be the map-side-combined hash aggregate —
       // a row_number window (shuffle + SORT of all paragraph text) is the
