@@ -21,8 +21,14 @@ object Bench {
     // round artifact unusable. Running each query once here moves scratch
     // builds and page-cache warmup out of the timed loop; failures are
     // ignored — the timed loop reports them properly.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // NonFatal warmup failures are logged and left for the timed loop to
+    // report — fatal errors (OOM) must propagate, or the timed loop would
+    // measure a poisoned JVM.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>

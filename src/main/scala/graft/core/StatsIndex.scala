@@ -54,6 +54,16 @@ object StatsIndex {
   /** Fold appended sidecar fragments back into few files past this count. */
   private val SidecarCompactThreshold = 64
 
+  /** Length cap for stored string stats — a long-string column must not
+    * write two document-sized extreme values per (file, column) row (the
+    * reason parquet truncates its own string stats). A char PREFIX is a
+    * byte prefix, hence ≤ the full value in UTF-8 binary order: `min_s`
+    * truncates soundly. A truncated UPPER bound has no cheap sound form,
+    * so an over-long max stores NULL (= unknown) and that side simply
+    * can't prune — [[pruneExpr]] decides each side independently.
+    */
+  private[core] val StringStatsMaxLen = 64
+
   /** Indexable column types: a numeric embedding (numerics/dates/
     * timestamps → `min_v`/`max_v`) or binary-ordered strings (→ `min_s`/
     * `max_s` — the ordering Spark's own min/max aggregates use, so stats
@@ -120,7 +130,9 @@ object StatsIndex {
         case StringType =>
           struct(lit(c).as("column"),
             lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v"),
-            col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+            substring(col(s"min_$c"), 1, StringStatsMaxLen).as("min_s"),
+            when(length(col(s"max_$c")) > StringStatsMaxLen, lit(null).cast("string"))
+              .otherwise(col(s"max_$c")).as("max_s"))
         case _ =>
           struct(lit(c).as("column"),
             col(s"min_$c").cast("double").as("min_v"),
@@ -275,17 +287,21 @@ object StatsIndex {
       case None => all
       case Some(stats) =>
         val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
-        val prunedDf = stats.where(pruneCond).select("file").distinct()
-        if (prunedDf.count() * 2 <= all.size) {
-          val pruned = prunedDf.collect().map(_.getString(0)).toSet
-          all.filterNot(pruned)
-        } else {
-          import spark.implicits._
-          val survivors = all.toDF("path")
-            .join(prunedDf, col("path") === prunedDf("file"), "left_anti")
-            .collect().map(_.getString(0)).toSet
-          all.filter(survivors) // survivors in stable listing order
-        }
+        // persisted across the count + (collect | anti-join) pair — without
+        // it the sidecar scan would run twice per fetch
+        val prunedDf = stats.where(pruneCond).select("file").distinct().persist()
+        try {
+          if (prunedDf.count() * 2 <= all.size) {
+            val pruned = prunedDf.collect().map(_.getString(0)).toSet
+            all.filterNot(pruned)
+          } else {
+            import spark.implicits._
+            val survivors = all.toDF("path")
+              .join(prunedDf, col("path") === prunedDf("file"), "left_anti")
+              .collect().map(_.getString(0)).toSet
+            all.filter(survivors) // survivors in stable listing order
+          }
+        } finally prunedDf.unpersist(blocking = false)
     }
   }
 
@@ -310,8 +326,11 @@ object StatsIndex {
     case ts: java.sql.Timestamp => ts.getTime.toDouble / 1000.0 // epoch seconds
     case dt0: java.sql.Date => dt0.toLocalDate.toEpochDay.toDouble
     // string-form values are legal for typed filters (checkValue parses
-    // them) — parse to the column's type first, then embed
-    case s: String => embed(Fetch.parseValue(s, dt), dt)
+    // them) — parse to the column's type first, then embed. A StringType
+    // column must never reach here (parseValue would return the string
+    // unchanged and recurse forever): string stats have no numeric
+    // embedding — their twin is [[mightMatchString]].
+    case s: String if dt != StringType => embed(Fetch.parseValue(s, dt), dt)
     case b: java.lang.Boolean => if (b) 1.0 else 0.0
     case other => throw new IllegalArgumentException(
       s"filter value $other not comparable to $dt stats")
@@ -360,21 +379,29 @@ object StatsIndex {
   }
 
   /** Scalar string twin of the [[pruneExpr]] string branch (spec
-    * lockstep). String stats need no embedding and no ulp slack — the
-    * comparison is exact on both sides.
+    * lockstep, over non-null bounds). String stats need no embedding and
+    * no ulp slack, but the ORDERING must match: Spark's min/max aggregates
+    * (which wrote the stats) and pruneExpr compare in UTF8String BINARY
+    * order, and Java's `String.compareTo` (UTF-16 units) disagrees with it
+    * for supplementary-plane code points — compare the same way or the
+    * twins diverge on real Unicode data.
     */
-  private[graft] def mightMatchString(f: ColFilter, lo: String, hi: String): Boolean =
+  private[graft] def mightMatchString(f: ColFilter, lo: String, hi: String): Boolean = {
+    def cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     f.values.exists { v =>
       val s = v.toString
       f.comparison match {
-        case "==" => lo <= s && s <= hi
-        case "!=" => !(lo == hi && lo == s)
-        case ">"  => hi > s
-        case ">=" => hi >= s
-        case "<"  => lo < s
-        case "<=" => lo <= s
+        case "==" => cmp(lo, s) <= 0 && cmp(s, hi) <= 0
+        case "!=" => !(cmp(lo, hi) == 0 && cmp(lo, s) == 0)
+        case ">"  => cmp(hi, s) > 0
+        case ">=" => cmp(hi, s) >= 0
+        case "<"  => cmp(lo, s) < 0
+        case "<=" => cmp(lo, s) <= 0
       }
     }
+  }
 
   /** Distributed twin of [[mightMatch]]: TRUE when a stats row PROVES the
     * file cannot match filter `f` — evaluated on the stats frame so only
@@ -387,20 +414,28 @@ object StatsIndex {
   private[graft] def pruneExpr(f: ColFilter, meta: DatasetMeta): Column = {
     meta.schema(f.partition).dataType match {
       case StringType =>
+        // lo is a PREFIX-truncated lower bound (≤ true min: a char prefix
+        // is a byte prefix, smaller in binary order — every lower-side
+        // decision stays sound); hi is exact-or-null. Each side prunes
+        // independently when known; null (unknown / old sidecar / over-
+        // long max) sides never prune. For `!=`, lo === hi with hi
+        // non-null implies lo is untruncated too (a truncated lo is
+        // strictly below the true min ≤ max = hi), so the constant-file
+        // proof survives truncation.
         val lo = col("min_s")
         val hi = col("max_s")
-        val might = f.values.map { v =>
+        val cantMatch = f.values.map { v =>
           val s = lit(v.toString)
           f.comparison match {
-            case "==" => lo <= s && hi >= s
-            case "!=" => !(lo === hi && lo === s)
-            case ">"  => hi > s
-            case ">=" => hi >= s
-            case "<"  => lo < s
-            case "<=" => lo <= s
+            case "==" => (lo.isNotNull && s < lo) || (hi.isNotNull && s > hi)
+            case "!=" => lo.isNotNull && hi.isNotNull && lo === hi && lo === s
+            case ">"  => hi.isNotNull && hi <= s
+            case ">=" => hi.isNotNull && hi < s
+            case "<"  => lo.isNotNull && lo >= s
+            case "<=" => lo.isNotNull && lo > s
           }
-        }.reduce(_ || _)
-        col("column") === f.partition && lo.isNotNull && hi.isNotNull && !might
+        }.reduce(_ && _)
+        col("column") === f.partition && cantMatch
       case dt =>
         val lo = col("min_v")
         val hi = col("max_v")

@@ -101,15 +101,22 @@ object BloomPrune {
           s"$l is ${large.schema(l).dataType}, $s is ${small.schema(s).dataType}")
     }
     val spark = large.sparkSession
-    // one light agg over the (small) build side gives both the sizing input
-    // and the partition cardinality the driver-memory guard below needs
-    val stats = small.groupBy(col(smallPartKey)).count()
-      .agg(max("count").as("mx"), count(lit(1)).as("parts")).head()
-    // max over zero groups is NULL (empty small side) — an empty build
-    // must degrade to an empty join, like pruneJoin does
-    val maxPerPart = if (stats.isNullAt(0)) 1L else math.max(1L, stats.getLong(0))
-    val partCount = stats.getLong(1)
-    val n = if (expectedItemsPerPartition > 0) expectedItemsPerPartition else maxPerPart
+    // The driver-memory guard below needs the partition cardinality; the
+    // default sizing additionally needs the largest partition's key count.
+    // A caller who supplied expectedItemsPerPartition (to keep the build
+    // side's pre-pass cheap) pays only a partial-agg sketch pass — no
+    // groupBy shuffle — with 5% headroom on the estimate.
+    val (n, partCount) =
+      if (expectedItemsPerPartition > 0) {
+        val approx = small.agg(approx_count_distinct(col(smallPartKey))).head().getLong(0)
+        (expectedItemsPerPartition, (approx * 1.05).toLong + 1)
+      } else {
+        val stats = small.groupBy(col(smallPartKey)).count()
+          .agg(max("count").as("mx"), count(lit(1)).as("parts")).head()
+        // max over zero groups is NULL (empty small side) — an empty build
+        // must degrade to an empty join, like pruneJoin does
+        (if (stats.isNullAt(0)) 1L else math.max(1L, stats.getLong(0)), stats.getLong(1))
+      }
     val m = ((ProbFilterOps.bloomBits(n, fpp) + 63) / 64) * 64 // word-align
     // The whole filter map is collect()ed to the driver and shipped as ONE
     // broadcast (see scaladoc) — O(partitions × m/8) driver memory. A

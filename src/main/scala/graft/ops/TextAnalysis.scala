@@ -141,8 +141,9 @@ object TextAnalysis {
 
   /** CORPUS-WIDE repeated n-gram statistics — the distributed shape of the
     * "duplicated spans" signal (exact-substring dedup's accounting half):
-    * per document, how many of its word n-grams occur more than
-    * `minCount` times across the WHOLE corpus, and the repeated fraction.
+    * per document, how many of its word n-grams occur at least
+    * `minCount` times across the WHOLE corpus (the default 2 = "occurs
+    * more than once"), and the repeated fraction.
     * High fractions flag boilerplate-heavy or template-generated docs for
     * removal or down-weighting.
     *
@@ -162,7 +163,7 @@ object TextAnalysis {
     grams.join(counts, grams("__g") === counts("__cg"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("__n") > minCount - 1, 1L).otherwise(0L)).as("n_repeated"))
+        sum(when(col("__n") >= minCount, 1L).otherwise(0L)).as("n_repeated"))
       .withColumn("repeated_frac",
         round(col("n_repeated").cast("double") / col("n_ngrams"), 4))
   }

@@ -146,7 +146,9 @@ class ProbFilterSpec extends AnyFunSuite {
       BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k",
         expectedItemsPerPartition = 1000000L)
     }
-    assert(e.getMessage.contains("5000 distinct"), e.getMessage)
+    // cardinality comes from an approx sketch on this path — assert the
+    // message names the partition column and ceiling, not the exact count
+    assert(e.getMessage.contains("distinct 'p' values"), e.getMessage)
     assert(e.getMessage.contains("ceiling"), e.getMessage)
     // the ceiling is a knob, not a constant: the map that fits the default
     // trips a deliberately tiny ceiling (without ever building filters)

@@ -89,6 +89,32 @@ class StatsIndexSpec extends AnyFunSuite {
         ColFilter("v", ">=", Seq(250.0)))).count() == 75)
   }
 
+  test("long string values truncate soundly: prefix min prunes, unknown max never skips") {
+    val r = "/tmp/graft_test/stats_string_long"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val longB = "b" * 80 // past StringStatsMaxLen: min_s stores a prefix, max_s stores null
+    val a = spark.range(50).select(col("id"), lit(longB).as("src"))
+    val b = spark.range(50, 100).select(col("id"), lit("zz").as("src"))
+    Publish.publish(spark, a, r, Nil, statsCols = Seq("src"))
+    Publish.publish(spark, b, r, Nil, mode = "append", statsCols = Seq("src"))
+    val meta = DatasetMeta.read(spark, r).get
+    val all = Fetch.allFiles(spark, r)
+    // a value below every file's min prefix prunes ALL files via lo alone
+    assert(StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("src", "==", Seq("a")))).isEmpty)
+    // the long value itself: its file CANNOT prune (max unknown -> no
+    // false skip), the short-string file prunes via its exact bounds
+    val hit = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("src", "==", Seq(longB))))
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"long-value file must survive, zz file must prune: ${hit.size}/${all.size}")
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("src", "==", Seq(longB)))).count() == 50)
+    // != on the truncated file never claims a constant-file proof
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("src", "!=", Seq(longB)))).count() == 50)
+  }
+
   test("no-match filter yields empty frame with full schema") {
     val r = published
     val got = Fetch.fetchIndexed(spark, r,

@@ -82,8 +82,9 @@ FIRST_TOUCHERS = {
     "fetch_diff", "fetch_diff_reverse", "fetch_latest_partition",
     "get_all_partition_values", "get_diff_partition_values",
     "get_max_partition_value", "get_all_files_list", "partition_types_roundtrip",
-    "fetch_indexed_filter", "fetch_indexed_combined", "zorder_publish_roundtrip",
-    "publish_catalog_ddl", "q1_agg",
+    "fetch_indexed_filter", "fetch_indexed_combined", "fetch_indexed_string",
+    "zorder_publish_roundtrip", "publish_catalog_ddl", "publish_fetch_roundtrip",
+    "q1_agg",
 }
 
 
