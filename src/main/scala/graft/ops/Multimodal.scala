@@ -202,6 +202,83 @@ object Multimodal {
       }
   }
 
+  /** REAL audio features: decode the PCM samples (not just the header)
+    * via `AudioSystem.getAudioInputStream` and compute per-payload RMS
+    * energy, peak amplitude, and zero-crossing rate — normalized to
+    * [-1, 1] full scale, averaged across channels; plus duration. The
+    * 4-dim `array<float>` is the shape a learned audio encoder would
+    * emit, and the silence/energy numbers are the usual cheap filters
+    * (drop silent or clipped clips) in a media curation pipeline. Rows
+    * whose payload isn't JDK-decodable audio are dropped (route them by
+    * [[decodeAudioBatch]]'s metadata first). Partition-parallel, no
+    * shuffle; samples stream through in chunks — nothing buffers a whole
+    * clip.
+    */
+  def audioFeatures(spark: SparkSession, withPayload: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (ais == null) None
+          else try {
+            val f = ais.getFormat
+            // decode path for the JDK containers: signed PCM, 8/16-bit
+            val bits = f.getSampleSizeInBits
+            if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || (bits != 8 && bits != 16)) None
+            else {
+              val ch = f.getChannels
+              val bytesPerSample = bits / 8
+              val frameSize = f.getFrameSize
+              val fullScale = if (bits == 8) 128.0 else 32768.0
+              var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var nFrames = 0L
+              var lastSign = 0
+              val buf = new Array[Byte](frameSize * 1024)
+              var read = ais.read(buf)
+              while (read > 0) {
+                var off = 0
+                while (off + frameSize <= read) {
+                  // mean across channels -> one mono sample per frame
+                  var s = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val base = off + c * bytesPerSample
+                    val v =
+                      if (bits == 8) buf(base).toDouble
+                      else if (f.isBigEndian) ((buf(base) << 8) | (buf(base + 1) & 0xff)).toDouble
+                      else ((buf(base + 1) << 8) | (buf(base) & 0xff)).toDouble
+                    s += v; c += 1
+                  }
+                  s = s / ch / fullScale
+                  sumSq += s * s
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+                  if (sign != 0 && lastSign != 0 && sign != lastSign) crossings += 1
+                  if (sign != 0) lastSign = sign
+                  nFrames += 1
+                  off += frameSize
+                }
+                read = ais.read(buf)
+              }
+              if (nFrames == 0) None
+              else {
+                val rms = math.sqrt(sumSq / nFrames)
+                val zcr = crossings.toDouble / nFrames
+                val dur = nFrames / f.getFrameRate.toDouble
+                Some((id, Array(rms.toFloat, peak.toFloat, zcr.toFloat, dur.toFloat)))
+              }
+            }
+          } finally ais.close()
+        }
+      }.toDF(idCol, "features")
+  }
+
   /** REAL image resize: decode via `ImageIO`, scale the long side to
     * `maxSide` (aspect preserved, bilinear), re-encode as PNG. Runs
     * partition-parallel with no shuffle; images already inside the box

@@ -136,6 +136,47 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** A mono 16-bit WAV holding a sine wave of known amplitude/frequency. */
+  private def sineWav(rate: Float, freq: Double, amplitude: Double,
+                      seconds: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amplitude * 32767.0 * math.sin(2 * math.Pi * freq * i / rate)).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFeatures computes real sample statistics from decoded PCM") {
+    val audio = Seq(
+      (1L, sineWav(8000f, 440.0, 0.5, 1.0)), // half-scale 440 Hz tone
+      (2L, wav(8000f, 1, 8000)),             // 1 s of silence
+      (3L, "not audio".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val feats = Multimodal.audioFeatures(spark, audio)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(!feats.contains(3L), "non-audio rows are dropped")
+    val Seq(rms, peak, zcr, dur) = feats(1L).toSeq
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"sine RMS = A/sqrt(2), got $rms")
+    assert(peak > 0.49f && peak <= 0.51f, s"sine peak = A, got $peak")
+    // 440 cycles x 2 crossings over 8000 samples
+    assert(math.abs(zcr - 2 * 440.0 / 8000) < 0.005, s"zcr 0.11, got $zcr")
+    assert(math.abs(dur - 1.0) < 1e-3, s"duration 1 s, got $dur")
+    val silent = feats(2L)
+    assert(silent(0) == 0f && silent(1) == 0f && silent(2) == 0f,
+      s"silence has zero energy/peak/crossings: $silent")
+  }
+
   test("decodeAudioBatch reads REAL rate/channels/duration from actual WAV bytes") {
     val audio = Seq(
       (1L, wav(16000f, 2, 8000)),  // 0.5 s stereo
