@@ -74,7 +74,10 @@ object Stress {
     }
 
     val spans: Map[String, Long] = keyspaces.map { case (ks, (tbl, c)) =>
-      ks -> (table(tbl).agg(max(col(c))).head().getLong(0) + 1)
+      // cast to long in the agg: the key column may be int-typed in some
+      // sf dirs, and max() is NULL on an empty table — treat that as span 1
+      val r = table(tbl).agg(max(col(c).cast("long"))).head()
+      ks -> (if (r.isNullAt(0)) 1L else r.getLong(0) + 1)
     }
 
     // single named file per table, like the driver's layout

@@ -105,11 +105,15 @@ object BloomPrune {
     // default sizing additionally needs the largest partition's key count.
     // A caller who supplied expectedItemsPerPartition (to keep the build
     // side's pre-pass cheap) pays only a partial-agg sketch pass — no
-    // groupBy shuffle — with 5% headroom on the estimate.
+    // groupBy shuffle. The estimate is asked for 2% rsd and padded 15%,
+    // so the memory guard on this path is PROBABILISTIC: a cardinality
+    // within a few sigma of the ceiling can still slip past (the exact
+    // path — expectedItemsPerPartition = 0 — never can).
     val (n, partCount) =
       if (expectedItemsPerPartition > 0) {
-        val approx = small.agg(approx_count_distinct(col(smallPartKey))).head().getLong(0)
-        (expectedItemsPerPartition, (approx * 1.05).toLong + 1)
+        val approx = small.agg(approx_count_distinct(col(smallPartKey), 0.02))
+          .head().getLong(0)
+        (expectedItemsPerPartition, (approx * 1.15).toLong + 1)
       } else {
         val stats = small.groupBy(col(smallPartKey)).count()
           .agg(max("count").as("mx"), count(lit(1)).as("parts")).head()

@@ -209,8 +209,9 @@ object Multimodal {
     * 4-dim `array<float>` is the shape a learned audio encoder would
     * emit, and the silence/energy numbers are the usual cheap filters
     * (drop silent or clipped clips) in a media curation pipeline. Rows
-    * whose payload isn't JDK-decodable audio are dropped (route them by
-    * [[decodeAudioBatch]]'s metadata first). Partition-parallel, no
+    * whose payload isn't signed 8/16-bit or unsigned 8-bit PCM that the
+    * JDK can open are dropped (route them by [[decodeAudioBatch]]'s
+    * metadata first). Partition-parallel, no
     * shuffle; samples stream through in chunks — nothing buffers a whole
     * clip.
     */
@@ -228,10 +229,13 @@ object Multimodal {
           if (ais == null) None
           else try {
             val f = ais.getFormat
-            // decode path for the JDK containers: signed PCM, 8/16-bit
+            // decode path for the JDK containers: signed 8/16-bit PCM plus
+            // unsigned 8-bit PCM (the standard 8-bit WAV encoding)
             val bits = f.getSampleSizeInBits
-            if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-              || (bits != 8 && bits != 16)) None
+            val signed = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val unsigned8 = bits == 8 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!(signed && (bits == 8 || bits == 16)) && !unsigned8) None
             else {
               val ch = f.getChannels
               val bytesPerSample = bits / 8
@@ -250,7 +254,8 @@ object Multimodal {
                   while (c < ch) {
                     val base = off + c * bytesPerSample
                     val v =
-                      if (bits == 8) buf(base).toDouble
+                      if (unsigned8) ((buf(base) & 0xff) - 128).toDouble
+                      else if (bits == 8) buf(base).toDouble
                       else if (f.isBigEndian) ((buf(base) << 8) | (buf(base + 1) & 0xff)).toDouble
                       else ((buf(base + 1) << 8) | (buf(base) & 0xff)).toDouble
                     s += v; c += 1

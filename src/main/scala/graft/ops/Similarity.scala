@@ -108,6 +108,13 @@ object Similarity {
       * fails loudly instead of serving a half-written index.
       */
     def save(root: String): Unit = {
+      // re-saving a LOADED index onto its own root would self-destruct:
+      // the overwrite publish deletes the directory backing the lazy
+      // `assigned` frame before rewriting it
+      require(!persistedRoot.contains(root),
+        s"index is already persisted at $root; saving it onto its own root would " +
+          s"delete the data backing the index mid-write. Save to a different root, " +
+          s"or skip the save — append() already persists in place.")
       val spark = assigned.sparkSession
       graft.core.Publish.publish(spark, assigned, root, Seq("cell"))
       import spark.implicits._

@@ -152,6 +152,14 @@ object TextAnalysis {
     * hashes ride the two shuffles (global count agg with map-side
     * combine, then the count join back); the per-doc rollup is a hash
     * agg. Nothing quadratic, nothing sorted corpus-wide.
+    *
+    * Approximation note: grams are counted by their 64-bit xxhash64, not
+    * the exact string, so the signal is probabilistic at extreme scale —
+    * birthday collisions start inflating `n_repeated` once the corpus
+    * carries on the order of 1e9+ DISTINCT grams (~3% collision odds at
+    * 1e9; negligible below). Fine for a down-weighting signal; switch the
+    * hash to 128-bit (e.g. concat two seeded hashes) if an exact count
+    * ever matters at that scale.
     */
   def repeatedNgramStats(docs: DataFrame, n: Int = 3, minCount: Long = 2,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

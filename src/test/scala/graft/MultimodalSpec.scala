@@ -177,6 +177,42 @@ class MultimodalSpec extends AnyFunSuite {
       s"silence has zero energy/peak/crossings: $silent")
   }
 
+  /** A mono UNSIGNED 8-bit WAV (the standard 8-bit WAV encoding) holding a
+    * sine wave: sample = 128 + A·127·sin(·).
+    */
+  private def sineWavU8(rate: Float, freq: Double, amplitude: Double,
+                        seconds: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, rate, 8, 1, 1, rate, false)
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      data(i) = (128 + (amplitude * 127.0 * math.sin(2 * math.Pi * freq * i / rate)).toInt).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFeatures decodes unsigned 8-bit PCM (standard 8-bit WAV)") {
+    val audio = Seq((1L, sineWavU8(8000f, 440.0, 0.5, 1.0)))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.audioFeatures(spark, audio)
+      .as[(Long, Seq[Float])].collect().toMap
+    val Seq(rms, peak, zcr, dur) = feats(1L).toSeq
+    // 8-bit quantization is coarse: looser tolerances than the 16-bit spec
+    assert(math.abs(rms - 0.5 * 127.0 / 128.0 / math.sqrt(2)) < 0.01,
+      s"u8 sine RMS = A/sqrt(2), got $rms")
+    assert(peak > 0.47f && peak <= 0.51f, s"u8 sine peak = A, got $peak")
+    assert(math.abs(zcr - 2 * 440.0 / 8000) < 0.005, s"zcr 0.11, got $zcr")
+    assert(math.abs(dur - 1.0) < 1e-3, s"duration 1 s, got $dur")
+  }
+
   test("decodeAudioBatch reads REAL rate/channels/duration from actual WAV bytes") {
     val audio = Seq(
       (1L, wav(16000f, 2, 8000)),  // 0.5 s stereo

@@ -151,6 +151,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(appended).contains(1000L), "appended twin must be a top neighbor")
     // a FRESH load (what a later session sees) serves the appended rows too
     assert(top(Similarity.IvfIndex.load(spark, root)).contains(1000L))
+    // re-saving a loaded index onto its own root would delete the data
+    // backing the lazy assignment frame mid-write — must refuse up front
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.IvfIndex.load(spark, root).save(root)
+    }
+    assert(ex.getMessage.contains("own root"))
+    // and the refused save must not have touched the index
+    assert(top(Similarity.IvfIndex.load(spark, root)).contains(1000L))
   }
 
   test("IVF works on stats-less plans (RDD-backed frame) — no silent empty fit") {
