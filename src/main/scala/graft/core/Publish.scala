@@ -232,6 +232,12 @@ object Publish {
     // existing listing first.
     val preExisting: Set[String] =
       if (mode == "append") listDataFiles(spark, root).toSet else Set.empty
+    // Take down the index's completeness claim BEFORE files land: a reader
+    // racing this write (or a crash before the index catches up) falls
+    // back to the conservative listing path instead of missing the new
+    // files in a manifest-planned scan.
+    val priorManifestCols: Option[Seq[String]] =
+      if (mode == "append") StatsIndex.invalidateMarker(spark, root) else None
 
     out.write
       .mode(mode)
@@ -246,9 +252,17 @@ object Publish {
     // Index maintenance is O(this batch), never O(dataset): an append
     // stats only the files it just wrote and appends their rows to the
     // sidecar; overwrite (a fresh dataset) builds from the same listing.
+    // An append that carried a completeness claim restores it once the new
+    // files' stats commit — even when the caller passed no statsCols (a
+    // complete index stays complete, at O(batch) maintenance cost, rather
+    // than silently degrading every future fetchIndexed to listing mode).
     if (statsCols.nonEmpty) {
-      if (mode == "append") StatsIndex.appendFiles(spark, root, newFiles, statsCols)
+      if (mode == "append")
+        StatsIndex.appendFiles(spark, root, newFiles, statsCols,
+          markComplete = priorManifestCols.isDefined)
       else StatsIndex.buildFor(spark, root, DatasetMeta(df.schema, partitions), allAfter, statsCols)
+    } else priorManifestCols.foreach { cols =>
+      StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true)
     }
     newFiles
   }

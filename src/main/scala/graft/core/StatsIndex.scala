@@ -45,6 +45,79 @@ object StatsIndex {
   val DirName = "_graft_stats"
   private val TmpDirName = "_graft_stats_tmp"
 
+  /** Completeness marker (`_graft_stats/_complete.json`): present iff the
+    * sidecar provably covers EVERY data file of the dataset, making the
+    * sidecar an authoritative manifest — [[candidateFiles]] then plans the
+    * scan's file set straight from it, with no filesystem listing at all
+    * (the lakehouse-log idea: Delta/Iceberg readers never list either).
+    *
+    * Lifecycle (maintained by the graft write paths, Delta-log style):
+    *  - written by a full [[build]] and by [[migrateCompacted]] — both
+    *    index the complete file set by construction;
+    *  - [[graft.core.Publish.publish]] DELETES it before writing data and
+    *    [[appendFiles]] restores it after the new files' stats commit, so
+    *    any crash window simply falls back to the conservative listing
+    *    path (no wrong answer, just no manifest shortcut);
+    *  - never written on a streaming-sink root (`_spark_metadata`): sink
+    *    micro-batches add files outside this maintenance protocol.
+    *
+    * Contract: adding data files by any means that bypasses graft's write
+    * paths (and doesn't call [[appendFiles]]) voids the marker's claim —
+    * the same contract every table format's transaction log carries.
+    */
+  private val MarkerName = "_complete.json"
+
+  private def markerPath(root: String) = new Path(s"$root/$DirName/$MarkerName")
+
+  private[graft] def writeMarker(spark: SparkSession, root: String,
+                                 cols: Seq[String]): Unit = {
+    val fs = markerPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a sink root's file set grows outside this protocol — never claim it
+    if (fs.exists(new Path(root, "_spark_metadata"))) return
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(1),
+      "columns" -> JArray(cols.sorted.map(JString(_)).toList))))
+    val out = fs.create(markerPath(root), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The marker's recorded column set, or None when the index makes no
+    * completeness claim.
+    */
+  def manifestColumns(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val p = markerPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(raw) \ "columns" match {
+      case JArray(xs) => Some(xs.collect { case JString(s) => s })
+      case _ => None
+    }
+  }
+
+  /** Read-and-delete of the completeness claim: called by a writer about
+    * to add data files, so a reader racing (or a crash inside) the write
+    * sees no claim and falls back to the listing. Returns the claimed
+    * columns for post-write auto-maintenance.
+    */
+  private[core] def invalidateMarker(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val cols = manifestColumns(spark, root)
+    if (cols.isDefined) {
+      val p = markerPath(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+    cols
+  }
+
   /** Sidecar sizing: one row per (file, column); ~500k rows (~a few MB
     * compressed) per sidecar file keeps a 2M-file manifest at a handful
     * of parquet files while sf-scale datasets stay at one.
@@ -89,11 +162,18 @@ object StatsIndex {
     StructField("min_s", StringType, nullable = true),
     StructField("max_s", StringType, nullable = true)))
 
-  /** `input_file_name()` yields a URI; the listings compare by
-    * `Path.toUri.getPath` — same normalization, executor-side (one row
-    * per file, nowhere near the hot path).
+  /** `input_file_name()` yields a URI-ENCODED string; listings (and hence
+    * the manifest contract) store real DECODED filesystem paths.
+    * `java.net.URI` does the decode; hadoop `Path`'s String constructor
+    * would re-encode the escapes and hand back the still-encoded form — a
+    * mismatch that silently disabled pruning for files under escaped
+    * partition dirs (`c_ts=… %3A…`) and would break manifest-mode
+    * planning outright (the encoded path reaches `spark.read`).
+    * Executor-side, one row per file — nowhere near the hot path.
     */
-  private val normPath = udf((s: String) => new Path(s).toUri.getPath)
+  private val normPath = udf((s: String) =>
+    try new java.net.URI(s).getPath
+    catch { case _: java.net.URISyntaxException => new Path(s).toUri.getPath })
 
   private def requireMeta(spark: SparkSession, root: String): DatasetMeta =
     DatasetMeta.read(spark, root).getOrElse(
@@ -166,6 +246,9 @@ object StatsIndex {
     if (files.isEmpty) return
     writeSidecar(root, statsFor(spark, root, meta, files, target),
       files.size.toLong * target.size, "overwrite")
+    // every caller passes the FULL data listing — the fresh sidecar is a
+    // complete manifest by construction
+    writeMarker(spark, root, target)
   }
 
   /** Incremental maintenance: stat ONLY `newFiles` and append their rows
@@ -174,9 +257,17 @@ object StatsIndex {
     * sidecar is absent or covers a different column set (the incremental
     * rows would otherwise leave old files dark on the new columns).
     */
+  /** `markComplete`: the caller asserts `newFiles` is EVERY data file added
+    * since the index last covered the dataset (publish passes this when the
+    * marker it invalidated pre-write claimed completeness), so the marker
+    * is restored once their stats commit.
+    */
   def appendFiles(spark: SparkSession, root: String, newFiles: Seq[String],
-                  cols: Seq[String]): Unit = {
-    if (newFiles.isEmpty) return
+                  cols: Seq[String], markComplete: Boolean = false): Unit = {
+    if (newFiles.isEmpty) {
+      if (markComplete) writeMarker(spark, root, cols)
+      return
+    }
     val meta = requireMeta(spark, root)
     val target = validTarget(meta, cols)
     read(spark, root) match {
@@ -184,7 +275,8 @@ object StatsIndex {
         writeSidecar(root, statsFor(spark, root, meta, newFiles, target),
           newFiles.size.toLong * target.size, "append")
         maybeCompactSidecar(spark, root)
-      case _ => build(spark, root, cols)
+        if (markComplete) writeMarker(spark, root, target)
+      case _ => build(spark, root, cols) // full rebuild: complete either way
     }
   }
 
@@ -243,6 +335,8 @@ object StatsIndex {
       else carried.unionByName(statsFor(spark, dest, meta, freshFiles, target))
     writeSidecar(dest, merged,
       (copied.size + freshFiles.size).toLong * target.size, "overwrite")
+    // copied + fresh IS the destination's entire file set
+    writeMarker(spark, dest, target)
   }
 
   /** The index contents, or None when the dataset has no stats sidecar.
@@ -260,28 +354,36 @@ object StatsIndex {
     Some(spark.read.schema(statsSchema).parquet(p.toString))
   }
 
-  /** Data files that MIGHT satisfy every filter: the full listing minus
-    * files the index proves out. No index ⇒ the full listing.
+  /** Data files that MIGHT satisfy every filter.
     *
-    * The skip decision runs distributed-side ([[pruneExpr]], the Column
-    * twin of [[mightMatch]]) and the driver collects whichever side of the
-    * verdict is SMALLER — pruned paths when the predicate is broad,
-    * surviving paths (via a distributed anti-join of the listing against
-    * the pruned set) when it is selective — so inbound driver transfer is
-    * min(pruned, survivors), never the manifest. Files or columns the
-    * index doesn't know have no stats row, so they can't be pruned:
-    * conservative by construction (the anti-join keeps them too — an
-    * unindexed path matches no pruned row).
+    * MANIFEST MODE (completeness marker present): the sidecar IS the file
+    * listing — survivors are computed in ONE distributed aggregation over
+    * the stats frame (per-file prune verdict, [[pruneExpr]]) and only the
+    * surviving paths ride to the driver. No filesystem listing happens at
+    * all: at 2M files that replaces a recursive walk (millions of object-
+    * store round trips) plus a ~200 MB driver path list with a parquet
+    * scan of a few-MB sidecar and O(matching files) driver transfer — the
+    * Delta/Iceberg read path, expressed as a graft sidecar.
     *
-    * Remaining ceiling, by design: `all` itself is a driver-side list of
-    * path strings (~200 MB at 2M files) — the same ceiling Spark's
-    * InMemoryFileIndex carries. A manifest-based scan (split planning
-    * from the sidecar, no listing) is the eventual fix.
+    * LISTING MODE (no marker — crash window, foreign writes, stale or
+    * absent index): the full listing minus files the index proves out.
+    * The skip decision still runs distributed-side; the driver collects
+    * whichever side of the verdict is SMALLER (pruned paths, or survivors
+    * via an anti-join of the listing against the pruned set), so inbound
+    * transfer is min(pruned, survivors). Files or columns the index
+    * doesn't know have no stats row, so they can't be pruned:
+    * conservative by construction.
     */
   def candidateFiles(spark: SparkSession, root: String, meta: DatasetMeta,
                      dataFilters: Seq[ColFilter]): Seq[String] = {
-    val all = Publish.listDataFiles(spark, root)
     val relevant = dataFilters.filter(f => indexable(meta.schema(f.partition).dataType))
+    if (manifestColumns(spark, root).isDefined) {
+      read(spark, root) match {
+        case Some(stats) => return manifestSurvivors(stats, relevant, meta)
+        case None => () // marker without sidecar: fall through to listing
+      }
+    }
+    val all = Publish.listDataFiles(spark, root)
     if (relevant.isEmpty) return all
     read(spark, root) match {
       case None => all
@@ -303,6 +405,23 @@ object StatsIndex {
           }
         } finally prunedDf.unpersist(blocking = false)
     }
+  }
+
+  /** One aggregation over the manifest: a file survives unless SOME stats
+    * row proves SOME filter can't match it. Sorted for the stable path
+    * order the listing mode returns.
+    */
+  private def manifestSurvivors(stats: DataFrame, relevant: Seq[ColFilter],
+                                meta: DatasetMeta): Seq[String] = {
+    val survivors =
+      if (relevant.isEmpty) stats.select("file").distinct()
+      else {
+        val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
+        stats.groupBy("file")
+          .agg(max(when(pruneCond, lit(true)).otherwise(lit(false))).as("pruned"))
+          .where(!col("pruned")).select("file")
+      }
+    survivors.collect().map(_.getString(0)).sorted.toIndexedSeq
   }
 
   /** The numeric embedding stats are stored in: timestamps as epoch

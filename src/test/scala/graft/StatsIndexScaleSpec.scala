@@ -119,6 +119,89 @@ class StatsIndexScaleSpec extends AnyFunSuite {
       s"pruned-collect mode: expected ${wantBroad.size} survivors, got ${broad.size}")
   }
 
+  test("a complete manifest plans the scan with no filesystem listing") {
+    // The sidecar + completeness marker are AUTHORITATIVE: survivors come
+    // from the manifest, not a directory walk. Proven in both directions —
+    // paths only the sidecar knows are returned (they don't exist on
+    // disk), and stray on-disk files the sidecar doesn't know are NOT
+    // (a listing would have surfaced them).
+    val root = "/tmp/graft_test/stats_manifest_nolist"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val n = 10000
+    new java.io.File(root).mkdirs()
+    // stray files a listing WOULD see; the manifest must not return them
+    (0 until 5).foreach { i =>
+      new java.io.File(root, f"stray-$i.parquet").createNewFile()
+    }
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val meta = DatasetMeta(schema, Nil)
+    DatasetMeta.write(spark, root, meta)
+    val sidecar = (0 until n).map { i =>
+      (f"/nonexistent/manifest_only/part-$i%05d.parquet", "v", i.toDouble, i.toDouble + 0.5,
+        null.asInstanceOf[String], null.asInstanceOf[String])
+    }.toDF("file", "column", "min_v", "max_v", "min_s", "max_s")
+    sidecar.write.mode("overwrite").parquet(s"$root/${StatsIndex.DirName}")
+    StatsIndex.writeMarker(spark, root, Seq("v"))
+
+    val got = StatsIndex.candidateFiles(spark, root, meta,
+      Seq(ColFilter("v", ">=", Seq(9900.0)))).toSet
+    val want = (9900 until n).map(i => f"/nonexistent/manifest_only/part-$i%05d.parquet").toSet
+    assert(got == want,
+      s"manifest mode must return exactly the sidecar survivors: got ${got.size}, want ${want.size}")
+    // no data filters: the manifest IS the file list — still no listing
+    val all = StatsIndex.candidateFiles(spark, root, meta, Nil)
+    assert(all.size == n && !all.exists(_.contains("stray")),
+      "unfiltered manifest plan must come from the sidecar, not the directory")
+  }
+
+  test("append without statsCols keeps a complete manifest complete") {
+    val r = "/tmp/graft_test/stats_manifest_keep"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val base = spark.range(2000).select(col("id"), (col("id") % 100).cast("double").as("v"))
+    Publish.publish(spark, base, r, Nil, statsCols = Seq("v"))
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")))
+    // the caller forgets statsCols: maintenance still runs for the
+    // marker's recorded columns, so the manifest claim survives
+    val batch = spark.range(100).select((col("id") + 2000).as("id"),
+      (col("id").cast("double") + 50000.0).as("v"))
+    Publish.publish(spark, batch, r, Nil, mode = "append")
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")),
+      "an indexed-complete dataset must stay complete across a no-statsCols append")
+    // the appended file is indexed: an in-range filter finds its rows and
+    // an out-of-range one prunes it
+    val got = Fetch.fetchIndexed(spark, r, dataFilters = Seq(ColFilter("v", ">=", Seq(50000.0))))
+    assert(got.count() == 100)
+    val meta = DatasetMeta.read(spark, r).get
+    val appendedOnly = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("v", ">=", Seq(50000.0))))
+    assert(appendedOnly.nonEmpty && appendedOnly.size < Fetch.allFiles(spark, r).size,
+      "base files must prune under the appended-range filter")
+  }
+
+  test("a missing marker falls back to the conservative listing path") {
+    val r = "/tmp/graft_test/stats_manifest_fallback"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val base = spark.range(1000).select(col("id"), (col("id") % 100).cast("double").as("v"))
+    Publish.publish(spark, base, r, Nil, statsCols = Seq("v"))
+    assert(StatsIndex.manifestColumns(spark, r).isDefined)
+    // a foreign write drops a file in WITHOUT index maintenance, voiding
+    // the claim (here: simulated by copying a data file + deleting the
+    // marker, the state any crash window or foreign writer leaves behind)
+    val files = Fetch.allFiles(spark, r)
+    val srcFile = new java.io.File(files.head)
+    val foreign = new java.io.File(srcFile.getParent, "foreign-copy.parquet")
+    org.apache.commons.io.FileUtils.copyFile(srcFile, foreign)
+    new java.io.File(s"$r/${StatsIndex.DirName}/_complete.json").delete()
+    assert(StatsIndex.manifestColumns(spark, r).isEmpty)
+    val meta = DatasetMeta.read(spark, r).get
+    // listing mode: the unknown file has no stats row and must survive
+    // every filter
+    val got = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("v", ">=", Seq(1e9))))
+    assert(got.exists(_.endsWith("foreign-copy.parquet")),
+      s"unknown file must always be scanned in listing mode: $got")
+  }
+
   test("compaction migrates the index; only re-encoded fragments are re-read") {
     val src = "/tmp/graft_test/stats_compact_src"
     val dest = "/tmp/graft_test/stats_compact_dest"

@@ -136,6 +136,20 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(got == Set(3L), s"appended out-of-index row must be found, got $got")
   }
 
+  test("manifest paths under escaped partition dirs resolve (timestamp partition)") {
+    // hive-escaped dirs (`ts=… 19%3A27%3A57`) reach input_file_name
+    // URI-encoded; the sidecar must store the DECODED on-disk form or
+    // manifest-mode planning hands spark.read a nonexistent path
+    val r = "/tmp/graft_test/stats_escaped_parts"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val df = spark.range(100).select(col("id"), (col("id") % 2).cast("double").as("v"),
+      expr("timestamp'2020-09-15 19:27:57' + make_interval(0,0,0,0,0,0,cast(id % 3 as int))").as("ts"))
+    Publish.publish(spark, df, r, Seq("ts"), statsCols = Seq("v"))
+    assert(StatsIndex.manifestColumns(spark, r).isDefined)
+    val got = Fetch.fetchIndexed(spark, r, dataFilters = Seq(ColFilter("v", "==", Seq(1.0))))
+    assert(got.count() == 50, "manifest-planned read must resolve escaped paths")
+  }
+
   test("date and timestamp columns: index builds, string filter values work") {
     val r = "/tmp/graft_test/stats_temporal"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
