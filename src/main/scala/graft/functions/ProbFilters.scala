@@ -83,6 +83,27 @@ object ProbFilterOps {
     true
   }
 
+  /** [[mightContain]] directly against SERIALIZED filter bytes (the
+    * [[serializeBloom]] layout, words big-endian at offset 12): the
+    * per-partition-filter-as-a-column probe must not copy an m-bit word
+    * array per ROW just to test k bits of it.
+    */
+  def mightContainBytes(bytes: Array[Byte], h: Long, numHashes: Int, numBits: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val pos = position(h, i, numBits)
+      val off = 12 + ((pos >>> 6).toInt << 3)
+      val word =
+        ((bytes(off) & 0xffL) << 56) | ((bytes(off + 1) & 0xffL) << 48) |
+        ((bytes(off + 2) & 0xffL) << 40) | ((bytes(off + 3) & 0xffL) << 32) |
+        ((bytes(off + 4) & 0xffL) << 24) | ((bytes(off + 5) & 0xffL) << 16) |
+        ((bytes(off + 6) & 0xffL) << 8) | (bytes(off + 7) & 0xffL)
+      if ((word & (1L << (pos & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Serialized layout: int numHashes, long numBits, the words. */
   def serializeBloom(numHashes: Int, numBits: Long, words: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(12 + words.length * 8)
@@ -262,6 +283,41 @@ case class BloomMightContainKeyed(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe where the FILTER ITSELF is a column (`left` =
+  * serialized filter bytes riding a join, `right` = xxhash64 of the key).
+  * This is how per-partition filters ship WITHOUT any driver collect or
+  * broadcast: the (partition, filter) frame joins the probe side on the
+  * partition key, each row probes its own partition's bytes in place —
+  * the scale path when the filter map outgrows driver memory
+  * ([[graft.ops.BloomPrune.pruneJoinPartitioned]]). Codegen'd; the kernel
+  * indexes the bytes directly (no per-row word-array copy).
+  */
+case class BloomMightContainSerialized(left: Expression, right: Expression,
+                                       numHashes: Int, numBits: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain_serialized"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (serialized filter, xxhash64 of the key), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(bloom: Any, h: Any): Any =
+    ProbFilterOps.mightContainBytes(bloom.asInstanceOf[Array[Byte]],
+      h.asInstanceOf[Long], numHashes, numBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.ProbFilterOps.mightContainBytes($b, $h, $numHashes, ${numBits}L);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BloomMightContainSerialized =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Mergeable count-min sketch over the XXH64(seed 42) hashes of `child`:
   * depth×width counters, merge = element-wise add. Estimates are upper
   * bounds; error ≤ 2n/width with probability 1 − 2^−depth. Output:
@@ -391,6 +447,12 @@ object ProbFilters {
     shim.column(BloomMightContainKeyed(shim.expression(xxhash64(part)),
       shim.expression(xxhash64(key)), numHashes, numBits, bc))
   }
+
+  /** Probe a filter-bytes COLUMN (no broadcast — the filter rides the row). */
+  def mightContainSerialized(bloom: Column, key: Column,
+                             numHashes: Int, numBits: Long): Column =
+    shim.column(BloomMightContainSerialized(shim.expression(bloom),
+      shim.expression(xxhash64(key)), numHashes, numBits))
 
   /** Count-min aggregate; width ≈ 2/ε counters per row, depth ≈ log(1/δ). */
   def countMinAgg(key: Column, depth: Int = 5, width: Int = 4096): Column =

@@ -71,11 +71,12 @@ object BloomPrune {
     *  - a big-side partition value ABSENT from the small side prunes at
     *    fpp = 0 without spending a bit on it;
     *  - each probe touches only its partition's (smaller, cache-resident)
-    *    words. The whole map still ships in ONE broadcast — same total
-    *    bytes as the global filter; a build side so large that even that
-    *    broadcast won't fit would need partition-selective shipping
-    *    (e.g. probing partition-aligned tasks against per-partition
-    *    sidecar files), which this operator does not implement.
+    *    words. Below `maxFilterMapBytes` the whole map ships in ONE
+    *    broadcast (map-side probe, no extra shuffle); above it the
+    *    operator switches to PARTITION-SELECTIVE shipping — the filters
+    *    stay a distributed (partition, filter) frame joined to the large
+    *    side on the partition key ([[pruneJoinDistributed]]), bounding
+    *    driver memory at any partition cardinality.
     * Against the NAIVE alternative — a global filter over the key column
     * alone — it also removes every cross-partition collision: a key
     * present only under partition A no longer keeps partition B's rows
@@ -122,18 +123,15 @@ object BloomPrune {
         (if (stats.isNullAt(0)) 1L else math.max(1L, stats.getLong(0)), stats.getLong(1))
       }
     val m = ((ProbFilterOps.bloomBits(n, fpp) + 63) / 64) * 64 // word-align
-    // The whole filter map is collect()ed to the driver and shipped as ONE
-    // broadcast (see scaladoc) — O(partitions × m/8) driver memory. A
-    // high-cardinality partition key would OOM the driver long after the
-    // collect started; fail fast while the cost is still one cheap agg.
+    // The broadcast fast path collect()s the whole filter map to the
+    // driver — O(partitions × m/8) driver memory. Past the ceiling the
+    // operator switches to DISTRIBUTED shipping instead of OOMing: the
+    // (partition, filter) frame never leaves the cluster (see below).
     val mapBytes = partCount * (m / 8)
-    require(mapBytes <= maxFilterMapBytes,
-      s"per-partition bloom filter map would need $mapBytes bytes on the driver " +
-        s"($partCount distinct '$smallPartKey' values x ${m / 8} bytes/filter), over the " +
-        s"$maxFilterMapBytes ceiling. This operator ships the whole map as one broadcast " +
-        s"and does not implement partition-selective shipping; raise maxFilterMapBytes, " +
-        s"widen fpp, or fall back to pruneJoin's single filter over the key column.")
     val k = ProbFilterOps.bloomHashes(n, m)
+    if (mapBytes > maxFilterMapBytes)
+      return pruneJoinDistributed(large, small, largePartKey, largeKey,
+        smallPartKey, smallKey, joinType, m, k)
     // one distributed agg pass: (partition, filter) rows, O(m · partitions)
     val rows = small.groupBy(col(smallPartKey))
       .agg(ProbFilters.bloomAggSized(col(smallKey), m, k).as("bloom"))
@@ -154,6 +152,42 @@ object BloomPrune {
       col(largePartKey), col(largeKey), k, m, filters))
     pruned.join(small,
       pruned(largePartKey) === small(smallPartKey) && pruned(largeKey) === small(smallKey),
+      joinType)
+  }
+
+  /** Partition-selective shipping — the above-the-ceiling path: the
+    * per-partition filters stay a DISTRIBUTED (partition, filter) frame
+    * that joins the large side on the partition key; each row then probes
+    * ITS OWN partition's filter bytes in place (codegen'd direct byte
+    * indexing — no per-row deserialization, no driver collect, no
+    * broadcast). Bounded driver memory at ANY partition cardinality.
+    *
+    * Cost shape, honestly: when Catalyst can still broadcast the filter
+    * frame (it's just not driver-collectable as one map) the probe stays
+    * map-side and nothing extra shuffles; when it can't, the probe join
+    * hash-partitions the large side on the partition key and the real
+    * join re-shuffles the SURVIVORS on (partition, key) — about the plain
+    * join's shuffle volume when the filter is selective, with the pruning
+    * now applied before the (expensive) wide join itself. The point of
+    * this path is bounded memory, not beating the broadcast route.
+    * A large-side partition value absent from the small side still prunes
+    * at fpp exactly 0 (the probe join is inner: no filter row, no rows
+    * out). Semantics identical to the broadcast path; the spec pins
+    * equality on both routes.
+    */
+  private def pruneJoinDistributed(large: DataFrame, small: DataFrame,
+                                   largePartKey: String, largeKey: String,
+                                   smallPartKey: String, smallKey: String,
+                                   joinType: String, m: Long, k: Int): DataFrame = {
+    val bloomCol = "__graft_part_bloom"
+    val filters = small.groupBy(col(smallPartKey))
+      .agg(ProbFilters.bloomAggSized(col(smallKey), m, k).as(bloomCol))
+    val probed = large
+      .join(filters, large(largePartKey) === filters(smallPartKey))
+      .where(ProbFilters.mightContainSerialized(col(bloomCol), large(largeKey), k, m))
+      .select(large.columns.map(large(_)).toIndexedSeq: _*)
+    probed.join(small,
+      probed(largePartKey) === small(smallPartKey) && probed(largeKey) === small(smallKey),
       joinType)
   }
 }

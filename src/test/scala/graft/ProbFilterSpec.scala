@@ -136,27 +136,34 @@ class ProbFilterSpec extends AnyFunSuite {
       s"keyed filters must prune to ~true matches: $keyedSurvivors of 1200")
   }
 
-  test("partitioned pruneJoin fails fast when the filter map would swamp the driver") {
-    // 5,000 distinct partition values x (filter bytes for 1M expected keys)
-    // ≈ 6 GB of driver memory — the guard must trip on the cheap stats agg,
-    // BEFORE the per-partition filter build/collect runs
-    val small = (0 until 5000).map(p => (p, p.toLong)).toDF("p", "k")
-    val large = Seq((1, 1L)).toDF("p", "k")
-    val e = intercept[IllegalArgumentException] {
-      BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k",
-        expectedItemsPerPartition = 1000000L)
-    }
-    // cardinality comes from an approx sketch on this path — assert the
-    // message names the partition column and ceiling, not the exact count
-    assert(e.getMessage.contains("distinct 'p' values"), e.getMessage)
-    assert(e.getMessage.contains("ceiling"), e.getMessage)
-    // the ceiling is a knob, not a constant: the map that fits the default
-    // trips a deliberately tiny ceiling (without ever building filters)
+  test("above the driver ceiling the build ships filters distributed, not broadcast") {
+    // 5,000 distinct partition values over a 16-byte ceiling: the map may
+    // never be collect()ed — the distributed route must (1) actually be
+    // taken (serialized-bytes probe in the plan, no keyed broadcast
+    // probe), (2) still equal the plain compound-key join exactly
+    val small = (0 until 5000).flatMap(p => (0 until 4).collect {
+      case k if k % 2 == p % 2 => (p, k.toLong)
+    }).toDF("p", "k")
+    val large = (0 until 5002).flatMap(p => (0 until 4).map(k => (p, k.toLong, p + k)))
+      .toDF("p", "k", "payload")
+    val got = BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k",
+      maxFilterMapBytes = 16L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain_serialized"),
+      "above-ceiling build must probe serialized filter bytes riding the join")
+    assert(!plan.contains("graft_might_contain_keyed"),
+      "above-ceiling build must not collect a broadcast filter map")
+    val want = large.join(small, large("p") === small("p") && large("k") === small("k"))
+      .select(large("p"), large("k"), col("payload"))
+    val gotP = got.select(large("p"), large("k"), col("payload"))
+    assert(gotP.count() == want.count())
+    assert(gotP.exceptAll(want).isEmpty && want.exceptAll(gotP).isEmpty)
+    // below the ceiling the broadcast fast path is unchanged (analyzed
+    // plan: ConvertToLocalRelation folds the probe filter over these
+    // local test frames before the physical plan)
     val tiny = (0 until 10).map(p => (p, p.toLong)).toDF("p", "k")
-    intercept[IllegalArgumentException] {
-      BloomPrune.pruneJoinPartitioned(large, tiny, "p", "k", "p", "k",
-        maxFilterMapBytes = 16L)
-    }
+    val fast = BloomPrune.pruneJoinPartitioned(large, tiny, "p", "k", "p", "k")
+    assert(fast.queryExecution.analyzed.toString.contains("graft_might_contain_keyed"))
   }
 
   test("partitioned pruneJoin with an empty small side yields an empty join, not a crash") {

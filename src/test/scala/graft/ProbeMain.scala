@@ -78,13 +78,12 @@ object ProbeMain {
       dataFilters = Seq(ColFilter("l_returnflag", "==", Seq("R"))))) // partition col as data filter
     expectErr("P23")(Publish.publish(spark, df, "/tmp/probe_zbad", Nil,
       zorderCols = Seq("l_quantity"), sortCols = Seq("l_quantity"))) // both clusterings
-    locally { // per-partition bloom filter map over the driver-memory ceiling
+    locally { // partitioned bloom pruning keeps its semantic join-type guard
       import spark.implicits._
-      import org.apache.spark.sql.functions.col
-      val small = (0 until 2000).map(p => (p, p.toLong)).toDF("p", "k")
+      val small = Seq((1, 1L)).toDF("p", "k")
       val large = Seq((1, 1L)).toDF("p", "k")
       expectErr("P24")(graft.ops.BloomPrune.pruneJoinPartitioned(
-        large, small, "p", "k", "p", "k", expectedItemsPerPartition = 10000000L))
+        large, small, "p", "k", "p", "k", joinType = "left_outer"))
       // partition columns carry no data stats (they prune directly)
       expectErr("P25")(StatsIndex.build(spark, "/tmp/probe_ds", Seq("l_returnflag")))
     }
