@@ -289,8 +289,15 @@ object SparkEntry {
       Dedup.dropDuplicateParagraphs(chunked).orderBy("doc_id")
     }),
 
+    // 32 bands × 2 rows: a true 0.8-jaccard pair escapes candidacy with
+    // probability (1-0.8²)³² ≈ 6e-15, so LSH+exact-verify EQUALS the
+    // all-true-pairs oracle (which DuckDB computes via shared-shingle
+    // intersection counts) — the rare-miss tolerance a production 16×4
+    // config accepts would otherwise make the hash-compare flaky.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashLsh(s.read.parquet(t(dir, "documents")), threshold = 0.8)
+      Dedup.minHashLsh(s.read.parquet(t(dir, "documents")), threshold = 0.8,
+          numHashes = 64, bands = 32)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -1065,6 +1072,24 @@ object SparkEntry {
         |       round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS repeated_frac
         |FROM g JOIN c USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact n-gram Jaccard ≥ threshold pairs, computed WITHOUT LSH: only
+    // docs sharing ≥1 shingle can have jaccard > 0, so intersection counts
+    // come from a shingle-equality self-join (no all-pairs). The shingle
+    // construction mirrors SketchOps.shingles: distinct word 3-grams,
+    // whole-text shingle when the doc has ≤3 words (the i=1 slice below).
+    "dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 3, 0) + 2)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE c / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
