@@ -352,6 +352,28 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "ann_recall" -> ((s, dir) => {
+      // The ANN quality contract in the driver artifact, not just CI:
+      // per-query recall of IVF and LSH against the brute-force ground
+      // truth, with the floor enforced Spark-side — a query whose recall
+      // drops below it disappears from the result, so a recall collapse
+      // shrinks the row count the driver pins (and a total collapse zeroes
+      // it). The synthetic embeddings are near-random (no cluster
+      // structure for buckets to exploit), so the floor is 0.4 at probe
+      // configs measured to clear it at every sf (IVF half-probe min 0.4,
+      // LSH 4×16 min 0.6); the ≥0.8 contract on CLUSTERED data — the case
+      // ANN exists for — is pinned in SimilaritySpec.
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val queries = embs.where(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(embs, queries, 5)
+      val ivf = Similarity.ivfTopK(embs, queries, 5, nlist = 16, nprobe = 8)
+      val lsh = Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16)
+      Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
+        .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
+        .where(col("recall") >= 0.4)
+        .orderBy("method", "query_id")
+    }),
+
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -727,6 +749,24 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "fetch_indexed_decimal" -> ((s, dir) => {
+      // DECIMAL data column in the stats index — the custom_publish world:
+      // money columns are DECIMAL(12,2). The stats row embeds the decimal
+      // to double (2-ulp slack keeps skipping conservative); the row-level
+      // predicate compares exact decimals. Dumped as the canonical scale-2
+      // STRING for the same driver-hasher reason as custom_publish_roundtrip.
+      val root = publishOnce(s, "ds_lineitem_decstats", dir, Nil,
+        sortCols = Seq("l_price_dec"), statsCols = Seq("l_price_dec")) {
+        s.read.parquet(t(dir, "lineitem"))
+          .withColumn("l_price_dec", col("l_extendedprice").cast("decimal(12,2)"))
+      }
+      Fetch.fetchIndexed(s, root, dataFilters = Seq(
+        ColFilter("l_price_dec", ">=", Seq(BigDecimal("90000.00")))))
+        .withColumn("l_price_dec", col("l_price_dec").cast("string"))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    }),
+
     "fetch_indexed_combined" -> ((s, dir) => {
       // the three pruning layers composed: hive partition pruning
       // (l_returnflag), file-level min/max skipping (l_extendedprice),
@@ -820,6 +860,13 @@ object SparkEntry {
     "fetch_indexed_filter" ->
       """SELECT * FROM lineitem
         |WHERE l_extendedprice >= 90000 AND l_quantity <= 10
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    "fetch_indexed_decimal" ->
+      """SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS l_price_dec
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= CAST('90000.00' AS DECIMAL(12,2))
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
 

@@ -306,6 +306,25 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("neighbor_id"),
         col("e.score").as("sim"), (col("pos") + 1).as("rank"))
 
+  /** Per-query recall of an ANN result against the brute-force ground
+    * truth: |approx ∩ exact| / |exact| per query_id — the quality gate a
+    * production ANN deployment monitors continuously. Queries the approx
+    * side missed ENTIRELY (no candidates survived bucketing) still appear,
+    * with recall 0 — a silent-miss must not vanish from the report. Both
+    * inputs are (query_id, neighbor_id, …) top-k frames; the join is on
+    * id scalars only.
+    */
+  def recallVsBrute(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4).as("recall"))
+  }
+
   /** Approximate cosine top-k via hyperplane-LSH bucketing: corpus and
     * queries are signed with the same `tables`×`planes` hyperplanes,
     * joined on (table, signature), and the within-bucket union is ranked

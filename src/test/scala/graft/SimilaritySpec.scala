@@ -33,6 +33,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("ann_recall emits every query for both methods above the floor") {
+    // the driver pins rows>0; this pins the exact contract — 8 queries ×
+    // 2 methods all clear the 0.4 floor on the sf0.001 synthetic corpus
+    val rows = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byMethod = rows.groupBy(_.getAs[String]("method")).view.mapValues(_.length).toMap
+    assert(byMethod == Map("ivf" -> 8, "lsh" -> 8),
+      s"every query must clear the recall floor: $byMethod")
+    assert(rows.forall(_.getAs[Double]("recall") >= 0.4))
+  }
+
+  test("recallVsBrute reports silent total misses as recall 0") {
+    val brute = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L)).toDF("query_id", "neighbor_id") // query 2 vanished
+    val got = Similarity.recallVsBrute(approx, brute)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.0))
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     val queries = corpus.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5)

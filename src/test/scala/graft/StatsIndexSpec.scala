@@ -169,6 +169,27 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(byTsStr == df.where(col("ts") >= "2024-01-03 00:00:00").count())
   }
 
+  test("decimal columns: index prunes on ranges and stays exact (money columns)") {
+    val r = "/tmp/graft_test/stats_decimal"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    val df = spark.range(1000).select(col("id"),
+      (col("id").cast("decimal(10,0)") / 100).cast("decimal(12,2)").as("price"))
+    Publish.publish(spark, df, r, Nil, sortCols = Seq("price"), statsCols = Seq("price"))
+    val meta = DatasetMeta.read(spark, r).get
+    val all = Fetch.allFiles(spark, r)
+    val hit = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("price", ">=", Seq(BigDecimal("9.90")))))
+    if (all.size > 1)
+      assert(hit.size < all.size, s"decimal range should prune files: ${hit.size}/${all.size}")
+    val got = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("price", ">=", Seq(BigDecimal("9.90")))))
+    assert(got.count() == 10, "990..999 cents") // 9.90 .. 9.99
+    // equality on a value doubles can't represent exactly
+    val eq = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("price", "==", Seq(BigDecimal("0.10")))))
+    assert(eq.count() == 1)
+  }
+
   test("strict comparisons near the 2^53 double boundary never false-skip") {
     val meta = DatasetMeta(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))), Nil)
