@@ -154,7 +154,17 @@ object Fetch {
     * validity, rewritten ones need fresh rows anyway).
     */
   def compactSmallFiles(spark: SparkSession, src: String, dest: String,
-                        smallBytesThreshold: Long = Publish.TargetFileBytes / 2): (Int, Int) = {
+                        smallBytesThreshold: Long = Publish.TargetFileBytes / 2): (Int, Int) =
+    // Snapshot semantics on src (appends landing mid-compaction are not
+    // carried — re-run to pick them up); the writer lock is taken on the
+    // DESTINATION being built, so a concurrent append to dest serializes
+    // against the copy + stats-migrate critical section.
+    DatasetLock.withLock(spark, dest) {
+      compactSmallFilesInner(spark, src, dest, smallBytesThreshold)
+    }
+
+  private def compactSmallFilesInner(spark: SparkSession, src: String, dest: String,
+                                     smallBytesThreshold: Long): (Int, Int) = {
     val meta = requireMeta(spark, src)
     val sized = Publish.listDataFilesWithSize(spark, src)
     val (healthy, fragments) = sized.partition(_._2 >= smallBytesThreshold)

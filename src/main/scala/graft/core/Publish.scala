@@ -128,12 +128,32 @@ object Publish {
     * record the logical schema + partition types in the sidecar, and return
     * the list of written data-file paths (the reference returns published
     * object keys, publish_parq.py:573).
+    *
+    * Concurrency contract ([[DatasetLock]]): APPENDS serialize under the
+    * dataset's writer lock — the listing diff, stats-index append and
+    * completeness-marker restore are one critical section, so two
+    * concurrent appends land as if sequential. OVERWRITE is deliberately
+    * lock-free last-writer-wins (the reference's S3 object-overwrite
+    * semantics). Readers never take the lock.
     */
   def publish(spark: SparkSession, df: DataFrame, root: String,
               partitions: Seq[String], mode: String = "overwrite",
               sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
               zorderBits: Int = 16, zorderPartitions: Int = 0,
-              statsCols: Seq[String] = Nil): Seq[String] = {
+              statsCols: Seq[String] = Nil): Seq[String] =
+    if (mode == "append")
+      DatasetLock.withLock(spark, root) {
+        publishImpl(spark, df, root, partitions, mode, sortCols, zorderCols,
+          zorderBits, zorderPartitions, statsCols)
+      }
+    else publishImpl(spark, df, root, partitions, mode, sortCols, zorderCols,
+      zorderBits, zorderPartitions, statsCols)
+
+  private def publishImpl(spark: SparkSession, df: DataFrame, root: String,
+                          partitions: Seq[String], mode: String,
+                          sortCols: Seq[String], zorderCols: Seq[String],
+                          zorderBits: Int, zorderPartitions: Int,
+                          statsCols: Seq[String]): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
@@ -311,12 +331,28 @@ object Publish {
   /** Shared core: `needState=false` (the plain append) skips the state
     * bloom construction entirely — building and folding a filter nobody
     * will read costs an extra aggregate pass per call.
+    *
+    * The ENTIRE read-prove-append cycle runs under the dataset's writer
+    * lock: without it, two concurrent deliveries of overlapping batches
+    * could each prove the other's keys absent (both bloom probes ran
+    * before either wrote) and insert duplicates — the exactly-once
+    * guarantee would hold per-writer but not per-dataset.
     */
   private def dedupAppendImpl(spark: SparkSession, df: DataFrame, root: String,
                               keyCols: Seq[String], fpp: Double,
                               firstCreatePartitions: Seq[String],
                               knownBloom: Option[Array[Byte]],
-                              needState: Boolean): (Seq[String], Option[Array[Byte]]) = {
+                              needState: Boolean): (Seq[String], Option[Array[Byte]]) =
+    DatasetLock.withLock(spark, root) {
+      dedupAppendInner(spark, df, root, keyCols, fpp, firstCreatePartitions,
+        knownBloom, needState)
+    }
+
+  private def dedupAppendInner(spark: SparkSession, df: DataFrame, root: String,
+                               keyCols: Seq[String], fpp: Double,
+                               firstCreatePartitions: Seq[String],
+                               knownBloom: Option[Array[Byte]],
+                               needState: Boolean): (Seq[String], Option[Array[Byte]]) = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     val meta = DatasetMeta.read(spark, root)

@@ -1,0 +1,117 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColFilter, DatasetLock, Fetch, Publish, StatsIndex}
+
+/** The concurrent-writer contract: appends serialize under the dataset's
+  * writer lock, crashed writers' locks break as stale, and the guarantees
+  * that motivated the lock (exactly-once dedup append across WRITERS, a
+  * trustworthy completeness marker) hold under real interleaving.
+  */
+class DatasetLockSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("concurrent overlapping dedup-appends yield every key exactly once") {
+    // Two writers deliver OVERLAPPING halves at the same time. Unlocked,
+    // both bloom probes can run before either write and the overlap
+    // double-inserts; the lock serializes the whole read-prove-append
+    // cycle, so the result is exactly one row per key.
+    val r = "/tmp/graft_test/lock_dedup_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    Publish.publishDedupAppend(spark,
+      spark.range(100).select(col("id"), lit("seed").as("src")), r, Seq("id"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def deliver(lo: Int, hi: Int) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        Publish.publishDedupAppend(spark,
+          spark.range(lo, hi).select(col("id"), lit("batch").as("src")), r, Seq("id"))
+      }
+    })
+    val a = deliver(100, 300) // overlap: 200..299
+    val b = deliver(200, 400)
+    start.countDown()
+    a.get(120, TimeUnit.SECONDS)
+    b.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val got = Fetch.fetch(spark, r)
+    assert(got.count() == 400, "every key exactly once")
+    assert(got.groupBy("id").count().where(col("count") > 1).isEmpty,
+      "no key may be double-inserted by racing writers")
+  }
+
+  test("concurrent plain appends keep the manifest marker trustworthy") {
+    val r = "/tmp/graft_test/lock_manifest_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    Publish.publish(spark, spark.range(100).select(col("id"),
+      col("id").cast("double").as("v")), r, Nil, statsCols = Seq("v"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def append(offset: Long) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        // no statsCols: relies on the marker auto-maintenance path, the
+        // one a lost race would leave claiming completeness over
+        // unindexed files
+        Publish.publish(spark, spark.range(100).select((col("id") + offset).as("id"),
+          (col("id").cast("double") + offset).as("v")), r, Nil, mode = "append")
+      }
+    })
+    val a = append(10000L)
+    val b = append(20000L)
+    start.countDown()
+    a.get(120, TimeUnit.SECONDS)
+    b.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // the marker survived both appends AND every file is indexed: each
+    // append's rows are findable through the manifest-planned read
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")))
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("v", ">=", Seq(10000.0)), ColFilter("v", "<", Seq(10100.0))))
+      .count() == 100)
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("v", ">=", Seq(20000.0)))).count() == 100)
+    assert(Fetch.fetch(spark, r).count() == 300)
+  }
+
+  test("a crashed writer's stale lock breaks; a live one is waited out") {
+    val r = "/tmp/graft_test/lock_stale"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    // a lock stamped far in the past = a writer that died mid-publish
+    val lockFile = new java.io.File(r, DatasetLock.FileName)
+    java.nio.file.Files.writeString(lockFile.toPath,
+      (System.currentTimeMillis() - 3600L * 1000).toString)
+    var ran = false
+    DatasetLock.withLock(spark, r, staleMs = 60000L) { ran = true }
+    assert(ran, "a stale lock must be broken, not waited on forever")
+    assert(!lockFile.exists(), "the lock releases after the critical section")
+    // a FRESH foreign lock is honored: a bounded wait times out
+    java.nio.file.Files.writeString(lockFile.toPath,
+      System.currentTimeMillis().toString)
+    val e = intercept[IllegalStateException] {
+      DatasetLock.withLock(spark, r, waitMs = 400L) { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("writer lock"))
+    lockFile.delete()
+  }
+
+  test("the lock is re-entrant per thread (dedup append publishes under its own lock)") {
+    val r = "/tmp/graft_test/lock_reentrant"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    var depth = 0
+    DatasetLock.withLock(spark, r) {
+      depth += 1
+      DatasetLock.withLock(spark, r, waitMs = 200L) { depth += 1 }
+    }
+    assert(depth == 2)
+    assert(!new java.io.File(r, DatasetLock.FileName).exists())
+  }
+}
