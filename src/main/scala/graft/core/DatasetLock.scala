@@ -6,12 +6,13 @@ import org.apache.spark.sql.SparkSession
 /** Advisory writer lock for a graft dataset — the concurrent-writer
   * contract:
   *
-  *  - WRITERS serialize: `publish(append)`, `publishDedupAppend` and the
-  *    sidecar/marker maintenance they perform run under this lock, so two
-  *    simultaneous appends cannot interleave their listing-diff /
-  *    stats-append / marker-restore steps (the race that could restore a
-  *    completeness claim while the other writer's files lack stats rows,
-  *    or double-insert "new" keys both writers proved absent).
+  *  - WRITERS serialize: `publish(append)`, `publishDedupAppend`,
+  *    `StatsIndex.build`/`appendFiles` and the sidecar/marker maintenance
+  *    they perform run under this lock, so two simultaneous appends cannot
+  *    interleave their listing-diff / stats-append / marker-restore steps
+  *    (the race that could restore a completeness claim while the other
+  *    writer's files lack stats rows, or double-insert "new" keys both
+  *    writers proved absent).
   *  - READERS never lock: fetch/fetchIndexed see either the pre- or
   *    post-write state; mid-write they see data files without the
   *    completeness marker (the writer takes it down first) and fall back
@@ -24,11 +25,26 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: create-if-absent of `root/_graft_lock` (atomic on
   * HDFS-like filesystems; object stores without conditional create get
-  * best-effort mutual exclusion — the documented residual risk). The
-  * holder stamps an epoch; a lock older than `staleMs` is presumed
-  * crashed and broken (delete + re-acquire), so an abandoned lock never
-  * bricks the dataset. Re-entrant per thread (publishDedupAppend calls
-  * publish(append) under its own lock).
+  * best-effort mutual exclusion — the documented residual risk).
+  *
+  * Staleness is judged by the lock file's MODIFICATION TIME, never its
+  * contents: a freshly created file always has mod-time ≈ now, so there is
+  * no window (e.g. HDFS length-0 between the holder's create and close)
+  * where a live writer's lock reads as ambiguous and gets broken. The
+  * epoch stamp written inside the file is diagnostics only. A lock whose
+  * mod-time is older than `staleMs` is presumed crashed and broken via
+  * RENAME-FIRST: a breaker renames the lock to a unique tombstone and only
+  * the successful renamer deletes it — two contenders observing the same
+  * stale lock cannot both "remove and re-acquire" it, because rename is
+  * atomic where create-if-absent is. An unreadable/unstat-able lock (other
+  * than not-found, which means the holder just released) is treated as
+  * FRESH — we keep waiting until the deadline rather than breaking a lock
+  * we cannot prove stale.
+  *
+  * Re-entrant per thread (publishDedupAppend calls publish(append) under
+  * its own lock). `waitMs` is ONE overall budget: the in-process mutex and
+  * the file lock share a single deadline, so worst-case blocking is
+  * `waitMs`, not 2×.
   */
 object DatasetLock {
 
@@ -58,47 +74,76 @@ object DatasetLock {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(p).toString
     if (held.get.contains(key)) return body // re-entrant
+    // one overall deadline across BOTH phases (in-process mutex + file lock)
+    val deadline = System.currentTimeMillis() + waitMs
     val jl = jvmLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     if (!jl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       throw new IllegalStateException(
         s"timed out after ${waitMs}ms waiting for the in-process writer lock on $root")
-    try withFileLock(spark, root, fs, key, waitMs, staleMs)(body)
+    try withFileLock(spark, root, fs, key, deadline, waitMs, staleMs)(body)
     finally jl.unlock()
+  }
+
+  /** Rename-first stale break: move the (presumed-crashed) lock to a
+    * unique tombstone, then delete the tombstone. Rename is atomic on
+    * HDFS-like filesystems, so of N contenders that all judged the same
+    * lock stale, exactly one rename succeeds — the losers loop back to the
+    * create-race instead of deleting a lock a third party may already have
+    * re-acquired fresh. Returns whether THIS caller was the breaker.
+    */
+  private[graft] def tryBreakStale(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    val tomb = new Path(p.getParent,
+      s"$FileName.break.${java.util.UUID.randomUUID().toString}")
+    val won = try fs.rename(p, tomb) catch { case _: java.io.IOException => false }
+    if (won) {
+      try fs.delete(tomb, false) catch {
+        case e: java.io.IOException =>
+          // tombstone names start with '_' so listings already skip it;
+          // log rather than fail the acquisition over cleanup
+          System.err.println(s"[graft] could not delete lock tombstone $tomb: $e")
+      }
+    }
+    won
   }
 
   private def withFileLock[T](spark: SparkSession, root: String,
                               fs: org.apache.hadoop.fs.FileSystem, key: String,
-                              waitMs: Long, staleMs: Long)(body: => T): T = {
+                              deadline: Long, waitMs: Long, staleMs: Long)(body: => T): T = {
     val p = lockPath(root)
-    val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false) // create-if-absent
+        // diagnostics only — staleness is judged by mod-time, not contents
         try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
         finally out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          // held by someone: break if stale, else wait and retry
-          val stampedAt = try {
-            val in = fs.open(p)
-            try new String({
-              val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-              in.readFully(bytes); bytes
-            }, "UTF-8").trim.toLong
-            finally in.close()
-          } catch { case _: Exception => 0L } // vanished/corrupt: treat as stale
-          if (System.currentTimeMillis() - stampedAt > staleMs) {
-            fs.delete(p, false) // break the crashed writer's lock and retry
-          } else {
-            if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"timed out after ${waitMs}ms waiting for the writer lock on $root " +
-                  s"(held since epoch-ms $stampedAt; it breaks as stale after ${staleMs}ms)")
-            Thread.sleep(200)
+          // held by someone: break if provably stale, else wait and retry
+          val status =
+            try Some(fs.getFileStatus(p))
+            catch {
+              case _: java.io.FileNotFoundException => None // just released
+              case _: java.io.IOException => Some(null) // unreadable: treat as FRESH
+            }
+          status match {
+            case None => () // holder released between create and stat: retry now
+            case Some(st) =>
+              val fresh = st == null ||
+                (System.currentTimeMillis() - st.getModificationTime) <= staleMs
+              if (!fresh) {
+                tryBreakStale(fs, p) // winner or not, loop back to the create race
+              } else {
+                if (System.currentTimeMillis() > deadline)
+                  throw new IllegalStateException(
+                    s"timed out after ${waitMs}ms waiting for the writer lock on $root " +
+                      s"(lock mod-time ${if (st == null) "unreadable" else st.getModificationTime.toString}; " +
+                      s"it breaks as stale after ${staleMs}ms)")
+                Thread.sleep(200)
+              }
           }
       }
     }
@@ -106,7 +151,12 @@ object DatasetLock {
     try body
     finally {
       held.get.remove(key)
-      try fs.delete(p, false) catch { case _: Exception => () }
+      try fs.delete(p, false) catch {
+        case e: Exception =>
+          // a leaked lock self-heals via the stale break after staleMs,
+          // but the operator should know the dataset is write-blocked
+          System.err.println(s"[graft] could not release writer lock $p: $e")
+      }
     }
   }
 }

@@ -276,13 +276,18 @@ object Publish {
     // files' stats commit — even when the caller passed no statsCols (a
     // complete index stays complete, at O(batch) maintenance cost, rather
     // than silently degrading every future fetchIndexed to listing mode).
+    // Marker restores verify sidecar coverage against allAfter first: if a
+    // LOST lock race (object stores without atomic create) let another
+    // writer add files without stats rows, the claim stays down and reads
+    // keep the conservative listing path instead of silently losing rows.
     if (statsCols.nonEmpty) {
       if (mode == "append")
         StatsIndex.appendFiles(spark, root, newFiles, statsCols,
-          markComplete = priorManifestCols.isDefined)
+          markComplete = priorManifestCols.isDefined, verifyFiles = Some(allAfter))
       else StatsIndex.buildFor(spark, root, DatasetMeta(df.schema, partitions), allAfter, statsCols)
     } else priorManifestCols.foreach { cols =>
-      StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true)
+      StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true,
+        verifyFiles = Some(allAfter))
     }
     newFiles
   }

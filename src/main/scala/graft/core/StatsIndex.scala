@@ -171,9 +171,20 @@ object StatsIndex {
     * planning outright (the encoded path reaches `spark.read`).
     * Executor-side, one row per file — nowhere near the hot path.
     */
-  private val normPath = udf((s: String) =>
-    try new java.net.URI(s).getPath
-    catch { case _: java.net.URISyntaxException => new Path(s).toUri.getPath })
+  private val normPath = udf((s: String) => decodePath(s))
+
+  /** URI-decode one path string. A raw '#' or '?' in a (foreign/imported)
+    * file name is a literal path character here, not fragment/query
+    * syntax — `new URI(s).getPath` would silently TRUNCATE at it (no
+    * URISyntaxException fires, so a fallback never engages). Pre-encode
+    * exactly those two, then percent-decode the whole; managed layouts
+    * (hive-escaped, so never a raw '#'/'?') pass through unchanged.
+    */
+  private[graft] def decodePath(s: String): String = {
+    val pre = s.replace("#", "%23").replace("?", "%3F")
+    try new java.net.URI(pre).getPath
+    catch { case _: java.net.URISyntaxException => new Path(s).toUri.getPath }
+  }
 
   private def requireMeta(spark: SparkSession, root: String): DatasetMeta =
     DatasetMeta.read(spark, root).getOrElse(
@@ -234,11 +245,17 @@ object StatsIndex {
     stats.repartition(sidecarPartitions(approxRows))
       .write.mode(mode).parquet(s"$root/$DirName")
 
-  /** Full (re)build: one distributed pass, sidecar overwritten. */
-  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
-    val meta = requireMeta(spark, root)
-    buildFor(spark, root, meta, Publish.listDataFiles(spark, root), cols)
-  }
+  /** Full (re)build: one distributed pass, sidecar overwritten. Runs
+    * under the dataset's writer lock — a build racing a concurrent append
+    * could otherwise list before the append's files land yet write its
+    * marker after, claiming completeness over files it never indexed
+    * (re-entrant: publish paths already holding the lock nest freely).
+    */
+  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+    DatasetLock.withLock(spark, root) {
+      val meta = requireMeta(spark, root)
+      buildFor(spark, root, meta, Publish.listDataFiles(spark, root), cols)
+    }
 
   private[core] def buildFor(spark: SparkSession, root: String, meta: DatasetMeta,
                              files: Seq[String], cols: Seq[String]): Unit = {
@@ -262,23 +279,55 @@ object StatsIndex {
     * marker it invalidated pre-write claimed completeness), so the marker
     * is restored once their stats commit.
     */
+  /** `verifyFiles`: the post-write data listing the caller already holds.
+    * Before a `markComplete` restore, the sidecar's file set is checked to
+    * cover it — the cheap coverage proof that keeps a LOST writer race
+    * (object stores without atomic create-if-absent make the lock
+    * best-effort) from restoring a completeness claim over files the other
+    * writer added without stats rows. A failed check degrades to listing-
+    * mode reads (conservative, correct) instead of silent row loss.
+    */
   def appendFiles(spark: SparkSession, root: String, newFiles: Seq[String],
-                  cols: Seq[String], markComplete: Boolean = false): Unit = {
-    if (newFiles.isEmpty) {
-      if (markComplete) writeMarker(spark, root, cols)
-      return
+                  cols: Seq[String], markComplete: Boolean = false,
+                  verifyFiles: Option[Seq[String]] = None): Unit =
+    DatasetLock.withLock(spark, root) {
+      def restoreMarker(target: Seq[String]): Unit =
+        if (verifyFiles.forall(markerCoverageOk(spark, root, _)))
+          writeMarker(spark, root, target)
+        else System.err.println(s"[graft] not restoring completeness marker on " +
+          s"$root: sidecar does not cover the current data listing " +
+          "(concurrent foreign write?) — reads stay on the listing path")
+      if (newFiles.isEmpty) {
+        if (markComplete) restoreMarker(cols)
+      } else {
+        val meta = requireMeta(spark, root)
+        val target = validTarget(meta, cols)
+        read(spark, root) match {
+          case Some(existing) if coveredColumns(existing) == target.toSet =>
+            writeSidecar(root, statsFor(spark, root, meta, newFiles, target),
+              newFiles.size.toLong * target.size, "append")
+            maybeCompactSidecar(spark, root)
+            if (markComplete) restoreMarker(target)
+          case _ => build(spark, root, cols) // full rebuild: complete either way
+        }
+      }
     }
-    val meta = requireMeta(spark, root)
-    val target = validTarget(meta, cols)
+
+  /** Does the sidecar have a stats row for EVERY path in `expected`?
+    * Distributed anti-join over the stats frame — only the verdict rides
+    * to the driver, so the check is O(listing) cluster-side and O(1)
+    * inbound at any manifest size.
+    */
+  private def markerCoverageOk(spark: SparkSession, root: String,
+                               expected: Seq[String]): Boolean =
     read(spark, root) match {
-      case Some(existing) if coveredColumns(existing) == target.toSet =>
-        writeSidecar(root, statsFor(spark, root, meta, newFiles, target),
-          newFiles.size.toLong * target.size, "append")
-        maybeCompactSidecar(spark, root)
-        if (markComplete) writeMarker(spark, root, target)
-      case _ => build(spark, root, cols) // full rebuild: complete either way
+      case None => expected.isEmpty
+      case Some(stats) =>
+        import spark.implicits._
+        expected.toDF("path")
+          .join(stats.select("file").distinct(), col("path") === col("file"), "left_anti")
+          .isEmpty
     }
-  }
 
   private def coveredColumns(stats: DataFrame): Set[String] =
     stats.select("column").distinct().collect().map(_.getString(0)).toSet

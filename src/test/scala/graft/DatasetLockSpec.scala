@@ -84,10 +84,12 @@ class DatasetLockSpec extends AnyFunSuite {
     val r = "/tmp/graft_test/lock_stale"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
     new java.io.File(r).mkdirs()
-    // a lock stamped far in the past = a writer that died mid-publish
+    // a lock whose MOD-TIME is far in the past = a writer that died
+    // mid-publish (staleness is judged by mod-time, never contents)
     val lockFile = new java.io.File(r, DatasetLock.FileName)
     java.nio.file.Files.writeString(lockFile.toPath,
       (System.currentTimeMillis() - 3600L * 1000).toString)
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
     var ran = false
     DatasetLock.withLock(spark, r, staleMs = 60000L) { ran = true }
     assert(ran, "a stale lock must be broken, not waited on forever")
@@ -100,6 +102,54 @@ class DatasetLockSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("writer lock"))
     lockFile.delete()
+  }
+
+  test("an EMPTY fresh lock (holder between create and close) is honored, not broken") {
+    // The pre-hardening bug: an unreadable/empty stamp was treated as
+    // stale (stampedAt=0) and a LIVE writer's lock could be deleted in the
+    // window where HDFS reports length 0. Mod-time-based staleness must
+    // wait on it instead.
+    val r = "/tmp/graft_test/lock_empty_fresh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    val lockFile = new java.io.File(r, DatasetLock.FileName)
+    assert(lockFile.createNewFile()) // zero bytes, mod-time = now
+    val e = intercept[IllegalStateException] {
+      DatasetLock.withLock(spark, r, waitMs = 500L) { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("writer lock"))
+    assert(lockFile.exists(), "a live (fresh, empty) lock must never be deleted")
+    lockFile.delete()
+  }
+
+  test("two contenders racing the same stale lock: exactly one breaks it") {
+    // Rename-first breaking: rename is atomic, so of N contenders that all
+    // judged one lock stale, exactly one wins the break; the losers fall
+    // back to the create race instead of blind-deleting a lock a third
+    // party may have re-acquired fresh.
+    val r = "/tmp/graft_test/lock_break_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    val p = new org.apache.hadoop.fs.Path(r, DatasetLock.FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 20).foreach { _ =>
+      val out = fs.create(p, false); out.close()
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val tasks = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = { start.await(); DatasetLock.tryBreakStale(fs, p) }
+        })
+      }
+      start.countDown()
+      val breakers = tasks.count(_.get(30, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(breakers == 1, s"exactly one contender may break a stale lock, got $breakers")
+      assert(!fs.exists(p), "the broken lock is gone")
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(r)).isEmpty,
+        "no tombstone litter after the break")
+    }
   }
 
   test("the lock is re-entrant per thread (dedup append publishes under its own lock)") {

@@ -216,4 +216,75 @@ class StatsIndexSpec extends AnyFunSuite {
       Fetch.fetchIndexed(spark, rp, dataFilters = Seq(ColFilter("p", "==", Seq("a"))))
     }
   }
+
+  test("decodePath: percent-escapes decode; raw '#'/'?' are literal path chars, not truncation points") {
+    assert(StatsIndex.decodePath("file:/tmp/a%20b/part-0.parquet") == "/tmp/a b/part-0.parquet")
+    assert(StatsIndex.decodePath("file:/tmp/c_ts=2021%3A01/x.parquet") == "/tmp/c_ts=2021:01/x.parquet")
+    // pre-hardening, URI.getPath silently dropped everything from '#'/'?'
+    // on — a foreign file named with them got a truncated sidecar path
+    assert(StatsIndex.decodePath("file:/tmp/data/report#3.parquet") == "/tmp/data/report#3.parquet")
+    assert(StatsIndex.decodePath("file:/tmp/data/what?.parquet") == "/tmp/data/what?.parquet")
+    assert(StatsIndex.decodePath("file:/tmp/data/a#b?c%20d.parquet") == "/tmp/data/a#b?c d.parquet")
+  }
+
+  test("a foreign file without stats rows blocks the marker restore (coverage check)") {
+    // Simulates the LOST lock race on an object store: files land in the
+    // dataset outside graft's write path, then an append tries to restore
+    // the completeness claim. The claim must stay down (listing-mode reads
+    // see everything) rather than silently dropping the foreign rows from
+    // every future manifest-planned scan.
+    val r = "/tmp/graft_test/stats_marker_coverage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    Publish.publish(spark, spark.range(100).select(col("id"),
+      col("id").cast("double").as("v")), r, Nil, statsCols = Seq("v"))
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")))
+    // a foreign writer drops a data file in, bypassing graft entirely
+    val first = new java.io.File(r).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val foreignRows = spark.read.parquet(first.getAbsolutePath).count()
+    java.nio.file.Files.copy(first.toPath,
+      new java.io.File(r, "part-zz-foreign.parquet").toPath)
+    // graft append after the foreign write: stats cover only ITS new files
+    Publish.publish(spark, spark.range(100, 200).select(col("id"),
+      col("id").cast("double").as("v")), r, Nil, mode = "append")
+    assert(StatsIndex.manifestColumns(spark, r).isEmpty,
+      "marker must not be restored over a listing the sidecar doesn't cover")
+    // conservative listing path still returns every row, foreign included
+    assert(Fetch.fetch(spark, r).count() == 200 + foreignRows)
+    // once the index is rebuilt over the full listing, the claim returns
+    StatsIndex.build(spark, r, Seq("v"))
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")))
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("v", "<", Seq(10.0)))).count() ==
+      Fetch.fetch(spark, r).where(col("v") < 10.0).count())
+  }
+
+  test("a direct StatsIndex.build racing a concurrent append serializes under the lock") {
+    val r = "/tmp/graft_test/stats_build_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    Publish.publish(spark, spark.range(100).select(col("id"),
+      col("id").cast("double").as("v")), r, Nil, statsCols = Seq("v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val append = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        Publish.publish(spark, spark.range(1000, 1100).select(col("id"),
+          col("id").cast("double").as("v")), r, Nil, mode = "append")
+      }
+    })
+    val build = pool.submit(new Runnable {
+      def run(): Unit = { start.await(); StatsIndex.build(spark, r, Seq("v")) }
+    })
+    start.countDown()
+    append.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    build.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // whichever order the lock granted, the surviving claim covers every
+    // file: the appended rows are reachable through manifest-planned reads
+    assert(StatsIndex.manifestColumns(spark, r).contains(Seq("v")))
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("v", ">=", Seq(1000.0)))).count() == 100)
+    assert(Fetch.fetch(spark, r).count() == 200)
+  }
 }
