@@ -106,6 +106,23 @@ object SparkEntry {
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Seeded clustered corpus for the ann_recall ≥0.8 contract: 5 centers,
+    * 20 members each with small noise (the SimilaritySpec generator) — the
+    * data shape ANN bucketing exists for, embedded in the driver artifact
+    * so the production-relevant recall floor is pinned per round, not just
+    * in CI. 100 rows built driver-side: this is a monitoring fixture, not
+    * a scale path.
+    */
+  private def clusteredCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -300,8 +317,14 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // MD5-family signatures (bit j = bit j of md5(token)'s first-16-hex
+    // uint64) make the simhash ORACLE-CHECKABLE: the 4×16-bit chunk cover
+    // is exhaustive for hamming ≤ 3 (pigeonhole), so the operator's output
+    // equals DuckDB's brute-force hamming self-join over the same sigs.
+    // Production default stays the faster XXH64 family (spec-covered).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 3)
+      Dedup.simHashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 3,
+          sig = Some(graft.functions.SketchFunctions.simHash64Md5(split(col("text"), " "))))
         .orderBy("id_a", "id_b")),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -326,10 +349,32 @@ object SparkEntry {
       Dedup.duplicateClusters(chain).orderBy("id")
     }),
 
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(s.read.parquet(t(dir, "embeddings")),
-        threshold = 0.25, planes = 8, tables = 8)
-        .orderBy("id_a", "id_b")),
+    // Saturated LSH ⇒ exact oracle (the dedup_minhash trick, vector form):
+    // at threshold 0.95 a pair at EXACTLY the threshold survives 12
+    // hyperplanes of one table with p = (1 - acos(0.95)/π)^12 ≈ 0.279, so
+    // 96 tables miss it with (1-0.279)^96 ≈ 2e-14 — LSH+exact-verify
+    // EQUALS the all-pairs cosine self-join DuckDB computes. The corpus
+    // itself is near-random (64-dim ⇒ cosine σ ≈ 0.125; 0.95 is 7.6σ —
+    // no natural pairs), so near-dups are PLANTED inside the query: the
+    // first 8 vectors get copies with component 1 (resp. 2) sign-flipped —
+    // float negation is EXACT, so Spark and DuckDB construct bit-identical
+    // vectors — putting true cosines at 1−2·vₖ²/‖v‖² ≈ 0.97, comfortably
+    // off the threshold boundary. Pairs whose planted cosine falls below
+    // 0.95 (large v₁ share) drop from BOTH sides identically.
+    "dedup_embedding" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+      def negComp(k: Int, offset: Long) = {
+        val v = col("embedding")
+        embs.where(col("vec_id") < 8).select(
+          (col("vec_id") + offset).as("vec_id"),
+          concat(slice(v, 1, k - 1), array(-element_at(v, k)),
+            slice(v, k + 1, 64 - k)).as("embedding"))
+      }
+      val all = embs.union(negComp(1, 1000000000L)).union(negComp(2, 2000000000L))
+      Dedup.embeddingNearDup(all, threshold = 0.95, planes = 12, tables = 96)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
 
     "ann_brute_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
@@ -358,19 +403,31 @@ object SparkEntry {
       // truth, with the floor enforced Spark-side — a query whose recall
       // drops below it disappears from the result, so a recall collapse
       // shrinks the row count the driver pins (and a total collapse zeroes
-      // it). The synthetic embeddings are near-random (no cluster
-      // structure for buckets to exploit), so the floor is 0.4 at probe
-      // configs measured to clear it at every sf (IVF half-probe min 0.4,
-      // LSH 4×16 min 0.6); the ≥0.8 contract on CLUSTERED data — the case
-      // ANN exists for — is pinned in SimilaritySpec.
+      // it). Two frames:
+      //  - the sf corpus is near-random (no cluster structure for buckets
+      //    to exploit), so its floor is 0.4 at probe configs measured to
+      //    clear it at every sf (IVF half-probe min 0.4, LSH 4×16 min 0.6);
+      //  - a seeded CLUSTERED frame (5 centers × 20 members — the case ANN
+      //    exists for) pins the production-relevant ≥ 0.8 contract in the
+      //    artifact itself: 8 queries × 2 clustered methods must clear it
+      //    or rows disappear.
       val embs = s.read.parquet(t(dir, "embeddings"))
       val queries = embs.where(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(embs, queries, 5)
       val ivf = Similarity.ivfTopK(embs, queries, 5, nlist = 16, nprobe = 8)
       val lsh = Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16)
+      val cl = clusteredCorpus(s)
+      val clQueries = cl.where(col("vec_id") < 8)
+      val clBrute = Similarity.bruteForceTopK(cl, clQueries, 5)
+      val clIvf = Similarity.ivfTopK(cl, clQueries, 5, nlist = 8, nprobe = 2)
+      val clLsh = Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8)
       Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
         .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
         .where(col("recall") >= 0.4)
+        .unionByName(Similarity.recallVsBrute(clIvf, clBrute)
+          .withColumn("method", lit("ivf_clustered")).where(col("recall") >= 0.8))
+        .unionByName(Similarity.recallVsBrute(clLsh, clBrute)
+          .withColumn("method", lit("lsh_clustered")).where(col("recall") >= 0.8))
         .orderBy("method", "query_id")
     }),
 
@@ -1137,6 +1194,59 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE c / (sa.n + sb.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force hamming ≤ 3 self-join over MD5-family simhash sigs,
+    // recomputed from scratch in SQL: per-token vote word = the uint64 of
+    // md5(token)'s first 16 hex chars (bit j extracted from hex digit
+    // 16 - j/4), per-doc sig bit j set iff the Σ±1 vote is > 0 — the
+    // definition [[graft.functions.SketchOps.simHash64Md5]] implements.
+    // Signed-BIGINT sig (bit 63 = the sign bit) xors/popcounts
+    // identically to the unsigned bit pattern. The operator's 4-chunk
+    // cover is exhaustive for hamming ≤ 3, so LSH-bucketed output equals
+    // this all-pairs form exactly.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        | SELECT doc_id, j,
+        |   ((strpos('0123456789abcdef', substr(h, CAST(16 - (j // 4) AS INT), 1)) - 1)
+        |     // (1 << (j % 4))) % 2 * 2 - 1 AS vote
+        | FROM hs, UNNEST(range(0, 64)) AS t(j)),
+        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN v > 0 THEN
+        |     CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |          ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+        |     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM votes GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact all-pairs cosine ≥ 0.95 over corpus ∪ planted (all-pairs is
+    // fine for the ORACLE at test scale — it's DuckDB, not Spark); the
+    // saturated 12×96 LSH config makes the Spark side equal it (miss prob
+    // ≈ 2e-14 at the threshold boundary, see the queries entry). The
+    // planted vectors sign-flip component 1 (resp. 2) — float negation is
+    // exact, so both engines build identical vectors.
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 1000000000 AS vec_id, list_prepend(-v[1], v[2:]) AS v
+        | FROM base WHERE vec_id < 8
+        | UNION ALL
+        | SELECT vec_id + 2000000000, list_concat([v[1], -v[2]], v[3:])
+        | FROM base WHERE vec_id < 8),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS cosine
+        | FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine
+        |FROM pairs WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -111,6 +111,27 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[SimHash64Expr]] with MD5-derived token hashes
+  * ([[SketchOps.simHash64Md5]]): the signature definition is reproducible
+  * in any engine with an `md5()` (bit j = bit j of the first-16-hex-chars
+  * uint64), which is what lets the dedup_simhash driver query carry a real
+  * DuckDB oracle. Production code should prefer [[SimHash64Expr]].
+  */
+case class SimHash64Md5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.simHash64Md5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps.simHash64Md5($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Md5Expr =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signatures of a double-array column
   * ([[SketchOps.hyperplaneSigs]]): one `planes`-bit signature per table,
   * hyperplanes derived deterministically from (table, plane, dim).
@@ -161,6 +182,8 @@ object SketchFunctions {
     shim.column(MinHashBandsExpr(shim.expression(c), numHashes, bands))
   def simHash64(c: Column): Column =
     shim.column(SimHash64Expr(shim.expression(c)))
+  def simHash64Md5(c: Column): Column =
+    shim.column(SimHash64Md5Expr(shim.expression(c)))
   def hyperplaneSigs(c: Column, planes: Int, tables: Int): Column =
     shim.column(HyperplaneSigsExpr(shim.expression(c), planes, tables))
   def arrayDot(a: Column, b: Column): Column =

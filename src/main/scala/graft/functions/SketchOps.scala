@@ -102,6 +102,44 @@ object SketchOps {
     out
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** See [[SimHash64Md5Expr]]: [[simHash64]] with the per-token hash drawn
+    * from MD5 instead of XXH64 — bit j of a token's vote word is bit j of
+    * the big-endian uint64 formed by md5(token)'s first 8 bytes (= its
+    * first 16 hex chars), a definition an external SQL engine reproduces
+    * exactly from its own `md5()`. Same tight one-pass kernel; MD5 costs
+    * ~3× XXH64 per token, so production simhash stays on [[simHash64]].
+    */
+  def simHash64Md5(arr: ArrayData): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** See [[HyperplaneSigsExpr]]. */
   def hyperplaneSigs(input: ArrayData, planes: Int, tables: Int): ArrayData = {
     val v = input.toDoubleArray()

@@ -273,11 +273,23 @@ object Dedup {
     * chunks of their simhash (two near-identical docs differ in ≤3 bits ⇒
     * at least one chunk matches); within-bucket pairs are verified by
     * Hamming distance ≤ `maxHamming`. Shuffle key = (chunk index, chunk).
+    *
+    * Note the chunk cover is EXHAUSTIVE, not probabilistic: 3 flipped bits
+    * cannot touch all 4 chunks (pigeonhole), so (absent a tripped
+    * `maxBucket` cap) the output is exactly every pair at Hamming ≤ 3 —
+    * which is what makes the operator oracle-checkable given a shared
+    * signature definition.
+    *
+    * `sig`: override the signature column (default: the fast XXH64-family
+    * [[simHash64]] over whitespace tokens). The driver query passes the
+    * MD5-family twin ([[graft.functions.SketchFunctions.simHash64Md5]]) so
+    * DuckDB can recompute identical signatures and brute-force the pairs.
     */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   sig: Option[Column] = None): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
-      simHash64(split(col(textCol), " ")).as("sim"))
+      sig.getOrElse(simHash64(split(col(textCol), " "))).as("sim"))
     val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("j"), call_function("shiftright", col("sim"), j * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("c"))

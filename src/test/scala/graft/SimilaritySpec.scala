@@ -33,15 +33,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
-  test("ann_recall emits every query for both methods above the floor") {
+  test("ann_recall emits every query for all four methods above their floors") {
     // the driver pins rows>0; this pins the exact contract — 8 queries ×
-    // 2 methods all clear the 0.4 floor on the sf0.001 synthetic corpus
+    // 2 methods clear the 0.4 floor on the near-random sf corpus, and 8
+    // queries × 2 methods clear the PRODUCTION ≥0.8 floor on the seeded
+    // clustered frame embedded in the query
     val rows = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
       .collect()
     val byMethod = rows.groupBy(_.getAs[String]("method")).view.mapValues(_.length).toMap
-    assert(byMethod == Map("ivf" -> 8, "lsh" -> 8),
-      s"every query must clear the recall floor: $byMethod")
+    assert(byMethod == Map("ivf" -> 8, "lsh" -> 8,
+      "ivf_clustered" -> 8, "lsh_clustered" -> 8),
+      s"every query must clear its recall floor: $byMethod")
     assert(rows.forall(_.getAs[Double]("recall") >= 0.4))
+    assert(rows.filter(_.getAs[String]("method").endsWith("_clustered"))
+      .forall(_.getAs[Double]("recall") >= 0.8))
   }
 
   test("recallVsBrute reports silent total misses as recall 0") {
