@@ -69,22 +69,49 @@ object StatsIndex {
 
   private def markerPath(root: String) = new Path(s"$root/$DirName/$MarkerName")
 
+  /** Latest committed micro-batch id of a streaming file sink's
+    * `_spark_metadata` log, or None when the root has no sink log (or an
+    * empty one). One small metadata read — never a data listing.
+    */
+  private[graft] def sinkLatestBatchId(spark: SparkSession, root: String): Option[Long] = {
+    val p = new Path(root, "_spark_metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, p.toString)
+      .getLatestBatchId()
+  }
+
+  /** `sinkVersion`: a marker on a streaming-sink root must carry the sink
+    * log's latest committed batch id AS OF the coverage it claims — sink
+    * micro-batches add files outside the invalidate-before-write protocol,
+    * so the claim is only trustworthy while the log hasn't moved
+    * ([[manifestColumns]] voids it the moment a newer batch commits).
+    * Versionless markers on sink roots are refused outright.
+    */
   private[graft] def writeMarker(spark: SparkSession, root: String,
-                                 cols: Seq[String]): Unit = {
+                                 cols: Seq[String],
+                                 sinkVersion: Option[Long] = None): Unit = {
     val fs = markerPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a sink root's file set grows outside this protocol — never claim it
-    if (fs.exists(new Path(root, "_spark_metadata"))) return
+    if (sinkVersion.isEmpty && fs.exists(new Path(root, "_spark_metadata"))) return
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val json = JsonMethods.compact(JsonMethods.render(JObject(
+    val fields = List(
       "version" -> JInt(1),
-      "columns" -> JArray(cols.sorted.map(JString(_)).toList))))
+      "columns" -> JArray(cols.sorted.map(JString(_)).toList)) ++
+      sinkVersion.map(v => "sinkVersion" -> JInt(v)).toList
+    val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val out = fs.create(markerPath(root), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** The marker's recorded column set, or None when the index makes no
-    * completeness claim.
+    * (valid) completeness claim. On a streaming-sink root the claim is
+    * version-checked against the commit log: a marker stamped at batch v
+    * is VOID once batch v+1 commits (the sink added files outside the
+    * marker protocol), and a versionless marker is void the moment a sink
+    * log appears — readers then fall back to the conservative log/listing
+    * path until [[syncSinkDataset]] re-establishes coverage.
     */
   def manifestColumns(spark: SparkSession, root: String): Option[Seq[String]] = {
     val p = markerPath(root)
@@ -98,11 +125,63 @@ object StatsIndex {
     } finally in.close()
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(raw) \ "columns" match {
+    val parsed = JsonMethods.parse(raw)
+    val cols = parsed \ "columns" match {
       case JArray(xs) => Some(xs.collect { case JString(s) => s })
       case _ => None
     }
+    val markerSinkV = parsed \ "sinkVersion" match {
+      case JInt(n) => Some(n.toLong)
+      case _ => None
+    }
+    (markerSinkV, sinkLatestBatchId(spark, root)) match {
+      case (None, None) => cols // plain dataset, plain marker
+      case (Some(mv), Some(lv)) if mv == lv => cols // sink log hasn't moved
+      case _ => None // log moved past the claim, or marker/log mismatch
+    }
   }
+
+  /** Bring a streaming-sink-fed dataset's index up to the commit log and
+    * stamp a version-checked completeness claim: stats the committed files
+    * the sidecar doesn't cover yet (O(new files), like an append), then
+    * writes the marker carrying the log version read BEFORE the listing —
+    * a batch committing mid-sync leaves a marker the reader's version
+    * check voids, never an over-claim. Until the first sync (and after
+    * every new commit) readers simply keep the log-aware listing path.
+    *
+    * [[graft.streaming.EventStream.streamToDataset]] runs this after each
+    * micro-batch when given statsCols; it is also a valid standalone
+    * maintenance call (e.g. nightly, for a sink whose writer doesn't
+    * index).
+    */
+  def syncSinkDataset(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+    DatasetLock.withLock(spark, root) {
+      sinkLatestBatchId(spark, root) match {
+        case None => () // no commits yet (or not a sink root): nothing to claim
+        case Some(v) =>
+          val meta = requireMeta(spark, root)
+          val target = validTarget(meta, cols)
+          val committed = Publish.listDataFiles(spark, root) // log-authoritative
+          if (committed.isEmpty) return
+          val newFiles = read(spark, root) match {
+            case Some(stats) if coveredColumns(stats) == target.toSet =>
+              import spark.implicits._
+              committed.toDF("path")
+                .join(stats.select("file").distinct(), col("path") === col("file"), "left_anti")
+                .collect().map(_.getString(0)).toSeq
+            case _ => committed // no sidecar / different columns: full build
+          }
+          if (newFiles.size == committed.size) {
+            writeSidecar(root, statsFor(spark, root, meta, committed, target),
+              committed.size.toLong * target.size, "overwrite")
+          } else if (newFiles.nonEmpty) {
+            writeSidecar(root, statsFor(spark, root, meta, newFiles, target),
+              newFiles.size.toLong * target.size, "append")
+            maybeCompactSidecar(spark, root)
+          }
+          writeMarker(spark, root, target, sinkVersion = Some(v))
+      }
+    }
 
   /** Read-and-delete of the completeness claim: called by a writer about
     * to add data files, so a reader racing (or a crash inside) the write

@@ -67,9 +67,18 @@ object EventStream {
     * `allFiles`, `fetchDiff`, `getMaxPartitionValue`) through the
     * sink-log-aware listing — a crashed micro-batch's orphan files are
     * invisible everywhere until a commit covers them.
+    *
+    * `statsCols`: maintain the stats index + a VERSION-CHECKED
+    * completeness marker after each micro-batch
+    * ([[graft.core.StatsIndex.syncSinkDataset]] off the query-progress
+    * event, so the sink's hot path never blocks on index maintenance) —
+    * a sink-fed dataset then plans `fetchIndexed` from the manifest
+    * exactly like a published one, with readers falling back to the
+    * log-aware listing in the window between a batch commit and its sync.
     */
   def streamToDataset(spark: SparkSession, events: DataFrame, root: String,
-                      partitions: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                      partitions: Seq[String], checkpoint: String,
+                      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     graft.core.Publish.checkNoIntervals(events)
     graft.core.Publish.checkPartitions(partitions, events)
     // Same guard as append-mode publish: never clobber an existing
@@ -88,7 +97,27 @@ object EventStream {
       .option("path", root)
       .option("checkpointLocation", checkpoint)
       .option("compression", "snappy")
-    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+    val query = (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+    if (statsCols.nonEmpty) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.id == query.id) {
+            // post-commit, off the micro-batch path; a failed sync only
+            // delays manifest mode (readers stay on the log-aware listing)
+            try graft.core.StatsIndex.syncSinkDataset(spark, root, statsCols)
+            catch {
+              case scala.util.control.NonFatal(ex) =>
+                System.err.println(s"[graft] sink index sync failed on $root: $ex")
+            }
+          }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) spark.streams.removeListener(this)
+      }
+      spark.streams.addListener(listener)
+    }
+    query
   }
 
   /** Stream into a dataset with EXACTLY-ONCE row semantics on an

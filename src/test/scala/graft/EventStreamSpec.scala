@@ -106,6 +106,69 @@ class EventStreamSpec extends AnyFunSuite {
       "fetchDiff must diff committed partitions only")
   }
 
+  test("sink-fed dataset: version-checked manifest plans fetchIndexed; new commits void it") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/stream_sink_manifest"
+    val ckpt = "/tmp/graft_test/stream_sink_manifest_ckpt"
+    Seq(root, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val input = MemoryStream[(Long, String, Double)]
+    val query = EventStream.streamToDataset(spark,
+      input.toDF().toDF("id", "p", "v"), root, Seq("p"), ckpt)
+    input.addData((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+    query.processAllAvailable()
+    // standalone maintenance (what a nightly job runs when the writer
+    // doesn't index): stamps a marker carrying the sink-log version
+    graft.core.StatsIndex.syncSinkDataset(spark, root, Seq("v"))
+    assert(graft.core.StatsIndex.manifestColumns(spark, root).contains(Seq("v")))
+    val meta = graft.core.DatasetMeta.read(spark, root).get
+    val all = graft.core.StatsIndex.candidateFiles(spark, root, meta, Nil)
+    assert(all.nonEmpty)
+    // manifest mode never surfaces an uncommitted orphan: it plans from
+    // the sidecar, which was built from the commit log
+    val orphan = new java.io.File(s"$root/p=a/part-orphan.parquet")
+    java.nio.file.Files.copy(new java.io.File(all.head).toPath, orphan.toPath)
+    assert(graft.core.StatsIndex.candidateFiles(spark, root, meta, Nil).toSet == all.toSet)
+    assert(graft.core.Fetch.fetchIndexed(spark, root,
+      dataFilters = Seq(graft.core.ColFilter("v", ">=", Seq(3.0)))).count() == 1)
+    // a NEW commit voids the claim (the sink added files outside the
+    // marker protocol) — readers fall back to the log path, still exact
+    input.addData((4L, "b", 9.0))
+    query.processAllAvailable()
+    assert(graft.core.StatsIndex.manifestColumns(spark, root).isEmpty,
+      "a marker stamped at batch v must be void once batch v+1 commits")
+    assert(graft.core.Fetch.fetchIndexed(spark, root,
+      dataFilters = Seq(graft.core.ColFilter("v", ">=", Seq(3.0)))).count() == 2)
+    // re-sync: claim restored, the appended batch's file is covered
+    graft.core.StatsIndex.syncSinkDataset(spark, root, Seq("v"))
+    assert(graft.core.StatsIndex.manifestColumns(spark, root).contains(Seq("v")))
+    assert(graft.core.Fetch.fetchIndexed(spark, root,
+      dataFilters = Seq(graft.core.ColFilter("v", ">=", Seq(3.0)))).count() == 2)
+    query.stop()
+  }
+
+  test("streamToDataset with statsCols auto-syncs the manifest off query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/stream_sink_autosync"
+    val ckpt = "/tmp/graft_test/stream_sink_autosync_ckpt"
+    Seq(root, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val input = MemoryStream[(Long, String, Double)]
+    val query = EventStream.streamToDataset(spark,
+      input.toDF().toDF("id", "p", "v"), root, Seq("p"), ckpt, statsCols = Seq("v"))
+    input.addData((1L, "a", 1.0), (2L, "b", 5.0))
+    query.processAllAvailable()
+    // the listener syncs asynchronously after the batch commits
+    val deadline = System.currentTimeMillis() + 60000
+    while (graft.core.StatsIndex.manifestColumns(spark, root).isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(graft.core.StatsIndex.manifestColumns(spark, root).contains(Seq("v")),
+      "the progress listener must establish the manifest claim")
+    assert(graft.core.Fetch.fetchIndexed(spark, root,
+      dataFilters = Seq(graft.core.ColFilter("v", ">=", Seq(5.0)))).count() == 1)
+    query.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
