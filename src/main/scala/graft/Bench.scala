@@ -11,6 +11,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stress-run escape hatch (SPARK_GRAFT_SKIP=q1,q2): the ×N replicated
+    // datasets plant every text/vector as an exact N-way duplicate group,
+    // so the dedup pair queries' OUTPUT grows ~quadratically in N by
+    // construction — not a plan defect (candidate generation stays
+    // bucketed; PlanAudit covers it). Scale runs skip those cells and
+    // document the skip; driver rounds set no skip and run everything.
+    val skip: Set[String] =
+      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty)
+    val queries = SparkEntry.queries.filterNot { case (n, _) => skip(n) }
     // Warm the session (JVM/codegen/FS) so the first timed query isn't
     // charged for startup.
     SparkEntry.entry(spark).count()
@@ -24,14 +34,14 @@ object Bench {
     // NonFatal warmup failures are logged and left for the timed loop to
     // report — fatal errors (OOM) must propagate, or the timed loop would
     // measure a poisoned JVM.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, StatsIndex}
+import graft.ops.BloomPrune
+
+/** Targeted ×N-scale measurements for the two round-7 driver-scalability
+  * paths (SURVEY §7's empirical evidence, beyond the whole-suite Bench):
+  *
+  *  1. MANIFEST-MODE scan planning on a many-thousand-file dataset:
+  *     `fetchIndexed` planning time with the completeness marker present
+  *     (zero filesystem listing — survivors from one sidecar aggregation)
+  *     vs the marker removed (recursive listing + prune). On local fs a
+  *     4 000-file listing is cheap syscalls; the number to carry to an
+  *     object store is the LISTING CALL COUNT (0 vs O(dirs + files/page)),
+  *     which is what the planning-time split demonstrates.
+  *
+  *  2. `pruneJoinPartitioned` FORCED past the driver-memory ceiling onto
+  *     the distributed (partition, filter) path, at low (3) and high
+  *     (~100k) partition cardinality over the full large side — the
+  *     bounded-memory route must land in the same cost class as the
+  *     broadcast fast path, not a cliff.
+  *
+  * Usage: runMain graft.StressScale <stressSfDir> <workDir>
+  * Prints one JSON line of (measurement → seconds) plus check counts.
+  */
+object StressScale {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: StressScale <stressSfDir> <workDir>")
+    val (stressDir, workDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val checks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    val li = spark.read.parquet(s"$stressDir/lineitem.parquet")
+
+    // ---- 1. manifest vs listing planning on a ~4000-file dataset
+    val root = s"$workDir/lineitem_manyfiles"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val slim = li.select("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice")
+    timed("build_manyfile_dataset") {
+      // order rows by the indexed column across 4000 files so per-file
+      // ranges are tight (the z-order/publish layout contract, minus the
+      // publish plumbing this measurement doesn't need)
+      slim.repartitionByRange(4000, col("l_extendedprice"))
+        .write.mode("overwrite").parquet(root)
+      DatasetMeta.write(spark, root, DatasetMeta(slim.schema, Nil))
+      StatsIndex.build(spark, root, Seq("l_extendedprice"))
+    }
+    checks("files") = Publish.listDataFiles(spark, root).size
+    val meta = DatasetMeta.read(spark, root).get
+    val filt = Seq(ColFilter("l_extendedprice", ">=", Seq(99000.0)))
+    checks("plan_manifest_files") =
+      timed("plan_manifest")(StatsIndex.candidateFiles(spark, root, meta, filt).size)
+    // twice: second run shows the warm (sidecar page-cached) planning cost
+    timed("plan_manifest_warm")(StatsIndex.candidateFiles(spark, root, meta, filt))
+    checks("rows_manifest") = timed("fetch_indexed_manifest") {
+      Fetch.fetchIndexed(spark, root, dataFilters = filt).count()
+    }
+    // drop the completeness claim -> conservative listing mode
+    fs.delete(new Path(s"$root/${StatsIndex.DirName}/_complete.json"), false)
+    checks("plan_listing_files") =
+      timed("plan_listing")(StatsIndex.candidateFiles(spark, root, meta, filt).size)
+    timed("plan_listing_warm")(StatsIndex.candidateFiles(spark, root, meta, filt))
+    checks("rows_listing") = timed("fetch_indexed_listing") {
+      Fetch.fetchIndexed(spark, root, dataFilters = filt).count()
+    }
+
+    // ---- 2. partitioned bloom: broadcast fast path vs forced distributed
+    val hot = li.where(col("l_quantity") > 49)
+      .select(col("l_linestatus").as("s_ls"), col("l_orderkey").as("s_ok")).distinct()
+    checks("bloom3_broadcast_rows") = timed("bloom3_broadcast") {
+      BloomPrune.pruneJoinPartitioned(li, hot,
+        "l_linestatus", "l_orderkey", "s_ls", "s_ok").count()
+    }
+    checks("bloom3_distributed_rows") = timed("bloom3_distributed") {
+      BloomPrune.pruneJoinPartitioned(li, hot,
+        "l_linestatus", "l_orderkey", "s_ls", "s_ok",
+        maxFilterMapBytes = 1L).count()
+    }
+    // high partition cardinality (~100k suppliers): the case the ceiling
+    // exists for
+    val hotSupp = li.where(col("l_quantity") > 49)
+      .select(col("l_suppkey").as("s_sk"), col("l_orderkey").as("s_ok")).distinct()
+    checks("bloom100k_broadcast_rows") = timed("bloom100k_broadcast") {
+      BloomPrune.pruneJoinPartitioned(li, hotSupp,
+        "l_suppkey", "l_orderkey", "s_sk", "s_ok").count()
+    }
+    checks("bloom100k_distributed_rows") = timed("bloom100k_distributed") {
+      BloomPrune.pruneJoinPartitioned(li, hotSupp,
+        "l_suppkey", "l_orderkey", "s_sk", "s_ok",
+        maxFilterMapBytes = 1L).count()
+    }
+
+    def f2(v: Double): String = "%.2f".format(v)
+    val line = "{" +
+      results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +
+      checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",") +
+      s""","sf":"$stressDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STRESS_SCALE_LOCAL.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}
