@@ -15,13 +15,19 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
+    // machine-readable tally (last line) so documentation quotes the run,
+    // not a hand-maintained number that drifts
+    var okCount = 0
+    var missCount = 0
+    def record(name: String, label: String, ok: Boolean): Unit = {
+      if (ok) okCount += 1 else missCount += 1
+      println(f"AUDIT $name%-28s $label%-34s ${if (ok) "OK" else "MISS"}")
+    }
     def audit(name: String, checks: (String, String => Boolean)*): Unit = {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE settles on the final plan (codegen markers)
       val plan = df.queryExecution.executedPlan.toString
-      checks.foreach { case (label, f) =>
-        println(f"AUDIT $name%-28s $label%-34s ${if (f(plan)) "OK" else "MISS"}")
-      }
+      checks.foreach { case (label, f) => record(name, label, f(plan)) }
     }
     // every filter op must prune at the partition level — none may fall
     // back to a post-scan filter over all directories
@@ -119,7 +125,7 @@ object PlanAudit {
       val physical = df.queryExecution.executedPlan.toString
       val ok = analyzed.contains("graft_cm_estimate") &&
         raw"\*\(\d+\) HashAggregate".r.findFirstIn(physical).isDefined
-      println(f"AUDIT text_word_freq_sketch       count-min probe in codegen'd agg   ${if (ok) "OK" else "MISS"}")
+      record("text_word_freq_sketch", "count-min probe in codegen'd agg", ok)
     }
     locally {
       // z-order publish: the write plan must contain ONE range exchange on
@@ -131,7 +137,8 @@ object PlanAudit {
         graft.functions.ZOrderFunctions.zvalue(
           org.apache.spark.sql.functions.array(col("o_custkey"), col("o_orderkey")), 16))
       val plan = route.queryExecution.executedPlan.toString
-      println(f"AUDIT zorder_route                range exchange on zvalue           ${if (plan.contains("rangepartitioning") && plan.contains("graft_zvalue")) "OK" else "MISS"}")
+      record("zorder_route", "range exchange on zvalue",
+        plan.contains("rangepartitioning") && plan.contains("graft_zvalue"))
     }
     // sketchProfile reshapes collected scalars into a local frame, so
     // audit the underlying one-pass sketch aggregate directly
@@ -145,9 +152,10 @@ object PlanAudit {
       Seq("partial HLL sketch" -> "partial_graft_hll_distinct",
         "partial t-digest sketch" -> "partial_graft_tdigest_quantiles").foreach {
         case (label, marker) =>
-          println(f"AUDIT sketch_profile_agg           $label%-34s ${if (plan.contains(marker)) "OK" else "MISS"}")
+          record("sketch_profile_agg", label, plan.contains(marker))
       }
     }
+    println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
 }
