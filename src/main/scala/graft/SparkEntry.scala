@@ -1195,6 +1195,42 @@ object SparkEntry {
         |WHERE c / (sa.n + sb.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The operator joins on xxhash64(shingle) (two longs through the
+    // shuffle, never text); the oracle joins the RAW 8-gram strings — the
+    // same count unless xxhash64 collides across distinct shared grams
+    // (~1e-19 per pair). Shingle construction mirrors ShinglesExpr:
+    // distinct word 8-grams, whole-text shingle for docs under 8 words.
+    "decontaminate_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 8, 0) + 2)) AS t(i)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_ngrams
+        |FROM g JOIN b USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Fingerprint64 is h := 31·h + signed_byte (mod 2^64) over the UTF-8
+    // bytes, seeded 1125899906842597 — recomputed here byte-for-byte from
+    // hex(encode(text)) with HUGEINT arithmetic and an explicit mod (Java
+    // wraparound is not SQL's default), then mapped to the signed BIGINT
+    // two's-complement value the Spark column carries.
+    "text_fingerprint" ->
+      """WITH e AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, n + 1), i ->
+        |       CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+        |            (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS HUGEINT)) AS bl
+        |      FROM e),
+        |s AS (SELECT doc_id, list_reduce(
+        |        list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |          list_transform(bl, v -> CASE WHEN v >= 128 THEN v - 256 ELSE v END)),
+        |        (acc, x) -> ((31*acc + x) % 18446744073709551616
+        |                     + 18446744073709551616) % 18446744073709551616) AS h
+        |      FROM b)
+        |SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
+        |       THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Brute-force hamming ≤ 3 self-join over MD5-family simhash sigs,
     // recomputed from scratch in SQL: per-token vote word = the uint64 of
     // md5(token)'s first 16 hex chars (bit j extracted from hex digit
