@@ -20,6 +20,10 @@ object Bench {
     val skip: Set[String] =
       sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
+    // a typo'd skip entry silently skipping NOTHING is exactly the failure
+    // the list exists to prevent (the quadratic cell then runs at ×N)
+    val unknown = skip -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_SKIP names unknown queries: ${unknown.mkString(",")}")
     val queries = SparkEntry.queries.filterNot { case (n, _) => skip(n) }
     // Warm the session (JVM/codegen/FS) so the first timed query isn't
     // charged for startup.
@@ -63,7 +67,9 @@ object Bench {
     // ...and trailing zeros are trimmed ("1.20"→"1.2", "3.00"→"3"): ~1
     // byte per query of headroom inside the capture window.
     def f2(v: Double): String = {
-      val s = "%.2f".format(v)
+      // Locale.ROOT: a comma-decimal default locale would emit 1,23 and
+      // break the JSON artifact
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }

@@ -77,8 +77,13 @@ object StressScale {
     checks("rows_manifest") = timed("fetch_indexed_manifest") {
       Fetch.fetchIndexed(spark, root, dataFilters = filt).count()
     }
-    // drop the completeness claim -> conservative listing mode
-    fs.delete(new Path(s"$root/${StatsIndex.DirName}/_complete.json"), false)
+    // drop the completeness claim -> conservative listing mode (loudly:
+    // a silently-failed delete would re-measure manifest mode under the
+    // listing label)
+    require(fs.delete(new Path(s"$root/${StatsIndex.DirName}/_complete.json"), false),
+      "could not remove the completeness marker - listing-mode measurement would be wrong")
+    require(StatsIndex.manifestColumns(spark, root).isEmpty,
+      "marker still present: listing-mode measurement would be wrong")
     checks("plan_listing_files") =
       timed("plan_listing")(StatsIndex.candidateFiles(spark, root, meta, filt).size)
     timed("plan_listing_warm")(StatsIndex.candidateFiles(spark, root, meta, filt))
@@ -112,7 +117,7 @@ object StressScale {
         maxFilterMapBytes = 1L).count()
     }
 
-    def f2(v: Double): String = "%.2f".format(v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +
       checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",") +

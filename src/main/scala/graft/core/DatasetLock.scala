@@ -31,7 +31,11 @@ import org.apache.spark.sql.SparkSession
   * contents: a freshly created file always has mod-time ≈ now, so there is
   * no window (e.g. HDFS length-0 between the holder's create and close)
   * where a live writer's lock reads as ambiguous and gets broken. The
-  * epoch stamp written inside the file is diagnostics only. A lock whose
+  * epoch stamp written inside the file is diagnostics only. The holder
+  * TOUCHES the lock's mod-time every staleMs/4 for as long as the
+  * critical section runs (daemon keepalive), so a live writer stays fresh
+  * no matter how long its write takes — staleness really does mean
+  * "crashed", not "slow". A lock whose
   * mod-time is older than `staleMs` is presumed crashed and broken via
   * RENAME-FIRST: a breaker renames the lock to a unique tombstone and only
   * the successful renamer deletes it — two contenders observing the same
@@ -112,7 +116,15 @@ object DatasetLock {
                               deadline: Long, waitMs: Long, staleMs: Long)(body: => T): T = {
     val p = lockPath(root)
     var acquired = false
+    var fastRetries = 0
     while (!acquired) {
+      // deadline is enforced on EVERY path through the loop — a root where
+      // create fails for a non-contention reason (permissions, read-only
+      // fs: create throws, stat finds nothing) must time out, not spin
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"timed out after ${waitMs}ms waiting for the writer lock on $root " +
+            s"(a lock breaks as stale after ${staleMs}ms of mod-time inactivity)")
       try {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false) // create-if-absent
@@ -130,26 +142,46 @@ object DatasetLock {
               case _: java.io.IOException => Some(null) // unreadable: treat as FRESH
             }
           status match {
-            case None => () // holder released between create and stat: retry now
+            case None =>
+              // holder released between create and stat — retry now, but a
+              // PERSISTENT create-fails/stat-finds-nothing pattern is not
+              // contention (unwritable root): back off so the deadline is
+              // reached at poll cost, not at 100% CPU
+              fastRetries += 1
+              if (fastRetries > 3) Thread.sleep(200)
             case Some(st) =>
+              fastRetries = 0
               val fresh = st == null ||
                 (System.currentTimeMillis() - st.getModificationTime) <= staleMs
               if (!fresh) {
                 tryBreakStale(fs, p) // winner or not, loop back to the create race
               } else {
-                if (System.currentTimeMillis() > deadline)
-                  throw new IllegalStateException(
-                    s"timed out after ${waitMs}ms waiting for the writer lock on $root " +
-                      s"(lock mod-time ${if (st == null) "unreadable" else st.getModificationTime.toString}; " +
-                      s"it breaks as stale after ${staleMs}ms)")
                 Thread.sleep(200)
               }
           }
       }
     }
     held.get.add(key)
+    // Keepalive: a LIVE writer whose critical section outlives staleMs
+    // (a multi-TB build, a slow object store) must not have its lock
+    // broken as "crashed" — touch the lock's mod-time well inside the
+    // stale window for as long as body runs. Filesystems without setTimes
+    // keep the old best-effort behavior (size the staleMs to the workload
+    // there).
+    val keepalive = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(200L, staleMs / 4))
+          try fs.setTimes(p, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () } // unsupported/raced: best-effort
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-keepalive-$root")
+    keepalive.setDaemon(true)
+    keepalive.start()
     try body
     finally {
+      keepalive.interrupt()
       held.get.remove(key)
       try fs.delete(p, false) catch {
         case e: Exception =>

@@ -154,7 +154,13 @@ object StatsIndex {
     * maintenance call (e.g. nightly, for a sink whose writer doesn't
     * index).
     */
-  def syncSinkDataset(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+  def syncSinkDataset(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    // Idle short-circuit BEFORE the lock and any listing: a valid marker
+    // (manifestColumns already version-checks it against the log) covering
+    // the requested columns means the log hasn't advanced — a progress
+    // event from a zero-data trigger then costs one metadata read, not a
+    // listing + sidecar anti-join + marker rewrite per tick.
+    if (manifestColumns(spark, root).contains(cols.sorted)) return
     DatasetLock.withLock(spark, root) {
       sinkLatestBatchId(spark, root) match {
         case None => () // no commits yet (or not a sink root): nothing to claim
@@ -165,10 +171,8 @@ object StatsIndex {
           if (committed.isEmpty) return
           val newFiles = read(spark, root) match {
             case Some(stats) if coveredColumns(stats) == target.toSet =>
-              import spark.implicits._
-              committed.toDF("path")
-                .join(stats.select("file").distinct(), col("path") === col("file"), "left_anti")
-                .collect().map(_.getString(0)).toSeq
+              uncoveredFiles(spark, committed, stats).collect()
+                .map(_.getString(0)).toSeq
             case _ => committed // no sidecar / different columns: full build
           }
           if (newFiles.size == committed.size) {
@@ -182,6 +186,18 @@ object StatsIndex {
           writeMarker(spark, root, target, sinkVersion = Some(v))
       }
     }
+  }
+
+  /** Paths in `expected` with no stats row — the one coverage anti-join
+    * both the marker-restore check and the sink sync share (distributed;
+    * only the uncovered paths — usually none — ride to the driver).
+    */
+  private def uncoveredFiles(spark: SparkSession, expected: Seq[String],
+                             stats: DataFrame): DataFrame = {
+    import spark.implicits._
+    expected.toDF("path")
+      .join(stats.select("file").distinct(), col("path") === col("file"), "left_anti")
+  }
 
   /** Read-and-delete of the completeness claim: called by a writer about
     * to add data files, so a reader racing (or a crash inside) the write
@@ -330,11 +346,15 @@ object StatsIndex {
     * marker after, claiming completeness over files it never indexed
     * (re-entrant: publish paths already holding the lock nest freely).
     */
-  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    // fail-fast BEFORE the lock: acquiring it mkdirs the root, so a typo'd
+    // path must error with zero filesystem mutation, as it always did
+    requireMeta(spark, root)
     DatasetLock.withLock(spark, root) {
-      val meta = requireMeta(spark, root)
+      val meta = requireMeta(spark, root) // re-read under the lock
       buildFor(spark, root, meta, Publish.listDataFiles(spark, root), cols)
     }
+  }
 
   private[core] def buildFor(spark: SparkSession, root: String, meta: DatasetMeta,
                              files: Seq[String], cols: Seq[String]): Unit = {
@@ -401,11 +421,7 @@ object StatsIndex {
                                expected: Seq[String]): Boolean =
     read(spark, root) match {
       case None => expected.isEmpty
-      case Some(stats) =>
-        import spark.implicits._
-        expected.toDF("path")
-          .join(stats.select("file").distinct(), col("path") === col("file"), "left_anti")
-          .isEmpty
+      case Some(stats) => uncoveredFiles(spark, expected, stats).isEmpty
     }
 
   private def coveredColumns(stats: DataFrame): Set[String] =

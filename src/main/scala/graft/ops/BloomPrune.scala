@@ -129,9 +129,21 @@ object BloomPrune {
     // (partition, filter) frame never leaves the cluster (see below).
     val mapBytes = partCount * (m / 8)
     val k = ProbFilterOps.bloomHashes(n, m)
-    if (mapBytes > maxFilterMapBytes)
+    if (mapBytes > maxFilterMapBytes) {
+      // The distributed probe join hash-partitions the LARGE side on the
+      // partition key alone — with fewer distinct partition values than
+      // cores, that serializes the whole probe onto partCount tasks
+      // (measured at ×100 scale: a 3-value key collapsed a 60M-row probe
+      // to 2 stragglers). Below that cardinality per-partition shipping
+      // cannot pay for itself; the plain compound-key join (same output,
+      // shuffles on BOTH keys, no skew) is the honest fallback.
+      if (partCount < spark.sparkContext.defaultParallelism)
+        return large.join(small,
+          large(largePartKey) === small(smallPartKey) && large(largeKey) === small(smallKey),
+          joinType)
       return pruneJoinDistributed(large, small, largePartKey, largeKey,
         smallPartKey, smallKey, joinType, m, k)
+    }
     // one distributed agg pass: (partition, filter) rows, O(m · partitions)
     val rows = small.groupBy(col(smallPartKey))
       .agg(ProbFilters.bloomAggSized(col(smallKey), m, k).as("bloom"))
@@ -170,6 +182,10 @@ object BloomPrune {
     * join's shuffle volume when the filter is selective, with the pruning
     * now applied before the (expensive) wide join itself. The point of
     * this path is bounded memory, not beating the broadcast route.
+    * Callers guard the degenerate cardinality: below defaultParallelism
+    * distinct partition values the partition-key shuffle would serialize
+    * the probe onto that many tasks, so [[pruneJoinPartitioned]] answers
+    * with the plain compound-key join instead of this path.
     * A large-side partition value absent from the small side still prunes
     * at fpp exactly 0 (the probe join is inner: no filter row, no rows
     * out). Semantics identical to the broadcast path; the spec pins

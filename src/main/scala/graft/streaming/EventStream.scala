@@ -97,13 +97,29 @@ object EventStream {
       .option("path", root)
       .option("checkpointLocation", checkpoint)
       .option("compression", "snappy")
-    val query = (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+    // The sync listener registers BEFORE start() (a backlogged source can
+    // commit batch 0 and dispatch its progress event before a post-start
+    // registration exists) and matches on the SINK PATH, which is known
+    // up front — the query id isn't assigned until start().
+    val queryId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
     if (statsCols.nonEmpty) {
       import org.apache.spark.sql.streaming.StreamingQueryListener
+      // the progress event reports the sink's QUALIFIED path
+      // (FileSink[file:/...]); compare both sides qualified
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rootFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualifiedRoot = rootFs.makeQualified(rootP).toString
+      def sinkMatches(desc: String): Boolean =
+        desc.startsWith("FileSink[") && desc.endsWith("]") && {
+          val inner = desc.stripPrefix("FileSink[").stripSuffix("]")
+          inner == root || (try rootFs.makeQualified(
+            new org.apache.hadoop.fs.Path(inner)).toString == qualifiedRoot
+          catch { case _: IllegalArgumentException => false })
+        }
       val listener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-          if (e.progress.id == query.id) {
+          if (sinkMatches(e.progress.sink.description)) {
             // post-commit, off the micro-batch path; a failed sync only
             // delays manifest mode (readers stay on the log-aware listing)
             try graft.core.StatsIndex.syncSinkDataset(spark, root, statsCols)
@@ -113,10 +129,12 @@ object EventStream {
             }
           }
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) spark.streams.removeListener(this)
+          if (e.id == queryId.get) spark.streams.removeListener(this)
       }
       spark.streams.addListener(listener)
     }
+    val query = (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+    queryId.set(query.id)
     query
   }
 

@@ -122,6 +122,28 @@ class DatasetLockSpec extends AnyFunSuite {
     lockFile.delete()
   }
 
+  test("the holder's keepalive keeps the lock mod-time fresh past staleMs") {
+    // A live writer whose critical section outlives staleMs must not look
+    // crashed to a cross-process contender: the holder touches the lock's
+    // mod-time every staleMs/4, so the observed age never approaches the
+    // stale threshold no matter how long the write runs.
+    val r = "/tmp/graft_test/lock_keepalive"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    val lockFile = new java.io.File(r, DatasetLock.FileName)
+    var maxAge = 0L
+    DatasetLock.withLock(spark, r, staleMs = 1000L) {
+      val deadline = System.currentTimeMillis() + 2500
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        maxAge = math.max(maxAge, System.currentTimeMillis() - lockFile.lastModified)
+      }
+    }
+    assert(maxAge < 1000,
+      s"holder ran 2.5x past staleMs; a contender would have seen age ${maxAge}ms and broken a LIVE lock")
+    assert(!lockFile.exists())
+  }
+
   test("two contenders racing the same stale lock: exactly one breaks it") {
     // Rename-first breaking: rename is atomic, so of N contenders that all
     // judged one lock stale, exactly one wins the break; the losers fall

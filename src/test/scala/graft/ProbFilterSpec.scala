@@ -166,6 +166,29 @@ class ProbFilterSpec extends AnyFunSuite {
     assert(fast.queryExecution.analyzed.toString.contains("graft_might_contain_keyed"))
   }
 
+  test("above-ceiling with fewer partitions than cores answers with the plain join") {
+    // 2 distinct partition values over a forced 1-byte ceiling: the
+    // distributed route's partition-key shuffle would serialize the whole
+    // probe onto 2 tasks (measured as a 2-straggler collapse at ×100
+    // scale on a 3-value key) — below defaultParallelism distinct values
+    // the operator must answer with the plain compound-key join: same
+    // rows, both join keys in the shuffle, no skew
+    val small = (0 until 2).flatMap(p => (0 until 100).map(k => (p, k.toLong)))
+      .toDF("p", "k")
+    val large = (0 until 3).flatMap(p => (0 until 200).map(k => (p, k.toLong, p + k)))
+      .toDF("p", "k", "payload")
+    val got = BloomPrune.pruneJoinPartitioned(large, small, "p", "k", "p", "k",
+      maxFilterMapBytes = 1L)
+    val analyzed = got.queryExecution.analyzed.toString
+    assert(!analyzed.contains("graft_might_contain"),
+      "low-cardinality above-ceiling case must not take either bloom route")
+    val want = large.join(small, large("p") === small("p") && large("k") === small("k"))
+      .select(large("p"), large("k"), col("payload"))
+    val gotP = got.select(large("p"), large("k"), col("payload"))
+    assert(gotP.count() == want.count())
+    assert(gotP.exceptAll(want).isEmpty && want.exceptAll(gotP).isEmpty)
+  }
+
   test("partitioned pruneJoin with an empty small side yields an empty join, not a crash") {
     val small = Seq.empty[(Int, Long)].toDF("p", "k")
     val large = (0 until 5).map(i => (i, i.toLong)).toDF("p", "k")
