@@ -87,6 +87,25 @@ object ProbeMain {
       // partition columns carry no data stats (they prune directly)
       expectErr("P25")(StatsIndex.build(spark, "/tmp/probe_ds", Seq("l_returnflag")))
     }
+    locally { // sink-manifest guard rails
+      // a typo'd root fails fast with NO filesystem mutation (build must
+      // not mkdirs before validating metadata)
+      val typoRoot = "/tmp/probe_no_such_dataset"
+      probeFs.delete(new org.apache.hadoop.fs.Path(typoRoot), true)
+      expectErr("P26")(StatsIndex.build(spark, typoRoot, Seq("v")))
+      if (probeFs.exists(new org.apache.hadoop.fs.Path(typoRoot)))
+        println("P26b NO-ERROR (BAD): build left a directory behind on a missing dataset")
+      else println("P26b OK")
+      // a versionless marker write on a sink root is refused: the claim
+      // would be untrustworthy the moment the next micro-batch commits
+      val sinkRoot = "/tmp/probe_sink_root"
+      probeFs.delete(new org.apache.hadoop.fs.Path(sinkRoot), true)
+      probeFs.mkdirs(new org.apache.hadoop.fs.Path(sinkRoot, "_spark_metadata"))
+      StatsIndex.writeMarker(spark, sinkRoot, Seq("v")) // must silently refuse
+      if (StatsIndex.manifestColumns(spark, sinkRoot).isDefined)
+        println("P27 NO-ERROR (BAD): versionless completeness claim on a sink root")
+      else println("P27 OK")
+    }
     spark.stop()
   }
 }
