@@ -21,7 +21,15 @@ object Verify {
     // hash_match=false can then be diffed against the hash of a local run
     // of the same build instead of being unreproducible (round 2 pain).
     val localHashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // ×N stress escape hatch, same contract as Bench's: driver runs set no
+    // skip and dump everything; a skipped query's dump dir is simply
+    // absent, so the compare covers exactly what ran.
+    val skip: Set[String] =
+      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty)
+    val unknown = skip -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_SKIP names unknown queries: ${unknown.mkString(",")}")
+    SparkEntry.queries.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
