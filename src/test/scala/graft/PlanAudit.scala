@@ -53,6 +53,16 @@ object PlanAudit {
     audit("dedup_minhash",
       "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin") ),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("dedup_simhash",
+      // bucketed chunks, never all-pairs — even with the md5 sig family
+      // the only joins are the bucket self-join and the skew-cap anti
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "no nested loop" -> (p => !p.contains("BroadcastNestedLoop")))
+    audit("dedup_embedding",
+      // the saturated 12×96 config must still bucket candidates — the
+      // oracle-exactness argument rests on LSH, not an all-pairs fallback
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "no nested loop" -> (p => !p.contains("BroadcastNestedLoop")))
     audit("events_window_agg",
       "partial aggregate" -> (_.contains("partial_count")))
     audit("q_asof_join",
