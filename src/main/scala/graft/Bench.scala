@@ -18,7 +18,8 @@ object Bench {
     // bucketed; PlanAudit covers it). Scale runs skip those cells and
     // document the skip; driver rounds set no skip and run everything.
     val skip: Set[String] =
-      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_SKIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
     // a typo'd skip entry silently skipping NOTHING is exactly the failure
     // the list exists to prevent (the quadratic cell then runs at ×N)

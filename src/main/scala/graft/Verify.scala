@@ -25,10 +25,21 @@ object Verify {
     // skip and dump everything; a skipped query's dump dir is simply
     // absent, so the compare covers exactly what ran.
     val skip: Set[String] =
-      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_SKIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
     val unknown = skip -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"SPARK_GRAFT_SKIP names unknown queries: ${unknown.mkString(",")}")
+    // the contract "a skipped query's dump dir is absent" must hold for a
+    // REUSED outDir too — stale dumps would read as this run's output
+    skip.foreach { name =>
+      val d = Paths.get(outDir, name)
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
     SparkEntry.queries.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -117,14 +117,17 @@ object DatasetLock {
     val p = lockPath(root)
     var acquired = false
     var fastRetries = 0
-    while (!acquired) {
-      // deadline is enforced on EVERY path through the loop — a root where
-      // create fails for a non-contention reason (permissions, read-only
-      // fs: create throws, stat finds nothing) must time out, not spin
+    // deadline is enforced on EVERY waiting path (not loop entry: the
+    // first create attempt always runs, so a handoff arriving exactly at
+    // the deadline still succeeds) — a root where create fails for a
+    // non-contention reason (permissions, read-only fs: create throws,
+    // stat finds nothing) times out at poll cost instead of spinning
+    def checkDeadline(): Unit =
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"timed out after ${waitMs}ms waiting for the writer lock on $root " +
             s"(a lock breaks as stale after ${staleMs}ms of mod-time inactivity)")
+    while (!acquired) {
       try {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false) // create-if-absent
@@ -148,7 +151,7 @@ object DatasetLock {
               // contention (unwritable root): back off so the deadline is
               // reached at poll cost, not at 100% CPU
               fastRetries += 1
-              if (fastRetries > 3) Thread.sleep(200)
+              if (fastRetries > 3) { checkDeadline(); Thread.sleep(200) }
             case Some(st) =>
               fastRetries = 0
               val fresh = st == null ||
@@ -156,6 +159,7 @@ object DatasetLock {
               if (!fresh) {
                 tryBreakStale(fs, p) // winner or not, loop back to the create race
               } else {
+                checkDeadline()
                 Thread.sleep(200)
               }
           }
@@ -173,7 +177,16 @@ object DatasetLock {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(200L, staleMs / 4))
           try fs.setTimes(p, System.currentTimeMillis(), -1)
-          catch { case _: Exception => () } // unsupported/raced: best-effort
+          catch {
+            // Hadoop surfaces a delivered interrupt as InterruptedIOException
+            // (and nio as ClosedByInterruptException) with the interrupt
+            // status CONSUMED — restore it or the stop signal is lost and
+            // this thread would keep the lock path fresh forever
+            case _: java.io.InterruptedIOException |
+                 _: java.nio.channels.ClosedByInterruptException =>
+              Thread.currentThread().interrupt()
+            case _: Exception => () // unsupported/raced: best-effort
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-keepalive-$root")

@@ -158,9 +158,15 @@ object StatsIndex {
     // Idle short-circuit BEFORE the lock and any listing: a valid marker
     // (manifestColumns already version-checks it against the log) covering
     // the requested columns means the log hasn't advanced — a progress
-    // event from a zero-data trigger then costs one metadata read, not a
-    // listing + sidecar anti-join + marker rewrite per tick.
-    if (manifestColumns(spark, root).contains(cols.sorted)) return
+    // event from a zero-data trigger then costs two metadata reads, not a
+    // listing + sidecar anti-join + marker rewrite per tick. Compared
+    // against the VALIDATED target (the marker stores filtered+sorted
+    // columns; raw cols with a partition column in them would never match
+    // and the short-circuit would silently stop firing).
+    val idleTarget =
+      try DatasetMeta.read(spark, root).map(m => validTarget(m, cols).sorted)
+      catch { case _: IllegalArgumentException => None } // nothing indexable: full path decides
+    if (idleTarget.exists(t => manifestColumns(spark, root).contains(t))) return
     DatasetLock.withLock(spark, root) {
       sinkLatestBatchId(spark, root) match {
         case None => () // no commits yet (or not a sink root): nothing to claim

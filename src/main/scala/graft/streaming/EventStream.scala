@@ -132,10 +132,16 @@ object EventStream {
           if (e.id == queryId.get) spark.streams.removeListener(this)
       }
       spark.streams.addListener(listener)
+      // a failed start must not leak the listener (each retry would stack
+      // another, and a later query to the same root would run N duplicate
+      // syncs per progress event)
+      val query =
+        try (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
+        catch { case e: Throwable => spark.streams.removeListener(listener); throw e }
+      queryId.set(query.id)
+      return query
     }
-    val query = (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
-    queryId.set(query.id)
-    query
+    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
   }
 
   /** Stream into a dataset with EXACTLY-ONCE row semantics on an
