@@ -50,7 +50,12 @@ object Verify {
             org.apache.spark.sql.functions.col(c).cast("string"),
             org.apache.spark.sql.functions.lit("\u0000")))
         val md = java.security.MessageDigest.getInstance("MD5")
-        back.select(cols.toIndexedSeq: _*).collect().foreach { r =>
+        // toLocalIterator, not collect(): the hash is order-sequential by
+        // contract, but the driver only ever needs ONE partition in
+        // memory -- a collect() of a multi-million-row xN-scale dump blew
+        // spark.driver.maxResultSize (measured at x100: 1.2 GiB for
+        // fetch_filter_in) and the query read as failed
+        back.select(cols.toIndexedSeq: _*).toLocalIterator().forEachRemaining { r =>
           md.update(r.mkString("\u0001").getBytes("UTF-8")); md.update(2.toByte)
         }
         localHashes(name) = md.digest().map("%02x".format(_)).mkString
