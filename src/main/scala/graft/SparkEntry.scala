@@ -131,15 +131,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----------------------------------------------------- analytics core
+    // Money sums run in EXACT decimal, then cast back to double: a plain
+    // double sum's partial-aggregation tree order diverges from DuckDB's
+    // sequential sum by ~1 ulp per level, which at ×100 scale (15M-row
+    // groups, sums ~5e11) moved the 4th decimal and broke the hash. The
+    // per-value double→decimal cast is exact for 2-/4-decimal money
+    // values; the decimal sum is order-independent; the final
+    // decimal→double cast rounds once, identically in both engines. This
+    // is also what a production engine does with money columns. Quantity
+    // sums are small integers — exact in double at any order — and stay
+    // plain.
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,4)")).cast("double"), 4).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -872,11 +885,13 @@ object SparkEntry {
     * → rows-only check; their semantics are covered by ScalaTest specs.
     */
   def oracleSql: Map[String, String] = Map(
+    // exact-decimal money sums, mirroring the Spark side (see queries)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),4) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/count(*),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
