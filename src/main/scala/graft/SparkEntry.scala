@@ -136,11 +136,15 @@ object SparkEntry {
     // sequential sum by ~1 ulp per level, which at ×100 scale (15M-row
     // groups, sums ~5e11) moved the 4th decimal and broke the hash. The
     // per-value double→decimal cast is exact for 2-/4-decimal money
-    // values; the decimal sum is order-independent; the final
-    // decimal→double cast rounds once, identically in both engines. This
-    // is also what a production engine does with money columns. Quantity
-    // sums are small integers — exact in double at any order — and stay
-    // plain.
+    // values (PublishFetchSpec pins that precondition on the testdata);
+    // the decimal sum is order-independent; the final decimal→double cast
+    // rounds once, identically in both engines while the scaled sum stays
+    // under 2^53 quanta (sum_disc_price ≈ 5e15 of 9e15 at ×100 — past
+    // ~×150 the engines' decimal→double conversion paths could differ by
+    // 1 ulp again and the final cast would need to move to a string
+    // representation instead). Quantity sums are small integers — exact
+    // in double at any order — and averages divide sums 6+ orders of
+    // magnitude below the round-4 boundary; both stay plain.
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -151,8 +155,7 @@ object SparkEntry {
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(22,4)")).cast("double"), 4).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
-            / count(lit(1)), 4).as("avg_disc"),
+          round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -890,8 +893,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),4) AS sum_base_price,
         | round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE),4) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/count(*),4) AS avg_disc,
+        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 

@@ -225,4 +225,18 @@ class PublishFetchSpec extends AnyFunSuite {
     assert(Fetch.fetchDiff(spark, rootB, rootA, "grp", reverse = true)
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("money columns in the testdata are 2-decimal exact (q1 decimal-sum precondition)") {
+    // q1_agg sums money in exact DECIMAL(18,2)/(22,4); that is only a
+    // faithful sum while every input double IS a 2-decimal value (the
+    // per-value cast is then exact). If a future data generator emits
+    // full-precision doubles, this fails loudly instead of both engines
+    // agreeing on a subtly rounded aggregate.
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert(li.where(rnd(col("l_extendedprice"), 2) =!= col("l_extendedprice")).isEmpty,
+      "l_extendedprice must be 2-decimal exact")
+    assert(li.where(rnd(col("l_discount"), 2) =!= col("l_discount")).isEmpty,
+      "l_discount must be 2-decimal exact")
+  }
 }
