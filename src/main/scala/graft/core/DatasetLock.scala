@@ -71,9 +71,17 @@ object DatasetLock {
 
   private def lockPath(root: String) = new Path(root, FileName)
 
+  /** Smallest permitted `staleMs`. The holder's keepalive touches the lock
+    * every staleMs/4; below ~this floor the FIRST touch could land after
+    * the lock already looks stale to a contender, silently voiding the
+    * live-holder guarantee. Values below the floor are clamped up.
+    */
+  val MinStaleMs = 1000L
+
   def withLock[T](spark: SparkSession, root: String,
                   waitMs: Long = 10L * 60 * 1000,
                   staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val effectiveStaleMs = math.max(staleMs, MinStaleMs)
     val p = lockPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(p).toString
@@ -85,7 +93,7 @@ object DatasetLock {
     if (!jl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       throw new IllegalStateException(
         s"timed out after ${waitMs}ms waiting for the in-process writer lock on $root")
-    try withFileLock(spark, root, fs, key, deadline, waitMs, staleMs)(body)
+    try withFileLock(spark, root, fs, key, deadline, waitMs, effectiveStaleMs)(body)
     finally jl.unlock()
   }
 
@@ -157,7 +165,12 @@ object DatasetLock {
               val fresh = st == null ||
                 (System.currentTimeMillis() - st.getModificationTime) <= staleMs
               if (!fresh) {
-                tryBreakStale(fs, p) // winner or not, loop back to the create race
+                // winner loops straight back to the create race; a LOSER may
+                // be racing other breakers (fine, retry now) — but a
+                // PERSISTENTLY failing break (fs denies rename yet allows
+                // create/stat) must reach the deadline at poll cost, not
+                // spin create->stat->failed-break at 100% CPU forever
+                if (!tryBreakStale(fs, p)) { checkDeadline(); Thread.sleep(200) }
               } else {
                 checkDeadline()
                 Thread.sleep(200)

@@ -116,20 +116,45 @@ object EventStream {
             new org.apache.hadoop.fs.Path(inner)).toString == qualifiedRoot
           catch { case _: IllegalArgumentException => false })
         }
+      // Syncs run on a dedicated single thread, NOT the shared listener bus:
+      // a sync is full Spark jobs (listing, stats scan/write, marker
+      // rewrite), and blocking the bus would delay/drop events for every
+      // other listener in the session. `syncQueued` coalesces: progress
+      // events arriving while a sync is pending collapse into the one
+      // already queued (it will observe their batches' files anyway).
+      val syncExec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, s"graft-sink-sync-$root"); t.setDaemon(true); t
+      }
+      val syncQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // terminations observed before queryId is assigned (a query that dies
+      // between start() and queryId.set) — checked after assignment so the
+      // listener is still removed instead of leaking
+      val earlyTerminated =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
       val listener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-          if (sinkMatches(e.progress.sink.description)) {
-            // post-commit, off the micro-batch path; a failed sync only
-            // delays manifest mode (readers stay on the log-aware listing)
-            try graft.core.StatsIndex.syncSinkDataset(spark, root, statsCols)
-            catch {
-              case scala.util.control.NonFatal(ex) =>
-                System.err.println(s"[graft] sink index sync failed on $root: $ex")
+          if (sinkMatches(e.progress.sink.description) &&
+              syncQueued.compareAndSet(false, true)) {
+            try syncExec.execute { () =>
+              syncQueued.set(false)
+              // post-commit, off the micro-batch path; a failed sync only
+              // delays manifest mode (readers stay on the log-aware listing)
+              try graft.core.StatsIndex.syncSinkDataset(spark, root, statsCols)
+              catch {
+                case scala.util.control.NonFatal(ex) =>
+                  System.err.println(s"[graft] sink index sync failed on $root: $ex")
+              }
+            } catch {
+              case _: java.util.concurrent.RejectedExecutionException =>
+                syncQueued.set(false) // executor already shut down post-termination
             }
           }
-        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == queryId.get) spark.streams.removeListener(this)
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+          val qid = queryId.get
+          if (qid == null) earlyTerminated.add(e.id)
+          else if (e.id == qid) { spark.streams.removeListener(this); syncExec.shutdown() }
+        }
       }
       spark.streams.addListener(listener)
       // a failed start must not leak the listener (each retry would stack
@@ -137,8 +162,15 @@ object EventStream {
       // syncs per progress event)
       val query =
         try (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()
-        catch { case e: Throwable => spark.streams.removeListener(listener); throw e }
+        catch { case e: Throwable =>
+          spark.streams.removeListener(listener); syncExec.shutdown(); throw e }
       queryId.set(query.id)
+      // the query may have terminated before queryId was assigned (immediate
+      // failure after start) — its termination event saw queryId == null, so
+      // finish the removal here instead of leaking the listener
+      if (earlyTerminated.contains(query.id)) {
+        spark.streams.removeListener(listener); syncExec.shutdown()
+      }
       return query
     }
     (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).start()

@@ -144,6 +144,56 @@ class DatasetLockSpec extends AnyFunSuite {
     assert(!lockFile.exists())
   }
 
+  test("a sub-floor staleMs is clamped: the keepalive still outruns staleness") {
+    // For staleMs below MinStaleMs the first keepalive touch (at staleMs/4,
+    // floored at 200ms) could land AFTER the lock already looked stale to a
+    // contender, silently voiding the live-holder guarantee. withLock clamps
+    // staleMs up to the floor, so the observed age stays inside it.
+    val r = "/tmp/graft_test/lock_stale_floor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    val lockFile = new java.io.File(r, DatasetLock.FileName)
+    var maxAge = 0L
+    DatasetLock.withLock(spark, r, staleMs = 100L) { // clamped to MinStaleMs
+      val deadline = System.currentTimeMillis() + 1500
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        maxAge = math.max(maxAge, System.currentTimeMillis() - lockFile.lastModified)
+      }
+    }
+    assert(maxAge < DatasetLock.MinStaleMs,
+      s"with the clamp, a contender judging staleness at the effective floor " +
+        s"must always see a fresh lock; observed age ${maxAge}ms")
+    assert(!lockFile.exists())
+  }
+
+  test("a persistently unbreakable stale lock times out instead of spinning") {
+    // A filesystem that denies rename but allows create/stat (an ACL'd
+    // object-store mount) makes every tryBreakStale fail. The acquire loop
+    // must then reach the waitMs deadline at poll cost — before the fix it
+    // spun create->stat->failed-break at 100% CPU forever.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.norename.impl", classOf[NoRenameLocalFs].getName)
+    val r = "norename:/tmp/graft_test/lock_norename"
+    val local = "/tmp/graft_test/lock_norename"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+    new java.io.File(local).mkdirs()
+    val lockFile = new java.io.File(local, DatasetLock.FileName)
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val started = System.currentTimeMillis()
+    val e = intercept[IllegalStateException] {
+      DatasetLock.withLock(spark, r, waitMs = 1500L, staleMs = 60000L) {
+        fail("must not enter: the stale lock cannot be broken on this fs")
+      }
+    }
+    assert(e.getMessage.contains("timed out"))
+    val elapsed = System.currentTimeMillis() - started
+    assert(elapsed >= 1500L, s"deadline honored, got ${elapsed}ms")
+    assert(lockFile.exists(), "the unbreakable lock is left in place")
+    lockFile.delete()
+  }
+
   test("two contenders racing the same stale lock: exactly one breaks it") {
     // Rename-first breaking: rename is atomic, so of N contenders that all
     // judged one lock stale, exactly one wins the break; the losers fall
@@ -174,6 +224,58 @@ class DatasetLockSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction racing a concurrent append to its destination serializes") {
+    // The remaining writer pair: compactSmallFiles builds `dest` under the
+    // dest lock while an appender targets the same root. The lock must
+    // force one of the two SERIALIZED outcomes — never a torn interleaving
+    // where the marker claims completeness over files the index missed:
+    //  - compact then append: src rows + appended rows
+    //  - append then compact: compaction's overwrite publish clobbers the
+    //    append (last-writer-wins overwrite is the documented semantic),
+    //    leaving exactly the src rows
+    // In BOTH cases the manifest-planned read must agree with the plain
+    // read (trustworthy marker), or the reader degrades to listing mode —
+    // either way fetchIndexed == fetch under the same filter.
+    val src = "/tmp/graft_test/lock_compact_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    Publish.publish(spark, spark.range(500).select(col("id"),
+      col("id").cast("double").as("v")), src, Nil, statsCols = Seq("v"))
+    Publish.publish(spark, spark.range(500, 1000).select(col("id"),
+      col("id").cast("double").as("v")), src, Nil, mode = "append")
+    val srcCount = 1000L
+    (1 to 3).foreach { round =>
+      val dest = s"/tmp/graft_test/lock_compact_dest_$round"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val compactF = pool.submit(new Runnable {
+        def run(): Unit = { start.await(); Fetch.compactSmallFiles(spark, src, dest) }
+      })
+      val appendF = pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          Publish.publish(spark, spark.range(100).select((col("id") + 50000L).as("id"),
+            (col("id").cast("double") + 50000.0).as("v")), dest, Nil, mode = "append")
+        }
+      })
+      start.countDown()
+      compactF.get(120, TimeUnit.SECONDS)
+      appendF.get(120, TimeUnit.SECONDS)
+      pool.shutdown()
+      val total = Fetch.fetch(spark, dest).count()
+      assert(total == srcCount || total == srcCount + 100,
+        s"round $round: torn state — $total rows is neither serialized outcome")
+      // marker trustworthiness: the manifest-planned read and the plain
+      // read must agree on the appended slice, whichever ordering won
+      val appended = Fetch.fetch(spark, dest).where(col("v") >= 50000.0).count()
+      assert(appended == (total - srcCount))
+      val indexed = Fetch.fetchIndexed(spark, dest,
+        dataFilters = Seq(ColFilter("v", ">=", Seq(50000.0)))).count()
+      assert(indexed == appended,
+        s"round $round: manifest-planned read sees $indexed rows where the plain read sees $appended")
+    }
+  }
+
   test("the lock is re-entrant per thread (dedup append publishes under its own lock)") {
     val r = "/tmp/graft_test/lock_reentrant"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
@@ -186,4 +288,15 @@ class DatasetLockSpec extends AnyFunSuite {
     assert(depth == 2)
     assert(!new java.io.File(r, DatasetLock.FileName).exists())
   }
+}
+
+/** Local filesystem whose rename always fails — models a mount where the
+  * writer may create/stat but not rename (so stale locks are unbreakable).
+  * Instantiated by Hadoop via reflection from `fs.norename.impl`.
+  */
+class NoRenameLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = false
 }
