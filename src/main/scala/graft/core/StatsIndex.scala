@@ -264,15 +264,22 @@ object StatsIndex {
     StructField("max_s", StringType, nullable = true)))
 
   /** `input_file_name()` yields a URI-ENCODED string; listings (and hence
-    * the manifest contract) store real DECODED filesystem paths.
-    * `java.net.URI` does the decode; hadoop `Path`'s String constructor
-    * would re-encode the escapes and hand back the still-encoded form — a
-    * mismatch that silently disabled pruning for files under escaped
-    * partition dirs (`c_ts=… %3A…`) and would break manifest-mode
-    * planning outright (the encoded path reaches `spark.read`).
-    * Executor-side, one row per file — nowhere near the hot path.
+    * the manifest contract) store real DECODED filesystem paths. Column
+    * form of [[decodePath]] so the sidecar build stays whole-stage
+    * codegen'd (no Scala UDF): strip the URI scheme+authority, then
+    * percent-decode. '+' is pre-protected because `url_decode` is
+    * FORM-decoding (it would turn a literal '+' into a space, which URI
+    * path decoding never does); raw '#'/'?' are ordinary characters to
+    * `url_decode`, so the truncation hazard [[decodePath]] guards against
+    * cannot arise on this path. A malformed escape (a foreign file name
+    * with a raw '%') falls back to the stripped-but-undecoded form via
+    * `try_url_decode` — the same answer [[decodePath]]'s
+    * URISyntaxException fallback produces.
     */
-  private val normPath = udf((s: String) => decodePath(s))
+  private[graft] def normPath(c: Column): Column = {
+    val stripped = regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    coalesce(try_url_decode(regexp_replace(stripped, "\\+", "%2B")), stripped)
+  }
 
   /** URI-decode one path string. A raw '#' or '?' in a (foreign/imported)
     * file name is a literal path character here, not fragment/query

@@ -227,6 +227,33 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(StatsIndex.decodePath("file:/tmp/data/a#b?c%20d.parquet") == "/tmp/data/a#b?c d.parquet")
   }
 
+  test("normPath Column expression agrees with decodePath (and stays codegen'd)") {
+    // The sidecar build decodes input_file_name() with a Column expression,
+    // not a Scala UDF — it must produce exactly decodePath's answer on
+    // every tricky shape: percent escapes, raw '#'/'?', literal '+'
+    // (form-decoding would turn it into a space), an authority component,
+    // and a malformed escape (falls back to the undecoded form).
+    val cases = Seq(
+      "file:/tmp/a%20b/part-0.parquet",
+      "file:/tmp/c_ts=2021%3A01/x.parquet",
+      "file:/tmp/data/report#3.parquet",
+      "file:/tmp/data/what?.parquet",
+      "file:/tmp/data/a#b?c%20d.parquet",
+      "file:/tmp/data/a+b.parquet",
+      "file:///tmp/triple/slash.parquet",
+      "hdfs://namenode:8020/warehouse/t/part-1.parquet",
+      "/tmp/no/scheme.parquet")
+    val got = cases.toDF("p")
+      .select(StatsIndex.normPath(col("p")).as("n")).as[String].collect().toSeq
+    assert(got == cases.map(StatsIndex.decodePath),
+      s"column decode diverged from decodePath:\n${cases.zip(got).mkString("\n")}")
+    // malformed escape: both paths degrade to the same undecoded form
+    val bad = "file:/tmp/raw%zz.parquet"
+    val gotBad = Seq(bad).toDF("p")
+      .select(StatsIndex.normPath(col("p")).as("n")).as[String].head()
+    assert(gotBad == StatsIndex.decodePath(bad) && gotBad == "/tmp/raw%zz.parquet")
+  }
+
   test("a foreign file without stats rows blocks the marker restore (coverage check)") {
     // Simulates the LOST lock race on an object store: files land in the
     // dataset outside graft's write path, then an append tries to restore
