@@ -123,6 +123,23 @@ object SparkEntry {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Shared input for the embedding near-dup cells: the sf corpus plus two
+    * planted near-twin sets (one sign-flipped component each — cosine just
+    * over the 0.95 threshold for 64-dim unit-ish vectors), so both the
+    * production and the saturated-oracle config see known duplicates.
+    */
+  private def embeddingNearDupInput(s: SparkSession, dir: String): DataFrame = {
+    val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+    def negComp(k: Int, offset: Long) = {
+      val v = col("embedding")
+      embs.where(col("vec_id") < 8).select(
+        (col("vec_id") + offset).as("vec_id"),
+        concat(slice(v, 1, k - 1), array(-element_at(v, k)),
+          slice(v, k + 1, 64 - k)).as("embedding"))
+    }
+    embs.union(negComp(1, 1000000000L)).union(negComp(2, 2000000000L))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -377,16 +394,22 @@ object SparkEntry {
     // vectors — putting true cosines at 1−2·vₖ²/‖v‖² ≈ 0.97, comfortably
     // off the threshold boundary. Pairs whose planted cosine falls below
     // 0.95 (large v₁ share) drop from BOTH sides identically.
+    // PRODUCTION-shaped embedding near-dup: the few-table LSH config a
+    // 100 TB run would deploy (recall < 1 by design — no exact oracle;
+    // rows-only + the planted-twin spec). The saturated oracle config
+    // lives in dedup_embedding_oracle below.
     "dedup_embedding" -> ((s, dir) => {
-      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
-      def negComp(k: Int, offset: Long) = {
-        val v = col("embedding")
-        embs.where(col("vec_id") < 8).select(
-          (col("vec_id") + offset).as("vec_id"),
-          concat(slice(v, 1, k - 1), array(-element_at(v, k)),
-            slice(v, k + 1, 64 - k)).as("embedding"))
-      }
-      val all = embs.union(negComp(1, 1000000000L)).union(negComp(2, 2000000000L))
+      val all = embeddingNearDupInput(s, dir)
+      Dedup.embeddingNearDup(all, threshold = 0.95)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ORACLE config: 12 planes x 96 tables saturates bucketing (miss
+    // probability ~2e-14 at the 0.95 threshold), so the output provably
+    // equals DuckDB's all-pairs cosine self-join — rows+schema+hash.
+    "dedup_embedding_oracle" -> ((s, dir) => {
+      val all = embeddingNearDupInput(s, dir)
       Dedup.embeddingNearDup(all, threshold = 0.95, planes = 12, tables = 96)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")
@@ -402,6 +425,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16, nprobe = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // FULL-PROBE IVF: nprobe = nlist means every query probes every cell,
+    // so the candidate set is the whole corpus and the result provably
+    // equals brute force (the identity the IvfSpec pins) — which gives
+    // this cell an exact DuckDB oracle. The production config above stays
+    // rows-only + the ann_recall contract.
+    "ann_ivf_full_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16, nprobe = 16)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),
@@ -1285,7 +1320,7 @@ object SparkEntry {
     // ≈ 2e-14 at the threshold boundary, see the queries entry). The
     // planted vectors sign-flip component 1 (resp. 2) — float negation is
     // exact, so both engines build identical vectors.
-    "dedup_embedding" ->
+    "dedup_embedding_oracle" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planted AS (
         | SELECT vec_id + 1000000000 AS vec_id, list_prepend(-v[1], v[2:]) AS v
@@ -1327,6 +1362,19 @@ object SparkEntry {
         |WHERE n > 1 ORDER BY id""".stripMargin,
 
     "ann_brute_topk" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),4) AS sim
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, sim,
+        | row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |FROM sims QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // full-probe IVF == brute force (nprobe = nlist), so the same
+    // all-pairs cosine oracle applies; IVF drops zero-norm vectors, which
+    // cosine similarity leaves undefined anyway (none exist in the corpus)
+    "ann_ivf_full_topk" ->
       """WITH sims AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),4) AS sim

@@ -68,11 +68,11 @@ def load_bench(path):
 #    of trusting a cross-version /tmp cache (round 2's only red
 #    correctness cell was a suspected stale-cache hash mismatch); ~2 s of
 #    write per run bought determinism of the correctness gate.
-#  - dedup_embedding: since round 8 it runs the SATURATED 12x96 LSH config
-#    (at-threshold miss ~2e-14) whose output provably equals DuckDB's
-#    all-pairs cosine self-join - ~2 s of extra signature compute bought
-#    the query a rows+schema+hash oracle instead of rows-only.
-ALLOWED = {"custom_publish_roundtrip", "dedup_embedding"}
+# (dedup_embedding was allow-listed in r8 while it ran the saturated
+# oracle config; since r9 that config lives under its own name,
+# dedup_embedding_oracle, and dedup_embedding is back to the
+# production-shaped LSH — directly comparable to r02 again.)
+ALLOWED = {"custom_publish_roundtrip"}
 
 # Queries that read a publishOnce-built /tmp scratch dataset: in a COLD
 # sandbox, whichever of these ran first used to be charged the one-time
