@@ -488,6 +488,8 @@ object SparkEntry {
       TextAnalysis.qualityScore(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
+    "text_token_counts_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
 
@@ -1426,6 +1428,42 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // True BPE recomputed independently: one recursive-CTE iteration = one
+    // merge round (lowest-rank pair present, ALL occurrences replaced).
+    // Token lists ride as '|tok||tok|' strings so replace() can never match
+    // across a token boundary; BPE runs once per DISTINCT pre-token and
+    // joins back to occurrences. The merge VALUES are generated from the
+    // same Scala table the Spark expression uses — one source of truth.
+    "text_token_counts_bpe" -> {
+      val vals = graft.functions.BpeVocab.Default.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |merges(pri, x, y) AS (VALUES $vals),
+         |toks AS (SELECT doc_id,
+         |   unnest(regexp_extract_all(lower(text), '${graft.functions.BpeVocab.PreTokenPattern}')) AS w
+         | FROM documents),
+         |init AS (SELECT DISTINCT w,
+         |   '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS state
+         | FROM toks),
+         |bpe(w, state) AS (
+         | SELECT w, state FROM init
+         | UNION
+         | SELECT s.w, CASE WHEN m.x IS NULL THEN s.state
+         |   ELSE replace(s.state, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') END
+         | FROM bpe s LEFT JOIN LATERAL (
+         |   SELECT x, y FROM merges
+         |   WHERE contains(s.state, '|'||x||'||'||y||'|')
+         |   ORDER BY pri LIMIT 1) m ON true),
+         |wordcounts AS (
+         | SELECT w, min(len(string_split(state, '||'))) AS n_tok FROM bpe GROUP BY w),
+         |per_doc AS (
+         | SELECT t.doc_id, sum(c.n_tok) AS n
+         | FROM toks t JOIN wordcounts c USING (w) GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "sample_split" ->
       """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (

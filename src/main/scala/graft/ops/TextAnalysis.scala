@@ -88,6 +88,18 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
   }
 
+  /** True byte-pair-encoding token counts (native codegen'd expression,
+    * [[graft.functions.BpeTokenCount]]): the canonical greedy merge loop
+    * over a ranked merge table, per-thread word cache, no UDF boundary.
+    * Default table is [[graft.functions.BpeVocab.Default]]; production
+    * passes a published merge list.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     merges: Seq[(String, String)] = graft.functions.BpeVocab.Default): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.functions.BpeTokenCount.column(col(textCol), merges).as("bpe_tokens"))
+
   /** 64-bit rolling-hash fingerprint per document (native codegen'd
     * expression, [[graft.functions.Fingerprint64]]).
     */

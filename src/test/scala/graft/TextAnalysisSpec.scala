@@ -183,4 +183,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0.0)),
       s"got $out")
   }
+
+  test("BPE merges: cascades, rank order, merge-all-per-round") {
+    import graft.functions.BpeVocab
+    val v = new BpeVocab(BpeVocab.Default)
+    // full cascades collapse to one token
+    assert(v.encodeWord("the") == Seq("the"))
+    assert(v.encodeWord("table") == Seq("table"))     // le, ta, tab, table
+    assert(v.encodeWord("window") == Seq("window"))   // in, ow, ind, indow, window
+    assert(v.encodeWord("query") == Seq("query"))
+    // partial merges stop where the table runs out
+    assert(v.encodeWord("sort") == Seq("s", "or", "t"))   // (o,r) outranks (s,o)/(r,t)
+    assert(v.encodeWord("value") == Seq("v", "a", "l", "ue"))
+    // rank inversion across rounds: (c,h) ranked BELOW (bat,ch) still fires
+    // first because (bat,ch) needs 'ch' to exist
+    assert(v.encodeWord("batch") == Seq("batch"))
+    assert(v.encodeWord("batc") == Seq("batc"))           // the dead-end path
+    // merge-all-per-round: both (t,h) occurrences merge in one round
+    assert(v.encodeWord("ththe") == Seq("th", "the"))
+    // unknown chars fall through as singletons
+    assert(v.encodeWord("zzz") == Seq("z", "z", "z"))
+  }
+
+  test("BPE token count expression: codegen'd, lowercases, pre-tokenizes") {
+    val docs = Seq(
+      (1L, "The table"),        // the=1, table=1
+      (2L, "windows query!"),   // window+s = 2, query = 1, ! = 1
+      (3L, "")                  // empty text -> 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 4L), (3L, 0L)), s"got $out")
+    // the expression lives inside whole-stage codegen: no UDF boundary
+    val plan = TextAnalysis.bpeTokenCounts(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
 }
