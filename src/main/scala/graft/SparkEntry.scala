@@ -508,10 +508,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "pack_sequences" -> ((s, dir) => {
+      // the deterministic grouped variant: output is a pure function of the
+      // corpus, so an independent engine can replay the greedy walk exactly
       val withTokens = TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))
         .withColumnRenamed("ws_tokens", "n_tokens")
-      graft.ops.Packing.packSequences(s, withTokens, 512)
-        .toDF().select(col("seq_id"), col("n_docs"), col("total_tokens"))
+      graft.ops.Packing.packSequencesGrouped(s, withTokens, 512)
+        .toDF().select(col("seq_id"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"))
         .orderBy("seq_id")
     }),
 
@@ -1464,6 +1467,31 @@ object SparkEntry {
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Greedy first-fit replayed exactly: groups advance in lockstep, one
+    // doc per recursive iteration (rn), carrying (bin index, bin fill).
+    // Group count mirrors packSequencesGrouped's ~128-docs-per-group
+    // formula; 1099511627776 = 2^40 (the seq-id group shift).
+    "pack_sequences" ->
+      """WITH RECURSIVE
+        |params AS (SELECT GREATEST(8, CAST(CEIL(count(*) / 128.0) AS BIGINT)) AS g_cnt
+        |           FROM documents),
+        |d AS (SELECT doc_id % p.g_cnt AS g, doc_id,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        row_number() OVER (PARTITION BY doc_id % p.g_cnt ORDER BY doc_id) AS rn
+        |      FROM documents, params p),
+        |walk(g, rn, seq_idx, cur) AS (
+        |  SELECT g, rn, 0, n_tokens FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.g, d.rn,
+        |    CASE WHEN w.cur + d.n_tokens > 512 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+        |    CASE WHEN w.cur + d.n_tokens > 512 THEN d.n_tokens ELSE w.cur + d.n_tokens END
+        |  FROM walk w JOIN d ON d.g = w.g AND d.rn = w.rn + 1)
+        |SELECT CAST(w.g * 1099511627776 + w.seq_idx AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens
+        |FROM walk w JOIN d ON d.g = w.g AND d.rn = w.rn
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_split" ->
       """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (

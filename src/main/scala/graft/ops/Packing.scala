@@ -48,4 +48,55 @@ object Packing {
         out.iterator
       }
   }
+
+  /** Deterministic sequence packing: docs are grouped by `id mod numGroups`
+    * and packed greedily in ascending-id order WITHIN each group, so the
+    * output is a pure function of the data — independent of input
+    * partitioning, cluster layout, or AQE decisions. That determinism is
+    * what makes training batches reproducible run-to-run (the
+    * partition-local [[packSequences]] is cheaper — no shuffle — but its
+    * bins follow physical partitioning).
+    *
+    * Distribution shape: one hash shuffle on the group key, then
+    * `flatMapSortedGroups` streams each group in sorted order through the
+    * same greedy first-fit accumulator — no group is materialized in
+    * memory, so group size is bounded only by disk. `numGroups` defaults
+    * to ~128 docs per group (computed from a count pass) which keeps the
+    * recursion-free greedy walk short while giving the scheduler enough
+    * groups to parallelize; at 100 TB the group count grows with the
+    * corpus, so per-task work stays constant.
+    */
+  def packSequencesGrouped(spark: SparkSession, docs: DataFrame, tokensPerSeq: Long,
+                           numGroups: Int = 0,
+                           idCol: String = "doc_id", tokenCountCol: String = "n_tokens"): Dataset[PackedSeq] = {
+    import spark.implicits._
+    require(tokensPerSeq > 0, "tokensPerSeq must be positive")
+    val slim = docs.select(col(idCol).cast("long").as("id"), col(tokenCountCol).cast("long").as("tok"))
+      .as[(Long, Long)]
+    val groups: Long =
+      if (numGroups > 0) numGroups.toLong
+      else math.max(8L, (slim.count() + 127L) / 128L)
+    require(groups <= (1L << 23), s"numGroups $groups exceeds the 2^23 seq-id budget")
+    slim
+      .groupByKey { case (id, _) => java.lang.Math.floorMod(id, groups) }
+      .flatMapSortedGroups(col("id")) { (g: Long, rows: Iterator[(Long, Long)]) =>
+        var localSeq = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+        var curDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var curTokens = 0L
+        def flush(): Unit = if (curDocs.nonEmpty) {
+          out += PackedSeq((g << 40) | localSeq, curDocs.toSeq, curDocs.length, curTokens)
+          localSeq += 1
+          curDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          curTokens = 0L
+        }
+        rows.foreach { case (id, tokens) =>
+          if (curTokens + tokens > tokensPerSeq) flush()
+          curDocs += id
+          curTokens += tokens
+        }
+        flush()
+        out.iterator
+      }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Packing
+import graft.ops.{PackedSeq, Packing}
 
 /** Sequence packing invariants. */
 class PackingSpec extends AnyFunSuite {
@@ -34,5 +34,37 @@ class PackingSpec extends AnyFunSuite {
     val packed = Packing.packSequences(spark, docs, 1000).collect()
     assert(packed.map(_.seq_id).distinct.length == packed.length)
     assert(packed.flatMap(_.doc_ids).length == 10000)
+  }
+
+  test("grouped packing is deterministic and matches a sequential replay") {
+    val tokens = (0L until 1000L).map(i => i -> (37L + (i * 31) % 400)).toMap
+    val docs = tokens.toSeq.toDF("doc_id", "n_tokens")
+    val groups = 8
+    val a = Packing.packSequencesGrouped(spark, docs, 512, groups).collect()
+      .sortBy(_.seq_id)
+    // invariant to physical layout: shuffled/rearranged input packs the same
+    val b = Packing.packSequencesGrouped(spark,
+        docs.repartition(13, col("n_tokens")).sortWithinPartitions(col("doc_id").desc),
+        512, groups).collect().sortBy(_.seq_id)
+    assert(a.toSeq == b.toSeq)
+    // exact greedy-replay oracle, per group in ascending id order
+    val expected = (0 until groups).flatMap { g =>
+      val ids = (0L until 1000L).filter(_ % groups == g)
+      var bins = Vector.empty[(Vector[Long], Long)]
+      var cur = Vector.empty[Long]; var fill = 0L
+      ids.foreach { id =>
+        val n = tokens(id)
+        if (fill + n > 512 && cur.nonEmpty) { bins :+= (cur, fill); cur = Vector.empty; fill = 0L }
+        cur :+= id; fill += n
+      }
+      if (cur.nonEmpty) bins :+= (cur, fill)
+      bins.zipWithIndex.map { case ((ds, f), i) =>
+        PackedSeq((g.toLong << 40) | i, ds, ds.length, f)
+      }
+    }.sortBy(_.seq_id)
+    assert(a.toSeq == expected)
+    // default group count targets ~128 docs per group
+    val auto = Packing.packSequencesGrouped(spark, docs, 1 << 30).collect()
+    assert(auto.length == 8 && auto.map(_.n_docs).sum == 1000)
   }
 }
