@@ -775,18 +775,19 @@ object SparkEntry {
         .orderBy("source")),
 
     "text_word_freq_sketch" -> ((s, dir) => {
-      // count-min point estimates for every distinct term. Estimates are
-      // upper bounds that go EXACT when no term collides in all `depth`
-      // rows — with ~31 distinct tokens in 5x8192 cells, collision odds
-      // are ~1e-12 per term and the hash is deterministic, so the oracle
-      // can demand exact counts (the generic error bound is contract-
-      // tested in ProbFilterSpec).
+      // count-min point estimates for every distinct term, MD5 hash family
+      // so the oracle recomputes the ESTIMATE itself — probe positions,
+      // cell sums, min-over-rows, collisions and all — from its own md5().
+      // That keeps the check exact at ANY vocabulary size (the old framing
+      // demanded collision-free cells, which only a ~31-word closed vocab
+      // delivers; a 200k-word corpus saturates 5x8192 cells by design).
+      // The generic upper-bound/error contract stays in ProbFilterSpec.
       val words = s.read.parquet(t(dir, "documents"))
         .select(explode(split(col("text"), " ")).as("w"))
-      val sketch = words.agg(ProbFilters.countMinAgg(col("w"), 5, 8192).as("sk"))
+      val sketch = words.agg(ProbFilters.countMinAggMd5(col("w"), 5, 8192).as("sk"))
         .head().getAs[Array[Byte]]("sk")
       words.distinct()
-        .withColumn("n", ProbFilters.cmEstimate(s, col("w"), sketch))
+        .withColumn("n", ProbFilters.cmEstimateMd5(s, col("w"), sketch))
         .orderBy("w")
     }),
 
@@ -1019,9 +1020,25 @@ object SparkEntry {
         |FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Recomputes the count-min ESTIMATE, not the true counts: row-d probe
+    // position = hex chars 13-16 of md5(w ':' d) (the low 16 bits of the
+    // big-endian uint64 the Scala kernel extracts from digest bytes 6-7)
+    // mod 8192, cell = sum of true counts landing there, estimate = min
+    // over the 5 rows. Collisions inflate both sides identically, so the
+    // compare stays exact on any vocabulary.
     "text_word_freq_sketch" ->
-      """SELECT w, count(*) AS n FROM (
-        | SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      """WITH toks AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+        |pos AS (SELECT w, n, d,
+        |  ((strpos('0123456789abcdef', substr(md5(w || ':' || d), 13, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(md5(w || ':' || d), 14, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(md5(w || ':' || d), 15, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(md5(w || ':' || d), 16, 1)) - 1)) % 8192 AS cell
+        |  FROM cnt, UNNEST(range(0, 5)) AS t(d)),
+        |cells AS (SELECT d, cell, CAST(sum(n) AS BIGINT) AS cellsum
+        |          FROM pos GROUP BY 1, 2)
+        |SELECT p.w, min(c.cellsum) AS n
+        |FROM pos p JOIN cells c USING (d, cell)
         |GROUP BY 1 ORDER BY w""".stripMargin,
 
     "custom_publish_roundtrip" ->
@@ -1288,15 +1305,19 @@ object SparkEntry {
         |       THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // Brute-force hamming ≤ 3 self-join over MD5-family simhash sigs,
-    // recomputed from scratch in SQL: per-token vote word = the uint64 of
-    // md5(token)'s first 16 hex chars (bit j extracted from hex digit
-    // 16 - j/4), per-doc sig bit j set iff the Σ±1 vote is > 0 — the
-    // definition [[graft.functions.SketchOps.simHash64Md5]] implements.
-    // Signed-BIGINT sig (bit 63 = the sign bit) xors/popcounts
-    // identically to the unsigned bit pattern. The operator's 4-chunk
-    // cover is exhaustive for hamming ≤ 3, so LSH-bucketed output equals
-    // this all-pairs form exactly.
+    // Hamming ≤ 3 self-join over MD5-family simhash sigs, recomputed from
+    // scratch in SQL: per-token vote word = the uint64 of md5(token)'s
+    // first 16 hex chars (bit j extracted from hex digit 16 - j/4),
+    // per-doc sig bit j set iff the Σ±1 vote is > 0 — the definition
+    // [[graft.functions.SketchOps.simHash64Md5]] implements. Signed-BIGINT
+    // sig (bit 63 = the sign bit) xors/popcounts identically to the
+    // unsigned bit pattern. Pair enumeration goes through the 4×16-bit
+    // chunk cover: two sigs at hamming ≤ 3 differ in at most 3 chunks, so
+    // they AGREE on ≥ 1 of 4 (pigeonhole) — the bucketed candidate set
+    // provably contains every qualifying pair, making this EQUAL to the
+    // all-pairs form (validated directly at sf0.01) while staying
+    // output-bound at ×100 scale instead of O(n²). Arithmetic >> then
+    // & 65535 extracts each chunk regardless of sign extension.
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -1312,10 +1333,17 @@ object SparkEntry {
         |          ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
         |     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
         | FROM votes GROUP BY 1),
+        |chunks AS (
+        | SELECT doc_id, sig, c, ((sig >> CAST(c*16 AS INT)) & 65535) AS ck
+        | FROM sigs, UNNEST(range(0, 4)) AS t(c)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM chunks a JOIN chunks b
+        |   ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
         |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-        | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        | SELECT id_a, id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        | FROM cand JOIN sigs sa ON id_a = sa.doc_id
+        |           JOIN sigs sb ON id_b = sb.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 

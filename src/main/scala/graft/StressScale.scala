@@ -123,6 +123,21 @@ object StressScale {
         maxFilterMapBytes = 1L).count()
     }
 
+    // ---- 3. ANN recall contract at stress scale: the ≥0.8 clustered /
+    // ≥0.4 random floors were pinned at sf0.1 in the driver artifact; run
+    // the same cell over the stress corpus (e.g. 200k embeddings at ×100)
+    // and record the per-method MINIMUM recall actually achieved. The
+    // queries entry drops sub-floor rows, so row count shrinking below
+    // 8 per method frame = a recall collapse at scale.
+    val recallRows = timed("ann_recall") {
+      SparkEntry.queries("ann_recall")(spark, stressDir).collect()
+    }
+    checks("ann_recall_rows") = recallRows.length
+    recallRows.groupBy(_.getAs[String]("method")).foreach { case (m, rs) =>
+      checks(s"ann_recall_min_${m}_x10000") =
+        rs.map(r => math.round(r.getAs[Double]("recall") * 10000)).min
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.functions.xxhash64
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Probabilistic membership / frequency filters: a mergeable Bloom filter
   * and a count-min sketch, both as [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]s
@@ -141,6 +142,44 @@ object ProbFilterOps {
     var d = 0
     while (d < depth) {
       val c = counts(d * width + position(Sketch.mix64(h + d), d + 1, width).toInt)
+      if (c < min) min = c
+      d += 1
+    }
+    min
+  }
+
+  // ------------------------------------------- count-min, MD5 hash family
+
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5-family probe position for row `d`: the low 16 bits of the
+    * big-endian uint64 of md5(token ":" row) — bytes 6-7 of the digest,
+    * equivalently hex chars 13-16 — mod width. Same rationale as
+    * [[graft.functions.SketchOps.simHash64Md5]]: an independent engine
+    * can recompute every cell from its own `md5()`, so a sketch ESTIMATE
+    * (collisions and all) becomes oracle-checkable at any vocabulary
+    * size. Width must divide 65536 (the require in the aggregate) so the
+    * 16-bit truncation commutes with the mod.
+    */
+  def cmPosMd5(tok: String, d: Int, width: Int): Int = {
+    val md = md5Tl.get(); md.reset()
+    val dig = md.digest((tok + ":" + d).getBytes("UTF-8"))
+    (((dig(6) & 0xff) << 8) | (dig(7) & 0xff)) % width
+  }
+
+  def cmAddMd5(counts: Array[Long], tok: String, depth: Int, width: Int): Unit = {
+    var d = 0
+    while (d < depth) { counts(d * width + cmPosMd5(tok, d, width)) += 1L; d += 1 }
+  }
+
+  def cmEstimateMd5(counts: Array[Long], tok: String, depth: Int, width: Int): Long = {
+    var min = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = counts(d * width + cmPosMd5(tok, d, width))
       if (c < min) min = c
       d += 1
     }
@@ -382,6 +421,100 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
     copy(child = newChildren(0))
 }
 
+/** [[CountMinAgg]] with the MD5 hash family ([[ProbFilterOps.cmPosMd5]]):
+  * string keys only, slower per row, but every probe position is
+  * recomputable by an independent engine from its own `md5()` — the
+  * cross-engine-checkable twin, same split as
+  * [[SimHash64Md5Expr]] vs the XXH64 production default.
+  */
+case class CountMinAggMd5(child: Expression, depth: Int, width: Int,
+                          override val mutableAggBufferOffset: Int = 0,
+                          override val inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+  require(width >= 16 && 65536 % width == 0,
+    s"width must divide 65536 (the md5 16-bit truncation), got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string key, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(counts: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      ProbFilterOps.cmAddMd5(counts, v.asInstanceOf[UTF8String].toString, depth, width)
+    counts
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(counts: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(8 + counts.length * 8)
+    bb.putInt(depth).putInt(width)
+    counts.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def serialize(counts: Array[Long]): Array[Byte] = eval(counts).asInstanceOf[Array[Byte]]
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.getInt; bb.getInt
+    val counts = new Array[Long](depth * width)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    counts
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_count_min_agg_md5"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAggMd5 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAggMd5 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CountMinAggMd5 =
+    copy(child = newChildren(0))
+}
+
+/** MD5-family count-min point estimate of a string key. */
+case class CountMinEstimateMd5(child: Expression, depth: Int, width: Int,
+                               counts: Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cm_estimate_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects the string key, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ProbFilterOps.cmEstimateMd5(counts.value, v.asInstanceOf[UTF8String].toString, depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("cmBc", counts, "org.apache.spark.broadcast.Broadcast")
+    val w = ctx.addMutableState("long[]", "cmCountsMd5", v => s"$v = (long[]) $bc.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ProbFilterOps.cmEstimateMd5($w, $v.toString(), $depth, $width);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountMinEstimateMd5 =
+    copy(child = newChild)
+}
+
 /** Count-min point estimate of a precomputed 64-bit hash column (same
   * broadcast rationale as [[BloomMightContain]]).
   */
@@ -468,5 +601,21 @@ object ProbFilters {
     while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
     val bc = spark.sparkContext.broadcast(counts)
     shim.column(CountMinEstimate(shim.expression(xxhash64(key)), depth, width, bc))
+  }
+
+  /** MD5-family count-min aggregate (cross-engine-checkable positions). */
+  def countMinAggMd5(key: Column, depth: Int = 5, width: Int = 4096): Column =
+    shim.column(CountMinAggMd5(shim.expression(key), depth, width).toAggregateExpression())
+
+  /** MD5-family frequency estimate against collected sketch bytes. */
+  def cmEstimateMd5(spark: SparkSession, key: Column, sketchBytes: Array[Byte]): Column = {
+    val bb = ByteBuffer.wrap(sketchBytes)
+    val depth = bb.getInt
+    val width = bb.getInt
+    val counts = new Array[Long](depth * width)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    val bc = spark.sparkContext.broadcast(counts)
+    shim.column(CountMinEstimateMd5(shim.expression(key), depth, width, bc))
   }
 }

@@ -210,6 +210,29 @@ class ProbFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min md5 family: pinned positions, upper bounds, xxh64 parity on no-collision vocab") {
+    // positions pinned against an independent md5 implementation
+    // (python hashlib: ((digest[6]<<8)|digest[7]) % 8192)
+    assert(graft.functions.ProbFilterOps.cmPosMd5("the", 0, 8192) == 4683)
+    assert(graft.functions.ProbFilterOps.cmPosMd5("the", 4, 8192) == 909)
+    assert(graft.functions.ProbFilterOps.cmPosMd5("w1234", 2, 8192) == 2280)
+    val words = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
+    val sketch = words.agg(ProbFilters.countMinAggMd5(col("w"), 5, 4096).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val exact = words.groupBy("w").count().as[(String, Long)].collect().toMap
+    val est = words.select(col("w")).distinct()
+      .withColumn("est", ProbFilters.cmEstimateMd5(spark, col("w"), sketch))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"md5 count-min under-counted $w: ${est(w)} < $n")
+      assert(est(w) == n, s"unexpected collision on $w: ${est(w)} != $n")
+    }
+    // width must divide 65536 for the 16-bit truncation to commute
+    intercept[IllegalArgumentException] {
+      ProbFilters.countMinAggMd5(col("w"), 5, 5000)
+    }
+  }
+
   test("count-min: merge-order invariant across partitionings") {
     val df = Seq.tabulate(5000)(i => s"w${i % 40}").toDF("w")
     val one = df.repartition(1).agg(ProbFilters.countMinAgg(col("w"), 5, 1024))
