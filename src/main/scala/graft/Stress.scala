@@ -223,10 +223,20 @@ object FreshCorpus {
       .when(pmod(id, lit(100)) === 51, 0.4).otherwise(0.0)
     val combined = zip_with(raw(base, 41), raw(id, 43), (a, b) => a + eps * b)
     val norm = sqrt(aggregate(combined, lit(0.0), (acc, x) => acc + x * x))
+    // materialize (vector, norm) BEHIND a shuffle barrier: project collapse
+    // would otherwise re-inline `combined` into the normalizing transform's
+    // lambda, re-deriving the 128-hash vector PER ELEMENT (64×) — and the
+    // final coalesce(1) write would then run that blow-up single-threaded
     spark.range(n).select(
       col("id").as("vec_id"),
-      transform(combined, x => (x / norm).cast("float")).as("embedding"),
+      combined.as("c"),
+      norm.as("nrm"),
       (h(47, id) % labels).cast("int").as("label"))
+      .repartition(64)
+      .select(
+        col("vec_id"),
+        transform(col("c"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        col("label"))
   }
 
   def events(spark: SparkSession, n: Long, users: Long): DataFrame = {
