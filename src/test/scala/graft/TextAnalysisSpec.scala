@@ -205,6 +205,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v.encodeWord("zzz") == Seq("z", "z", "z"))
   }
 
+  test("BPE cache is per-vocab: two merge tables in one thread don't cross-contaminate") {
+    import graft.functions.BpeVocab
+    val full = new BpeVocab(BpeVocab.Default)
+    val empty = new BpeVocab(Seq.empty)
+    // same word, same thread, interleaved: counts must reflect each table
+    assert(full.encodeCount("the") == 1)
+    assert(empty.encodeCount("the") == 3)
+    assert(full.encodeCount("the") == 1)
+    assert(empty.encodeCount("the") == 3)
+  }
+
   test("BPE token count expression: codegen'd, lowercases, pre-tokenizes") {
     val docs = Seq(
       (1L, "The table"),        // the=1, table=1
