@@ -280,8 +280,12 @@ object EventStream {
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // interval comparison, not cast-to-epoch: TIMESTAMP_NTZ (what parquet
+    // isAdjustedToUTC=false columns read as) admits no BIGINT cast, but
+    // both timestamp flavors add day-time intervals
     val newSession = when(
-      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > gapSeconds, 1L)
+      col("ts") > lag(col("ts"), 1).over(byUser) +
+        expr(s"INTERVAL '$gapSeconds' SECOND"), 1L)
       .otherwise(lit(0L))
     events
       .withColumn("session_idx",

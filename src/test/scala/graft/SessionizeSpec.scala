@@ -31,6 +31,26 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("batch sessionize accepts TIMESTAMP_NTZ events (parquet isAdjustedToUTC=false)") {
+    // the driver's events.parquet reads as TIMESTAMP_NTZ, which admits no
+    // BIGINT cast — the gap test must work on both timestamp flavors, and
+    // so must the q_range_join composition (sessionize → pointInInterval)
+    val events = rows.map { case (e, t, u) => (e, t, u) }.toDF("event_id", "ts", "user_id")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    assert(events.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val sessions = EventStream.sessionize(events, 1800)
+    val out = sessions.select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+    val matched = graft.ops.TemporalJoins.pointInInterval(
+      events.select("event_id", "user_id", "ts"),
+      sessions.select("user_id", "session_idx", "session_start", "session_end"),
+      Seq("user_id"), "ts", "session_start", "session_end", bucketSeconds = 3600)
+      .select("event_id", "session_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(matched == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)))
+  }
+
   test("streamDataset incrementally reads a published dataset with sidecar schema") {
     import org.apache.spark.sql.streaming.Trigger
     val root = TestSpark.tmpDir("streamds")
