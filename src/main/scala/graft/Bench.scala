@@ -73,16 +73,38 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson =
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
-    // Belt and braces: also persist the line to a file the regression gate
-    // can always read, independent of any stdout capture window.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // Slowest queries first: if the line must shrink (below), the cells
+    // that carry the performance signal survive and only noise-floor cells
+    // collapse into the rollup.
+    val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def render(keep: Int): String = {
+      val qs = byTime.take(keep).map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+      val omitted = byTime.drop(keep)
+      val om =
+        if (omitted.isEmpty) ""
+        else s""","omitted_fast":{"n":${omitted.size},"sec":${f2(omitted.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$failedJson,"sf":"$sfDir"}"""
+    }
+    // The driver keeps only the last ~2000 bytes of stdout; a line past
+    // that loses its {"metric" prefix and the ROUND'S BENCH ARTIFACT
+    // PARSES AS NULL (it happened in round 3 at full float precision and
+    // again in round 9 when the query count grew past ~78). Budget the
+    // stdout line at 1900 bytes: print the full map when it fits,
+    // otherwise keep the slowest cells and roll the fastest up into
+    // omitted_fast (n + their summed seconds, so the total stays
+    // reconstructable). BENCH_LOCAL.json always gets the full map.
+    val full = render(byTime.size)
+    val line =
+      if (full.length <= 1900) full
+      else (byTime.size to 0 by -1).iterator.map(render).find(_.length <= 1900).get
+    // Belt and braces: also persist the full line to a file the regression
+    // gate can always read, independent of any stdout capture window.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     println(line)
     spark.stop()
   }

@@ -18,7 +18,9 @@ def reconstruct(text):
     truncated by the driver's stdout capture window (BENCH_r03.json): scrape
     the per-query name:seconds pairs and the failed list directly."""
     pairs = re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+\.[0-9]+)', text)
-    queries = {k: float(v) for k, v in pairs if k not in ("value",)}
+    # "value" is the total; "n"/"sec" are the omitted_fast rollup fields a
+    # budget-shrunk line carries, not query names
+    queries = {k: float(v) for k, v in pairs if k not in ("value", "n", "sec")}
     if not queries:
         return None
     failed = []
