@@ -19,6 +19,14 @@ object SparkEntry {
 
   private def t(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Deterministic integer-valued weight table for `text_classifier_score`
+    * (256 hashed-feature buckets, values in [-2000, 2000]): the oracle SQL
+    * rebuilds the identical table from the bucket index, so the per-doc
+    * weight sums are exact integers in both engines.
+    */
+  private val clfWeights: Seq[Double] = (0 until 256).map(b =>
+    (((b.toLong * 2654435761L + 1013904223L) % 4001L) - 2000L).toDouble)
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong`; convert
     * the raw nanos to a microsecond timestamp (integer division — exactly
@@ -763,6 +771,16 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(s.read.parquet(t(dir, "documents")))
         .orderBy("doc_id")),
 
+    // fastText-style model-based quality filter over hashed bag-of-words.
+    // The weight table is deterministic INTEGER-VALUED pseudo-weights
+    // (b·2654435761 + 1013904223 mod 4001, shifted to [-2000, 2000]) so
+    // the oracle recomputes the identical table and the per-doc sum is
+    // exact in both engines; a real deployment passes trained weights
+    // through the same API.
+    "text_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(s.read.parquet(t(dir, "documents")), clfWeights)
+        .orderBy("doc_id")),
+
     "text_bigram_surprisal" -> ((s, dir) =>
       // sharper LM signal: avg -ln P(w2|w1), add-one smoothed; the bigram
       // pairs are built inside the words array (no positional self-join)
@@ -990,6 +1008,22 @@ object SparkEntry {
         |WHERE l_returnflag = 'R' AND l_extendedprice >= 50000
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    // bucket = uint32(md5(token)[:8 hex]) % 256, weight = the same
+    // integer-valued pseudo-weight table the queries entry embeds
+    // (b·2654435761 + 1013904223 mod 4001 − 2000); list_transform keeps
+    // document order so the integer sums match Spark's aggregate() exactly
+    "text_classifier_score" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |agg AS (
+        | SELECT doc_id, len(ws) AS n,
+        |  list_sum(list_transform(ws, t ->
+        |   (((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761
+        |     + 1013904223) % 4001) - 2000)) AS sumw
+        | FROM s)
+        |SELECT doc_id, round(sumw / (1.0 * n), 4) AS clf_score, sumw > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -248,6 +248,43 @@ object TextAnalysis {
         log((col("ns") / col("ts")) / (col("nc") / col("tc")))), 4).as("kl_nats"))
   }
 
+  /** Hashed-feature bucket of a token: the big-endian uint32 of
+    * md5(token)'s first 8 hex chars, mod `dim` — the fastText/Vowpal
+    * "hashing trick" feature map, MD5-family so an independent engine
+    * recomputes it from its own `md5()`.
+    */
+  def tokenBucket(tok: Column, dim: Int): Column =
+    pmod(conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Model-based quality scoring: a linear text classifier over hashed
+    * bag-of-words features — the fastText-style filter stage the GPT-3 /
+    * CCNet curation pipelines run after heuristic quality signals
+    * ([[qualityScore]]). `weights(b)` is the trained weight of feature
+    * bucket `b` (hashing trick, `tokenBucket`); a document scores the MEAN
+    * weight of its tokens (= the linear layer over the normalized
+    * bag-of-words), `keep` = positive raw sum. Weights arrive as a plain
+    * array (exported from any trainer) and ship inside the plan as a
+    * literal — a pure per-row projection in whole-stage codegen: no
+    * shuffle, no UDF, scan-speed at 100 TB.
+    *
+    * Exactness note for oracle checking: token weights are looked up, and
+    * the per-doc sum runs in array (= document) order, so an engine
+    * summing the same integer-valued weights in the same order matches
+    * bit-for-bit before the single rounded division.
+    */
+  def classifierScore(docs: DataFrame, weights: Seq[Double], idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val dim = weights.length
+    val wlit = typedLit(weights)
+    val ws = words(col(textCol))
+    val sumw = aggregate(
+      transform(ws, t => element_at(wlit, tokenBucket(t, dim).cast("int") + 1)),
+      lit(0.0), (acc, w) => acc + w)
+    docs.select(col(idCol),
+      round(sumw / size(ws), 4).as("clf_score"),
+      (sumw > 0).as("keep"))
+  }
+
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val pairs = docs.select(col(idCol), words(col(textCol)).as("ws"))

@@ -27,6 +27,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == "und")
   }
 
+  test("classifier score is the mean hashed-bucket weight, keep = positive sum") {
+    // hand-computed reference: bucket(tok) = uint32(md5(tok)[:8 hex]) % dim,
+    // recomputed here independently via MessageDigest
+    def bucket(tok: String, dim: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (u32 % dim).toInt
+    }
+    val weights: Seq[Double] = (0 until 16).map(b => (b - 8).toDouble)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, weights)
+      .as[(Long, Double, Boolean)].collect().map { case (k, v, b) => k -> ((v, b)) }.toMap
+    def expected(toks: Seq[String]): (Double, Boolean) = {
+      val s = toks.map(t => weights(bucket(t, 16))).sum
+      (BigDecimal(s / toks.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s > 0)
+    }
+    assert(out(1L) == expected(Seq("alpha", "beta", "gamma")))
+    assert(out(2L) == expected(Seq("alpha")))
+    assert(out(3L) == expected(Seq(""))) // split("") = [""] — one empty token
+  }
+
   test("quality signals computed exactly for a known string") {
     val docs = Seq((1L, "the cat is in, the hat!")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(docs).collect().head
