@@ -96,6 +96,13 @@ object PlanAudit {
     audit("text_unigram_logprob",
       "broadcast count model" -> (_.contains("BroadcastHashJoin")),
       "partial per-doc aggregate" -> (_.contains("partial_avg")))
+    audit("text_classifier_score",
+      // the model is a plan literal over hashed buckets: scoring must be a
+      // pure scan-stage projection — no shuffle, no join, codegen'd
+      "scoring shuffle-free (no hash exchange, only the orderBy range sort)" ->
+        (p => !p.contains("Exchange hashpartitioning") && !p.contains("Join")),
+      "whole-stage codegen" -> (_.contains("*(")),
+      "column-pruned scan" -> (p => raw"ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined))
     audit("q_bloom_prune_join",
       // the bloom probe must sit in the fact table's SCAN stage (filter
       // before the exchange), and participate in whole-stage codegen
