@@ -1195,8 +1195,8 @@ object SparkEntry {
 
     "q_range_join" ->
       """WITH lagged AS (SELECT user_id, event_id, ts,
-        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |  CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            + INTERVAL 1800 SECOND
         |       THEN 1 ELSE 0 END AS new_s
         | FROM events),
         |s AS (SELECT user_id, ts,
@@ -1608,10 +1608,13 @@ object SparkEntry {
         |SELECT label, dim, round(avg(CAST(x AS DOUBLE)),4) AS m
         |FROM u GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // exact microsecond gap test, matching the operator's interval
+    // comparison — flooring epoch() to whole seconds diverges on gaps in
+    // (1800, 1801)s (surfaced as a 112-session drift at 10M events ×100)
     "events_sessionize" ->
       """WITH lagged AS (SELECT user_id, event_id, ts,
-        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-        |            CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |  CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            + INTERVAL 1800 SECOND
         |       THEN 1 ELSE 0 END AS new_s
         | FROM events),
         |s AS (SELECT user_id, ts,

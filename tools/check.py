@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify's parquet
 dumps against SparkEntry.oracleSql in DuckDB and compare (columns sorted by
-name, exact values). Usage: tools/check.py <sfDir> <verifyOutDir>
+name, exact values). Usage: tools/check.py <sfDir> <verifyOutDir> [onlyCsv]
+
+onlyCsv (optional): comma-separated query names — check just those (resume
+a ×N-scale run past a crash without redoing the finished prefix).
 """
 import json, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+# ×N-scale oracles (fresh-corpus windows over millions of DISTINCT long
+# strings) can exceed DuckDB's in-memory budget: give it a spill directory.
+# Do NOT set preserve_insertion_order=false here — the SPARK DUMP is read
+# with a bare SELECT (no ORDER BY; parquet row order IS the contract), and
+# that flag scrambles it (measured: fetch_diff_reverse false-FAIL at ×100).
+con = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill"})
 for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
@@ -17,6 +26,8 @@ ok = fail = 0
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
+        continue
+    if only is not None and name not in only:
         continue
     got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
     got = got[sorted(got.columns)]
