@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SpectrumDdl
-import graft.core.{ColFilter, DatasetMeta, Fetch, Publish}
+import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, Versions}
 import graft.naming.S3Naming
 import graft.functions.ProbFilters
 import graft.ops.{BloomPrune, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -106,6 +106,30 @@ object SparkEntry {
     publishOnce(s, "ds_orders_onlyf", dir, Seq("o_orderstatus")) {
       s.read.parquet(t(dir, "orders")).where(col("o_orderstatus") === "F")
     }
+
+  /** Versioned orders dataset (time travel): v1 = overwrite with
+    * o_orderkey%3≠0, v2 = append the %3=0 remainder (full orders), v3 =
+    * LOGICAL overwrite with only o_orderkey%5=0 — so each version's
+    * content is directly SQL-expressible for the oracle. Built once per
+    * (sfDir, CacheVersion).
+    */
+  private def versionedOrdersDataset(s: SparkSession, dir: String): String = {
+    val root = tmpRoot("ds_orders_versioned", dir)
+    val current = cacheIsCurrent(s, root) &&
+      graft.core.Versions.latestVersion(s, root).contains(3)
+    if (!current) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 3 =!= 0),
+        root, Seq("o_orderstatus"))
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 3 === 0),
+        root, Seq("o_orderstatus"), mode = "append")
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 5 === 0),
+        root, Seq("o_orderstatus"))
+      java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+    }
+    root
+  }
 
   private def fetchLineitem(s: SparkSession, dir: String, filters: Seq[ColFilter]): DataFrame = {
     val df = Fetch.fetch(s, lineitemDataset(s, dir), filters)
@@ -270,6 +294,36 @@ object SparkEntry {
       Fetch.fetchDiff(s, ordersOnlyFDataset(s, dir), ordersDataset(s, dir),
         "o_orderstatus", reverse = true).orderBy("o_orderkey")
     }),
+
+    // ---- schema-evolving append ----
+    "append_schema_evolution" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_evolved", dir)
+      if (!cacheIsCurrent(s, root)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val orders = s.read.parquet(t(dir, "orders"))
+        Publish.publish(s, orders.where(col("o_orderkey") % 3 =!= 0),
+          root, Seq("o_orderstatus"))
+        Publish.appendEvolved(s,
+          orders.where(col("o_orderkey") % 3 === 0)
+            .withColumn("o_flag", (col("o_orderkey") % 7).cast("double")),
+          root, Seq("o_orderstatus"))
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
+    // ---- versioned datasets: time travel / snapshot isolation ----
+    "version_travel_v1" -> ((s, dir) =>
+      Versions.fetchVersion(s, versionedOrdersDataset(s, dir), 1).orderBy("o_orderkey")),
+    "version_travel_v2" -> ((s, dir) =>
+      Versions.fetchVersion(s, versionedOrdersDataset(s, dir), 2).orderBy("o_orderkey")),
+    // a LIVE read of a versioned dataset serves the latest snapshot —
+    // logically-overwritten files never resurrect rows
+    "version_travel_latest" -> ((s, dir) =>
+      Fetch.fetch(s, versionedOrdersDataset(s, dir)).orderBy("o_orderkey")),
+    "version_history" -> ((s, dir) =>
+      Versions.history(s, versionedOrdersDataset(s, dir))
+        .select("version", "action").orderBy("version")),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -977,6 +1031,21 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    // the evolved column is null exactly for the pre-evolution rows
+    "append_schema_evolution" ->
+      """SELECT *, CASE WHEN o_orderkey % 3 = 0
+        |  THEN CAST(o_orderkey % 7 AS DOUBLE) END AS o_flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "version_travel_v1" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey",
+    "version_travel_v2" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "version_travel_latest" ->
+      "SELECT * FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey",
+    "version_history" ->
+      """SELECT * FROM (VALUES (1, 'overwrite'), (2, 'append'),
+        | (3, 'overwrite')) AS t(version, action) ORDER BY version""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

@@ -61,7 +61,19 @@ object Fetch {
         // otherwise corrupt string partition values that look numeric
         // ("0001" → int 1 → restored as "1") and make filters on them
         // silently match nothing.
-        val raw = spark.read.schema(meta.schema).parquet(root)
+        //
+        // A VERSIONED root is read through its commit log: only the latest
+        // snapshot's files are planned, so logically-overwritten files
+        // (kept on disk for time travel) never resurrect rows. basePath
+        // keeps hive partition columns and Catalyst partition pruning
+        // working on the explicit file list.
+        val raw = Versions.latestVersion(spark, root) match {
+          case Some(v) =>
+            val files = Versions.snapshotAt(spark, root, v)._1
+              .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
+            spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
+          case None => spark.read.schema(meta.schema).parquet(root)
+        }
         val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
         // partition-column expression the scan can prune on.
@@ -306,9 +318,12 @@ object Fetch {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Set.empty
     // A stream-sink root's directory tree can contain partitions whose
-    // only files belong to an uncommitted micro-batch; derive values from
-    // the COMMITTED listing (sink-log-aware) instead of walking dirs.
-    if (fs.exists(new Path(rootPath, "_spark_metadata"))) {
+    // only files belong to an uncommitted micro-batch, and a VERSIONED
+    // root's tree keeps logically-overwritten files for time travel;
+    // derive values from the COMMITTED listing (sink-log- and
+    // version-log-aware) instead of walking dirs in both cases.
+    if (fs.exists(new Path(rootPath, "_spark_metadata")) ||
+        fs.exists(new Path(rootPath, Versions.DirName))) {
       val qualified = fs.makeQualified(rootPath).toUri.getPath
       val prefix = partition + "="
       return Publish.listDataFiles(spark, root).flatMap { f =>

@@ -149,11 +149,62 @@ object Publish {
     else publishImpl(spark, df, root, partitions, mode, sortCols, zorderCols,
       zorderBits, zorderPartitions, statsCols)
 
+  /** [[publish]] into a VERSIONED dataset: every call commits a new entry
+    * to the [[Versions]] log, giving the dataset time travel and snapshot
+    * isolation.
+    *
+    * `mode = "overwrite"` is LOGICAL (copy-on-write): new files are written
+    * beside the old ones (part-file names are UUID-unique, so they never
+    * collide), and the commit entry — written last, the atomic commit
+    * point — flips the live set. Prior versions stay readable via
+    * [[Versions.fetchVersion]] until an explicit [[Versions.vacuum]]; a
+    * crash before the commit leaves the previous version intact and the
+    * orphan files invisible (live reads, listings and introspection all
+    * honor the log). The schema MAY change across overwrite versions (each
+    * entry records its own schema); the partition columns may not — mixed
+    * hive depths under one root would break partition discovery.
+    *
+    * `mode = "append"` adds files to the current snapshot (schema must
+    * match, as in [[publish]]).
+    *
+    * Returns the newly written files, like [[publish]].
+    */
+  def publishVersioned(spark: SparkSession, df: DataFrame, root: String,
+                       partitions: Seq[String], mode: String = "overwrite",
+                       sortCols: Seq[String] = Nil): Seq[String] = {
+    require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    DatasetLock.withLock(spark, root) {
+      val existing = DatasetMeta.read(spark, root)
+      require(existing.isEmpty || Versions.isVersioned(spark, root),
+        s"dataset at $root exists but has no version log; versioned and " +
+          "unversioned publishes cannot mix (republish it versioned from scratch)")
+      existing.foreach { meta =>
+        require(meta.partitions == partitions,
+          s"versioned publish partitions $partitions do not match dataset " +
+            s"partitions ${meta.partitions}")
+      }
+      // Physical writes NEVER delete: an initial publish writes fresh, and
+      // every later commit (logical overwrite included) appends files.
+      val newFiles =
+        if (existing.isEmpty)
+          publishImpl(spark, df, root, partitions, "overwrite", sortCols,
+            Nil, 16, 0, Nil)
+        else
+          publishImpl(spark, df, root, partitions, "append", sortCols,
+            Nil, 16, 0, Nil, requireSchemaMatch = mode == "append")
+      Versions.commit(spark, root, mode, newFiles,
+        DatasetMeta(df.schema, partitions))
+      newFiles
+    }
+  }
+
   private def publishImpl(spark: SparkSession, df: DataFrame, root: String,
                           partitions: Seq[String], mode: String,
                           sortCols: Seq[String], zorderCols: Seq[String],
                           zorderBits: Int, zorderPartitions: Int,
-                          statsCols: Seq[String]): Seq[String] = {
+                          statsCols: Seq[String],
+                          requireSchemaMatch: Boolean = true,
+                          metaSchemaOverride: Option[StructType] = None): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
@@ -177,8 +228,9 @@ object Publish {
         case Some(meta) =>
           require(meta.partitions == partitions,
             s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
-          require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-            df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          require(!requireSchemaMatch ||
+            meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
             "append schema does not match the dataset's recorded schema")
         case None =>
           require(!Fetch.hasData(spark, root),
@@ -251,7 +303,9 @@ object Publish {
     // returns freshly published keys, publish_parq.py:573) — snapshot the
     // existing listing first.
     val preExisting: Set[String] =
-      if (mode == "append") listDataFiles(spark, root).toSet else Set.empty
+      if (mode == "append")
+        listPhysicalDataFilesWithSize(spark, root).map(_._1).toSet
+      else Set.empty
     // Take down the index's completeness claim BEFORE files land: a reader
     // racing this write (or a crash before the index catches up) falls
     // back to the conservative listing path instead of missing the new
@@ -266,8 +320,9 @@ object Publish {
       .partitionBy(partitions: _*)
       .parquet(root)
 
-    DatasetMeta.write(spark, root, DatasetMeta(df.schema, partitions))
-    val allAfter = listDataFiles(spark, root)
+    DatasetMeta.write(spark, root,
+      DatasetMeta(metaSchemaOverride.getOrElse(df.schema), partitions))
+    val allAfter = listPhysicalDataFilesWithSize(spark, root).map(_._1)
     val newFiles = allAfter.filterNot(preExisting)
     // Index maintenance is O(this batch), never O(dataset): an append
     // stats only the files it just wrote and appends their rows to the
@@ -286,11 +341,47 @@ object Publish {
           markComplete = priorManifestCols.isDefined, verifyFiles = Some(allAfter))
       else StatsIndex.buildFor(spark, root, DatasetMeta(df.schema, partitions), allAfter, statsCols)
     } else priorManifestCols.foreach { cols =>
-      StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true,
-        verifyFiles = Some(allAfter))
+      // An EVOLVED append may lack a recorded index column entirely; the
+      // new files then have no stats to record for it, so the completeness
+      // claim stays down and reads keep the conservative listing path.
+      if (cols.forall(df.columns.contains))
+        StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true,
+          verifyFiles = Some(allAfter))
     }
     newFiles
   }
+
+  /** Schema-evolving append: `df` may carry NEW columns (appended to the
+    * dataset's recorded schema) and may omit existing data columns (its
+    * files simply lack them). Reads null-fill either direction for free —
+    * [[Fetch.fetch]] always reads with the sidecar's explicit schema, and
+    * a parquet file without a requested column yields nulls — so no 100 TB
+    * rewrite ever happens for an additive schema change (the
+    * Delta/Iceberg `mergeSchema` behavior on graft datasets). Columns
+    * present in BOTH schemas must agree exactly on type (silent widening
+    * would corrupt the recorded partition/filter semantics), and the
+    * partition columns are fixed for the dataset's lifetime.
+    */
+  def appendEvolved(spark: SparkSession, df: DataFrame, root: String,
+                    partitions: Seq[String]): Seq[String] =
+    DatasetLock.withLock(spark, root) {
+      val meta = DatasetMeta.read(spark, root).getOrElse(throw new IllegalArgumentException(
+        s"cannot evolve-append to $root: no graft metadata (publish it first)"))
+      require(meta.partitions == partitions,
+        s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
+      val recorded = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        recorded.get(f.name).foreach { dt =>
+          require(dt == f.dataType,
+            s"column ${f.name} type ${f.dataType} conflicts with the dataset's $dt " +
+              "(evolution is additive only; changing a type needs a republish)")
+        }
+      }
+      val newFields = df.schema.fields.filterNot(f => recorded.contains(f.name))
+      val union = StructType(meta.schema.fields ++ newFields)
+      publishImpl(spark, df, root, partitions, "append", Nil, Nil, 16, 0, Nil,
+        requireSchemaMatch = false, metaSchemaOverride = Some(union))
+    }
 
   /** Idempotent append: publish only the rows of `df` whose `keyCols`
     * tuple is NOT already present in the dataset — re-delivering the same
@@ -597,6 +688,36 @@ object Publish {
         .map(s => new Path(s.path).toUri.getPath -> s.size)
         .sortBy(_._1)
     }
+    // A versioned root keeps logically-overwritten (and not-yet-committed)
+    // files on disk for time travel; the COMMIT LOG is authoritative there,
+    // exactly like the sink log above: only the latest snapshot's files
+    // count as data, so ghost files are invisible to every listing-based
+    // introspection op. (The write path and vacuum use the PHYSICAL
+    // listing below — new files are uncommitted while publish runs, and
+    // vacuum's whole job is finding dead ones.)
+    val liveFilter: Option[Set[String]] =
+      if (!fs.exists(new Path(p, Versions.DirName))) None
+      else Versions.latestVersion(spark, root).map { v =>
+        val qualified = fs.makeQualified(p).toUri.getPath
+        Versions.snapshotAt(spark, root, v)._1
+          .map(r => s"$qualified/$r").toSet
+      }
+    val all = listPhysicalDataFilesWithSize(spark, root)
+    liveFilter match {
+      case Some(live) => all.filter { case (f, _) => live.contains(f) }
+      case None => all
+    }
+  }
+
+  /** The raw on-disk data-file listing, ignoring any [[Versions]] commit
+    * log (publish's new-file diff and vacuum both need files the log does
+    * not — or does not yet — reference).
+    */
+  private[graft] def listPhysicalDataFilesWithSize(
+      spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
     // Manual listStatus walk, NOT fs.listFiles(p, recursive=true): the
     // located-status iterator fetches block locations per file (~3-6 ms
     // each even on local fs — 4k files cost ~13 s, measured), and no

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColFilter, Fetch, Publish, Versions}
+
+/** Versioned datasets: time travel, snapshot isolation of logical
+  * overwrite, schema change across versions, vacuum semantics, and the
+  * log-awareness of live reads / listings / introspection.
+  */
+class VersionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshVersioned(): String = {
+    val root = TestSpark.tmpDir("versions")
+    // v1: overwrite ids 0-9, v2: append ids 10-14, v3: logical overwrite
+    // with ONLY ids 100-102
+    Publish.publishVersioned(spark,
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      (10 until 15).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      root, Seq("grp"), mode = "append")
+    Publish.publishVersioned(spark,
+      (100 until 103).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      root, Seq("grp"))
+    root
+  }
+
+  test("fetchVersion reads each version exactly; latest wins for fetch") {
+    val root = freshVersioned()
+    assert(Versions.latestVersion(spark, root).contains(3))
+    assert(Versions.fetchVersion(spark, root, 1).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 10L))
+    assert(Versions.fetchVersion(spark, root, 2).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 15L))
+    assert(Versions.fetchVersion(spark, root, 3).select("id")
+      .as[Long].collect().sorted.toSeq == (100L until 103L))
+    // live reads see the latest snapshot, NOT the ghost files
+    assert(Fetch.fetch(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (100L until 103L))
+    assert(Versions.fetchSnapshot(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (100L until 103L))
+  }
+
+  test("logical overwrite keeps old files on disk but hides them everywhere") {
+    val root = freshVersioned()
+    // physical files of all three versions are present...
+    val physical = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
+    val live = Publish.listDataFiles(spark, root)
+    assert(physical.size > live.size, s"expected ghosts: $physical vs $live")
+    // ...but listings and introspection see only the live set
+    assert(live.toSet == physical.filter(f =>
+      Versions.snapshotAt(spark, root, 3)._1.exists(r => f.endsWith(r))).toSet)
+    // partition filters still prune on the snapshot read
+    val g0 = Fetch.fetch(spark, root, Seq(ColFilter("grp", "==", Seq("g0"))))
+    assert(g0.select("id").as[Long].collect().sorted.toSeq == Seq(100L, 102L))
+  }
+
+  test("schema may change across overwrite versions; each version pins its own") {
+    val root = TestSpark.tmpDir("versions_schema")
+    Publish.publishVersioned(spark,
+      Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      Seq((2L, "extra", "a")).toDF("id", "note", "grp"), root, Seq("grp"))
+    assert(Versions.fetchVersion(spark, root, 1).columns.toSeq == Seq("id", "grp"))
+    assert(Versions.fetchVersion(spark, root, 2).columns.toSeq == Seq("id", "note", "grp"))
+    assert(Versions.fetchVersion(spark, root, 2).select("note")
+      .as[String].collect().toSeq == Seq("extra"))
+    // versioned APPEND with a mismatched schema is rejected
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishVersioned(spark,
+        Seq((3L, 9.9, "a")).toDF("id", "other", "grp"), root, Seq("grp"),
+        mode = "append")
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("history lists one row per commit") {
+    val root = freshVersioned()
+    val h = Versions.history(spark, root)
+      .select("version", "action").as[(Int, String)].collect().toSeq
+    assert(h == Seq((1, "overwrite"), (2, "append"), (3, "overwrite")))
+  }
+
+  test("vacuum deletes only dead files and makes old versions fail loudly") {
+    val root = freshVersioned()
+    val deadBefore = Publish.listPhysicalDataFilesWithSize(spark, root).size
+    val deleted = Versions.vacuum(spark, root, keepFrom = 3)
+    assert(deleted.nonEmpty)
+    val after = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
+    assert(after.size == deadBefore - deleted.size)
+    // latest still reads exactly
+    assert(Versions.fetchVersion(spark, root, 3).select("id")
+      .as[Long].collect().sorted.toSeq == (100L until 103L))
+    // vacuumed versions are refused, not partially served
+    val e = intercept[IllegalArgumentException] {
+      Versions.fetchVersion(spark, root, 1)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    // history survives vacuum (the log is never truncated)
+    assert(Versions.history(spark, root).count() == 3)
+  }
+
+  test("versioned and unversioned publishes cannot mix") {
+    val root = TestSpark.tmpDir("versions_mix")
+    Publish.publish(spark, Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishVersioned(spark, Seq((2L, "b")).toDF("id", "grp"),
+        root, Seq("grp"))
+    }
+    assert(e.getMessage.contains("version log"))
+  }
+
+  test("partition columns are fixed across versions") {
+    val root = TestSpark.tmpDir("versions_parts")
+    Publish.publishVersioned(spark, Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    val e = intercept[IllegalArgumentException] {
+      Publish.publishVersioned(spark, Seq((2L, "b")).toDF("id", "grp"), root, Nil)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("introspection on a versioned root reflects the live snapshot only") {
+    val root = TestSpark.tmpDir("versions_introspect")
+    Publish.publishVersioned(spark,
+      Seq((1L, "old1"), (2L, "old2")).toDF("id", "grp"), root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      Seq((3L, "new1")).toDF("id", "grp"), root, Seq("grp"))
+    assert(Fetch.getAllPartitionValues(spark, root, "grp").toSet == Set("new1"))
+  }
+
+  test("append after evolved overwrite null-fills old files on snapshot reads") {
+    val root = TestSpark.tmpDir("versions_evolve_read")
+    Publish.publishVersioned(spark, Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    // overwrite to an EVOLVED schema, then append under it
+    Publish.publishVersioned(spark,
+      Seq((2L, "n2", "a")).toDF("id", "note", "grp"), root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      Seq((3L, "n3", "b")).toDF("id", "note", "grp"), root, Seq("grp"), mode = "append")
+    val v3 = Versions.fetchVersion(spark, root, 3)
+      .orderBy("id").select("id", "note").as[(Long, String)].collect().toSeq
+    assert(v3 == Seq((2L, "n2"), (3L, "n3")))
+  }
+}
