@@ -41,6 +41,13 @@ object SparkEntry {
     }
   }
 
+  /** Scratch root the `get_all_files_list` query resolved this run —
+    * lets its oracle glob the identical directory (oracleSql is built
+    * AFTER the queries run; unset ⇒ the entry is omitted ⇒ the driver
+    * falls back to its rows-only check, exactly the pre-oracle behavior).
+    */
+  @volatile private var filesListRoot: Option[String] = None
+
   /** Per-(query, scale-factor) scratch dataset root. */
   private def tmpRoot(name: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft/${name}_${Integer.toHexString(dir.hashCode)}"
@@ -343,6 +350,9 @@ object SparkEntry {
     "get_all_files_list" -> ((s, dir) => {
       import s.implicits._
       val root = lineitemDataset(s, dir)
+      // stash the resolved scratch root so oracleSql (dumped after the
+      // queries run, same process) can glob the same directory in DuckDB
+      filesListRoot = Some(root)
       Fetch.allFiles(s, root).map(_.stripPrefix(root)).toDF("file").orderBy("file")
     }),
 
@@ -499,6 +509,19 @@ object SparkEntry {
     "ann_ivf_full_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16, nprobe = 16)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // SATURATED LSH: zero hyperplanes put every vector in ONE bucket, so
+    // the candidate set is the whole corpus and the result provably
+    // equals brute force — an exact DuckDB oracle for the LSH plumbing
+    // (bucket join, candidate dedup, exact re-rank). The production
+    // config below stays rows-only + the ann_recall contract.
+    "ann_lsh_full_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.lshTopK(embs, embs.where(col("vec_id") < 8), 5,
+          planes = 0, tables = 1)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),
@@ -1507,6 +1530,18 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |FROM sims QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // saturated LSH (zero hyperplanes ⇒ one bucket ⇒ full candidate set)
+    // == brute force, so the same all-pairs cosine oracle applies
+    "ann_lsh_full_topk" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),4) AS sim
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, sim,
+        | row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |FROM sims QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // full-probe IVF == brute force (nprobe = nlist), so the same
     // all-pairs cosine oracle applies; IVF drops zero-norm vectors, which
     // cosine similarity leaves undefined anyway (none exist in the corpus)
@@ -1746,5 +1781,15 @@ object SparkEntry {
         | (octet_length(encode(text)) * 7) % 480 + 16 AS height,
         | octet_length(encode(text)) % 30 + 1 AS frames
         |FROM documents ORDER BY doc_id""".stripMargin
-  )
+  ) ++ filesListRoot.map { root =>
+    // DuckDB lists the same scratch directory the query listed: every
+    // non-hidden *.parquet under the dataset root, root-relative. The
+    // hidden-segment filter mirrors graft's (and every parquet reader's)
+    // per-segment visibility rule.
+    "get_all_files_list" ->
+      s"""SELECT replace(file, '$root', '') AS file
+         |FROM glob('$root/**/*.parquet')
+         |WHERE NOT regexp_matches(replace(file, '$root', ''), '(^|/)[._]')
+         |ORDER BY file""".stripMargin
+  }
 }
