@@ -557,6 +557,8 @@ object SparkEntry {
       val clBrute = Similarity.bruteForceTopK(cl, clQueries, 5)
       val clIvf = Similarity.ivfTopK(cl, clQueries, 5, nlist = 8, nprobe = 2)
       val clLsh = Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8)
+      val clPq = Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
+        refineFactor = 4, maxFitSample = 1000)
       Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
         .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
         .where(col("recall") >= 0.4)
@@ -564,7 +566,21 @@ object SparkEntry {
           .withColumn("method", lit("ivf_clustered")).where(col("recall") >= 0.8))
         .unionByName(Similarity.recallVsBrute(clLsh, clBrute)
           .withColumn("method", lit("lsh_clustered")).where(col("recall") >= 0.8))
+        .unionByName(Similarity.recallVsBrute(clPq, clBrute)
+          .withColumn("method", lit("pq_clustered")).where(col("recall") >= 0.8))
         .orderBy("method", "query_id")
+    }),
+
+    // Product-quantization ANN, production-shaped (m=8 byte codes per
+    // 64-dim vector = 32× compression; ADC candidates re-ranked exact):
+    // approximate by design ⇒ rows-only + the pq_clustered ≥0.8 recall
+    // floor inside ann_recall + PqSpec's lossless==brute equivalence.
+    "ann_pq_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.pqTopK(embs, embs.where(col("vec_id") < 8), 5,
+          m = 8, ksub = 64, refineFactor = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
     }),
 
     "text_lang_id" -> ((s, dir) =>

@@ -174,15 +174,31 @@ object Similarity {
              nlist: Int = 16, seed: Long = 42L,
              maxFitSample: Int = 25000): IvfIndex = {
     val c = ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val sample = sampleUnitVectors(c, (maxFitSample * 1.2).toLong,
+      math.max(64, 4 * nlist), seed)
+    val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex
+    new IvfIndex(centroids, assignCells(c, centroids))
+  }
+
+  /** Bounded, UNBIASED driver-side sample of an [[ivfBase]]-shaped frame's
+    * unit-normalized vectors — the shared quantizer-training sample of the
+    * IVF and PQ fits. A bare limit() would take the head of the scan, and
+    * a corpus sorted by source or label would then put every centroid in
+    * one region of the space (recall collapse); the fraction derives from
+    * a free Catalyst-stats row estimate (no counting pass), aimed 4× above
+    * target, and the driver shuffles the collected sample down to target
+    * size so estimate error moves collect volume, not statistics.
+    */
+  private def sampleUnitVectors(c: DataFrame, target: Long,
+                                minSample: Int, seed: Long): Array[Array[Double]] = {
     val estRows = math.max(1L, estimatedRows(c))
-    val target = (maxFitSample * 1.2).toLong
     val fraction = math.min(1.0, 4.0 * target.toDouble / estRows)
     val sampled = if (fraction >= 1.0) c else c.sample(withReplacement = false, fraction, seed)
     val nv = unitized("cv", "cn").as("nv")
     var collected: Array[Array[Double]] = sampled.select(nv)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    if (collected.length < math.max(64, 4 * nlist) && fraction < 1.0) {
+    if (collected.length < minSample && fraction < 1.0) {
       // Stats-less plans (RDD-backed frames, some views) report
       // sizeInBytes = defaultSizeInBytes = Long.MaxValue, collapsing the
       // fraction to ~0 and the sample to nothing — which would quietly
@@ -197,14 +213,11 @@ object Similarity {
     // estimate came in low → collected overshot the target: down-sample
     // uniformly driver-side (seeded shuffle of an already-uniform sample
     // stays uniform)
-    val sample =
-      if (collected.length <= target) collected
-      else {
-        val rnd = new scala.util.Random(seed)
-        rnd.shuffle(collected.toSeq).take(target.toInt).toArray
-      }
-    val centroids = KMeansLite.fit(sample, nlist, maxIter = 20, seed).zipWithIndex
-    new IvfIndex(centroids, assignCells(c, centroids))
+    if (collected.length <= target) collected
+    else {
+      val rnd = new scala.util.Random(seed)
+      rnd.shuffle(collected.toSeq).take(target.toInt).toArray
+    }
   }
 
   /** Nearest-centroid cell assignment of an [[ivfBase]]-shaped frame: one
@@ -323,6 +336,153 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         round(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4).as("recall"))
+  }
+
+  // -------------------------------------------------------- product quantization
+
+  /** A fitted product-quantization model: vectors are unit-normalized and
+    * split into `m` contiguous subspaces (`splits` holds the boundaries);
+    * `codebooks(s)(j)` is codeword `j` of subspace `s`. A vector encodes
+    * to `m` small codeword indices — with the default ksub=256 that is
+    * m BYTES per vector instead of 4·dim float bytes (64-dim float ⇒ 32×
+    * compression), which is what lets an ANN scan over a 100 TB embedding
+    * corpus read ~3 TB of codes instead.
+    */
+  final case class PqModel private[ops] (splits: Array[Int],
+                                         codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    /** LUT stride — the widest codebook (they differ only when the fit
+      * sample was smaller than ksub). */
+    def width: Int = codebooks.map(_.length).max
+  }
+
+  /** Fit PQ codebooks on a bounded unbiased sample (the same
+    * sample-bounded discipline as [[ivfFit]]: per-subspace Lloyd
+    * iterations run driver-side over ≤ a few MB, never as ~20 distributed
+    * passes over the corpus). Subspaces split the dims as evenly as
+    * possible; `m` is clamped to the dimensionality.
+    */
+  def pqFit(corpus: DataFrame,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+            maxFitSample: Int = 25000): PqModel = {
+    require(m >= 1, "m (number of subspaces) must be >= 1")
+    require(ksub >= 1 && ksub <= 65536, "ksub must be in [1, 65536]")
+    val c = ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val sample = sampleUnitVectors(c, (maxFitSample * 1.2).toLong,
+      math.max(64, 2 * ksub), seed)
+    require(sample.nonEmpty, "cannot fit PQ on an empty corpus")
+    val dim = sample(0).length
+    val mm = math.min(m, dim)
+    val base = dim / mm
+    val rem = dim % mm
+    val splits = new Array[Int](mm + 1)
+    var i = 0
+    while (i < mm) { splits(i + 1) = splits(i) + base + (if (i < rem) 1 else 0); i += 1 }
+    val codebooks = Array.tabulate(mm) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, splits(s), splits(s + 1)))
+      KMeansLite.fit(sub, ksub, maxIter = 20, seed + s)
+    }
+    PqModel(splits, codebooks)
+  }
+
+  /** Encode a corpus against a fitted model: one distributed pass, the
+    * (≤ ~128 KB at default sizes) codebooks riding the closure — no join,
+    * no shuffle. Output is `(neighbor_id, code)`; persist it as a graft
+    * dataset and the 100 TB encode pass is paid once.
+    */
+  def pqEncode(model: PqModel, corpus: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val splits = model.splits
+    val books = model.codebooks
+    val enc = udf { (cv: Seq[Double], cn: Double) =>
+      val mm = books.length
+      val code = new Array[Int](mm)
+      var s = 0
+      while (s < mm) {
+        val book = books(s); val lo = splits(s); val hi = splits(s + 1)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < book.length) {
+          val ctr = book(j); var d = 0.0; var i = lo
+          while (i < hi) { val x = cv(i) / cn - ctr(i - lo); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        code(s) = best
+        s += 1
+      }
+      code
+    }
+    ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .select(col("neighbor_id"), enc(col("cv"), col("cn")).as("code"))
+  }
+
+  /** ADC (asymmetric-distance) top-k over an encoded corpus: each query
+    * precomputes a `m × width` lookup table of partial dot products
+    * against the codebooks (O(ksub·dim) per query — one 256-vector brute
+    * force), then every corpus CODE scores in m table adds instead of a
+    * dim-length float dot — the scan reads 32×-compressed codes and does
+    * 8 adds/row at default sizes. The ADC top `k·refineFactor` candidates
+    * are then re-ranked by EXACT cosine against the original vectors
+    * (standard PQ refinement; the refine join touches only candidates, so
+    * its cost is O(queries·k·refineFactor), not corpus-sized). Both
+    * ranking passes are [[graft.functions.TopKPairs]] partial aggregates.
+    */
+  def pqQuery(model: PqModel, encoded: DataFrame, corpus: DataFrame,
+              queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val splits = model.splits
+    val books = model.codebooks
+    val width = model.width
+    val lutU = udf { (qv: Seq[Double]) =>
+      val lut = new Array[Double](books.length * width)
+      var s = 0
+      while (s < books.length) {
+        val book = books(s); val lo = splits(s)
+        var j = 0
+        while (j < book.length) {
+          val ctr = book(j); var d = 0.0; var i = 0
+          while (i < ctr.length) { d += qv(lo + i) * ctr(i); i += 1 }
+          lut(s * width + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val adc = udf { (code: Seq[Int], lut: Seq[Double]) =>
+      var sum = 0.0; var s = 0
+      while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
+      sum
+    }
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val qlut = q.withColumn("lut", lutU(unitized("qv", "qn")))
+      .select("query_id", "lut")
+    val scored = encoded.crossJoin(broadcast(qlut))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", adc(col("code"), col("lut")))
+    val cands = topKPerQuery(scored, k * refineFactor)
+      .select("query_id", "neighbor_id")
+    val c = ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val refined = c.join(broadcast(cands), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
+    topKPerQuery(refined, k)
+  }
+
+  /** One-shot PQ fit + encode + ADC query (prefer [[pqFit]]/[[pqEncode]]/
+    * [[pqQuery]] with a persisted code table for repeated queries).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+             refineFactor: Int = 4, maxFitSample: Int = 25000): DataFrame = {
+    val model = pqFit(corpus, idCol, vecCol, m, ksub, seed, maxFitSample)
+    pqQuery(model, pqEncode(model, corpus, idCol, vecCol), corpus, queries, k,
+      idCol, vecCol, refineFactor)
   }
 
   /** Approximate cosine top-k via hyperplane-LSH bucketing: corpus and
