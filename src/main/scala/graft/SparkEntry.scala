@@ -571,6 +571,24 @@ object SparkEntry {
         .orderBy("method", "query_id")
     }),
 
+    // ---- embedding clustering ----
+    // Fixed-anchor assignment (centroids = the 4 smallest vec_ids, so the
+    // construction is SQL-expressible): every vector goes to its argmax-
+    // cosine centroid, ties toward the smaller centroid id.
+    "emb_cluster_assign" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val anchors = embs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.ops.Clustering.assignTo(embs, anchors).orderBy("vec_id")
+    }),
+    "emb_cluster_sizes" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val anchors = embs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.ops.Clustering.clusterStats(graft.ops.Clustering.assignTo(embs, anchors))
+        .orderBy("cluster")
+    }),
+
     // Product-quantization ANN, production-shaped (m=8 byte codes per
     // 64-dim vector = 32× compression; ADC candidates re-ranked exact):
     // approximate by design ⇒ rows-only + the pq_clustered ≥0.8 recall
@@ -1545,6 +1563,34 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim,
         | row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |FROM sims QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // nearest-anchor assignment: argmax cosine, ties toward smaller cid
+    "emb_cluster_assign" ->
+      """WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |sims AS (
+        | SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 4) AS sim
+        | FROM embeddings e CROSS JOIN ctr c),
+        |best AS (
+        | SELECT vec_id, cid AS cluster, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        | FROM sims)
+        |SELECT vec_id, cluster, sim FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_cluster_sizes" ->
+      """WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |sims AS (
+        | SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 4) AS sim
+        | FROM embeddings e CROSS JOIN ctr c),
+        |best AS (
+        | SELECT vec_id, cid AS cluster, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        | FROM sims)
+        |SELECT cluster, count(*) AS n_members, round(avg(sim), 4) AS mean_sim
+        |FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // saturated LSH (zero hyperplanes ⇒ one bucket ⇒ full candidate set)
     // == brute force, so the same all-pairs cosine oracle applies
