@@ -699,6 +699,14 @@ object SparkEntry {
       EventStream.sessionize(readEvents(s, dir), 1800)
         .orderBy("user_id", "session_idx")),
 
+    // ordered-step funnel: earliest strictly-increasing chain per user
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.userFunnel(readEvents(s, dir),
+        Seq("signup", "click", "purchase")).orderBy("user_id")),
+    "events_funnel_counts" -> ((s, dir) =>
+      graft.ops.Funnel.funnelCounts(readEvents(s, dir),
+        Seq("signup", "click", "purchase")).orderBy("step_idx")),
+
     "fetch_latest_partition" -> ((s, dir) => {
       val df = Fetch.fetchLatest(s, lineitemDataset(s, dir), "l_linenumber")
       df.orderBy(df.columns.map(col).toIndexedSeq: _*)
@@ -1789,6 +1797,41 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // iterated strict-min chain: step_i = min ts of its type > step_{i-1}
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS step_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS step_2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > step_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS step_3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > step_2 GROUP BY 1)
+        |SELECT user_id, step_1, step_2, step_3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "events_funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS step_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS step_2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > step_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS step_3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > step_2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        | SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+        |  round(n1 / (1.0 * n1), 4) AS conversion FROM n
+        | UNION ALL
+        | SELECT 2, 'click', n2, round(n2 / (1.0 * n1), 4) FROM n
+        | UNION ALL
+        | SELECT 3, 'purchase', n3, round(n3 / (1.0 * n2), 4) FROM n)
+        |ORDER BY step_idx""".stripMargin,
 
     "publish_catalog_ddl" ->
       ("SELECT * FROM (VALUES " +

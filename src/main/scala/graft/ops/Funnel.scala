@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis over an event stream: for each user, the
+  * earliest chain of step timestamps with each step STRICTLY after its
+  * predecessor (`signup → click → purchase` with t₁ < t₂ < t₃), plus the
+  * per-step reach/conversion rollup.
+  *
+  * Scale design: ONE shuffle. Events are filtered to the step types at
+  * the scan (predicate pushdown — other types never leave the files),
+  * grouped per user, and the greedy chain is computed by array
+  * expressions over the per-user event list — no per-step self-join
+  * cascade (m joins × m shuffles), no window sort over all events. The
+  * greedy earliest-completion chain is OPTIMAL for funnels (taking the
+  * earliest qualifying event for step i never prevents a later step that
+  * any other choice would allow), so this one-pass form computes exactly
+  * the iterated `min(ts > prev)` definition the oracle replays.
+  *
+  * Per-user state is O(that user's step-type events) — the same bound
+  * sessionization carries; timestamps stay whatever flavor the source
+  * has (TIMESTAMP or TIMESTAMP_NTZ — comparisons are flavor-agnostic,
+  * no epoch casts).
+  */
+object Funnel {
+
+  /** Per-user step times: `(user_id, step_1 … step_m)`, null from the
+    * first uncompleted step on. Users with no step-1 event are absent
+    * (they never entered the funnel).
+    */
+  def userFunnel(events: DataFrame, steps: Seq[String],
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val byUser = events
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"), col(typeCol).as("step"))
+      .where(col("step").isInCollection(steps))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("step"))).as("evts"))
+
+    // step_i = min ts of a step-i event strictly after step_{i-1}
+    val withSteps = steps.zipWithIndex.foldLeft(byUser) { case (df, (s, i)) =>
+      val prev: Option[Column] = if (i == 0) None else Some(col(s"step_${i}"))
+      val qualifying = filter(col("evts"), e =>
+        prev match {
+          case None => e.getField("step") === s
+          case Some(p) => e.getField("step") === s && e.getField("ts") > p
+        })
+      df.withColumn(s"step_${i + 1}",
+        array_min(transform(qualifying, _.getField("ts"))))
+    }
+    withSteps.drop("evts").where(col("step_1").isNotNull)
+  }
+
+  /** The funnel rollup: users reaching each step + conversion from the
+    * previous step. Driver-sized output (one row per step).
+    */
+  def funnelCounts(events: DataFrame, steps: Seq[String],
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    val per = userFunnel(events, steps, userCol, tsCol, typeCol)
+    val reached = per.select(
+      steps.indices.map(i => count(col(s"step_${i + 1}")).as(s"n_${i + 1}")): _*)
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"n_${i + 1}").cast("long").as("n_users"),
+        round(col(s"n_${i + 1}") /
+          (if (i == 0) col("n_1") else col(s"n_$i")), 4).as("conversion"))
+    }
+    reached.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"), col("r.conversion"))
+  }
+}
