@@ -331,6 +331,10 @@ object SparkEntry {
     "version_history" -> ((s, dir) =>
       Versions.history(s, versionedOrdersDataset(s, dir))
         .select("version", "action").orderBy("version")),
+    // CDC read: exactly the rows commit 2 appended (reads ONLY its files)
+    "version_changes" -> ((s, dir) =>
+      Versions.addedBetween(s, versionedOrdersDataset(s, dir), 1, 2)
+        .orderBy("o_orderkey")),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -1111,6 +1115,8 @@ object SparkEntry {
     "version_history" ->
       """SELECT * FROM (VALUES (1, 'overwrite'), (2, 'append'),
         | (3, 'overwrite')) AS t(version, action) ORDER BY version""".stripMargin,
+    "version_changes" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey",
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

@@ -200,6 +200,33 @@ object Versions {
     raw.select(restored: _*)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED by commits in
+    * `(fromVersion, toVersion]`, i.e. exactly what a downstream consumer
+    * that already processed `fromVersion` still has to see. Reads ONLY
+    * the files those commits added — O(changed data), never a rescan of
+    * the dataset — with `toVersion`'s schema (earlier files null-fill
+    * columns a later evolution added).
+    *
+    * An `overwrite` commit's added files ARE its full snapshot: a
+    * consumer crossing an overwrite boundary re-reads the new snapshot
+    * (logical replacement has no per-row delta; row-level deletes are a
+    * compare the consumer must do itself).
+    */
+  def addedBetween(spark: SparkSession, root: String,
+                   fromVersion: Int, toVersion: Int): DataFrame = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
+      s"need 0 <= from < to <= $latest, got ($fromVersion, $toVersion]")
+    val minReadable = minReadableVersion(spark, root)
+    require(fromVersion + 1 >= minReadable,
+      s"version ${fromVersion + 1} of $root was vacuumed (oldest readable is $minReadable)")
+    val entries = (fromVersion + 1 to toVersion).map(readEntry(spark, root, _))
+    val files = entries.flatMap(_.added)
+    val at = entries.last
+    readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions))
+  }
+
   /** Version history as a small DataFrame (one row per commit). */
   def history(spark: SparkSession, root: String): DataFrame = {
     val latest = latestVersion(spark, root).getOrElse(0)

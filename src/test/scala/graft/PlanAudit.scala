@@ -172,6 +172,27 @@ object PlanAudit {
           record("sketch_profile_agg", label, plan.contains(marker))
       }
     }
+    // round-10 operators
+    audit("events_funnel",
+      // one shuffle: the per-user collect_list aggregate; the step chain
+      // is pure array expressions on top (no per-step join cascade)
+      "single partial collect" -> (_.contains("partial_collect_list")),
+      "no per-step joins" -> (p => !p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastHashJoin")))
+    audit("emb_cluster_assign",
+      "broadcast centroid frame" -> (_.contains("BroadcastNestedLoopJoin")),
+      "map-side partial argmax" -> (_.contains("partial_max_by")))
+    audit("ann_pq_topk",
+      // ADC scan joins the broadcast LUT frame; both ranking passes are
+      // partial top-k aggregates; refine never shuffles the corpus
+      "broadcast query LUTs" -> (_.contains("BroadcastNestedLoopJoin")),
+      "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
+    audit("version_travel_latest",
+      // snapshot reads stay plain file scans of the live list — the only
+      // exchange is the query's own ORDER BY range partitioning
+      "plain file scan" -> (_.contains("FileScan parquet")),
+      "no data shuffle" -> (p => !p.contains("hashpartitioning")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }

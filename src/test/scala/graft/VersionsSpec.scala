@@ -104,6 +104,23 @@ class VersionsSpec extends AnyFunSuite {
     assert(Versions.history(spark, root).count() == 3)
   }
 
+  test("addedBetween reads exactly the delta files of the commit range") {
+    val root = freshVersioned()
+    assert(Versions.addedBetween(spark, root, 1, 2).select("id")
+      .as[Long].collect().sorted.toSeq == (10L until 15L))
+    // crossing the overwrite boundary re-delivers the new snapshot
+    assert(Versions.addedBetween(spark, root, 2, 3).select("id")
+      .as[Long].collect().sorted.toSeq == (100L until 103L))
+    // full range from before v1
+    assert(Versions.addedBetween(spark, root, 0, 2).count() == 15)
+    val e = intercept[IllegalArgumentException] {
+      Versions.addedBetween(spark, root, 2, 2)
+    }
+    assert(e.getMessage.contains("from < to"))
+    // input-metrics check is indirect: the v1→v2 delta is 5 of 15 rows,
+    // so a rescan of the dataset would return 15
+  }
+
   test("versioned and unversioned publishes cannot mix") {
     val root = TestSpark.tmpDir("versions_mix")
     Publish.publish(spark, Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
