@@ -335,6 +335,11 @@ object SparkEntry {
     "version_changes" -> ((s, dir) =>
       Versions.addedBetween(s, versionedOrdersDataset(s, dir), 1, 2)
         .orderBy("o_orderkey")),
+    // row-level diff across the v2→v3 logical overwrite: the %5≠0 rows
+    // were removed, everything kept is bit-identical (no changed rows)
+    "version_row_diff" -> ((s, dir) =>
+      Versions.rowDiff(s, versionedOrdersDataset(s, dir), 2, 3, Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -1117,6 +1122,9 @@ object SparkEntry {
         | (3, 'overwrite')) AS t(version, action) ORDER BY version""".stripMargin,
     "version_changes" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey",
+    "version_row_diff" ->
+      """SELECT o_orderkey, 'removed' AS change_type FROM orders
+        |WHERE o_orderkey % 5 <> 0 ORDER BY o_orderkey""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

@@ -227,6 +227,44 @@ object Versions {
     readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions))
   }
 
+  /** Row-level diff between two snapshots: every key classified as
+    * `added` (only in `toVersion`), `removed` (only in `fromVersion`) or
+    * `changed` (present in both, any COMMON non-key column differs —
+    * null-safe struct compare; columns only one version's schema has are
+    * additive evolution, not a row change). Unchanged rows are dropped.
+    *
+    * One full-outer join keyed on `keyCols` — both sides shuffle once on
+    * the same key, nothing driver-side. This is the row-level complement
+    * of [[addedBetween]]: the log answers "what did commits add" in
+    * O(changed files); this answers "how do two snapshots differ" when an
+    * overwrite boundary makes the log answer insufficient.
+    */
+  def rowDiff(spark: SparkSession, root: String,
+              fromVersion: Int, toVersion: Int,
+              keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rowDiff needs at least one key column")
+    val a = fetchVersion(spark, root, fromVersion)
+    val b = fetchVersion(spark, root, toVersion)
+    keyCols.foreach { k =>
+      require(a.columns.contains(k) && b.columns.contains(k),
+        s"key column $k must exist in both versions")
+    }
+    val common = a.columns.filter(b.columns.contains).filterNot(keyCols.contains).toSeq
+    def side(df: DataFrame, tag: String) = {
+      val payload =
+        if (common.isEmpty) lit(0).as(s"v_$tag")
+        else struct(common.map(col): _*).as(s"v_$tag")
+      df.select(keyCols.map(col) :+ payload: _*)
+    }
+    side(a, "a").join(side(b, "b"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("v_a").isNull, "added")
+          .when(col("v_b").isNull, "removed")
+          .when(!(col("v_a") <=> col("v_b")), "changed"))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
   /** Version history as a small DataFrame (one row per commit). */
   def history(spark: SparkSession, root: String): DataFrame = {
     val latest = latestVersion(spark, root).getOrElse(0)

@@ -121,6 +121,29 @@ class VersionsSpec extends AnyFunSuite {
     // so a rescan of the dataset would return 15
   }
 
+  test("rowDiff classifies added/removed/changed and drops unchanged") {
+    val root = TestSpark.tmpDir("versions_rowdiff")
+    Publish.publishVersioned(spark,
+      Seq((1L, "keep", "a"), (2L, "old", "a"), (3L, "gone", "b"))
+        .toDF("id", "payload", "grp"), root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      Seq((1L, "keep", "a"), (2L, "new", "a"), (4L, "fresh", "b"))
+        .toDF("id", "payload", "grp"), root, Seq("grp"))
+    val diff = Versions.rowDiff(spark, root, 1, 2, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(diff == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("rowDiff ignores columns only one version has (additive evolution)") {
+    val root = TestSpark.tmpDir("versions_rowdiff_evolve")
+    Publish.publishVersioned(spark,
+      Seq((1L, "x", "a")).toDF("id", "payload", "grp"), root, Seq("grp"))
+    Publish.publishVersioned(spark,
+      Seq((1L, "x", "extra", "a")).toDF("id", "payload", "note", "grp"),
+      root, Seq("grp"))
+    assert(Versions.rowDiff(spark, root, 1, 2, Seq("id")).count() == 0)
+  }
+
   test("versioned and unversioned publishes cannot mix") {
     val root = TestSpark.tmpDir("versions_mix")
     Publish.publish(spark, Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
