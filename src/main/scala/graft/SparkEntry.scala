@@ -568,6 +568,8 @@ object SparkEntry {
       val clLsh = Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8)
       val clPq = Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
         refineFactor = 4, maxFitSample = 1000)
+      val clIvfPq = Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
+        m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000)
       Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
         .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
         .where(col("recall") >= 0.4)
@@ -577,6 +579,8 @@ object SparkEntry {
           .withColumn("method", lit("lsh_clustered")).where(col("recall") >= 0.8))
         .unionByName(Similarity.recallVsBrute(clPq, clBrute)
           .withColumn("method", lit("pq_clustered")).where(col("recall") >= 0.8))
+        .unionByName(Similarity.recallVsBrute(clIvfPq, clBrute)
+          .withColumn("method", lit("ivfpq_clustered")).where(col("recall") >= 0.8))
         .orderBy("method", "query_id")
     }),
 
@@ -606,6 +610,17 @@ object SparkEntry {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.pqTopK(embs, embs.where(col("vec_id") < 8), 5,
           m = 8, ksub = 64, refineFactor = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-PQ composition (cell pruning × compressed ADC scan — the 100 TB
+    // ANN config); full-probe+lossless == brute is spec'd, production
+    // recall rides ann_recall's ivfpq_clustered floor.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.ivfPqTopK(embs, embs.where(col("vec_id") < 8), 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 64, refineFactor = 4)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),

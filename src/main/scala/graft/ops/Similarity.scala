@@ -386,16 +386,13 @@ object Similarity {
     PqModel(splits, codebooks)
   }
 
-  /** Encode a corpus against a fitted model: one distributed pass, the
-    * (≤ ~128 KB at default sizes) codebooks riding the closure — no join,
-    * no shuffle. Output is `(neighbor_id, code)`; persist it as a graft
-    * dataset and the 100 TB encode pass is paid once.
+  /** Nearest-codeword encoder over a raw `(cv, cn)` pair — shared by the
+    * flat and IVF-composed PQ paths; codebooks ride the closure.
     */
-  def pqEncode(model: PqModel, corpus: DataFrame,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def pqEncodeUdf(model: PqModel) = {
     val splits = model.splits
     val books = model.codebooks
-    val enc = udf { (cv: Seq[Double], cn: Double) =>
+    udf { (cv: Seq[Double], cn: Double) =>
       val mm = books.length
       val code = new Array[Int](mm)
       var s = 0
@@ -414,9 +411,47 @@ object Similarity {
       }
       code
     }
-    ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .select(col("neighbor_id"), enc(col("cv"), col("cn")).as("code"))
   }
+
+  /** Per-query ADC lookup table over a unit-normalized query vector. */
+  private def pqLutUdf(model: PqModel) = {
+    val splits = model.splits
+    val books = model.codebooks
+    val width = model.width
+    udf { (qv: Seq[Double]) =>
+      val lut = new Array[Double](books.length * width)
+      var s = 0
+      while (s < books.length) {
+        val book = books(s); val lo = splits(s)
+        var j = 0
+        while (j < book.length) {
+          val ctr = book(j); var d = 0.0; var i = 0
+          while (i < ctr.length) { d += qv(lo + i) * ctr(i); i += 1 }
+          lut(s * width + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      lut
+    }
+  }
+
+  /** Σ lut[s·width + code(s)] — the m-add ADC score. */
+  private def pqAdcUdf(width: Int) = udf { (code: Seq[Int], lut: Seq[Double]) =>
+    var sum = 0.0; var s = 0
+    while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
+    sum
+  }
+
+  /** Encode a corpus against a fitted model: one distributed pass, the
+    * (≤ ~128 KB at default sizes) codebooks riding the closure — no join,
+    * no shuffle. Output is `(neighbor_id, code)`; persist it as a graft
+    * dataset and the 100 TB encode pass is paid once.
+    */
+  def pqEncode(model: PqModel, corpus: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .select(col("neighbor_id"), pqEncodeUdf(model)(col("cv"), col("cn")).as("code"))
 
   /** ADC (asymmetric-distance) top-k over an encoded corpus: each query
     * precomputes a `m × width` lookup table of partial dot products
@@ -434,43 +469,77 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               refineFactor: Int = 4): DataFrame = {
     require(refineFactor >= 1, "refineFactor must be >= 1")
-    val splits = model.splits
-    val books = model.codebooks
-    val width = model.width
-    val lutU = udf { (qv: Seq[Double]) =>
-      val lut = new Array[Double](books.length * width)
-      var s = 0
-      while (s < books.length) {
-        val book = books(s); val lo = splits(s)
-        var j = 0
-        while (j < book.length) {
-          val ctr = book(j); var d = 0.0; var i = 0
-          while (i < ctr.length) { d += qv(lo + i) * ctr(i); i += 1 }
-          lut(s * width + j) = d
-          j += 1
-        }
-        s += 1
-      }
-      lut
-    }
-    val adc = udf { (code: Seq[Int], lut: Seq[Double]) =>
-      var sum = 0.0; var s = 0
-      while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
-      sum
-    }
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val qlut = q.withColumn("lut", lutU(unitized("qv", "qn")))
+    val qlut = q.withColumn("lut", pqLutUdf(model)(unitized("qv", "qn")))
       .select("query_id", "lut")
     val scored = encoded.crossJoin(broadcast(qlut))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", adc(col("code"), col("lut")))
+      .withColumn("sim", pqAdcUdf(model.width)(col("code"), col("lut")))
+    refineExact(scored, corpus, queries, k, refineFactor, idCol, vecCol)
+  }
+
+  /** ADC-candidate exact re-rank shared by the flat and IVF-composed PQ
+    * paths: top `k·refineFactor` by approximate score, then exact cosine
+    * over the original vectors of ONLY those candidates (both passes are
+    * partial top-k aggregates; the refine joins broadcast the tiny
+    * candidate/query sides, never shuffling the corpus).
+    */
+  private def refineExact(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          k: Int, refineFactor: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val cands = topKPerQuery(scored, k * refineFactor)
       .select("query_id", "neighbor_id")
     val c = ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
     val refined = c.join(broadcast(cands), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("sim", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
     topKPerQuery(refined, k)
+  }
+
+  /** IVF-PQ: the FAISS-shaped composition — the coarse quantizer prunes
+    * the candidate set to each query's `nprobe` cells AND the scan over
+    * those cells reads m-byte PQ codes scored by ADC table adds, so a
+    * query touches `nprobe/nlist` of the corpus at ~32× less bandwidth;
+    * only the surviving `k·refineFactor` candidates are re-ranked against
+    * their original vectors. This is the 100 TB ANN configuration: both
+    * the cell assignment and the code table are one-time passes a caller
+    * can persist.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+                refineFactor: Int = 4, maxFitSample: Int = 25000): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val index = ivfFit(corpus, idCol, vecCol, nlist, seed, maxFitSample)
+    val model = pqFit(corpus, idCol, vecCol, m, ksub, seed, maxFitSample)
+    // assigned already carries (neighbor_id, cv, cn, cell): encode in the
+    // same pass, then drop the vectors — cells scan codes only
+    val encodedCells = index.assigned
+      .select(col("neighbor_id"), col("cell"),
+        pqEncodeUdf(model)(col("cv"), col("cn")).as("code"))
+    val centroids = index.centroids
+    val probeCells = udf { (qv: Seq[Double]) =>
+      centroids.map { case (ctr, idx) =>
+        var d = 0.0; var i = 0
+        while (i < ctr.length && i < qv.length) {
+          val diff = qv(i) - ctr(i); d += diff * diff; i += 1
+        }
+        (d, idx)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val qprobe = q
+      .withColumn("lut", pqLutUdf(model)(unitized("qv", "qn")))
+      .withColumn("cell", explode(probeCells(unitized("qv", "qn"))))
+      .select("query_id", "cell", "lut")
+    // one cell per corpus vector + distinct probed cells per query ⇒ a
+    // (query, neighbor) pair matches at most once — no dedup shuffle
+    val scored = encodedCells.join(broadcast(qprobe), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", pqAdcUdf(model.width)(col("code"), col("lut")))
+    refineExact(scored, corpus, queries, k, refineFactor, idCol, vecCol)
   }
 
   /** One-shot PQ fit + encode + ADC query (prefer [[pqFit]]/[[pqEncode]]/

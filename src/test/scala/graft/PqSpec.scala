@@ -77,6 +77,29 @@ class PqSpec extends AnyFunSuite {
     assert(a.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("IVF-PQ with full probe + lossless codebooks equals brute force") {
+    val queries = corpus.where($"vec_id" < 6)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = Similarity.ivfPqTopK(corpus, queries, 5, nlist = 8, nprobe = 8,
+        m = 4, ksub = 128, refineFactor = 2, maxFitSample = 1000)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("production IVF-PQ achieves >=0.8 recall on clustered data") {
+    val queries = corpus.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(corpus, queries, 5, nlist = 5, nprobe = 2,
+        m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below 0.8")
+  }
+
   test("dimensionality smaller than m clamps the subspace count") {
     val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")

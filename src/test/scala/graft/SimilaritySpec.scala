@@ -42,7 +42,8 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     val byMethod = rows.groupBy(_.getAs[String]("method")).view.mapValues(_.length).toMap
     assert(byMethod == Map("ivf" -> 8, "lsh" -> 8,
-      "ivf_clustered" -> 8, "lsh_clustered" -> 8, "pq_clustered" -> 8),
+      "ivf_clustered" -> 8, "lsh_clustered" -> 8, "pq_clustered" -> 8,
+      "ivfpq_clustered" -> 8),
       s"every query must clear its recall floor: $byMethod")
     assert(rows.forall(_.getAs[Double]("recall") >= 0.4))
     assert(rows.filter(_.getAs[String]("method").endsWith("_clustered"))
