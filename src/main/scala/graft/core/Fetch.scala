@@ -53,23 +53,27 @@ object Fetch {
             s"Dataset at $root is missing graft metadata; enable acceptNotGraft to read it anyway.")
         if (!hasData(spark, root)) spark.emptyDataFrame
         else spark.read.parquet(root)
-      case Some(meta) =>
+      case Some(sidecarMeta) =>
+        // A VERSIONED root is read through its commit log: only the latest
+        // snapshot's files are planned, so logically-overwritten files
+        // (kept on disk for time travel) never resurrect rows — and the
+        // COMMIT ENTRY's schema governs, not the sidecar's (a publish that
+        // crashed after writing the sidecar but before committing must not
+        // leak its half-published schema into reads of the old snapshot).
+        val snapshot = Versions.latestVersion(spark, root)
+          .map(v => Versions.snapshotAt(spark, root, v))
+        val meta = snapshot.map(_._2).getOrElse(sidecarMeta)
         Filters.validateAgainst(meta, filters)
         if (!hasData(spark, root))
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-        // Read with the SIDECAR schema: partition-type inference would
+        // Read with the recorded schema: partition-type inference would
         // otherwise corrupt string partition values that look numeric
         // ("0001" → int 1 → restored as "1") and make filters on them
-        // silently match nothing.
-        //
-        // A VERSIONED root is read through its commit log: only the latest
-        // snapshot's files are planned, so logically-overwritten files
-        // (kept on disk for time travel) never resurrect rows. basePath
-        // keeps hive partition columns and Catalyst partition pruning
-        // working on the explicit file list.
-        val raw = Versions.latestVersion(spark, root) match {
-          case Some(v) =>
-            val files = Versions.snapshotAt(spark, root, v)._1
+        // silently match nothing. basePath keeps hive partition columns
+        // and Catalyst partition pruning working on an explicit file list.
+        val raw = snapshot match {
+          case Some((relFiles, _)) =>
+            val files = relFiles
               .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
             spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
           case None => spark.read.schema(meta.schema).parquet(root)

@@ -233,8 +233,10 @@ object Versions {
     * null-safe struct compare; columns only one version's schema has are
     * additive evolution, not a row change). Unchanged rows are dropped.
     *
-    * One full-outer join keyed on `keyCols` — both sides shuffle once on
-    * the same key, nothing driver-side. This is the row-level complement
+    * `keyCols` must identify a row uniquely within each snapshot (the
+    * usual CDC contract; duplicate keys would cross-multiply in the
+    * join). One full-outer join keyed on `keyCols` — both sides shuffle
+    * once on the same key, nothing driver-side. This is the row-level complement
     * of [[addedBetween]]: the log answers "what did commits add" in
     * O(changed files); this answers "how do two snapshots differ" when an
     * overwrite boundary makes the log answer insufficient.

@@ -30,11 +30,14 @@ object Clustering {
     val c = centroids.select(col(cidCol).as("cid"), col(cvecCol).cast("array<double>").as("cv"))
       .withColumn("cn", Similarity.l2Norm(col("cv")))
       .where(col("cn") > 0)
+    // min over (-sim, cid): highest similarity first, ties to the SMALLER
+    // centroid id — negating sim (always a double) rather than cid keeps
+    // the tie-break valid for non-numeric centroid id types too
     e.crossJoin(broadcast(c))
       .withColumn("sim", round(Similarity.dot(col("v"), col("cv")) / (col("n") * col("cn")), 4))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("sim")),
-        struct(col("sim"), (-col("cid")).as("tb"))).as("best"))
+      .agg(min_by(struct(col("cid"), col("sim")),
+        struct((-col("sim")).as("ns"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cluster"), col("best.sim").as("sim"))
   }
 

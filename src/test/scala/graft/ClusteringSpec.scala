@@ -66,6 +66,14 @@ class ClusteringSpec extends AnyFunSuite {
     assert(stats.forall(_._3 > 0.9), s"tight clusters must score high: ${stats.toSeq}")
   }
 
+  test("string centroid ids work (tie-break is type-agnostic)") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val anchors = Seq(("beta", Array(2.0f, 0.0f)), ("alpha", Array(2.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val out = Clustering.assignTo(vecs, anchors).as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq((1L, "alpha", 1.0)))
+  }
+
   test("zero-norm vectors and centroids are excluded, not NaN-assigned") {
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
