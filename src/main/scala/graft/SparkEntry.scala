@@ -340,6 +340,20 @@ object SparkEntry {
     "version_row_diff" -> ((s, dir) =>
       Versions.rowDiff(s, versionedOrdersDataset(s, dir), 2, 3, Seq("o_orderkey"))
         .orderBy("o_orderkey")),
+    // OPTIMIZE: a fragmented 3-append history compacts into a new version
+    // with identical content (always recompacts — it verifies the write
+    // path, like compact_small_files)
+    "version_compact_roundtrip" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vcompact", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Seq(0, 1, 2).foreach { r =>
+        Publish.publishVersioned(s, orders.where(col("o_orderkey") % 3 === r),
+          root, Seq("o_orderstatus"), mode = "append")
+      }
+      Versions.compact(s, root)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -608,8 +622,10 @@ object SparkEntry {
     // floor inside ann_recall + PqSpec's lossless==brute equivalence.
     "ann_pq_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
+      // 10k fit sample ≈ 150 points per ksub=64 codeword — the standard
+      // PQ training budget; the 25k default buys nothing at ksub=64
       Similarity.pqTopK(embs, embs.where(col("vec_id") < 8), 5,
-          m = 8, ksub = 64, refineFactor = 4)
+          m = 8, ksub = 64, refineFactor = 4, maxFitSample = 10000)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),
@@ -620,7 +636,8 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.ivfPqTopK(embs, embs.where(col("vec_id") < 8), 5,
-          nlist = 16, nprobe = 4, m = 8, ksub = 64, refineFactor = 4)
+          nlist = 16, nprobe = 4, m = 8, ksub = 64, refineFactor = 4,
+          maxFitSample = 10000)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),
@@ -1140,6 +1157,7 @@ object SparkEntry {
     "version_row_diff" ->
       """SELECT o_orderkey, 'removed' AS change_type FROM orders
         |WHERE o_orderkey % 5 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "version_compact_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

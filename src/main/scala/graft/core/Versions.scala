@@ -277,6 +277,24 @@ object Versions {
     spark.createDataFrame(rows).toDF("version", "action", "n_added_files")
   }
 
+  /** Compact the live snapshot into fresh right-sized files as a NEW
+    * version — the OPTIMIZE of versioned datasets: read the current
+    * snapshot, rewrite it through publish's file-sizing path, commit a
+    * logical overwrite with identical content. Nothing mutates in place:
+    * readers of any version are undisturbed, the old fragments become
+    * time-travel ghosts, and [[vacuum]] reclaims them when history allows.
+    * A long-lived ingestion dataset (one commit per micro-batch) calls
+    * this periodically to keep its file count bounded.
+    */
+  def compact(spark: SparkSession, root: String): Seq[String] =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"dataset $root is not versioned"))
+      val (_, meta) = snapshotAt(spark, root, latest)
+      Publish.publishVersioned(spark, fetchVersion(spark, root, latest),
+        root, meta.partitions)
+    }
+
   /** Physically delete files no version ≥ `keepFrom` references, then
     * advance the vacuum watermark so older versions fail loudly instead of
     * reading partial data. Driver work is O(history size) over the tiny

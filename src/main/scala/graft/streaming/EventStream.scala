@@ -191,6 +191,43 @@ object EventStream {
     * source re-delivery BEYOND any watermark (where
     * `dropDuplicatesWithinWatermark` upstream would stop protecting).
     */
+  /** Stream INTO a versioned dataset: every non-empty micro-batch commits
+    * ONE version (append) via [[graft.core.Publish.publishVersioned]], so
+    * downstream consumers get commit-aligned time travel
+    * ([[graft.core.Versions.fetchVersion]] = "the dataset as of batch N")
+    * and O(new files) catch-up reads ([[graft.core.Versions.addedBetween]])
+    * — the lakehouse CDC loop closed over a live stream. Periodically call
+    * [[graft.core.Versions.compact]] to bound the file count a
+    * batch-per-commit history accumulates.
+    *
+    * Delivery is at-least-once across checkpoint loss (a replayed batch
+    * re-commits — visible, auditable, and vacuumable in the history, never
+    * silent); pair with key-based dedup downstream when replays must
+    * collapse ([[streamToDatasetDedup]] is the unversioned exact variant).
+    */
+  def streamToVersionedDataset(spark: SparkSession, events: DataFrame, root: String,
+                               partitions: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.core.Publish.checkNoIntervals(events)
+    graft.core.Publish.checkPartitions(partitions, events)
+    graft.core.DatasetMeta.read(spark, root).foreach { meta =>
+      require(meta.partitions == partitions,
+        s"stream partitions $partitions do not match dataset partitions ${meta.partitions}")
+      require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        events.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "stream schema does not match the dataset's recorded schema")
+    }
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          // "append" also creates the dataset on the first batch
+          graft.core.Publish.publishVersioned(spark, batch, root, partitions,
+            mode = "append"): Unit
+      }
+      .start()
+  }
+
   def streamToDatasetDedup(spark: SparkSession, events: DataFrame, root: String,
                            partitions: Seq[String], keyCols: Seq[String],
                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

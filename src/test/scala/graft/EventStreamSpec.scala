@@ -61,6 +61,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("streamToVersionedDataset commits one version per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/stream_versioned_sink"
+    val ckpt = "/tmp/graft_test/stream_versioned_ckpt"
+    Seq(root, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("id", "p", "v")
+    val query = EventStream.streamToVersionedDataset(spark, events, root, Seq("p"), ckpt)
+    input.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    query.processAllAvailable()
+    input.addData((3L, "a", 3.0))
+    query.processAllAvailable()
+    query.stop()
+    import graft.core.Versions
+    assert(Versions.latestVersion(spark, root).contains(2))
+    // time travel to batch 1; snapshot sees both; CDC reads only batch 2
+    assert(Versions.fetchVersion(spark, root, 1).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(graft.core.Fetch.fetch(spark, root).count() == 3)
+    assert(Versions.addedBetween(spark, root, 1, 2).select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+    // compact bounds the per-batch file accumulation: content identical,
+    // one more (overwrite) version in the history
+    Versions.compact(spark, root)
+    assert(Versions.latestVersion(spark, root).contains(3))
+    assert(graft.core.Fetch.fetch(spark, root).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("listing introspection on a stream-sink root sees only committed files") {
     implicit val sqlCtx = spark.sqlContext
     val root = "/tmp/graft_test/stream_sink_listing"

@@ -121,6 +121,27 @@ class VersionsSpec extends AnyFunSuite {
     // so a rescan of the dataset would return 15
   }
 
+  test("compact rewrites the snapshot into fewer files with identical content") {
+    val root = TestSpark.tmpDir("versions_compact")
+    // 12 tiny appends → at least 12 fragment files
+    (0 until 12).foreach { i =>
+      Publish.publishVersioned(spark,
+        Seq((i.toLong, s"g${i % 2}")).toDF("id", "grp"), root, Seq("grp"),
+        mode = "append")
+    }
+    val fragmented = Publish.listDataFiles(spark, root).size
+    Versions.compact(spark, root)
+    assert(Versions.latestVersion(spark, root).contains(13))
+    val compacted = Publish.listDataFiles(spark, root).size
+    assert(compacted < fragmented, s"$compacted !< $fragmented")
+    assert(Fetch.fetch(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 12L))
+    // pre-compaction versions still time-travel until vacuumed
+    assert(Versions.fetchVersion(spark, root, 3).count() == 3)
+    Versions.vacuum(spark, root, keepFrom = 13)
+    assert(Fetch.fetch(spark, root).count() == 12)
+  }
+
   test("rowDiff classifies added/removed/changed and drops unchanged") {
     val root = TestSpark.tmpDir("versions_rowdiff")
     Publish.publishVersioned(spark,
