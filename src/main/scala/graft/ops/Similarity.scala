@@ -418,35 +418,53 @@ object Similarity {
     }
   }
 
-  /** Per-query ADC lookup table over a unit-normalized query vector. */
-  private def pqLutUdf(model: PqModel) = {
+  /** ADC lookup table for one unit-normalized query vector (driver-side:
+    * the query batch is collected anyway — it is the broadcast-small side
+    * by design, exactly like [[bruteForceTopK]]'s broadcast).
+    */
+  private def lutOf(model: PqModel, qv: Array[Double]): Array[Double] = {
     val splits = model.splits
     val books = model.codebooks
     val width = model.width
-    udf { (qv: Seq[Double]) =>
-      val lut = new Array[Double](books.length * width)
-      var s = 0
-      while (s < books.length) {
-        val book = books(s); val lo = splits(s)
-        var j = 0
-        while (j < book.length) {
-          val ctr = book(j); var d = 0.0; var i = 0
-          while (i < ctr.length) { d += qv(lo + i) * ctr(i); i += 1 }
-          lut(s * width + j) = d
-          j += 1
-        }
-        s += 1
+    val lut = new Array[Double](books.length * width)
+    var s = 0
+    while (s < books.length) {
+      val book = books(s); val lo = splits(s)
+      var j = 0
+      while (j < book.length) {
+        val ctr = book(j); var d = 0.0; var i = 0
+        while (i < ctr.length) { d += qv(lo + i) * ctr(i); i += 1 }
+        lut(s * width + j) = d
+        j += 1
       }
-      lut
+      s += 1
     }
+    lut
   }
 
-  /** Σ lut[s·width + code(s)] — the m-add ADC score. */
-  private def pqAdcUdf(width: Int) = udf { (code: Seq[Int], lut: Seq[Double]) =>
-    var sum = 0.0; var s = 0
-    while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
-    sum
+  /** Collected query batch for ADC scoring: ids (any type), normalized
+    * vectors, and the per-query LUTs, plus the tiny `(qpos → query_id)`
+    * frame the scored positions join back to.
+    */
+  private def collectQueryLuts(model: PqModel, q: DataFrame)
+      : (Array[Array[Double]], Array[Array[Double]], DataFrame) = {
+    val spark = q.sparkSession
+    val qRows = q.select(col("query_id"), unitized("qv", "qn").as("nq")).collect()
+    val nqs = qRows.map(_.getSeq[Double](1).toArray)
+    val luts = nqs.map(lutOf(model, _))
+    val qidField = q.schema("query_id")
+    val posSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qpos", org.apache.spark.sql.types.IntegerType,
+        nullable = false), qidField))
+    val posRows = qRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.get(0)) }
+    val qpos = spark.createDataFrame(
+      spark.sparkContext.parallelize(posRows.toIndexedSeq, 1), posSchema)
+    (luts, nqs, qpos)
   }
+
+  // test-only visibility for stage timing probes
+  private[graft] def topKForProbe(sims: DataFrame, k: Int) = topKPerQuery(sims, k)
 
   /** Encode a corpus against a fitted model: one distributed pass, the
     * (≤ ~128 KB at default sizes) codebooks riding the closure — no join,
@@ -474,12 +492,32 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               refineFactor: Int = 4): DataFrame = {
     require(refineFactor >= 1, "refineFactor must be >= 1")
+    val spark = encoded.sparkSession
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val qlut = q.withColumn("lut", pqLutUdf(model)(unitized("qv", "qn")))
-      .select("query_id", "lut")
-    val scored = encoded.crossJoin(broadcast(qlut))
+    val (luts, _, qpos) = collectQueryLuts(model, q)
+    // The LUT matrix rides ONE executor-shared Broadcast and every corpus
+    // row scores ALL queries in a single tight loop. The first cut joined
+    // a (query_id, lut) frame instead — which materialized the 4 KB lut
+    // into every joined row (measured ~100× slower than this at 20k×8:
+    // the join row copies dominated everything).
+    val bc = spark.sparkContext.broadcast(luts)
+    val width = model.width
+    val scoreAll = udf { (code: Seq[Int]) =>
+      val ls = bc.value
+      val out = new Array[Double](ls.length)
+      var qi = 0
+      while (qi < ls.length) {
+        val lut = ls(qi); var s = 0; var sum = 0.0
+        while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
+        out(qi) = sum; qi += 1
+      }
+      out
+    }
+    val scored = encoded
+      .select(col("neighbor_id"), posexplode(scoreAll(col("code"))).as(Seq("qpos", "sim")))
+      .join(broadcast(qpos), "qpos")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", pqAdcUdf(model.width)(col("code"), col("lut")))
+      .select("query_id", "neighbor_id", "sim")
     refineExact(scored, corpus, queries, k, refineFactor, idCol, vecCol)
   }
 
@@ -524,26 +562,45 @@ object Similarity {
     val encodedCells = index.assigned
       .select(col("neighbor_id"), col("cell"),
         pqEncodeUdf(model)(col("cv"), col("cn")).as("code"))
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val (luts, nqs, qpos) = collectQueryLuts(model, q)
+    // Each query's nprobe nearest cells, computed driver-side against the
+    // (driver-held) centroids; inverted to cell → probing query positions
+    // and shipped with the LUT matrix as ONE broadcast (see pqQuery for
+    // why LUTs must never ride join rows). A corpus row then scores
+    // exactly the queries probing its cell — the (query, neighbor) pair
+    // space never materializes beyond the probed fraction.
     val centroids = index.centroids
-    val probeCells = udf { (qv: Seq[Double]) =>
+    val cellToQpos: Map[Int, Array[Int]] = nqs.zipWithIndex.flatMap { case (nq, qi) =>
       centroids.map { case (ctr, idx) =>
         var d = 0.0; var i = 0
-        while (i < ctr.length && i < qv.length) {
-          val diff = qv(i) - ctr(i); d += diff * diff; i += 1
+        while (i < ctr.length && i < nq.length) {
+          val diff = nq(i) - ctr(i); d += diff * diff; i += 1
         }
         (d, idx)
-      }.sortBy(_._1).take(nprobe).map(_._2)
+      }.sortBy(_._1).take(nprobe).map { case (_, cell) => (cell, qi) }
+    }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2).sorted }
+    val spark = corpus.sparkSession
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcCells = spark.sparkContext.broadcast(cellToQpos)
+    val width = model.width
+    val scoreCell = udf { (code: Seq[Int], cell: Int) =>
+      bcCells.value.get(cell) match {
+        case None => Seq.empty[(Int, Double)]
+        case Some(probing) =>
+          probing.toSeq.map { qi =>
+            val lut = bcLuts.value(qi); var s = 0; var sum = 0.0
+            while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
+            (qi, sum)
+          }
+      }
     }
-    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val qprobe = q
-      .withColumn("lut", pqLutUdf(model)(unitized("qv", "qn")))
-      .withColumn("cell", explode(probeCells(unitized("qv", "qn"))))
-      .select("query_id", "cell", "lut")
-    // one cell per corpus vector + distinct probed cells per query ⇒ a
-    // (query, neighbor) pair matches at most once — no dedup shuffle
-    val scored = encodedCells.join(broadcast(qprobe), Seq("cell"))
+    val scored = encodedCells
+      .select(col("neighbor_id"), explode(scoreCell(col("code"), col("cell"))).as("e"))
+      .select(col("neighbor_id"), col("e._1").as("qpos"), col("e._2").as("sim"))
+      .join(broadcast(qpos), "qpos")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", pqAdcUdf(model.width)(col("code"), col("lut")))
+      .select("query_id", "neighbor_id", "sim")
     refineExact(scored, corpus, queries, k, refineFactor, idCol, vecCol)
   }
 

@@ -181,11 +181,16 @@ object PlanAudit {
         !p.contains("BroadcastHashJoin")))
     audit("emb_cluster_assign",
       "broadcast centroid frame" -> (_.contains("BroadcastNestedLoopJoin")),
-      "map-side partial argmax" -> (_.contains("partial_max_by")))
+      "map-side partial argmax" -> (_.contains("partial_min_by")))
     audit("ann_pq_topk",
-      // ADC scan joins the broadcast LUT frame; both ranking passes are
-      // partial top-k aggregates; refine never shuffles the corpus
-      "broadcast query LUTs" -> (_.contains("BroadcastNestedLoopJoin")),
+      // LUTs ride a Broadcast VARIABLE inside the score-all udf — the
+      // only join in the plan is the tiny (qpos → query_id) broadcast
+      // hash join (a LUT-frame nested-loop join measured ~100× slower:
+      // 4 KB of lut payload copied into every joined row); both ranking
+      // passes are partial top-k aggregates; refine never shuffles the
+      // corpus
+      "qpos broadcast hash join" -> (_.contains("BroadcastHashJoin")),
+      "no LUT nested-loop join" -> (p => !p.contains("BroadcastNestedLoopJoin")),
       "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")),
       "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
     audit("version_travel_latest",
