@@ -648,6 +648,21 @@ object SparkEntry {
       TextAnalysis.qualityScore(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
+    // tokenizer TRAINING: the first learned merge is SQL-expressible
+    // (char-pair argmax over the word-frequency table); the full loop is
+    // sequential by nature — rows-only + the planted-corpus spec
+    "text_bpe_learn_step" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeLearn(s.read.parquet(t(dir, "documents")), 1)
+        .toDF("lhs", "rhs")
+    }),
+    "text_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeLearn(s.read.parquet(t(dir, "documents")), 6)
+        .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+
     "text_token_counts_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -1205,6 +1220,18 @@ object SparkEntry {
         | FROM s)
         |SELECT doc_id, round(sumw / (1.0 * n), 4) AS clf_score, sumw > 0 AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // first BPE merge = argmax char-pair count over the word-freq table
+    // (per adjacent position, ties lexicographic)
+    "text_bpe_learn_step" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        | wf AS (SELECT word, count(*) AS f FROM w WHERE len(word) > 0 GROUP BY 1),
+        | pairs AS (
+        |  SELECT substr(word, CAST(i AS INT), 1) AS l,
+        |         substr(word, CAST(i AS INT) + 1, 1) AS r, f
+        |  FROM wf, UNNEST(range(1, len(word))) AS t(i)),
+        | pc AS (SELECT l, r, sum(f) AS n FROM pairs GROUP BY 1, 2)
+        |SELECT l AS lhs, r AS rhs FROM pc ORDER BY n DESC, l, r LIMIT 1""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -100,6 +100,72 @@ object TextAnalysis {
       col(idCol),
       graft.functions.BpeTokenCount.column(col(textCol), merges).as("bpe_tokens"))
 
+  /** LEARN a BPE merge table from the corpus — tokenizer training, the
+    * industry-standard shape (GPT-2/sentencepiece): ONE distributed pass
+    * builds the word-frequency table (map-side-combined hash aggregate —
+    * the corpus text never leaves the executors again), then the greedy
+    * merge loop runs driver-side over that bounded table. That split is
+    * not a shortcut, it is how every practical trainer works: the loop is
+    * inherently sequential (merge i+1's pair counts depend on merge i),
+    * and a word-frequency dictionary compresses a 100 TB corpus to
+    * O(vocab) — iterating distributed would cost numMerges full corpus
+    * passes for nothing.
+    *
+    * `vocabCap` bounds driver memory: only the `vocabCap` most frequent
+    * words (ties broken by word) train the merges — the head of the
+    * distribution, which is what dominates pair counts anyway. Pair
+    * counting is per adjacent POSITION (repeated chars count each
+    * position), merges apply left-to-right non-overlapping, and the
+    * argmax tie-breaks lexicographically — all deterministic. The learned
+    * list feeds [[bpeTokenCounts]] directly (same ranked-merge format).
+    */
+  def bpeLearn(docs: DataFrame, numMerges: Int, textCol: String = "text",
+               vocabCap: Int = Int.MaxValue): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val wordFreqs: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var segs: Array[(Array[String], Long)] =
+      wordFreqs.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var dry = false
+    while (it < numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true // every word is one symbol: nothing to merge
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        segs = segs.map { case (syms, f) => (applyMerge(syms, best), f) }
+      }
+      it += 1
+    }
+    merges.toSeq
+  }
+
+  private def applyMerge(syms: Array[String], m: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** 64-bit rolling-hash fingerprint per document (native codegen'd
     * expression, [[graft.functions.Fingerprint64]]).
     */

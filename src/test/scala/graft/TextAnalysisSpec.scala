@@ -10,6 +10,37 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bpeLearn recovers planted merges in order and feeds bpeTokenCounts") {
+    // "abab"×3 + "ab"×2: pair (a,b) scores 2·3+1·2 = 8 vs (b,a) 3 → first
+    // merge (a,b); then (ab,ab) is the only pair in "abab" → second merge
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeLearn(docs, 3)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")),
+      s"loop must stop when nothing is left to merge: $merges")
+    // the learned table is directly consumable by the tokenizer: with
+    // both merges, "abab"→1 token and "ab"→1 token ⇒ 5 tokens total
+    val counts = graft.ops.TextAnalysis.bpeTokenCounts(docs, merges = merges)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 5L)
+  }
+
+  test("bpeLearn tie-break and position-weighted pair counting are deterministic") {
+    // "aaa": positions (a,a),(a,a) → count 2; "bc" once → (b,c) 1
+    val docs = Seq((1L, "aaa bc")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bpeLearn(docs, 1) == Seq(("a", "a")))
+    // equal counts: ("ab","cd") ties at 1 each on pairs (a,b) (c,d) —
+    // lexicographically smallest wins
+    val tie = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bpeLearn(tie, 1) == Seq(("a", "b")))
+  }
+
+  test("bpeLearn vocabCap trains on the head of the distribution only") {
+    // cap 1 keeps only the most frequent word "xy" (freq 3) — the pair
+    // (q,r) from the dropped word must not surface
+    val docs = Seq((1L, "xy xy xy qr")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bpeLearn(docs, 1, vocabCap = 1) == Seq(("x", "y")))
+  }
+
   test("language id picks the marker-heavy language") {
     val docs = Seq(
       (1L, "the cat of the house and a dog ran to the yard"),
