@@ -926,19 +926,29 @@ object SparkEntry {
         .orderBy(col("n").desc, col("w"))
         .limit(20)),
 
-    "text_top_terms_sketch" -> ((s, dir) =>
-      // heavy-hitters sketch instead of exact groupBy: one bounded summary
-      // per task, merged by counter addition. Counts are EXACT (and so
-      // oracle-checkable) while the vocabulary fits the capacity — the
-      // corpus has ~31 distinct tokens at every sf; 65536 leaves three
-      // orders of magnitude of headroom before the sketch would go
-      // approximate and the hash check would need the rows-only form.
-      s.read.parquet(t(dir, "documents"))
+    "text_top_terms_sketch" -> ((s, dir) => {
+      // Heavy-hitters sketch as a CANDIDATE GENERATOR + exact refine.
+      // Pass 1: one bounded SpaceSaving summary per task (merged by counter
+      // addition) surfaces the top-80 candidates — guaranteed to contain
+      // every item with true count > n_tokens/65536, which covers the true
+      // top-20 by orders of magnitude on any Zipf-ish corpus. Pass 2:
+      // exact counts for ONLY those ≤80 terms via a broadcast semi-filter,
+      // so the reported counts are exact (oracle-checkable) at ANY scale —
+      // sketch counters alone overestimate once the open vocabulary
+      // exceeds the capacity, which a 100 TB corpus always does.
+      val words = s.read.parquet(t(dir, "documents"))
         .select(explode(split(col("text"), " ")).as("w"))
-        .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 20, 65536).as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("e.item").as("w"), col("e.count").as("n"),
-          (col("pos") + 1).cast("long").as("rnk"))),
+      val cand = words
+        .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 80, 65536).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("w"))
+      import org.apache.spark.sql.expressions.Window
+      words.join(broadcast(cand), "w")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("w"))).cast("long"))
+    }),
 
     "text_unigram_logprob" -> ((s, dir) =>
       // corpus-LM quality signal: per-doc avg token log-probability under

@@ -24,6 +24,12 @@ object Verify {
     // ×N stress escape hatch, same contract as Bench's: driver runs set no
     // skip and dump everything; a skipped query's dump dir is simply
     // absent, so the compare covers exactly what ran.
+    // SPARK_GRAFT_ONLY: local-iteration inverse of SKIP — run just the
+    // named queries (the driver never sets it; check.py's onlyCsv pairs
+    // with it for a fast single-cell loop).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val skip: Set[String] =
       sys.env.get("SPARK_GRAFT_SKIP")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -40,7 +46,10 @@ object Verify {
           .iterator().asScala.foreach(Files.delete)
       }
     }
-    SparkEntry.queries.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filterNot(kv => skip(kv._1))
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
