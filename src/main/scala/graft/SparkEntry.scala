@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SpectrumDdl
-import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, Versions}
+import graft.core.{ColFilter, DatasetMeta, Fetch, Mutations, Publish, Versions}
 import graft.naming.S3Naming
 import graft.functions.ProbFilters
 import graft.ops.{BloomPrune, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -352,6 +352,44 @@ object SparkEntry {
           root, Seq("o_orderstatus"), mode = "append")
       }
       Versions.compact(s, root)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
+    // ---- row-level mutations (DELETE / UPDATE / MERGE), copy-on-write ----
+    // each builds a fresh versioned orders dataset, mutates it, and reads
+    // the latest snapshot — exercising the locate→rewrite→commit path end
+    // to end (only files containing affected rows are rewritten)
+    "version_delete_where" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vdelete", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.deleteWhere(s, root,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 1)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+    "version_update_where" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vupdate", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.updateWhere(s, root, col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+    "version_merge_upsert" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vmerge", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders, root, Seq("o_orderstatus"))
+      // source: re-prioritize every %10 key (updates) + the same rows
+      // re-keyed negative (inserts — absent from the target by domain)
+      val tenth = orders.where(col("o_orderkey") % 10 === 0)
+      val source = tenth.withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(tenth
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_orderpriority", lit("INSERTED")))
+      Mutations.merge(s, root, source, Seq("o_orderkey"))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
 
@@ -1183,6 +1221,26 @@ object SparkEntry {
       """SELECT o_orderkey, 'removed' AS change_type FROM orders
         |WHERE o_orderkey % 5 <> 0 ORDER BY o_orderkey""".stripMargin,
     "version_compact_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "version_delete_where" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_update_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 7 = 0 THEN 'U:' || o_orderpriority
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "version_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'INSERTED' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

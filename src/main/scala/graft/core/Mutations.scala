@@ -1,0 +1,194 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result of a row-level mutation: the committed version, plus the
+  * root-relative files it logically removed and physically added. A
+  * no-op mutation (nothing matched) commits nothing and reports the
+  * current version with empty file lists.
+  */
+final case class MutationResult(version: Int,
+                                removedFiles: Seq[String],
+                                addedFiles: Seq[String])
+
+/** Row-level mutations — DELETE / UPDATE / MERGE — on versioned graft
+  * datasets, Delta-Lake-shaped: copy-on-write at FILE granularity.
+  *
+  * Every mutation runs in three phases:
+  *   1. **Locate** — one distributed scan finds the distinct set of files
+  *      that contain at least one affected row (`_metadata.file_path`,
+  *      column-pruned to the predicate/key columns). On a dataset where
+  *      the predicate touches 1 % of files, 99 % of the data is never
+  *      read again, let alone rewritten — this is what makes a
+  *      row-level delete on 100 TB an O(affected data) operation.
+  *   2. **Rewrite** — only the affected files are re-read; surviving /
+  *      updated / merged rows are written as FRESH files through
+  *      publish's file-sizing path (physical writes never delete).
+  *   3. **Commit** — one `rewrite` log entry atomically swaps the
+  *      affected files for the new ones. Readers of older versions are
+  *      undisturbed; a crash before the commit leaves the previous
+  *      version fully readable and the new files invisible; `vacuum`
+  *      reclaims replaced files once history allows.
+  *
+  * The whole mutation holds the dataset writer lock, so concurrent
+  * mutations serialize and never double-rewrite a file.
+  *
+  * The reference (s3parq) can only clobber or append whole partition
+  * trees; row-level semantics are part of graft's beyond-the-reference
+  * lakehouse surface.
+  */
+object Mutations {
+
+  private val FileCol = "_graft_file"
+
+  private def snapshotWithPath(spark: SparkSession, root: String)
+      : (Int, DatasetMeta, DataFrame) = {
+    val latest = Versions.latestVersion(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"row-level mutations need a versioned dataset; $root has no version log"))
+    val (files, meta) = Versions.snapshotAt(spark, root, latest)
+    (latest, meta, Versions.readFilesWithPath(spark, root, files, meta, FileCol))
+  }
+
+  /** The root-relative files containing at least one row of `affected`
+    * (tiny: O(number of matching files), collected driver-side exactly
+    * like every other file listing).
+    */
+  private def affectedFiles(affected: DataFrame): Seq[String] =
+    affected.select(FileCol).distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  private def rewriteCommit(spark: SparkSession, root: String,
+                            meta: DatasetMeta, replacement: DataFrame,
+                            removedRel: Seq[String]): MutationResult = {
+    // a delete can wipe EVERY row of the affected files — then there is
+    // nothing to write and the commit is removal-only (isEmpty scans only
+    // the affected files, already the small rewritten subset)
+    val newFiles =
+      if (replacement.isEmpty) Nil
+      else Publish.publishImpl(spark, replacement, root,
+        meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+    val rootUri = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
+    val addedRel = newFiles.map(a =>
+      new org.apache.hadoop.fs.Path(a).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/"))
+    val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
+      removedRel = removedRel)
+    MutationResult(v, removedRel, addedRel)
+  }
+
+  /** DELETE FROM root WHERE predicate. SQL DELETE semantics: rows where
+    * the predicate is TRUE are removed; FALSE and NULL rows stay.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: Column): MutationResult =
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val affected = affectedFiles(snap.where(predicate))
+      if (affected.isEmpty) MutationResult(latest, Nil, Nil)
+      else {
+        val survivors = Versions
+          .readFiles(spark, root, affected, meta)
+          .where(not(predicate <=> lit(true)))
+        rewriteCommit(spark, root, meta, survivors, affected)
+      }
+    }
+
+  /** UPDATE root SET assignments WHERE predicate. Rows where the
+    * predicate is TRUE get each assignment applied (cast back to the
+    * column's declared type); all other rows — including the untouched
+    * rows sharing a file with an updated one — are rewritten verbatim.
+    * Partition columns cannot be assigned (moving rows between
+    * partitions is a delete+insert the caller should express as such).
+    */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+                  assignments: Map[String, Column]): MutationResult = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val bad = assignments.keySet.filterNot(meta.schema.fieldNames.contains)
+      require(bad.isEmpty, s"assignment to unknown columns: ${bad.mkString(",")}")
+      val part = assignments.keySet.filter(meta.partitions.contains)
+      require(part.isEmpty,
+        s"cannot assign partition columns ${part.mkString(",")} in updateWhere")
+      val affected = affectedFiles(snap.where(predicate))
+      if (affected.isEmpty) MutationResult(latest, Nil, Nil)
+      else {
+        val updatedCols = meta.schema.fields.toIndexedSeq.map { f =>
+          assignments.get(f.name) match {
+            case Some(e) =>
+              when(predicate <=> lit(true), e.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }
+        val rewritten = Versions
+          .readFiles(spark, root, affected, meta)
+          .select(updatedCols: _*)
+        rewriteCommit(spark, root, meta, rewritten, affected)
+      }
+    }
+  }
+
+  /** MERGE INTO root USING source ON keyCols — upsert: a target row whose
+    * key appears in `source` is replaced by the source row; source rows
+    * matching nothing are inserted. `source` must carry exactly the
+    * target's columns (any order; values are cast to the target types)
+    * and be unique on `keyCols` (the standard MERGE contract — a target
+    * row matching two source rows is ambiguous, and graft rejects it
+    * up front instead of nondeterministically picking one).
+    *
+    * Scale shape: the locate pass is a semi-join of the target against
+    * the (usually much smaller, often broadcast) source key set; only
+    * files containing a matched key are re-read and merged — the merge
+    * join itself runs over affected rows ∪ source, never the full
+    * dataset.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            keyCols: Seq[String]): MutationResult = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val tgtCols = meta.schema.fieldNames.toSeq
+      keyCols.foreach { k =>
+        require(tgtCols.contains(k), s"key column $k is not a dataset column")
+        require(source.columns.contains(k), s"key column $k missing from source")
+      }
+      val missing = tgtCols.filterNot(source.columns.contains)
+      val extra = source.columns.filterNot(tgtCols.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"merge source columns must equal dataset columns; missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+      // normalize source to target order + types, once
+      val src = source.select(meta.schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*).persist()
+      try {
+        val dup = src.groupBy(keyCols.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"merge source is not unique on (${keyCols.mkString(",")}): e.g. ${dup.headOption.getOrElse("")}")
+
+        val affected = affectedFiles(
+          snap.join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))
+        val payload = tgtCols.filterNot(keyCols.contains)
+        val merged =
+          if (payload.isEmpty) {
+            // keys-only dataset: upsert degenerates to set union
+            Versions.readFiles(spark, root, affected, meta)
+              .unionByName(src).distinct()
+          } else {
+            def packed(df: DataFrame, tag: String) =
+              df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
+            packed(Versions.readFiles(spark, root, affected, meta), "_t")
+              .join(packed(src, "_s"), keyCols, "full_outer")
+              .withColumn("_m", coalesce(col("_s"), col("_t")))
+              .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
+                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)): _*)
+          }
+        if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
+        else rewriteCommit(spark, root, meta, merged, affected)
+      } finally src.unpersist()
+    }
+  }
+}

@@ -198,7 +198,7 @@ object Publish {
     }
   }
 
-  private def publishImpl(spark: SparkSession, df: DataFrame, root: String,
+  private[core] def publishImpl(spark: SparkSession, df: DataFrame, root: String,
                           partitions: Seq[String], mode: String,
                           sortCols: Seq[String], zorderCols: Seq[String],
                           zorderBits: Int, zorderPartitions: Int,

@@ -8,13 +8,16 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** One commit of a versioned dataset: the data files this version ADDED
-  * (root-relative), plus the logical schema/partitioning in force at the
-  * commit. `action` is `overwrite` (the version's live file set is exactly
-  * `added` — prior files are logically dropped but stay on disk for time
-  * travel) or `append` (live set = previous live set ∪ `added`).
+  * and (for `rewrite`) logically REMOVED (root-relative), plus the logical
+  * schema/partitioning in force at the commit. `action` is `overwrite`
+  * (the version's live file set is exactly `added` — prior files are
+  * logically dropped but stay on disk for time travel), `append` (live set
+  * = previous live set ∪ `added`) or `rewrite` (live set = previous live
+  * set ∖ `removed` ∪ `added` — the row-level-mutation commit: DELETE /
+  * UPDATE / MERGE rewrite only the files that contain affected rows).
   */
 final case class VersionEntry(version: Int, action: String,
-                              added: Seq[String],
+                              added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String])
 
 /** Versioned datasets: a commit log that gives graft datasets time travel,
@@ -102,8 +105,12 @@ object Versions {
     * serialize and version numbers never collide.
     */
   def commit(spark: SparkSession, root: String, action: String,
-             addedAbs: Seq[String], meta: DatasetMeta): Int = {
-    require(action == "overwrite" || action == "append", s"unknown action $action")
+             addedAbs: Seq[String], meta: DatasetMeta,
+             removedRel: Seq[String] = Nil): Int = {
+    require(action == "overwrite" || action == "append" || action == "rewrite",
+      s"unknown action $action")
+    require(removedRel.isEmpty || action == "rewrite",
+      s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
     DatasetLock.withLock(spark, root) {
       val f = fs(spark, root)
       val rootUri = f.makeQualified(new Path(root)).toUri.getPath
@@ -118,6 +125,7 @@ object Versions {
         "version" -> JInt(v),
         "action" -> JString(action),
         "added" -> JArray(rel.map(JString(_)).toList),
+        "removed" -> JArray(removedRel.map(JString(_)).toList),
         "partitions" -> JArray(meta.partitions.map(JString(_)).toList),
         "schema" -> JsonMethods.parse(meta.schema.json)
       )))
@@ -143,7 +151,8 @@ object Versions {
       JsonMethods.compact(JsonMethods.render(jv \ "schema"))).asInstanceOf[StructType]
     val JInt(ver) = (jv \ "version"): @unchecked
     val JString(action) = (jv \ "action"): @unchecked
-    VersionEntry(ver.toInt, action, strings("added"), schema, strings("partitions"))
+    VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
+      schema, strings("partitions"))
   }
 
   /** The live file set (root-relative) + metadata at `version`: replay back
@@ -164,7 +173,12 @@ object Versions {
       v -= 1
       chain = readEntry(spark, root, v) :: chain
     }
-    val files = chain.flatMap(_.added)
+    // forward-replay from the governing overwrite: appends union their
+    // files in, rewrites swap their removed set for their added set
+    val files = chain.foldLeft(Vector.empty[String]) { (live, e) =>
+      val dropped = e.removed.toSet
+      (if (dropped.isEmpty) live else live.filterNot(dropped)) ++ e.added
+    }
     val at = chain.last // the entry AT `version` carries the current schema
     (files, DatasetMeta(at.schema, at.partitions))
   }
@@ -190,14 +204,43 @@ object Versions {
     fetchVersion(spark, root, latest)
   }
 
+  /** [[readFiles]] plus a `_graft_file` column carrying each row's source
+    * file as a root-relative path — the handle row-level mutations use to
+    * locate which files actually contain affected rows. Derived from the
+    * scan's `_metadata.file_path` (no UDF; the relativize is a substring
+    * over a constant-prefix literal).
+    */
+  private[core] def readFilesWithPath(spark: SparkSession, root: String,
+                                      relFiles: Seq[String], meta: DatasetMeta,
+                                      fileCol: String): DataFrame = {
+    val rootPath = fs(spark, root).makeQualified(new Path(root)).toUri.getPath
+      .stripSuffix("/")
+    readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol))
+      // normalize the scan URI to `toUri.getPath` form (scheme and
+      // authority dropped: "file:///tmp/x" → "/tmp/x", "s3a://b/x" →
+      // "/x", "file:/tmp/x" → "/tmp/x"), then strip the dataset root
+      // prefix → root-relative
+      .withColumn(fileCol, regexp_replace(col(fileCol),
+        lit("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*/"), lit("/")))
+      .withColumn(fileCol, regexp_replace(col(fileCol),
+        lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/")))
+      .withColumn(fileCol, regexp_replace(col(fileCol),
+        lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit("")))
+  }
+
   private[core] def readFiles(spark: SparkSession, root: String,
-                              relFiles: Seq[String], meta: DatasetMeta): DataFrame = {
-    if (relFiles.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+                              relFiles: Seq[String], meta: DatasetMeta,
+                              keepPath: Option[String] = None): DataFrame = {
+    if (relFiles.isEmpty) {
+      val schema = keepPath.fold(meta.schema)(p =>
+        StructType(meta.schema.fields :+ org.apache.spark.sql.types.StructField(
+          p, org.apache.spark.sql.types.StringType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
     val abs = relFiles.map(r => new Path(root, r).toString)
     val raw = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
     val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
-    raw.select(restored: _*)
+    raw.select(restored ++ keepPath.map(p => col("_metadata.file_path").as(p)): _*)
   }
 
   /** Incremental (CDC-style) read: the rows ADDED by commits in
@@ -272,9 +315,10 @@ object Versions {
     val latest = latestVersion(spark, root).getOrElse(0)
     val rows = (1 to latest).map { v =>
       val e = readEntry(spark, root, v)
-      (e.version, e.action, e.added.size.toLong)
+      (e.version, e.action, e.added.size.toLong, e.removed.size.toLong)
     }
-    spark.createDataFrame(rows).toDF("version", "action", "n_added_files")
+    spark.createDataFrame(rows)
+      .toDF("version", "action", "n_added_files", "n_removed_files")
   }
 
   /** Compact the live snapshot into fresh right-sized files as a NEW
