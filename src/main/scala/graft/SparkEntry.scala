@@ -770,6 +770,16 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // weighted sampling without replacement (A-RES), inclusion chance
+    // proportional to document size — the token-budget corpus sampler.
+    // md5-derived uniforms so the DuckDB oracle redraws the identical
+    // sample.
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        s.read.parquet(t(dir, "documents")), col("n_chars"), 100, 7L, Seq("doc_id"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     "curation_pipeline" -> ((s, dir) => {
       // the end-to-end curation story composed from the ops: exact dedup ->
       // quality scoring -> threshold filter -> per-language corpus stats
@@ -1895,6 +1905,15 @@ object SparkEntry {
         |                     ORDER BY (doc_id*997) % 10000, doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+        | SELECT doc_id, n_chars,
+        |  ln((('0x' || substr(md5(doc_id || ':' || 7), 1, 13))::BIGINT)
+        |     / 4503599627370496.0) / n_chars AS k
+        | FROM documents WHERE n_chars > 0
+        | ORDER BY k DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_pipeline" ->
       """WITH dd AS (SELECT * FROM documents

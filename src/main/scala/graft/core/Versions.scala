@@ -194,6 +194,28 @@ object Versions {
     readFiles(spark, root, files, meta)
   }
 
+  /** The version in force at wall-clock `tsMillis` — the newest commit
+    * whose entry was written at or before it (TIMESTAMP AS OF). Commit
+    * times come from the entry files' modification times: the entry write
+    * IS the commit point, so its mtime is the commit instant by
+    * construction — no extra field to keep consistent, and O(history)
+    * tiny-file statting resolves it.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    val f = fs(spark, root)
+    val at = (1 to latest)
+      .takeWhile(v => f.getFileStatus(entryPath(root, v)).getModificationTime <= tsMillis)
+      .lastOption
+    at.getOrElse(throw new IllegalArgumentException(
+      s"no version of $root existed at $tsMillis (first commit is later)"))
+  }
+
+  /** Read the dataset as it was at wall-clock `tsMillis`. */
+  def fetchAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    fetchVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
   /** Latest committed snapshot (what a live read of a versioned dataset
     * should see — logically overwritten files excluded even though they
     * are still on disk for time travel).

@@ -70,4 +70,31 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weight` — Efraimidis–Spirakis A-RES: each row draws
+    * a deterministic uniform u from an md5 of its key (+ seed) and ranks
+    * by ln(u)/w; the top k win. Exactly reproducible across reruns,
+    * retried tasks AND engines (md5 is everywhere — an external auditor
+    * can recompute the sample in SQL). Rows with NULL or non-positive
+    * weight are excluded. One scan + a distributed top-k (partial per
+    * partition, merged on the driver's single k-row heap) — no full sort,
+    * no shuffle of the corpus; the token-budget corpus sampler at 100 TB.
+    */
+  def weightedSample(df: DataFrame, weight: Column, k: Int, seed: Long,
+                     keyCols: Seq[String]): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(keyCols.nonEmpty, "weightedSample needs key columns for the draw")
+    // u = first 52 bits of md5(key:seed) / 2^52  (0 ≤ u < 1; DuckDB form:
+    // ('0x' || substr(md5(...),1,13))::BIGINT / 4503599627370496.0)
+    val u = conv(substring(md5(
+        concat_ws(":", keyCols.map(col) :+ lit(seed): _*)), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val key = log(u) / weight.cast("double")
+    df.where(weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(keyCols.head))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

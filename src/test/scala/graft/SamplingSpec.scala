@@ -54,4 +54,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.mixture(rows.orderBy(rand(7)), slot, "source", Map("src0" -> 0.5))
       .count() == mixed.count())
   }
+
+  test("weightedSample: deterministic, excludes non-positive weights, k caps") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i % 50 == 0) 0.0 else i.toDouble)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, col("w"), 20, 7L, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedSample(df, col("w"), 20, 7L, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 20)
+    assert(a.forall(_ % 50 != 0), "zero-weight rows must never be drawn")
+    // different seed, different sample (with overwhelming probability)
+    val c = Sampling.weightedSample(df, col("w"), 20, 8L, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c)
+    // k >= candidates returns every positive-weight row
+    val all = Sampling.weightedSample(df, col("w"), 1000, 7L, Seq("id"))
+    assert(all.count() == 196)
+  }
+
+  test("weightedSample: a dominating weight is effectively always included") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, 1.0)) :+ (999L, 1e9))
+      .toDF("id", "w")
+    (0 until 10).foreach { seed =>
+      val ids = Sampling.weightedSample(df, col("w"), 5, seed.toLong, Seq("id"))
+        .select("id").as[Long].collect()
+      assert(ids.contains(999L), s"seed=$seed")
+    }
+  }
 }

@@ -205,4 +205,25 @@ class VersionsSpec extends AnyFunSuite {
       .orderBy("id").select("id", "note").as[(Long, String)].collect().toSeq
     assert(v3 == Seq((2L, "n2"), (3L, "n3")))
   }
+
+  test("versionAsOf resolves by commit time; fetchAsOf reads that snapshot") {
+    val root = freshVersioned()
+    // pin distinct, ordered commit instants (same-ms commits are legal but
+    // untestable; monotonicity is guaranteed by the writer lock)
+    val base = 1700000000000L
+    (1 to 3).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_graft_versions", f"v$v%08d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(base + v * 1000L))
+    }
+    assert(Versions.versionAsOf(spark, root, base + 1500) == 1)
+    assert(Versions.versionAsOf(spark, root, base + 2000) == 2)
+    assert(Versions.versionAsOf(spark, root, base + 999999) == 3)
+    assert(Versions.fetchAsOf(spark, root, base + 2500).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 15L))
+    val e = intercept[IllegalArgumentException] {
+      Versions.versionAsOf(spark, root, base)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
 }
