@@ -292,6 +292,48 @@ object Versions {
     readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions))
   }
 
+  /** Incremental, exactly-once CDC consumption of a versioned dataset —
+    * the pull side of streaming versioned ingestion. A tiny offset file
+    * under `checkpointDir` remembers the last version this consumer
+    * processed; each call reads ONLY the files that commits
+    * `(offset, latest]` added ([[addedBetween]] — O(new data)), hands
+    * them to `fn`, and advances the offset via write-temp + atomic
+    * rename AFTER `fn` returns. A crashed `fn` leaves the offset
+    * untouched, so the batch redelivers — at-least-once into `fn`,
+    * exactly-once end-to-end when `fn`'s sink is idempotent (graft's
+    * dedup-append and versioned publish both are). Returns the
+    * `(from, to]` version range processed, or None when caught up.
+    *
+    * This is the `Trigger.AvailableNow` consumption shape: schedule it
+    * however you schedule work; each invocation drains whatever has
+    * committed since the last one.
+    */
+  def consumeChanges(spark: SparkSession, root: String, checkpointDir: String)
+                    (fn: DataFrame => Unit): Option[(Int, Int)] = {
+    val cf = new Path(checkpointDir, "graft_cdc_offset")
+    val cfs = cf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last: Int =
+      if (!cfs.exists(cf)) 0
+      else {
+        val in = cfs.open(cf)
+        try new String(readAll(in, cfs.getFileStatus(cf).getLen.toInt), "UTF-8").trim.toInt
+        finally in.close()
+      }
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    if (latest <= last) None
+    else {
+      fn(addedBetween(spark, root, last, latest))
+      val tmp = new Path(checkpointDir, s"graft_cdc_offset.tmp${System.nanoTime()}")
+      cfs.mkdirs(new Path(checkpointDir))
+      val out = cfs.create(tmp, true)
+      try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
+      if (cfs.exists(cf)) cfs.delete(cf, false)
+      require(cfs.rename(tmp, cf), s"could not advance CDC offset at $cf")
+      Some((last, latest))
+    }
+  }
+
   /** Row-level diff between two snapshots: every key classified as
     * `added` (only in `toVersion`), `removed` (only in `fromVersion`) or
     * `changed` (present in both, any COMMON non-key column differs —

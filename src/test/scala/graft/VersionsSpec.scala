@@ -226,4 +226,38 @@ class VersionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no version"))
   }
+
+  test("consumeChanges drains commits exactly once; failed fn redelivers") {
+    val root = TestSpark.tmpDir("versions_cdc")
+    val ckpt = TestSpark.tmpDir("versions_cdc_ckpt")
+    def app(ids: Range): Unit = Publish.publishVersioned(spark,
+      ids.map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      root, Seq("grp"), mode = if (ids.start == 0) "overwrite" else "append")
+    app(0 until 5)
+    app(5 until 8)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val r1 = Versions.consumeChanges(spark, root, ckpt) { df =>
+      seen ++= df.select("id").as[Long].collect()
+    }
+    assert(r1.contains((0, 2)) && seen.sorted.toSeq == (0L until 8L))
+    // caught up: nothing redelivered
+    assert(Versions.consumeChanges(spark, root, ckpt)(_ => fail("no new data")).isEmpty)
+    // new commit delivers only its own rows
+    app(8 until 10)
+    seen.clear()
+    val r2 = Versions.consumeChanges(spark, root, ckpt) { df =>
+      seen ++= df.select("id").as[Long].collect()
+    }
+    assert(r2.contains((2, 3)) && seen.sorted.toSeq == Seq(8L, 9L))
+    // a crashing fn leaves the offset untouched -> the batch redelivers
+    app(10 until 12)
+    intercept[RuntimeException] {
+      Versions.consumeChanges(spark, root, ckpt)(_ => throw new RuntimeException("sink down"))
+    }
+    seen.clear()
+    Versions.consumeChanges(spark, root, ckpt) { df =>
+      seen ++= df.select("id").as[Long].collect()
+    }
+    assert(seen.sorted.toSeq == Seq(10L, 11L))
+  }
 }
