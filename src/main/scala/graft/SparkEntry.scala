@@ -472,6 +472,17 @@ object SparkEntry {
       Dedup.dropDuplicateParagraphs(chunked).orderBy("doc_id")
     }),
 
+    "dedup_strip_boilerplate" -> ((s, dir) => {
+      // boilerplate = any 3-word chunk appearing in >= 3 distinct docs;
+      // unlike dedup_paragraphs, it survives NOWHERE (headers/footers
+      // cleanup), and fully-boilerplate docs stay with empty text
+      val words = split(col("text"), " ")
+      val chunked = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
+        array_join(transform(sequence(lit(0), floor((size(words) - 1) / 3).cast("int")),
+          i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
+      Dedup.stripCommonParagraphs(chunked, minDocs = 3).orderBy("doc_id")
+    }),
+
     // 32 bands × 2 rows: a true 0.8-jaccard pair escapes candidacy with
     // probability (1-0.8²)³² ≈ 6e-15, so LSH+exact-verify EQUALS the
     // all-true-pairs oracle (which DuckDB computes via shared-shingle
@@ -1702,6 +1713,27 @@ object SparkEntry {
         | QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, ppos) = 1)
         |SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY ppos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_strip_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |wp AS (SELECT doc_id, unnest(words) AS word,
+        |              generate_subscripts(words, 1) AS pos FROM w),
+        |paras AS (
+        | SELECT doc_id, (pos - 1) // 3 AS ppos,
+        |        string_agg(word, ' ' ORDER BY pos) AS para
+        | FROM wp GROUP BY doc_id, (pos - 1) // 3),
+        |common AS (
+        | SELECT para FROM paras GROUP BY para
+        | HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        | SELECT doc_id, ppos, para FROM paras
+        | WHERE para NOT IN (SELECT para FROM common)),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY ppos) AS text
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH all_docs AS (

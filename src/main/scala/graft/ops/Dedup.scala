@@ -260,6 +260,45 @@ object Dedup {
         if (c == textCol) col("__text").as(textCol) else docs(c)).toIndexedSeq: _*)
   }
 
+  /** Strip BOILERPLATE paragraphs: any paragraph appearing in at least
+    * `minDocs` DISTINCT documents is removed from every document (the
+    * CCNet / RefinedWeb repeated-lines cleanup — headers, footers, cookie
+    * banners). Unlike [[dropDuplicateParagraphs]] (which keeps the first
+    * occurrence), a common paragraph survives nowhere: boilerplate is
+    * noise in all its copies. Documents whose every paragraph was
+    * boilerplate are kept with empty text (dropping rows is the caller's
+    * explicit follow-up filter, not a side effect).
+    *
+    * Shape: one hash-frequency aggregate (count-distinct docs per md5 —
+    * hashes only on the wire), an anti-join of the exploded paragraphs
+    * against the (small, head-of-distribution) common set, one per-doc
+    * reassembly aggregate. No corpus-wide sort, no self-join.
+    */
+  def stripCommonParagraphs(docs: DataFrame, minDocs: Int = 2,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            sep: String = "\n\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val cols = docs.columns
+    val paras = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    val common = paras.groupBy(col("__h"))
+      .agg(count_distinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h").as("__ch"))
+    val surviving = paras.join(common, paras("__h") === common("__ch"), "left_anti")
+    val rebuilt = surviving.groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s("__para")), sep).as("__text"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"), "left")
+      .select(cols.map(c =>
+        if (c == textCol) coalesce(col("__text"), lit("")).as(textCol)
+        else docs(c)).toIndexedSeq: _*)
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array: per-token 64-bit hashes vote ±1 on

@@ -132,4 +132,33 @@ class DedupSpec extends AnyFunSuite {
       (3L, "epsilon", "books")),
       s"got $out")
   }
+
+  test("stripCommonParagraphs removes boilerplate everywhere, keeps emptied docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "FOOTER\n\nalpha beta\n\nHEADER"),
+      (2L, "HEADER\n\ngamma\n\nFOOTER"),
+      (3L, "FOOTER\n\nHEADER"),          // becomes empty
+      (4L, "delta\n\ndelta\n\nepsilon") // internal repeat != cross-doc common
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripCommonParagraphs(docs, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma"),
+      (3L, ""),
+      (4L, "delta\n\ndelta\n\nepsilon")))
+  }
+
+  test("stripCommonParagraphs counts DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // "x" appears 3 times but in only 2 docs -> minDocs=3 keeps it
+    val docs = Seq(
+      (1L, "x\n\nx\n\na"),
+      (2L, "x\n\nb")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripCommonParagraphs(docs, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x\n\nx\n\na"), (2L, "x\n\nb")))
+  }
 }

@@ -198,6 +198,22 @@ object PlanAudit {
       // exchange is the query's own ORDER BY range partitioning
       "plain file scan" -> (_.contains("FileScan parquet")),
       "no data shuffle" -> (p => !p.contains("hashpartitioning")))
+    audit("sample_weighted",
+      // the k-row sample must come from a distributed top-k (partial
+      // per-partition heaps merged once), never a corpus-wide sort
+      "distributed top-k" -> (_.contains("TakeOrderedAndProject")),
+      "no full sort exchange" -> (p => !p.contains("rangepartitioning")))
+    audit("dedup_strip_boilerplate",
+      // hash-frequency agg is two-phase (hashes only on the wire); the
+      // common-set anti-join must not degrade to a nested loop
+      "partial aggregate" -> (_.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")))
+    audit("version_delete_where",
+      // the post-mutation snapshot read is a plain scan of the live
+      // file list (the rewrite happened at mutation time, not read time)
+      "plain file scan" -> (_.contains("FileScan parquet")),
+      "no data shuffle" -> (p => !p.contains("hashpartitioning")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
