@@ -171,7 +171,10 @@ object Publish {
     */
   def publishVersioned(spark: SparkSession, df: DataFrame, root: String,
                        partitions: Seq[String], mode: String = "overwrite",
-                       sortCols: Seq[String] = Nil): Seq[String] = {
+                       sortCols: Seq[String] = Nil,
+                       zorderCols: Seq[String] = Nil,
+                       zorderBits: Int = 16,
+                       zorderPartitions: Int = 0): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     DatasetLock.withLock(spark, root) {
       val existing = DatasetMeta.read(spark, root)
@@ -188,10 +191,11 @@ object Publish {
       val newFiles =
         if (existing.isEmpty)
           publishImpl(spark, df, root, partitions, "overwrite", sortCols,
-            Nil, 16, 0, Nil)
+            zorderCols, zorderBits, zorderPartitions, Nil)
         else
           publishImpl(spark, df, root, partitions, "append", sortCols,
-            Nil, 16, 0, Nil, requireSchemaMatch = mode == "append")
+            zorderCols, zorderBits, zorderPartitions, Nil,
+            requireSchemaMatch = mode == "append")
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(df.schema, partitions))
       newFiles

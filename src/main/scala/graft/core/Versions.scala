@@ -394,13 +394,24 @@ object Versions {
     * A long-lived ingestion dataset (one commit per micro-batch) calls
     * this periodically to keep its file count bounded.
     */
-  def compact(spark: SparkSession, root: String): Seq[String] =
+  /** `zorderCols` / `sortCols` make this OPTIMIZE ZORDER BY / ORDER BY:
+    * the rewritten snapshot is clustered so later range predicates on
+    * those columns skip files (the periodic re-layout an append-heavy
+    * 100 TB dataset needs — commits land fast and unclustered, compact
+    * restores locality without blocking writers of other datasets).
+    */
+  def compact(spark: SparkSession, root: String,
+              sortCols: Seq[String] = Nil,
+              zorderCols: Seq[String] = Nil, zorderBits: Int = 16,
+              zorderPartitions: Int = 0): Seq[String] =
     DatasetLock.withLock(spark, root) {
       val latest = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"dataset $root is not versioned"))
       val (_, meta) = snapshotAt(spark, root, latest)
       Publish.publishVersioned(spark, fetchVersion(spark, root, latest),
-        root, meta.partitions)
+        root, meta.partitions, sortCols = sortCols,
+        zorderCols = zorderCols, zorderBits = zorderBits,
+        zorderPartitions = zorderPartitions)
     }
 
   /** Physically delete files no version ≥ `keepFrom` references, then

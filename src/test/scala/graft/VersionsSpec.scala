@@ -260,4 +260,30 @@ class VersionsSpec extends AnyFunSuite {
     }
     assert(seen.sorted.toSeq == Seq(10L, 11L))
   }
+
+  test("compact with zorderCols rewrites the snapshot z-clustered (OPTIMIZE ZORDER BY)") {
+    val root = TestSpark.tmpDir("versions_zopt")
+    (0 until 4).foreach { b =>
+      Publish.publishVersioned(spark,
+        (0 until 250).map(i => (b * 250L + i, (i * 7 % 100).toLong, (i * 13 % 100).toLong))
+          .toDF("id", "x", "y"),
+        root, Nil, mode = if (b == 0) "overwrite" else "append")
+    }
+    Versions.compact(spark, root, zorderCols = Seq("x", "y"), zorderPartitions = 4)
+    // content identical
+    assert(Versions.fetchSnapshot(spark, root).count() == 1000)
+    assert(Versions.fetchSnapshot(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 1000L))
+    // clustering effect: per-file x-ranges must be narrower than the
+    // global range (an unclustered rewrite of 4 uniform batches gives
+    // every file the full 0-99 span)
+    val (files, meta) = Versions.snapshotAt(spark, root,
+      Versions.latestVersion(spark, root).get)
+    val spans = files.map { f =>
+      val d = spark.read.parquet(new java.io.File(root, f).toString)
+        .agg(min("x"), max("x")).head()
+      d.getLong(1) - d.getLong(0)
+    }
+    assert(spans.exists(_ < 99), s"expected at least one narrowed x-span, got $spans")
+  }
 }
