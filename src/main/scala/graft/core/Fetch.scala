@@ -102,7 +102,12 @@ object Fetch {
                    filters: Seq[ColFilter] = Nil,
                    dataFilters: Seq[ColFilter] = Nil): DataFrame = {
     Filters.validateRules(filters ++ dataFilters)
-    val meta = requireMeta(spark, root)
+    // versioned roots: the commit entry's schema governs (as in fetch) and
+    // candidateFiles plans from the version-log-aware listing, so stats
+    // rows of overwritten/mutation-removed files never resurrect ghosts
+    val meta = Versions.latestVersion(spark, root)
+      .map(v => Versions.snapshotAt(spark, root, v)._2)
+      .getOrElse(requireMeta(spark, root))
     Filters.validateAgainst(meta, filters)
     Filters.validateDataFilters(meta, dataFilters)
     if (!hasData(spark, root))

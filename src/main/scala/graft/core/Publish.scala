@@ -174,7 +174,8 @@ object Publish {
                        sortCols: Seq[String] = Nil,
                        zorderCols: Seq[String] = Nil,
                        zorderBits: Int = 16,
-                       zorderPartitions: Int = 0): Seq[String] = {
+                       zorderPartitions: Int = 0,
+                       statsCols: Seq[String] = Nil): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     DatasetLock.withLock(spark, root) {
       val existing = DatasetMeta.read(spark, root)
@@ -191,10 +192,10 @@ object Publish {
       val newFiles =
         if (existing.isEmpty)
           publishImpl(spark, df, root, partitions, "overwrite", sortCols,
-            zorderCols, zorderBits, zorderPartitions, Nil)
+            zorderCols, zorderBits, zorderPartitions, statsCols)
         else
           publishImpl(spark, df, root, partitions, "append", sortCols,
-            zorderCols, zorderBits, zorderPartitions, Nil,
+            zorderCols, zorderBits, zorderPartitions, statsCols,
             requireSchemaMatch = mode == "append")
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(df.schema, partitions))

@@ -534,7 +534,13 @@ object StatsIndex {
   def candidateFiles(spark: SparkSession, root: String, meta: DatasetMeta,
                      dataFilters: Seq[ColFilter]): Seq[String] = {
     val relevant = dataFilters.filter(f => indexable(meta.schema(f.partition).dataType))
-    if (manifestColumns(spark, root).isDefined) {
+    // A VERSIONED root must plan from the commit log, not the manifest:
+    // the stats sidecar keeps rows for logically-overwritten (and
+    // mutation-removed) files, so manifest mode would resurrect ghosts.
+    // Listing mode below is safe — listDataFiles is version-log-aware
+    // (live snapshot only), and stale stats rows only ever name files
+    // absent from `all`, which subtraction ignores.
+    if (manifestColumns(spark, root).isDefined && !Versions.isVersioned(spark, root)) {
       read(spark, root) match {
         case Some(stats) => return manifestSurvivors(stats, relevant, meta)
         case None => () // marker without sidecar: fall through to listing

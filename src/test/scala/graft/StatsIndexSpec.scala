@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, StatsIndex}
+import graft.core.{ColFilter, DatasetMeta, Fetch, Mutations, Publish, StatsIndex}
 
 /** File-level data-skipping: the index must (1) never change results,
   * (2) actually drop files when the layout clusters the filtered column,
@@ -313,5 +313,35 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(Fetch.fetchIndexed(spark, r,
       dataFilters = Seq(ColFilter("v", ">=", Seq(1000.0)))).count() == 100)
     assert(Fetch.fetch(spark, r).count() == 200)
+  }
+
+  test("versioned datasets: stats index prunes, ghosts never resurrect, mutations stay exact") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_versioned")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+    Publish.publishVersioned(spark, batch(0, 4000), r, Nil, statsCols = Seq("id"))
+    Publish.publishVersioned(spark, batch(4000, 8000), r, Nil,
+      mode = "append", statsCols = Seq("id"))
+    val meta = graft.core.DatasetMeta.read(spark, r).get
+    val all = Publish.listDataFiles(spark, r)
+    val cand = StatsIndex.candidateFiles(spark, r, meta,
+      Seq(ColFilter("id", "<", Seq(1000L))))
+    assert(cand.size < all.size, s"index should skip files: ${cand.size} vs ${all.size}")
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("id", "<", Seq(1000L)))).count() == 1000)
+    // logical overwrite: stats rows for v1/v2 files remain, but planning
+    // is version-log-aware so the ghosts never come back
+    Publish.publishVersioned(spark, batch(100000, 101000), r, Nil, statsCols = Seq("id"))
+    val after = Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("id", ">=", Seq(0L))))
+    assert(after.count() == 1000)
+    assert(after.agg(min("id")).head().getLong(0) == 100000L)
+    // row-level delete rewrites files the index has no rows for ->
+    // conservative full scan of the rewritten file, still exact
+    Mutations.deleteWhere(spark, r, col("id") % 2 === 0)
+    assert(Fetch.fetchIndexed(spark, r,
+      dataFilters = Seq(ColFilter("id", ">=", Seq(0L)))).count() == 500)
   }
 }
