@@ -76,6 +76,14 @@ object Mutations {
         .stripPrefix(rootUri).stripPrefix("/"))
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
       removedRel = removedRel)
+    // keep the stats-skipping index covering the snapshot: if this
+    // dataset is indexed, the rewritten files get their min/max rows too
+    // (stale rows for the removed files are harmless — planning is
+    // version-log-aware). Without this, rewrites degrade those files to
+    // conservative always-scan.
+    val idxCols = StatsIndex.indexedColumns(spark, root)
+    if (idxCols.nonEmpty && newFiles.nonEmpty)
+      StatsIndex.appendFiles(spark, root, newFiles, idxCols)
     MutationResult(v, removedRel, addedRel)
   }
 

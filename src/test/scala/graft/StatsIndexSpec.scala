@@ -338,10 +338,14 @@ class StatsIndexSpec extends AnyFunSuite {
       dataFilters = Seq(ColFilter("id", ">=", Seq(0L))))
     assert(after.count() == 1000)
     assert(after.agg(min("id")).head().getLong(0) == 100000L)
-    // row-level delete rewrites files the index has no rows for ->
-    // conservative full scan of the rewritten file, still exact
+    // row-level delete: the rewrite appends stats rows for its new
+    // files, so the index keeps covering (and pruning) the live snapshot
     Mutations.deleteWhere(spark, r, col("id") % 2 === 0)
     assert(Fetch.fetchIndexed(spark, r,
       dataFilters = Seq(ColFilter("id", ">=", Seq(0L)))).count() == 500)
+    val live = Publish.listDataFiles(spark, r)
+    val stats = StatsIndex.read(spark, r).get
+    val covered = stats.select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(live.forall(covered), "every live file (incl. the rewrite's) must have stats rows")
   }
 }
