@@ -106,6 +106,27 @@ object ProbeMain {
         println("P27 NO-ERROR (BAD): versionless completeness claim on a sink root")
       else println("P27 OK")
     }
+    locally { // row-level mutation guard rails
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val unv = "/tmp/probe_mut_unversioned"
+      probeFs.delete(new org.apache.hadoop.fs.Path(unv), true)
+      graft.core.Publish.publish(spark, Seq((1L, "a")).toDF("id", "g"), unv, Seq("g"))
+      expectErr("P28")(graft.core.Mutations.deleteWhere(spark, unv, col("id") > 0))
+      val v = "/tmp/probe_mut_versioned"
+      probeFs.delete(new org.apache.hadoop.fs.Path(v), true)
+      graft.core.Publish.publishVersioned(spark,
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "x"), v, Seq("g"))
+      // MERGE with duplicate source keys is ambiguous — rejected up front
+      expectErr("P29")(graft.core.Mutations.merge(spark, v,
+        Seq((1L, "a", 9.0), (1L, "a", 8.0)).toDF("id", "g", "x"), Seq("id")))
+      // UPDATE cannot reassign a partition column
+      expectErr("P30")(graft.core.Mutations.updateWhere(spark, v,
+        lit(true), Map("g" -> lit("z"))))
+      // MERGE source schema must equal the dataset's
+      expectErr("P31")(graft.core.Mutations.merge(spark, v,
+        Seq((1L, "a")).toDF("id", "g"), Seq("id")))
+    }
     spark.stop()
   }
 }
