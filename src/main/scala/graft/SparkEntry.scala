@@ -1009,6 +1009,12 @@ object SparkEntry {
           Window.orderBy(col("n").desc, col("w"))).cast("long"))
     }),
 
+    // per-doc top-3 TF-IDF terms, scores quantized to micro-units so the
+    // ranking (and the dump) is bit-stable across engines
+    "text_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(s.read.parquet(t(dir, "documents")), m = 3)
+        .orderBy("doc_id", "rnk")),
+
     "text_unigram_logprob" -> ((s, dir) =>
       // corpus-LM quality signal: per-doc avg token log-probability under
       // the corpus's own empirical distribution (rare-token docs score low)
@@ -1321,6 +1327,22 @@ object SparkEntry {
         |  FROM wf, UNNEST(range(1, len(word))) AS t(i)),
         | pc AS (SELECT l, r, sum(f) AS n FROM pairs GROUP BY 1, 2)
         |SELECT l AS lhs, r AS rhs FROM pc ORDER BY n DESC, l, r LIMIT 1""".stripMargin,
+
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |scored AS (
+        | SELECT doc_id, term,
+        |   CAST(round(tf * ln((SELECT c FROM n) * 1.0 / df) * 1e6) AS BIGINT) AS tfidf_micro
+        | FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, tfidf_micro, rnk FROM (
+        | SELECT doc_id, term, tfidf_micro,
+        |   CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rnk
+        | FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -266,6 +266,35 @@ object TextAnalysis {
     * aggregate and join — model size is O(vocab), which Spark broadcasts
     * while small and shuffles when an open vocabulary outgrows that.
     */
+  /** Per-document top-`m` TF-IDF terms: tf = term count in the doc,
+    * idf = ln(N / df) over DISTINCT-doc frequency, ranked per doc by
+    * (score desc, term). Scores are emitted (and ranked) quantized to
+    * micro-units (`round(score·1e6)` as long) so the result is
+    * bit-stable across engines — the raw double product is one ulp away
+    * from rank instability when two (tf, df) pairs are mathematically
+    * tied. Three hash-shaped shuffles (doc-term counts, doc frequencies,
+    * per-doc rank window over ≤doc-length rows); the corpus total N is
+    * the one driver scalar. The per-doc feature extractor for retrieval
+    * / keyword labeling over an open vocabulary — nothing broadcasts
+    * unless Catalyst decides the df side fits.
+    */
+  def tfIdfTopTerms(docs: DataFrame, m: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val n = docs.count()
+    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf_micro",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf_micro").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= m)
+      .select(col(idCol), col("term"), col("tfidf_micro"), col("rnk"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))

@@ -281,4 +281,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     val plan = TextAnalysis.bpeTokenCounts(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("tfIdfTopTerms ranks rare repeated terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common"),
+      (3L, "common cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, m = 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "term", "rnk").as[(Long, String, Long)].collect().toSeq
+    // "common" has df=3 -> idf = ln(1) = 0; unique terms rank first
+    assert(got == Seq(
+      (1L, "apple", 1L), (1L, "common", 2L),
+      (2L, "banana", 1L), (2L, "common", 2L),
+      (3L, "cherry", 1L), (3L, "common", 2L)))
+  }
 }
