@@ -392,6 +392,23 @@ object SparkEntry {
       Mutations.merge(s, root, source, Seq("o_orderkey"))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    "version_apply_changes" -> ((s, dir) => {
+      // the CDC-sink path: one atomic version applying a batch of
+      // upserts (%10 keys re-prioritized) and delete tombstones (%7
+      // keys, minus the overlap so batch keys stay unique)
+      val root = tmpRoot("ds_orders_vapply", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders, root, Seq("o_orderstatus"))
+      val changes = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("_op", lit("upsert"))
+        .unionByName(orders
+          .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+          .withColumn("_op", lit("delete")))
+      Mutations.applyChanges(s, root, changes, Seq("o_orderkey"))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -1267,6 +1284,13 @@ object SparkEntry {
         |SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | 'INSERTED' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_apply_changes" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",

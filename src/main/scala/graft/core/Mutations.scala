@@ -140,6 +140,68 @@ object Mutations {
     }
   }
 
+  /** APPLY CHANGES INTO — the CDC-sink counterpart of
+    * [[Versions.consumeChanges]]: `changes` carries the target's columns
+    * plus `opCol` ∈ {"upsert", "delete"}; upsert rows replace/insert by
+    * key, delete rows are tombstones removing their key. One locate pass
+    * over the union of change keys, one rewrite of only the affected
+    * files, ONE commit — so applying a replicated change batch is a
+    * single atomic version, exactly what a downstream mirror of a
+    * versioned dataset replays per consumed batch. Keys must be unique
+    * across the whole batch (a key both upserted and deleted is
+    * ambiguous — rejected, same contract as [[merge]]).
+    */
+  def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
+                   keyCols: Seq[String], opCol: String = "_op"): MutationResult = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    require(changes.columns.contains(opCol),
+      s"changes must carry the operation column $opCol")
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val tgtCols = meta.schema.fieldNames.toSeq
+      val missing = tgtCols.filterNot(changes.columns.contains)
+      val extra = changes.columns.filterNot(c => tgtCols.contains(c) || c == opCol)
+      require(missing.isEmpty && extra.isEmpty,
+        s"changes columns must equal dataset columns + $opCol; missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+      val normalized = changes.select(
+        meta.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) :+ col(opCol): _*).persist()
+      try {
+        val badOp = normalized.where(!col(opCol).isin("upsert", "delete"))
+          .select(opCol).limit(1).collect()
+        require(badOp.isEmpty,
+          s"unknown $opCol value ${badOp.headOption.getOrElse("")}; expected upsert|delete")
+        val dup = normalized.groupBy(keyCols.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"change batch is not unique on (${keyCols.mkString(",")}): e.g. ${dup.headOption.getOrElse("")}")
+
+        val affected = affectedFiles(
+          snap.join(normalized.select(keyCols.map(col): _*), keyCols, "left_semi"))
+        val ups = normalized.where(col(opCol) === "upsert").drop(opCol)
+        val delKeys = normalized.where(col(opCol) === "delete")
+          .select(keyCols.map(col): _*)
+        val payload = tgtCols.filterNot(keyCols.contains)
+        val upserted =
+          if (payload.isEmpty)
+            Versions.readFiles(spark, root, affected, meta)
+              .unionByName(ups).distinct()
+          else {
+            def packed(df: DataFrame, tag: String) =
+              df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
+            packed(Versions.readFiles(spark, root, affected, meta), "_t")
+              .join(packed(ups, "_s"), keyCols, "full_outer")
+              .withColumn("_m", coalesce(col("_s"), col("_t")))
+              .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
+                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)): _*)
+          }
+        val merged = upserted.join(delKeys, keyCols, "left_anti")
+        if (affected.isEmpty && ups.isEmpty) MutationResult(latest, Nil, Nil)
+        else rewriteCommit(spark, root, meta, merged, affected)
+      } finally normalized.unpersist()
+    }
+  }
+
   /** MERGE INTO root USING source ON keyCols — upsert: a target row whose
     * key appears in `source` is replaced by the source row; source rows
     * matching nothing are inserted. `source` must carry exactly the

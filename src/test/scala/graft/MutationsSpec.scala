@@ -149,4 +149,37 @@ class MutationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
     assert(Fetch.fetch(spark, root).count() == 60)
   }
+
+  test("applyChanges: one atomic version applying upserts and delete tombstones") {
+    val root = freshTarget()
+    val changes = Seq(
+      (5L, "g1", -5.0, "upsert"),   // update
+      (200L, "g0", 1.0, "upsert"),  // insert
+      (8L, "g0", 0.0, "delete"),    // tombstone (payload ignored)
+      (999L, "g3", 0.0, "delete")   // tombstone for an absent key: no-op
+    ).toDF("id", "grp", "v", "_op")
+    val r = Mutations.applyChanges(spark, root, changes, Seq("id"))
+    assert(r.version == 2)
+    val got = Fetch.fetch(spark, root).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(got.size == 80) // 80 - 1 deleted + 1 inserted
+    assert(got(5L) == -5.0 && got(200L) == 1.0 && !got.contains(8L))
+    // v1 untouched
+    assert(Versions.fetchVersion(spark, root, 1).count() == 80)
+  }
+
+  test("applyChanges rejects a key that is both upserted and deleted, and unknown ops") {
+    val root = freshTarget()
+    val both = Seq((1L, "g1", 0.0, "upsert"), (1L, "g1", 0.0, "delete"))
+      .toDF("id", "grp", "v", "_op")
+    val e1 = intercept[IllegalArgumentException] {
+      Mutations.applyChanges(spark, root, both, Seq("id"))
+    }
+    assert(e1.getMessage.contains("not unique"))
+    val bad = Seq((1L, "g1", 0.0, "replace")).toDF("id", "grp", "v", "_op")
+    val e2 = intercept[IllegalArgumentException] {
+      Mutations.applyChanges(spark, root, bad, Seq("id"))
+    }
+    assert(e2.getMessage.contains("unknown"))
+  }
 }
