@@ -95,4 +95,30 @@ object MutationFuzzProperties extends Properties("RowLevelMutations") {
         }
       }
     }
+
+  property("applyChanges ≡ delete-filter ∘ keyed replace ∪ insert") =
+    forAll(caseGen) { case (rows, nGrp, threshold, partitioned) =>
+      if (rows.isEmpty) true
+      else {
+        import spark.implicits._
+        val root = freshRoot(rows, partitioned)
+        // disjoint key sets: %3 keys upsert, %5 (minus %3) keys delete
+        val ups = (0L to 200L by 3).filter(i => i <= threshold + 140)
+          .map(i => MutFuzzRow(i, s"g${(i % nGrp).toInt}", i + 1))
+        val dels = (0L to 200L by 5).filter(_ % 3 != 0)
+        val changes =
+          ups.map(r => (r.id, r.grp, r.v, "upsert")) ++
+            dels.map(i => (i, "gX", 0L, "delete"))
+        if (changes.isEmpty) true
+        else {
+          graft.core.Mutations.applyChanges(spark, root,
+            changes.toDF("id", "grp", "v", "_op"), Seq("id"))
+          val upById = ups.map(r => r.id -> r).toMap
+          val delSet = dels.toSet
+          val expect = (rows.filterNot(r => upById.contains(r.id)) ++ ups)
+            .filterNot(r => delSet.contains(r.id)).toSet
+          snapshot(root) == expect
+        }
+      }
+    }
 }
