@@ -1131,6 +1131,25 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "fetch_stats_minmax" -> ((s, dir) => {
+      // metadata-only MIN/MAX: answered from the stats sidecar (zero data
+      // files read — input-metrics spec in StatsIndexSpec); exactness
+      // guarded by the manifest-completeness marker
+      import s.implicits._
+      val root = publishOnce(s, "ds_lineitem_zstats", dir, Nil,
+        zorderCols = Seq("l_extendedprice", "l_quantity"),
+        statsCols = Seq("l_extendedprice", "l_quantity")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      val (plo, phi) = graft.core.StatsIndex.statsMinMax(s, root, "l_extendedprice")
+        .getOrElse(sys.error("stats index cannot answer min/max for l_extendedprice"))
+      val (qlo, qhi) = graft.core.StatsIndex.statsMinMax(s, root, "l_quantity")
+        .getOrElse(sys.error("stats index cannot answer min/max for l_quantity"))
+      Seq((plo.asInstanceOf[Double], phi.asInstanceOf[Double],
+        qlo.asInstanceOf[Double], qhi.asInstanceOf[Double]))
+        .toDF("min_price", "max_price", "min_qty", "max_qty")
+    }),
+
     "fetch_indexed_string" -> ((s, dir) => {
       // STRING data-column equality served by the min_s/max_s half of the
       // stats index: sorting by l_returnflag makes each file's string
@@ -1310,6 +1329,11 @@ object SparkEntry {
         |WHERE l_extendedprice >= 90000 AND l_quantity <= 10
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    "fetch_stats_minmax" ->
+      """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     "fetch_indexed_decimal" ->
       """SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS l_price_dec

@@ -594,6 +594,59 @@ object StatsIndex {
     * mapping — keep them in lockstep or skipping silently drops matching
     * files.
     */
+  /** Metadata-only MIN/MAX: answer `min(column), max(column)` from the
+    * stats sidecar alone — zero data files read, O(files) work for an
+    * O(rows) question (the SELECT-min/max-goes-to-metadata optimization
+    * a lakehouse table format owes its users). Returns None — caller
+    * falls back to a scan — unless the answer is provably exact:
+    * the manifest-completeness marker must cover the column (every live
+    * file has stats rows), the column must be numeric/date/timestamp
+    * (string maxima are truncated in the sidecar), and the extremes must
+    * sit inside double's exact-integer range (the sidecar stores
+    * normalized doubles). Values return in the column's declared type.
+    */
+  def statsMinMax(spark: SparkSession, root: String,
+                  column: String): Option[(Any, Any)] = {
+    val meta = DatasetMeta.read(spark, root).getOrElse(return None)
+    if (!meta.schema.fieldNames.contains(column)) return None
+    val dt = meta.schema(column).dataType
+    val numericish = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType => true
+      case _ => false // strings truncate; decimals may round in double form
+    }
+    if (!numericish) return None
+    if (!manifestColumns(spark, root).exists(_.contains(column))) return None
+    val stats = read(spark, root).getOrElse(return None)
+    val row = stats.where(col("column") === column)
+      .agg(min("min_v").as("lo"), max("max_v").as("hi")).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return None // all-null column
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val exactRange = 9007199254740992.0 // 2^53: beyond it doubles skip ints
+    val exact = dt match {
+      case LongType => math.abs(lo) < exactRange && math.abs(hi) < exactRange
+      case _ => true
+    }
+    if (!exact) return None
+    def restore(v: Double): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+      case TimestampType =>
+        // stored as fractional epoch seconds; reconstruct to the µs
+        val totalMicros = math.round(v * 1e6)
+        val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(totalMicros, 1000000L) * 1000L)
+        ts.setNanos(java.lang.Math.floorMod(totalMicros, 1000000L).toInt * 1000)
+        ts
+      case _ => v
+    }
+    Some((restore(lo), restore(hi)))
+  }
+
   private def normalized(c: Column, dt: DataType): Column =
     dt match {
       case DateType => unix_date(c).cast("double")

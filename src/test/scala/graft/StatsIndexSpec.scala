@@ -348,4 +348,28 @@ class StatsIndexSpec extends AnyFunSuite {
     val covered = stats.select("file").distinct().collect().map(_.getString(0)).toSet
     assert(live.forall(covered), "every live file (incl. the rewrite's) must have stats rows")
   }
+
+  test("statsMinMax answers from the sidecar: exact values, zero data rows read") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_minmax")
+    val rows = (0 until 5000).map(i => (i.toLong, (i * 37 % 1000) / 4.0))
+    Publish.publish(spark, rows.toDF("id", "v").repartitionByRange(6, col("id")),
+      r, Nil, statsCols = Seq("id", "v"))
+    val meta = DatasetMeta.read(spark, r).get
+    val nData = spark.read.schema(meta.schema).parquet(r).count() // warm nothing; sanity
+    assert(nData == 5000)
+    val ((idR, vR), recs) = IoMetrics.recordsReadDuring(spark) {
+      (StatsIndex.statsMinMax(spark, r, "id").get,
+        StatsIndex.statsMinMax(spark, r, "v").get)
+    }
+    assert(idR == ((0L, 4999L)))
+    assert(vR == ((0.0, 999.0 / 4.0)))
+    // only sidecar rows ride: 6 files x 2 columns = 12 stats rows per call
+    assert(recs <= 50, s"metadata-only answer read $recs records")
+    // refuses when it cannot be exact: unknown column, string column
+    assert(StatsIndex.statsMinMax(spark, r, "nope").isEmpty)
+    val r2 = TestSpark.tmpDir("stats_minmax_str")
+    Publish.publish(spark, Seq((1L, "aa")).toDF("id", "s"), r2, Nil, statsCols = Seq("s"))
+    assert(StatsIndex.statsMinMax(spark, r2, "s").isEmpty)
+  }
 }
