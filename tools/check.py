@@ -16,10 +16,16 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 # Do NOT set preserve_insertion_order=false here — the SPARK DUMP is read
 # with a bare SELECT (no ORDER BY; parquet row order IS the contract), and
 # that flag scrambles it (measured: fetch_diff_reverse false-FAIL at ×100).
-con = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill"})
-for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
-    name = os.path.basename(f)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+# memory_limit well under RAM: ×100 oracles (50M-token ordered string_aggs)
+# must SPILL, not race the OS allocator to death.
+def fresh_con():
+    c = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill",
+                               "memory_limit": "48GB"})
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        c.execute(f"CREATE VIEW {os.path.basename(f)[:-8]} AS "
+                  f"SELECT * FROM read_parquet('{f}')")
+    return c
+con = fresh_con()
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 ok = fail = 0
@@ -52,7 +58,15 @@ for name in sorted(os.listdir(out_dir)):
     # tokens cannot spill) must not kill the whole gate: report and move
     # on — and reconnect, since an OOM'd connection is poisoned
     try:
-        exp = con.sql(oracle[name]).df()
+        # ordered-result preservation is only needed for the SPARK DUMP
+        # read (bare SELECT, parquet order = contract); the oracle has its
+        # own ORDER BY, and letting DuckDB drop insertion order is what
+        # allows giant aggregations to stream/spill instead of OOM
+        con.execute("SET preserve_insertion_order=false")
+        try:
+            exp = con.sql(oracle[name]).df()
+        finally:
+            con.execute("SET preserve_insertion_order=true")
     except Exception as e:
         fail += 1
         print(f"[ERR]  {name}: oracle failed: {type(e).__name__}: {str(e).splitlines()[0][:160]}")
@@ -60,10 +74,9 @@ for name in sorted(os.listdir(out_dir)):
             con.close()
         except Exception:
             pass
-        con = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill"})
-        for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
-            con.execute(f"CREATE VIEW {os.path.basename(f)[:-8]} AS "
-                        f"SELECT * FROM read_parquet('{f}')")
+        import gc
+        gc.collect()
+        con = fresh_con()
         continue
     exp = exp[sorted(exp.columns)]
     status = []
