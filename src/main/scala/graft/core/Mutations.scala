@@ -167,7 +167,8 @@ object Mutations {
         meta.schema.fields.toIndexedSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)) :+ col(opCol): _*).persist()
       try {
-        val badOp = normalized.where(!col(opCol).isin("upsert", "delete"))
+        val badOp = normalized
+          .where(col(opCol).isNull || !col(opCol).isin("upsert", "delete"))
           .select(opCol).limit(1).collect()
         require(badOp.isEmpty,
           s"unknown $opCol value ${badOp.headOption.getOrElse("")}; expected upsert|delete")

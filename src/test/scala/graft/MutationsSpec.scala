@@ -181,5 +181,11 @@ class MutationsSpec extends AnyFunSuite {
       Mutations.applyChanges(spark, root, bad, Seq("id"))
     }
     assert(e2.getMessage.contains("unknown"))
+    // a NULL op must not silently no-op
+    val nul = Seq((1L, "g1", 0.0, Option.empty[String])).toDF("id", "grp", "v", "_op")
+    val e3 = intercept[IllegalArgumentException] {
+      Mutations.applyChanges(spark, root, nul, Seq("id"))
+    }
+    assert(e3.getMessage.contains("unknown"))
   }
 }
