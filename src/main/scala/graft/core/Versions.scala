@@ -414,6 +414,21 @@ object Versions {
         zorderPartitions = zorderPartitions)
     }
 
+  /** RESTORE: make `version`'s content the NEW latest version — a
+    * metadata-only rollback. The new commit is an `overwrite` whose file
+    * list IS the old version's live list: zero bytes of data move, the
+    * bad intermediate versions stay readable for forensics until
+    * [[vacuum]], and vacuum's per-version liveness walk keeps the
+    * restored files alive however old they are (reference counting by
+    * replay, not by age).
+    */
+  def restore(spark: SparkSession, root: String, version: Int): Int =
+    DatasetLock.withLock(spark, root) {
+      val (files, meta) = snapshotAt(spark, root, version)
+      val abs = files.map(r => new Path(root, r).toString)
+      commit(spark, root, "overwrite", abs, meta)
+    }
+
   /** Physically delete files no version ≥ `keepFrom` references, then
     * advance the vacuum watermark so older versions fail loudly instead of
     * reading partial data. Driver work is O(history size) over the tiny

@@ -286,4 +286,24 @@ class VersionsSpec extends AnyFunSuite {
     }
     assert(spans.exists(_ < 99), s"expected at least one narrowed x-span, got $spans")
   }
+
+  test("restore rolls back metadata-only; vacuum keeps restored files alive") {
+    val root = freshVersioned() // v1: ids 0-9, v2: +10-14, v3: overwrite 100-102
+    val before = Publish.listPhysicalDataFilesWithSize(spark, root).size
+    val v4 = Versions.restore(spark, root, 2)
+    assert(v4 == 4)
+    // zero data copied: physical file count unchanged
+    assert(Publish.listPhysicalDataFilesWithSize(spark, root).size == before)
+    assert(Versions.fetchSnapshot(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 15L))
+    // vacuum to the restore point: v1/v2's files survive (v4 references
+    // them), v3's logically-abandoned files die, v3 reads fail loudly
+    val dead = Versions.vacuum(spark, root, keepFrom = 4)
+    assert(dead.nonEmpty)
+    assert(Versions.fetchSnapshot(spark, root).count() == 15)
+    val e = intercept[IllegalArgumentException] {
+      Versions.fetchVersion(spark, root, 3)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
