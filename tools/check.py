@@ -28,7 +28,15 @@ def fresh_con():
 con = fresh_con()
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-ok = fail = 0
+# re-exec bookkeeping: an OOM'd DuckDB poisons the whole process
+# allocator (even connect() fails afterwards), so on oracle failure we
+# replace this process with a fresh one covering the remaining cells;
+# the running tally rides through the environment.
+ok = int(os.environ.get("GRAFT_CHECK_OK", "0"))
+fail = int(os.environ.get("GRAFT_CHECK_FAIL", "0"))
+all_cells = [d for d in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, d))
+             and (only is None or d in only)]
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
@@ -69,15 +77,17 @@ for name in sorted(os.listdir(out_dir)):
             con.execute("SET preserve_insertion_order=true")
     except Exception as e:
         fail += 1
-        print(f"[ERR]  {name}: oracle failed: {type(e).__name__}: {str(e).splitlines()[0][:160]}")
-        try:
-            con.close()
-        except Exception:
-            pass
-        import gc
-        gc.collect()
-        con = fresh_con()
-        continue
+        print(f"[ERR]  {name}: oracle failed: {type(e).__name__}: {str(e).splitlines()[0][:160]}",
+              flush=True)
+        remaining = all_cells[all_cells.index(name) + 1:]
+        if not remaining:
+            print(f"\n{ok} ok, {fail} fail")
+            sys.exit(1)
+        os.environ["GRAFT_CHECK_OK"] = str(ok)
+        os.environ["GRAFT_CHECK_FAIL"] = str(fail)
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+                  ",".join(remaining)])
     exp = exp[sorted(exp.columns)]
     status = []
     if list(got.columns) != list(exp.columns):
