@@ -370,4 +370,58 @@ object Multimodal {
         }
       }.toDF(idCol, "features")
   }
+
+  /** 64-bit perceptual average-hash (aHash) of each image payload: decode
+    * (real `ImageIO`), downscale to 8×8 grayscale, threshold each cell by
+    * the mean — near-identical images differ in a few bits, so Hamming
+    * distance is a visual-similarity metric. Non-image payloads are
+    * dropped (they have no visual identity). Partition-parallel decode at
+    * the same `mapPartitions` seam as [[decodeBatch]].
+    */
+  def averageHash64(spark: SparkSession, withPayload: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val img = readImage(bytes)
+          if (img == null) None
+          else {
+            val small = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = small.createGraphics()
+            try {
+              g.drawImage(img, 0, 0, 8, 8, null)
+            } finally g.dispose()
+            val px = new Array[Int](64)
+            small.getRaster.getPixels(0, 0, 8, 8, px)
+            val mean = px.sum / 64.0
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (px(i) >= mean) bits |= (1L << i)
+              i += 1
+            }
+            Some((id, bits))
+          }
+        }
+      }.toDF(idCol, "ahash")
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    * the multimodal twin of text SimHash dedup, riding the exact same
+    * 16-bit-chunk bucket machinery (exhaustive for hamming ≤ 3: three
+    * flipped bits cannot touch all four chunks). Visually re-encoded or
+    * slightly-retouched copies land within a few bits; unrelated images
+    * are ~32 bits apart.
+    */
+  def imageNearDupPairs(spark: SparkSession, withPayload: DataFrame,
+                        idCol: String = "doc_id", maxHamming: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val hashes = averageHash64(spark, withPayload, idCol)
+    graft.ops.Dedup.simHashPairs(hashes, idCol = idCol, textCol = idCol,
+      maxHamming = maxHamming, maxBucket = maxBucket,
+      sig = Some(col("ahash")))
+  }
 }

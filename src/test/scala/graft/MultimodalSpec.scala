@@ -234,4 +234,34 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.doc_id -> m).toMap
     assert(mixed(1L).width == -1 && mixed(1L).height == -1 && mixed(1L).channels == 2)
   }
+
+  /** A real PNG with per-pixel computed RGB (aHash needs structure — a
+    * flat color image hashes degenerately).
+    */
+  private def patternPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, f(x, y)); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageNearDupPairs: retouched copy found, unrelated image not, non-images dropped") {
+    val grad = (x: Int, y: Int) => { val v = (x * 255 / 63) & 0xff; (v << 16) | (v << 8) | v }
+    val gradTweaked = (x: Int, y: Int) =>
+      if (x == 10 && y == 10) 0x777777 else grad(x, y)
+    val inverse = (x: Int, y: Int) => { val v = 255 - ((x * 255 / 63) & 0xff); (v << 16) | (v << 8) | v }
+    val imgs = Seq(
+      (1L, patternPng(64, 64)(grad)),
+      (2L, patternPng(64, 64)(gradTweaked)),
+      (3L, patternPng(64, 64)(inverse)),
+      (4L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    assert(Multimodal.averageHash64(spark, imgs).count() == 3) // non-image dropped
+    val pairs = Multimodal.imageNearDupPairs(spark, imgs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
