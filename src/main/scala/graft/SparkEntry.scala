@@ -1796,8 +1796,8 @@ object SparkEntry {
         | SELECT para FROM paras GROUP BY para
         | HAVING count(DISTINCT doc_id) >= 3),
         |kept AS (
-        | SELECT doc_id, ppos, para FROM paras
-        | WHERE para NOT IN (SELECT para FROM common)),
+        | SELECT p.doc_id, p.ppos, p.para FROM paras p
+        | ANTI JOIN common c ON p.para = c.para),
         |rebuilt AS (
         | SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY ppos) AS text
         | FROM kept GROUP BY doc_id)
