@@ -16,11 +16,12 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 # Do NOT set preserve_insertion_order=false here — the SPARK DUMP is read
 # with a bare SELECT (no ORDER BY; parquet row order IS the contract), and
 # that flag scrambles it (measured: fetch_diff_reverse false-FAIL at ×100).
-# memory_limit well under RAM: ×100 oracles (50M-token ordered string_aggs)
-# must SPILL, not race the OS allocator to death.
+# memory_limit under RAM so ×100 oracles SPILL instead of racing the OS
+# allocator to death — but not too low: the simhash oracle's 3.2B-row
+# bit expansion needs ~80GB of working set even when spilling.
 def fresh_con():
     c = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill",
-                               "memory_limit": "48GB"})
+                               "memory_limit": "80GB"})
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
         c.execute(f"CREATE VIEW {os.path.basename(f)[:-8]} AS "
                   f"SELECT * FROM read_parquet('{f}')")
