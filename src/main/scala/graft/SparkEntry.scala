@@ -838,6 +838,14 @@ object SparkEntry {
     "events_funnel_counts" -> ((s, dir) =>
       graft.ops.Funnel.funnelCounts(readEvents(s, dir),
         Seq("signup", "click", "purchase")).orderBy("step_idx")),
+    // cohort retention triangle: users by first-activity day × day offset
+    "events_retention" -> ((s, dir) =>
+      graft.ops.Funnel.retention(readEvents(s, dir), maxOffsetDays = 14)
+        .orderBy("cohort_day", "day_offset")),
+    // equi-width histogram, exact counts, empty buckets emitted
+    "events_value_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(s, readEvents(s, dir), "value",
+        bins = 20, lo = 0.0, hi = 500.0)),
 
     "fetch_latest_partition" -> ((s, dir) => {
       val df = Fetch.fetchLatest(s, lineitemDataset(s, dir), "l_linenumber")
@@ -2074,6 +2082,29 @@ object SparkEntry {
         |SELECT user_id, step_1, step_2, step_3
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |o AS (SELECT cohort_day,
+        |        CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |        count(*) AS n_users
+        |      FROM ud JOIN fd USING (u)
+        |      WHERE datediff('day', cohort_day, day) <= 14 GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, n_users AS n_base FROM o WHERE day_offset = 0)
+        |SELECT o.cohort_day, o.day_offset, o.n_users,
+        |  round(CAST(o.n_users AS DOUBLE) / n_base, 4) AS retention
+        |FROM o JOIN b USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_value_histogram" ->
+      """WITH c AS (
+        | SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bucket,
+        |        count(*) AS n
+        | FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT r.bucket, r.bucket * 25.0 AS bucket_lo, coalesce(c.n, 0) AS n
+        |FROM range(0, 20) r(bucket) LEFT JOIN c USING (bucket)
+        |ORDER BY r.bucket""".stripMargin,
 
     "events_funnel_counts" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS step_1 FROM events

@@ -72,4 +72,31 @@ object Funnel {
     reached.select(explode(array(stepRows: _*)).as("r"))
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"), col("r.conversion"))
   }
+
+  /** Cohort retention: users grouped by FIRST-activity day (the cohort),
+    * counted per day-offset of later activity — the classic retention
+    * triangle. Two hash aggregates (per-user first day over user-day
+    * pairs, then cohort×offset counts) and one co-keyed join; no window
+    * over the event log, so the event volume rides the shuffle only as
+    * distinct (user, day) pairs. Output: (cohort_day, day_offset,
+    * n_users, retention = n / day-0 cohort size).
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0, got $maxOffsetDays")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy("u").agg(min("day").as("cohort_day"))
+    val offsets = userDays.join(firstDay, "u")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val base = offsets.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("n_base"))
+    offsets.join(base, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_base"), 4).as("retention"))
+  }
 }

@@ -41,6 +41,33 @@ object Profile {
     * Estimates carry the sketches' documented error (~1.6% distinct,
     * percentile error concentrated mid-distribution).
     */
+  /** Equi-width histogram of a numeric column over [lo, hi): `bins`
+    * buckets of width (hi-lo)/bins, values at/above `hi` clamp into the
+    * last bucket, below `lo` into the first (a histogram must account for
+    * every row or it lies about the distribution); NULLs drop. Empty
+    * buckets are emitted with n=0 — chart-ready, exact oracle-able. One
+    * map-side-combined aggregate; the bucket id is a pure projection, so
+    * the scan stays whole-stage-codegen.
+    */
+  def histogram(spark: SparkSession, df: DataFrame, column: String,
+                bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val bucket = least(greatest(
+      floor((col(column).cast("double") - lo) / width), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    val counted = df.where(col(column).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    val all = spark.range(0, bins).toDF("bucket")
+    all.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
   def sketchProfile(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
     import spark.implicits._
     import graft.functions.SketchAggregates

@@ -70,4 +70,38 @@ class FunnelSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("retention: cohorts by first day, offsets counted once per user-day") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 17)),   // day-0 twice: counts once
+      (1L, ts(2, 9)),                    // day 1
+      (2L, ts(1, 10)),                   // cohort 01-01, never returns
+      (3L, ts(2, 10)), (3L, ts(4, 10))   // cohort 01-02, returns day 2
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Funnel.retention(events, maxOffsetDays = 7)
+      .orderBy("cohort_day", "day_offset")
+      .select("cohort_day", "day_offset", "n_users", "retention")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 0.5),
+      ("2024-01-02", 0L, 1L, 1.0),
+      ("2024-01-02", 2L, 1L, 1.0)))
+  }
+
+  test("histogram: clamping, empty buckets, null drop") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.0), Some(250.0), None).toDF("v")
+    val got = graft.ops.Profile.histogram(spark, df, "v", bins = 10, lo = 0.0, hi = 100.0)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(got.size == 10)
+    assert(got(0L) == 3)   // -5 clamps in, 0.0, 9.9
+    assert(got(1L) == 1)   // 10.0
+    assert(got(2L) == 1)   // 25.0
+    assert(got(9L) == 2)   // 99.0 + 250 clamps into last
+    assert((3L to 8L).forall(got(_) == 0))
+  }
 }
