@@ -617,7 +617,25 @@ object StatsIndex {
     }
     if (!numericish) return None
     if (!manifestColumns(spark, root).exists(_.contains(column))) return None
-    val stats = read(spark, root).getOrElse(return None)
+    val all = read(spark, root).getOrElse(return None)
+    // A VERSIONED root's sidecar keeps rows for logically-overwritten /
+    // mutation-removed files (planning is log-aware, so they are harmless
+    // there) — but a min/max over ALL rows would resurrect those ghosts'
+    // extremes. Restrict the aggregate to the latest snapshot's live file
+    // set (tiny semi-join; the live list is already O(files) driver state),
+    // mirroring candidateFiles' versioned guard. Marker coverage claims all
+    // PHYSICAL files ⊇ live files, so exactness still holds.
+    val stats = Versions.latestVersion(spark, root) match {
+      case None => all
+      case Some(latest) =>
+        val qualified = new Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(new Path(root)).toUri.getPath
+        val live = Versions.snapshotAt(spark, root, latest)._1
+          .map(r => s"$qualified/$r")
+        import spark.implicits._
+        all.join(live.toDF("file"), Seq("file"), "left_semi")
+    }
     val row = stats.where(col("column") === column)
       .agg(min("min_v").as("lo"), max("max_v").as("hi")).head()
     if (row.isNullAt(0) || row.isNullAt(1)) return None // all-null column

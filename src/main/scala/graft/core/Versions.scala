@@ -238,15 +238,13 @@ object Versions {
     val rootPath = fs(spark, root).makeQualified(new Path(root)).toUri.getPath
       .stripSuffix("/")
     readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol))
-      // normalize the scan URI to `toUri.getPath` form (scheme and
-      // authority dropped: "file:///tmp/x" → "/tmp/x", "s3a://b/x" →
-      // "/x", "file:/tmp/x" → "/tmp/x"), then strip the dataset root
-      // prefix → root-relative
-      .withColumn(fileCol, regexp_replace(col(fileCol),
-        lit("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*/"), lit("/")))
-      .withColumn(fileCol, regexp_replace(col(fileCol),
-        lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/")))
-      .withColumn(fileCol, regexp_replace(col(fileCol),
+      // `_metadata.file_path` is a URI-ENCODED string while commit entries
+      // store DECODED `Path.toUri.getPath` paths (a hive dir like `d=a b`
+      // surfaces percent-encoded from the scan) — [[StatsIndex.normPath]]
+      // strips scheme+authority AND percent-decodes in one codegen'd
+      // column expression; then strip the (decoded) root prefix →
+      // root-relative, the commit-entry form.
+      .withColumn(fileCol, regexp_replace(StatsIndex.normPath(col(fileCol)),
         lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit("")))
   }
 
