@@ -220,25 +220,28 @@ object Similarity {
     }
   }
 
+  /** The (vector, idx) centroid pairs as a dense position-indexed array —
+    * the form the codegen kernels ([[graft.functions.AnnOps]]) scan. Cell
+    * ids are contiguous by construction (fit assigns zipWithIndex; load
+    * collects and sorts the full sidecar), so position == cell id.
+    */
+  private def centroidArray(centroids: Array[(Array[Double], Int)]): Array[Array[Double]] = {
+    val out = new Array[Array[Double]](centroids.map(_._2).max + 1)
+    centroids.foreach { case (v, i) => out(i) = v }
+    require(out.forall(_ != null), "IVF cell ids must be contiguous")
+    out
+  }
+
   /** Nearest-centroid cell assignment of an [[ivfBase]]-shaped frame: one
-    * distributed pass with the (tiny) centroid array riding the closure —
-    * no join, no shuffle. Shared by [[ivfFit]] and [[IvfIndex.append]].
+    * distributed pass, the (tiny) centroid array riding the codegen'd
+    * [[graft.functions.NearestCellExpr]] — no join, no shuffle, no udf
+    * boxing in the 100 TB assignment loop. Shared by [[ivfFit]] and
+    * [[IvfIndex.append]].
     */
   private def assignCells(c: DataFrame,
-                          centroids: Array[(Array[Double], Int)]): DataFrame = {
-    val nearestCell = udf { (cv: Seq[Double], cn: Double) =>
-      var best = 0; var bestD = Double.MaxValue
-      centroids.foreach { case (ctr, idx) =>
-        var d = 0.0; var i = 0
-        while (i < ctr.length && i < cv.length) {
-          val diff = cv(i) / cn - ctr(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = idx }
-      }
-      best
-    }
-    c.withColumn("cell", nearestCell(col("cv"), col("cn")))
-  }
+                          centroids: Array[(Array[Double], Int)]): DataFrame =
+    c.withColumn("cell", graft.functions.AnnFunctions.nearestCell(
+      col("cv"), col("cn"), centroidArray(centroids)))
 
   /** IVF-style ANN against a fitted index: each query probes only its
     * `nprobe` nearest cells and ranks that union by exact cosine —
@@ -252,19 +255,11 @@ object Similarity {
                nprobe: Int = 3): DataFrame = {
     val centroids = index.centroids
     // Each query's nprobe nearest cells, ranked by distance to the (tiny,
-    // driver-held) centroid set — centroids ride into the closure, no join.
-    val probeCells = udf { (qv: Seq[Double]) =>
-      centroids.map { case (ctr, idx) =>
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length && i < qv.length) {
-          val diff = qv(i) - ctr(i); d += diff * diff; i += 1
-        }
-        (d, idx)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
+    // driver-held) centroid set — centroids ride the codegen'd
+    // [[graft.functions.ProbeCellsExpr]], no join, no udf boxing.
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("cell", explode(probeCells(unitized("qv", "qn"))))
+      .withColumn("cell", explode(graft.functions.AnnFunctions.probeCells(
+        col("qv"), col("qn"), centroidArray(centroids), nprobe)))
 
     // A persisted index is cell-partitioned on disk: resolve the probed
     // cell set (≤ nlist values — one cheap pass over the query side) and
@@ -392,31 +387,12 @@ object Similarity {
   }
 
   /** Nearest-codeword encoder over a raw `(cv, cn)` pair — shared by the
-    * flat and IVF-composed PQ paths; codebooks ride the closure.
+    * flat and IVF-composed PQ paths. The codebooks ride the codegen'd
+    * [[graft.functions.PqEncodeExpr]]: the 100 TB encode pass is a
+    * whole-stage-codegen loop, not a udf boxing every vector.
     */
-  private def pqEncodeUdf(model: PqModel) = {
-    val splits = model.splits
-    val books = model.codebooks
-    udf { (cv: Seq[Double], cn: Double) =>
-      val mm = books.length
-      val code = new Array[Int](mm)
-      var s = 0
-      while (s < mm) {
-        val book = books(s); val lo = splits(s); val hi = splits(s + 1)
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < book.length) {
-          val ctr = book(j); var d = 0.0; var i = lo
-          while (i < hi) { val x = cv(i) / cn - ctr(i - lo); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        code(s) = best
-        s += 1
-      }
-      code
-    }
-  }
+  private def pqEncodeCol(model: PqModel, cv: Column, cn: Column): Column =
+    graft.functions.AnnFunctions.pqEncode(cv, cn, model.splits, model.codebooks)
 
   /** ADC lookup table for one unit-normalized query vector (driver-side:
     * the query batch is collected anyway — it is the broadcast-small side
@@ -474,7 +450,7 @@ object Similarity {
   def pqEncode(model: PqModel, corpus: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfBase(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .select(col("neighbor_id"), pqEncodeUdf(model)(col("cv"), col("cn")).as("code"))
+      .select(col("neighbor_id"), pqEncodeCol(model, col("cv"), col("cn")).as("code"))
 
   /** ADC (asymmetric-distance) top-k over an encoded corpus: each query
     * precomputes a `m × width` lookup table of partial dot products
@@ -496,25 +472,16 @@ object Similarity {
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
     val (luts, _, qpos) = collectQueryLuts(model, q)
     // The LUT matrix rides ONE executor-shared Broadcast and every corpus
-    // row scores ALL queries in a single tight loop. The first cut joined
-    // a (query_id, lut) frame instead — which materialized the 4 KB lut
+    // row scores ALL queries in a single tight codegen'd loop
+    // ([[graft.functions.AdcScoreAllExpr]]). The first cut joined a
+    // (query_id, lut) frame instead — which materialized the 4 KB lut
     // into every joined row (measured ~100× slower than this at 20k×8:
     // the join row copies dominated everything).
     val bc = spark.sparkContext.broadcast(luts)
     val width = model.width
-    val scoreAll = udf { (code: Seq[Int]) =>
-      val ls = bc.value
-      val out = new Array[Double](ls.length)
-      var qi = 0
-      while (qi < ls.length) {
-        val lut = ls(qi); var s = 0; var sum = 0.0
-        while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
-        out(qi) = sum; qi += 1
-      }
-      out
-    }
     val scored = encoded
-      .select(col("neighbor_id"), posexplode(scoreAll(col("code"))).as(Seq("qpos", "sim")))
+      .select(col("neighbor_id"), posexplode(
+        graft.functions.AnnFunctions.adcScoreAll(col("code"), bc, width)).as(Seq("qpos", "sim")))
       .join(broadcast(qpos), "qpos")
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "sim")
@@ -561,7 +528,7 @@ object Similarity {
     // same pass, then drop the vectors — cells scan codes only
     val encodedCells = index.assigned
       .select(col("neighbor_id"), col("cell"),
-        pqEncodeUdf(model)(col("cv"), col("cn")).as("code"))
+        pqEncodeCol(model, col("cv"), col("cn")).as("code"))
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
     val (luts, nqs, qpos) = collectQueryLuts(model, q)
     // Each query's nprobe nearest cells, computed driver-side against the
@@ -581,23 +548,18 @@ object Similarity {
       }.sortBy(_._1).take(nprobe).map { case (_, cell) => (cell, qi) }
     }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2).sorted }
     val spark = corpus.sparkSession
+    // probe map as a dense cell-indexed array for the codegen'd scorer
+    // ([[graft.functions.AdcScoreCellExpr]]); both it and the LUT matrix
+    // ride executor-shared Broadcasts, unwrapped once per codegen instance
+    val cellProbes: Array[Array[Int]] = Array.tabulate(centroidArray(centroids).length)(
+      c => cellToQpos.getOrElse(c, Array.empty[Int]))
     val bcLuts = spark.sparkContext.broadcast(luts)
-    val bcCells = spark.sparkContext.broadcast(cellToQpos)
+    val bcCells = spark.sparkContext.broadcast(cellProbes)
     val width = model.width
-    val scoreCell = udf { (code: Seq[Int], cell: Int) =>
-      bcCells.value.get(cell) match {
-        case None => Seq.empty[(Int, Double)]
-        case Some(probing) =>
-          probing.toSeq.map { qi =>
-            val lut = bcLuts.value(qi); var s = 0; var sum = 0.0
-            while (s < code.length) { sum += lut(s * width + code(s)); s += 1 }
-            (qi, sum)
-          }
-      }
-    }
     val scored = encodedCells
-      .select(col("neighbor_id"), explode(scoreCell(col("code"), col("cell"))).as("e"))
-      .select(col("neighbor_id"), col("e._1").as("qpos"), col("e._2").as("sim"))
+      .select(col("neighbor_id"), explode(graft.functions.AnnFunctions.adcScoreCell(
+        col("code"), col("cell"), bcLuts, bcCells, width)).as("e"))
+      .select(col("neighbor_id"), col("e.qpos").as("qpos"), col("e.sim").as("sim"))
       .join(broadcast(qpos), "qpos")
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "sim")

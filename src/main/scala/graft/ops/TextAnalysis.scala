@@ -245,11 +245,20 @@ object TextAnalysis {
     val grams = docs.select(col(idCol).as("__id"),
         explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
           i => xxhash64(array_join(slice(words, i + 1, lit(n)), " ")))).as("__g"))
-    val counts = grams.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
-    grams.join(counts, grams("__g") === counts("__cg"))
-      .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("__n") >= minCount, 1L).otherwise(0L)).as("n_repeated"))
+    // Only grams in the ≥minCount HEAD of the count table can contribute
+    // to n_repeated, so the join-back build side is the (small) repeated
+    // head, not the full open vocabulary — n_ngrams comes from a plain
+    // per-doc hash aggregate instead of riding the join. On a heavy-tailed
+    // corpus the head is orders of magnitude smaller than the vocabulary,
+    // which is what keeps this join broadcast-able at 100 TB.
+    val perDoc = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_ngrams"))
+    val repeatedHead = grams.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+    val repeated = grams.join(repeatedHead, grams("__g") === repeatedHead("__cg"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_repeated"))
+    perDoc.join(repeated, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_ngrams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
       .withColumn("repeated_frac",
         round(col("n_repeated").cast("double") / col("n_ngrams"), 4))
   }
@@ -281,13 +290,17 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, m: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
-    val n = docs.count()
+    // corpus size N derives LAZILY via a broadcast cross join (the
+    // unigramLogProb total pattern) — an eager docs.count() here was one
+    // whole extra corpus pass before any caller even acted on the frame
+    val totalDf = docs.agg(count(lit(1)).cast("double").as("__N"))
     val toks = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
+      .crossJoin(broadcast(totalDf))
       .withColumn("tfidf_micro",
-        round(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6).cast("long"))
+        round(col("tf") * log(col("__N") / col("df")) * 1e6).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("tfidf_micro").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -183,16 +183,32 @@ object PlanAudit {
       "broadcast centroid frame" -> (_.contains("BroadcastNestedLoopJoin")),
       "map-side partial argmax" -> (_.contains("partial_min_by")))
     audit("ann_pq_topk",
-      // LUTs ride a Broadcast VARIABLE inside the score-all udf — the
-      // only join in the plan is the tiny (qpos → query_id) broadcast
+      // LUTs ride a Broadcast VARIABLE inside the codegen'd ADC scorer —
+      // the only join in the plan is the tiny (qpos → query_id) broadcast
       // hash join (a LUT-frame nested-loop join measured ~100× slower:
       // 4 KB of lut payload copied into every joined row); both ranking
       // passes are partial top-k aggregates; refine never shuffles the
-      // corpus
+      // corpus; encode + score are native expressions, not scala udfs
       "qpos broadcast hash join" -> (_.contains("BroadcastHashJoin")),
       "no LUT nested-loop join" -> (p => !p.contains("BroadcastNestedLoopJoin")),
       "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")),
+      "codegen'd encode + ADC scorer, no scala udf" -> (p =>
+        p.contains("graft_pq_encode") && p.contains("graft_adc_score_all")
+          && !p.contains("UDF(")))
+    audit("ann_ivfpq_topk",
+      // the 100 TB configuration: the hot loop (encode + per-cell ADC)
+      // must be whole-stage-codegen expressions, never udf-boxed
+      "codegen'd encode + cell scorer, no scala udf" -> (p =>
+        p.contains("graft_pq_encode") && p.contains("graft_adc_score_cell")
+          && !p.contains("UDF(")),
+      "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")),
       "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
+    audit("ann_ivf_topk",
+      "codegen'd cell assign + probe, no scala udf" -> (p =>
+        p.contains("graft_ann_nearest_cell") && p.contains("graft_ann_probe_cells")
+          && !p.contains("UDF(")),
+      "partial top-k aggregate" -> (_.contains("partial_graft_top_k_pairs")))
     audit("version_travel_latest",
       // snapshot reads stay plain file scans of the live list — the only
       // exchange is the query's own ORDER BY range partitioning
