@@ -188,4 +188,35 @@ class MutationsSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("unknown"))
   }
+
+  test("mutations match files under hive dirs needing URI encoding (d=a b)") {
+    // `_metadata.file_path` surfaces percent-ENCODED while commit entries
+    // store decoded paths — if the locate pass compares them raw, a
+    // mutation under a partition value with an encodable character finds
+    // affected files whose names match NO commit entry, so the removal
+    // never replays and deleted rows stay visible.
+    val root = TestSpark.tmpDir("mutations_encoded")
+    Publish.publishVersioned(spark,
+      (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a b" else "c%d", i * 1.0))
+        .toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    val before = Versions.snapshotAt(spark, root, 1)._1
+    val r = Mutations.deleteWhere(spark, root, col("grp") === "a b" && col("id") < 20)
+    assert(r.version == 2)
+    assert(r.removedFiles.nonEmpty, "the a b partition's file must be located")
+    assert(r.removedFiles.forall(f => f.contains("grp=a b") || f.contains("grp=a%20b")),
+      s"only the a b partition may be rewritten, got ${r.removedFiles}")
+    // removal replayed: the rewritten files are gone from the snapshot
+    val after = Versions.snapshotAt(spark, root, 2)._1
+    assert(r.removedFiles.forall(f => before.contains(f) && !after.contains(f)),
+      s"removed files must match commit entries; before=$before after=$after removed=${r.removedFiles}")
+    val ids = Fetch.fetch(spark, root).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 40L).filterNot(i => i % 2 == 0 && i < 20).toSeq)
+    // update under the other encodable value ("c%d" carries a literal %)
+    Mutations.updateWhere(spark, root, col("grp") === "c%d" && col("id") === 1L,
+      Map("v" -> lit(-1.0)))
+    val got = Fetch.fetch(spark, root).where(col("id") === 1L)
+      .select("v").as[Double].head()
+    assert(got == -1.0)
+  }
 }

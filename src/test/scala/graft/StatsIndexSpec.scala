@@ -372,4 +372,32 @@ class StatsIndexSpec extends AnyFunSuite {
     Publish.publish(spark, Seq((1L, "aa")).toDF("id", "s"), r2, Nil, statsCols = Seq("s"))
     assert(StatsIndex.statsMinMax(spark, r2, "s").isEmpty)
   }
+
+  test("statsMinMax on a versioned root excludes ghost files (overwrite + delete)") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_minmax_versioned")
+    // v1 carries the extreme id=99999 — then a logical OVERWRITE replaces
+    // the dataset with a narrower range. The v1 files stay on disk for
+    // time travel and their sidecar rows stay too (planning is log-aware);
+    // a min/max over ALL sidecar rows would resurrect the ghost extreme.
+    Publish.publishVersioned(spark,
+      (0 until 1000).map(i => (i.toLong * 100, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      r, Nil, statsCols = Seq("id"))
+    assert(StatsIndex.statsMinMax(spark, r, "id").contains((0L, 99900L)))
+    Publish.publishVersioned(spark,
+      (0 until 500).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      r, Nil, statsCols = Seq("id"))
+    assert(StatsIndex.statsMinMax(spark, r, "id").contains((0L, 499L)),
+      "overwritten v1 ghost extreme must not surface")
+    // row-level DELETE shrinks the live max again: the removed file's
+    // sidecar rows remain but must not contribute
+    Mutations.deleteWhere(spark, r, col("id") >= 400)
+    assert(StatsIndex.statsMinMax(spark, r, "id").contains((0L, 399L)),
+      "deleted rows' ghost extreme must not surface")
+    // sanity: the answer matches a real scan of the live snapshot
+    val scanned = Fetch.fetch(spark, r).agg(min("id"), max("id")).head()
+    assert((scanned.getLong(0), scanned.getLong(1)) == ((0L, 399L)))
+  }
 }
