@@ -409,6 +409,30 @@ object SparkEntry {
       Mutations.applyChanges(s, root, changes, Seq("o_orderkey"))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // the SQL statement surface over the same lakehouse: DELETE / UPDATE /
+    // MERGE INTO / SELECT ... FROM graft.`root` run through spark.sql
+    // (the GraftSparkExtensions resolution rule), mutating a real
+    // versioned dataset end to end
+    "version_sql_mutations" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vsql", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders, root, Seq("o_orderstatus"))
+      s.sql(s"DELETE FROM graft.`$root` " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1")
+      s.sql(s"UPDATE graft.`$root` " +
+        "SET o_orderpriority = concat('U:', o_orderpriority) WHERE o_orderkey % 3 = 0")
+      val tenth = orders.where(col("o_orderkey") % 10 === 0)
+      tenth.withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(tenth
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_orderpriority", lit("INSERTED")))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(s"MERGE INTO graft.`$root` t USING sql_merge_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"SELECT * FROM graft.`$root`").orderBy("o_orderkey")
+    }),
 
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
@@ -1318,6 +1342,21 @@ object SparkEntry {
         |      ELSE o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    // DELETE drops odd F keys; UPDATE prefixes U: on %3 keys; MERGE then
+    // overwrites %10 keys' priority (all even — never deleted) and inserts
+    // the negative re-keys. Order of CASE arms mirrors statement order.
+    "version_sql_mutations" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
+        |      WHEN o_orderkey % 3 = 0 THEN 'U:' || o_orderpriority
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 1)
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'INSERTED' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",

@@ -101,9 +101,13 @@ object GraftSqlFunctions {
     builders.foreach { case (name, b) => shim.registerFunction(spark, name, b) }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native functions plus the
+  * lakehouse SQL surface (`SELECT … FROM graft.`path`` reads incl.
+  * VERSION/TIMESTAMP AS OF, and DELETE/UPDATE/MERGE mutations —
+  * [[graft.plans.GraftLakehouseRule]]).
+  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -111,4 +115,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           "graft.functions.GraftSqlFunctions", name),
         b))
     }
+    ext.injectResolutionRule(session => new graft.plans.GraftLakehouseRule(session))
+  }
 }

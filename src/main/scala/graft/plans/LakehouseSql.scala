@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
+
+import graft.core.{Fetch, MutationResult, Mutations, Versions}
+
+/** SQL-statement surface for graft's versioned lakehouse: `spark.sql` can
+  * read and MUTATE graft roots addressed as ``graft.`/path/to/dataset` ``
+  * (the Delta `delta.`path`` convention):
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/events`                       -- latest snapshot
+  *   SELECT * FROM graft.`/data/events` VERSION AS OF 2       -- time travel
+  *   SELECT * FROM graft.`/data/events` TIMESTAMP AS OF '...' -- as-of read
+  *   DELETE FROM graft.`/data/events` WHERE day < '2020-01-01'
+  *   UPDATE graft.`/data/events` SET v = v + 1 WHERE id % 7 = 0
+  *   MERGE INTO graft.`/data/events` t USING updates s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Spark's OWN parser produces all of these plans (`DeleteFromTable`,
+  * `UpdateTable`, `MergeIntoTable`, `RelationTimeTravel`) — graft adds no
+  * grammar, only an analyzer RESOLUTION rule ([[GraftLakehouseRule]],
+  * injected by `graft.functions.GraftSparkExtensions` via
+  * `spark.sql.extensions`) that recognizes graft roots and rewrites the
+  * node: reads substitute the snapshot's analyzed plan (all downstream
+  * resolution/optimization is stock Catalyst), mutations become eager
+  * [[LeafRunnableCommand]]s delegating to [[graft.core.Mutations]] — the
+  * same locate→rewrite→commit path as the Scala API, so everything the
+  * MutationsSpec/oracle suite pins about copy-on-write holds for SQL too.
+  * [[GraftSql.exec]] runs the identical conversion on sessions built
+  * WITHOUT the extension (one parser + one transform — no second SQL
+  * dialect to maintain).
+  *
+  * Unsupported MERGE shapes (conditional actions, column-level UPDATE
+  * SET lists, NOT MATCHED BY SOURCE) are rejected loudly — never
+  * silently approximated.
+  */
+object LakehouseSql {
+
+  /** ``graft.`/path` `` → the root path. */
+  private def graftRoot(parts: Seq[String]): Option[String] =
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft")) Some(parts(1))
+    else None
+
+  /** Unwrap optional `AS alias` around the target relation. */
+  private def targetRoot(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation => graftRoot(u.multipartIdentifier)
+    case SubqueryAlias(_, child) => targetRoot(child)
+    case _ => None
+  }
+
+  private def snapshotPlan(spark: SparkSession, root: String): LogicalPlan = {
+    val df =
+      if (Versions.isVersioned(spark, root)) Versions.fetchSnapshot(spark, root)
+      else Fetch.fetch(spark, root)
+    df.queryExecution.analyzed
+  }
+
+  private def tsMillis(spark: SparkSession, e: Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF must be a literal expression, got $e")
+    val micros = Cast(e, TimestampType,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    require(micros != null, s"TIMESTAMP AS OF evaluated to NULL: $e")
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+  }
+
+  /** Equi-key column names of a MERGE condition: a conjunction of
+    * `t.k = s.k` terms (qualifiers optional, same column name both sides).
+    */
+  private def mergeKeys(cond: Expression): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE supports only equi-key conditions t.k = s.k, got: ${other.sql}")
+    }
+  }
+
+  /** The conversion both entry points share. Defined against raw parsed
+    * plans, so it runs identically as an injected analyzer rule and under
+    * [[GraftSql.exec]].
+    */
+  def convert(spark: SparkSession): PartialFunction[LogicalPlan, LogicalPlan] = {
+    def pf: PartialFunction[LogicalPlan, LogicalPlan] = {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if graftRoot(u.multipartIdentifier).isDefined =>
+        val root = graftRoot(u.multipartIdentifier).get
+        (ver, ts) match {
+          case (Some(v), _) =>
+            Versions.fetchVersion(spark, root, v.toInt).queryExecution.analyzed
+          case (None, Some(e)) =>
+            Versions.fetchAsOf(spark, root, tsMillis(spark, e)).queryExecution.analyzed
+          case _ => throw new IllegalArgumentException(
+            "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+        }
+
+      case u: UnresolvedRelation if graftRoot(u.multipartIdentifier).isDefined =>
+        snapshotPlan(spark, graftRoot(u.multipartIdentifier).get)
+
+      case DeleteFromTable(t, cond) if targetRoot(t).isDefined =>
+        GraftDeleteCommand(targetRoot(t).get, PlanArg(cond))
+
+      case UpdateTable(t, assignments, cond) if targetRoot(t).isDefined =>
+        val named = assignments.map {
+          case Assignment(k: UnresolvedAttribute, v) => k.nameParts.last -> v
+          case Assignment(k, _) => throw new UnsupportedOperationException(
+            s"graft UPDATE SET needs plain column names, got: ${k.sql}")
+        }
+        GraftUpdateCommand(targetRoot(t).get,
+          PlanArg(cond.getOrElse(Literal.TrueLiteral)),
+          named.map { case (k, v) => (k, PlanArg(v)) })
+
+      case m: MergeIntoTable if targetRoot(m.targetTable).isDefined =>
+        require(!m.withSchemaEvolution,
+          "graft MERGE does not support WITH SCHEMA EVOLUTION")
+        require(m.notMatchedBySourceActions.isEmpty,
+          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
+          case _ => throw new UnsupportedOperationException(
+            "graft MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT * (the upsert form)")
+        }
+        // nested graft relations inside the source resolve through the
+        // same conversion (transformDown stops at the command leaf)
+        val source = m.sourceTable.transformDown(pf)
+        GraftMergeCommand(targetRoot(m.targetTable).get, PlanArg(source),
+          mergeKeys(m.mergeCondition))
+    }
+    pf
+  }
+}
+
+/** Opaque holder for an Expression/LogicalPlan constructor argument of a
+  * command. TreeNode's product traversal would otherwise treat a bare
+  * Expression arg as part of the command's expression tree and fail
+  * analysis on its (deliberately unresolved — they resolve by NAME
+  * against the snapshot frame at run time) attributes.
+  */
+final case class PlanArg[T](value: T)
+
+private[plans] trait GraftMutationCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("removed_files", IntegerType, nullable = false)(),
+    AttributeReference("added_files", IntegerType, nullable = false)())
+  protected def asRow(r: MutationResult): Seq[Row] =
+    Seq(Row(r.version, r.removedFiles.size, r.addedFiles.size))
+}
+
+/** `DELETE FROM graft.`root` WHERE cond`. */
+case class GraftDeleteCommand(root: String, cond: PlanArg[Expression])
+    extends GraftMutationCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    asRow(Mutations.deleteWhere(spark, root, shim.column(cond.value)))
+}
+
+/** `UPDATE graft.`root` SET c = e, ... WHERE cond`. */
+case class GraftUpdateCommand(root: String, cond: PlanArg[Expression],
+                              assignments: Seq[(String, PlanArg[Expression])])
+    extends GraftMutationCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    asRow(Mutations.updateWhere(spark, root, shim.column(cond.value),
+      assignments.map { case (k, v) => k -> shim.column(v.value) }.toMap))
+}
+
+/** `MERGE INTO graft.`root` t USING src s ON t.k = s.k WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.
+  */
+case class GraftMergeCommand(root: String, source: PlanArg[LogicalPlan],
+                             keyCols: Seq[String]) extends GraftMutationCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = shim.ofRows(spark, source.value)
+    // MERGE SET * takes the source's columns; aliases (`USING x s`) ride
+    // SubqueryAlias nodes inside the plan and change nothing here
+    asRow(Mutations.merge(spark, root, src, keyCols))
+  }
+}
+
+/** The `spark.sql.extensions` resolution rule (injected by
+  * `graft.functions.GraftSparkExtensions`).
+  */
+class GraftLakehouseRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown(LakehouseSql.convert(spark))
+}
+
+/** Entry point for sessions built WITHOUT the extension: same parser,
+  * same conversion, same commands — `GraftSql.exec(spark, sql)` behaves
+  * exactly like `spark.sql(sql)` does on an extension-enabled session.
+  */
+object GraftSql {
+  def exec(spark: SparkSession, sqlText: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    shim.ofRows(spark, parsed.transformDown(LakehouseSql.convert(spark)))
+  }
+}

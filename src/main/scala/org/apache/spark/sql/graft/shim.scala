@@ -14,6 +14,16 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a raw logical plan (Dataset.ofRows went `private[sql]`
+    * with the Spark 4 classic split). Commands execute eagerly, exactly
+    * like `spark.sql`.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function builder on an EXISTING session's registry (the
     * extensions path only applies at session construction).
     */

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Fetch, Publish, Versions}
+import graft.plans.GraftSql
+
+/** The SQL statement surface over graft roots: reads (snapshot + time
+  * travel), mutations (DELETE / UPDATE / MERGE), the rejected shapes, and
+  * both entry points — `spark.sql` (TestSpark carries the extension) and
+  * [[GraftSql.exec]] (extension-less sessions).
+  */
+class LakehouseSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTarget(): String = {
+    val root = TestSpark.tmpDir("lakehouse_sql")
+    Publish.publishVersioned(spark,
+      (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 10.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    root
+  }
+
+  test("SELECT reads the latest snapshot; VERSION/TIMESTAMP AS OF time-travel") {
+    val root = freshTarget()
+    Publish.publishVersioned(spark,
+      (100 until 110).map(i => (i.toLong, "g0", i * 10.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"), mode = "append")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == 70)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 1")
+      .head().getLong(0) == 60)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 2").count() == 70)
+    // a far-future timestamp sees the latest version
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$root` TIMESTAMP AS OF '2099-01-01 00:00:00'").count() == 70)
+    // aggregation + filter compose over the substituted snapshot plan
+    val agg = spark.sql(
+      s"SELECT grp, count(*) AS n FROM graft.`$root` WHERE id < 30 GROUP BY grp ORDER BY grp")
+      .as[(String, Long)].collect().toSeq
+    assert(agg == Seq(("g0", 10L), ("g1", 10L), ("g2", 10L)))
+  }
+
+  test("DELETE / UPDATE / MERGE INTO mutate through spark.sql") {
+    val root = freshTarget()
+    val del = spark.sql(s"DELETE FROM graft.`$root` WHERE grp = 'g1' AND id < 30")
+    assert(del.columns.toSeq == Seq("version", "removed_files", "added_files"))
+    assert(del.head().getInt(0) == 2)
+    assert(Fetch.fetch(spark, root).count() == 50)
+
+    spark.sql(s"UPDATE graft.`$root` SET v = v + 0.5 WHERE id % 10 = 0")
+    val got = Fetch.fetch(spark, root).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(got(20L) == 200.5 && got(21L) == 210.0)
+
+    (0 until 60 by 20).map(i => (i.toLong, s"g${i % 3}", -1.0)).toDF("id", "grp", "v")
+      .unionByName(Seq((1000L, "g0", 7.0)).toDF("id", "grp", "v"))
+      .createOrReplaceTempView("lakehouse_sql_src")
+    spark.sql(s"MERGE INTO graft.`$root` t USING lakehouse_sql_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = Fetch.fetch(spark, root).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(after(0L) == -1.0 && after(40L) == -1.0 && after(1000L) == 7.0)
+    assert(after.size == 51)
+    // time travel still sees v1 untouched
+    assert(Versions.fetchVersion(spark, root, 1).count() == 60)
+  }
+
+  test("GraftSql.exec runs the identical conversion without the extension") {
+    val root = freshTarget()
+    assert(GraftSql.exec(spark, s"SELECT * FROM graft.`$root`").count() == 60)
+    GraftSql.exec(spark, s"DELETE FROM graft.`$root` WHERE id >= 50")
+    assert(GraftSql.exec(spark, s"SELECT max(id) AS m FROM graft.`$root`")
+      .head().getLong(0) == 49L)
+    // non-graft statements pass through untouched
+    assert(GraftSql.exec(spark, "SELECT 1 AS one").head().getInt(0) == 1)
+  }
+
+  test("unsupported shapes are rejected loudly, never approximated") {
+    val root = freshTarget()
+    Seq((1L, "g0", 0.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("lakehouse_sql_src")
+    val del = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO graft.`$root` t USING lakehouse_sql_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    }
+    assert(del.getMessage.contains("upsert form"))
+    val keys = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO graft.`$root` t USING lakehouse_sql_src s " +
+        "ON t.id = s.v WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(keys.getMessage.contains("equi-key"))
+    val ts = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM graft.`$root` TIMESTAMP AS OF rand()").collect()
+    }
+    assert(ts.getMessage.contains("literal"))
+    // mutations on an unversioned root surface Mutations' own guard
+    val plain = TestSpark.tmpDir("lakehouse_sql_plain")
+    Publish.publish(spark, Seq((1L, 1.0)).toDF("id", "v"), plain, Nil)
+    val unv = intercept[IllegalArgumentException] {
+      spark.sql(s"DELETE FROM graft.`$plain` WHERE id = 1")
+    }
+    assert(unv.getMessage.contains("versioned"))
+    // reads of an unversioned root still work (plain fetch)
+    assert(spark.sql(s"SELECT * FROM graft.`$plain`").count() == 1)
+  }
+}

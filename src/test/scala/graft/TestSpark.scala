@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
