@@ -177,6 +177,14 @@ object Publish {
                        zorderPartitions: Int = 0,
                        statsCols: Seq[String] = Nil): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    // Appends to an existing versioned dataset are OPTIMISTIC: racing
+    // appenders run concurrently and land as consecutive versions (the
+    // commit-entry CAS), instead of serializing their whole data writes
+    // on the dataset lock. Overwrites and the initial publish keep the
+    // locked path (their read-compute-write does not commute).
+    if (mode == "append" && Versions.isVersioned(spark, root))
+      return appendVersionedOptimistic(spark, df, root, partitions, sortCols,
+        zorderCols, zorderBits, zorderPartitions, statsCols)
     DatasetLock.withLock(spark, root) {
       val existing = DatasetMeta.read(spark, root)
       require(existing.isEmpty || Versions.isVersioned(spark, root),
@@ -202,6 +210,79 @@ object Publish {
       newFiles
     }
   }
+
+  /** Lock-free append to a versioned dataset — the optimistic-concurrency
+    * path behind [[publishVersioned]]'s append mode:
+    *
+    *   1. **Stage** — the batch is written as a complete mini-dataset
+    *      (same sizing / salting / clustering as any publish) into a
+    *      UUID-unique dir under `root/_graft_stage/` (underscore-hidden:
+    *      invisible to every data listing and parquet scan).
+    *   2. **Move** — the staged data files rename into their partition
+    *      dirs under the root. Still invisible: live reads of a versioned
+    *      dataset plan from the commit log, and these files are in no
+    *      committed entry yet. A crash here orphans invisible files, the
+    *      same story as a crashed logical overwrite.
+    *   3. **Stats** — if the dataset (or this call) carries a stats
+    *      index, the new files' min/max rows append under the dataset
+    *      lock — the ONE short serialized step (sidecar writes don't
+    *      commute), paid before the commit so an indexed read of the new
+    *      version never finds uncovered live files.
+    *   4. **Commit** — [[Versions.commit]]'s entry-file CAS claims the
+    *      next version, retrying past racing committers.
+    *
+    * Net effect: N racing appenders overlap their (expensive) data writes
+    * entirely and land as N consecutive versions; only the (cheap) stats
+    * append and the commit CAS touch shared state. Appends racing a
+    * schema-changing overwrite are REJECTED at the commit, not silently
+    * mixed — see [[Versions.commit]].
+    */
+  private def appendVersionedOptimistic(spark: SparkSession, df: DataFrame,
+                                        root: String, partitions: Seq[String],
+                                        sortCols: Seq[String], zorderCols: Seq[String],
+                                        zorderBits: Int, zorderPartitions: Int,
+                                        statsCols: Seq[String]): Seq[String] = {
+    val meta = DatasetMeta.read(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"dataset $root is versioned but has no metadata sidecar"))
+    require(meta.partitions == partitions,
+      s"versioned publish partitions $partitions do not match dataset " +
+        s"partitions ${meta.partitions}")
+    require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "append schema does not match the dataset's recorded schema")
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedRoot = f.makeQualified(p)
+    val staging = new Path(qualifiedRoot,
+      s"$StageDirName/${java.util.UUID.randomUUID()}")
+    val moved =
+      try {
+        publishImpl(spark, df, staging.toString, partitions, "overwrite",
+          sortCols, zorderCols, zorderBits, zorderPartitions, Nil)
+        val stagingUri = f.makeQualified(staging).toUri.getPath
+        listPhysicalDataFilesWithSize(spark, staging.toString).map(_._1).map { abs =>
+          val rel = abs.stripPrefix(stagingUri).stripPrefix("/")
+          val dest = new Path(qualifiedRoot, rel)
+          f.mkdirs(dest.getParent)
+          require(f.rename(new Path(abs), dest),
+            s"could not move staged append file $abs to $dest")
+          dest.toUri.getPath
+        }
+      } finally {
+        try f.delete(staging, true)
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[graft] could not clean append staging $staging: $e") }
+      }
+    val cols = (statsCols ++ StatsIndex.indexedColumns(spark, root))
+      .distinct.filter(df.columns.contains)
+    if (cols.nonEmpty) DatasetLock.withLock(spark, root) {
+      StatsIndex.appendFiles(spark, root, moved, cols)
+    }
+    Versions.commit(spark, root, "append", moved, DatasetMeta(df.schema, partitions))
+    moved
+  }
+
+  private[core] val StageDirName = "_graft_stage"
 
   private[core] def publishImpl(spark: SparkSession, df: DataFrame, root: String,
                           partitions: Seq[String], mode: String,

@@ -100,9 +100,28 @@ object Versions {
   }
 
   /** Append a commit entry. Caller passes the ABSOLUTE paths publish just
-    * returned; they are stored root-relative. Runs under the dataset lock
-    * (re-entrant when the caller already holds it), so concurrent writers
-    * serialize and version numbers never collide.
+    * returned; they are stored root-relative.
+    *
+    * Version assignment is a lock-free CAS: the entry file's
+    * create-if-absent IS the atomic compare-and-swap. A committer claims
+    * `latestVersion + 1`; if another committer won that number first the
+    * create fails (the entry now exists) and this one re-reads and
+    * retries the next number — so concurrent committers land as
+    * CONSECUTIVE versions instead of serializing on the dataset lock.
+    * Overwrite/rewrite callers still hold the dataset lock around their
+    * whole operation (their read-compute-write is not commutative); the
+    * retry here additionally protects them against a lock-free APPEND
+    * landing between their snapshot read and their commit — an append
+    * only adds files, which invalidates neither an overwrite (it replaces
+    * the live set wholesale, last-writer-wins by design) nor a rewrite
+    * (its removed files are still live in the interleaved version).
+    *
+    * The one non-commuting interleave — an append racing a logical
+    * overwrite that CHANGED the schema (the append's files no longer
+    * match the new base) — is detected here and rejected with
+    * [[java.util.ConcurrentModificationException]]: before every create
+    * attempt, an append checks the governing latest entry's schema
+    * against its own.
     */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
@@ -111,16 +130,28 @@ object Versions {
       s"unknown action $action")
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
-    DatasetLock.withLock(spark, root) {
-      val f = fs(spark, root)
-      val rootUri = f.makeQualified(new Path(root)).toUri.getPath
-      val rel = addedAbs.map { a =>
-        val p = new Path(a).toUri.getPath
-        require(p.startsWith(rootUri),
-          s"added file $a is not under dataset root $root")
-        p.stripPrefix(rootUri).stripPrefix("/")
+    val f = fs(spark, root)
+    val rootUri = f.makeQualified(new Path(root)).toUri.getPath
+    val rel = addedAbs.map { a =>
+      val p = new Path(a).toUri.getPath
+      require(p.startsWith(rootUri),
+        s"added file $a is not under dataset root $root")
+      p.stripPrefix(rootUri).stripPrefix("/")
+    }
+    var attempts = 0
+    while (attempts < 10000) {
+      val latest = latestVersion(spark, root)
+      if (action == "append") latest.foreach { lv =>
+        val entry = readEntry(spark, root, lv)
+        val same = entry.schema.fields.map(x => (x.name, x.dataType)).toSet ==
+          meta.schema.fields.map(x => (x.name, x.dataType)).toSet
+        if (entry.action == "overwrite" && !same)
+          throw new java.util.ConcurrentModificationException(
+            s"append to $root lost a race with a schema-changing overwrite " +
+              s"(v$lv); the staged files no longer match the dataset — re-run " +
+              "the append against the new schema")
       }
-      val v = latestVersion(spark, root).getOrElse(0) + 1
+      val v = latest.getOrElse(0) + 1
       val json = JsonMethods.compact(JsonMethods.render(JObject(
         "version" -> JInt(v),
         "action" -> JString(action),
@@ -129,19 +160,46 @@ object Versions {
         "partitions" -> JArray(meta.partitions.map(JString(_)).toList),
         "schema" -> JsonMethods.parse(meta.schema.json)
       )))
-      val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      v
+      try {
+        val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        return v
+      } catch {
+        case e: java.io.IOException =>
+          // a version collision iff the entry we raced for now exists;
+          // anything else is a real I/O failure, not contention
+          if (!f.exists(entryPath(root, v))) throw e
+          attempts += 1
+          Thread.sleep(1L + scala.util.Random.nextInt(20))
+      }
     }
+    throw new IllegalStateException(
+      s"gave up committing to $root after $attempts version collisions")
   }
 
   def readEntry(spark: SparkSession, root: String, v: Int): VersionEntry = {
     val f = fs(spark, root)
     val p = entryPath(root, v)
     require(f.exists(p), s"dataset $root has no version $v")
-    val in = f.open(p)
-    val raw = try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
-              finally in.close()
+    // The commit CAS is create-if-absent THEN write: a reader racing a
+    // committer can observe the claimed-but-not-yet-written entry (empty
+    // or partial). That is a commit IN FLIGHT, not corruption — entry
+    // bodies are tiny, so retry briefly before concluding the log is
+    // actually damaged.
+    val deadline = System.currentTimeMillis() + 10000
+    var lastErr: Throwable = null
+    while (System.currentTimeMillis() <= deadline) {
+      val in = f.open(p)
+      val raw = try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
+                finally in.close()
+      try return parseEntry(raw)
+      catch { case e: Exception => lastErr = e; Thread.sleep(20) }
+    }
+    throw new IllegalStateException(
+      s"commit entry $p stayed unreadable for 10s — a crashed committer? ", lastErr)
+  }
+
+  private def parseEntry(raw: String): VersionEntry = {
     val jv = JsonMethods.parse(raw)
     def strings(field: String): Seq[String] = (jv \ field) match {
       case JArray(xs) => xs.collect { case JString(s) => s }
