@@ -792,6 +792,32 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
+    // image near-dup over PLANTED retouched PNGs: 30 seeded random 8×8
+    // block patterns (pairwise aHash Hamming ~32) + one-block-toggled
+    // twins for every %3 id (Hamming 1). The pair count — exactly the 10
+    // planted twins, nothing else — is the assertion the driver row count
+    // pins (no SQL oracle can decode PNGs).
+    "multimodal_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      def blockPng(seed: Int, toggled: Boolean): Array[Byte] = {
+        val rnd = new scala.util.Random(seed)
+        val grid = Array.fill(8, 8)(rnd.nextBoolean())
+        if (toggled) grid(0)(0) = !grid(0)(0)
+        val img = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 64; y <- 0 until 64) {
+          val v = if (grid(x / 8)(y / 8)) 0xffffff else 0x000000
+          img.setRGB(x, y, v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val imgs = (0 until 30).map(i => (i.toLong, blockPng(i, toggled = false))) ++
+        (0 until 30 by 3).map(i => (i + 1000L, blockPng(i, toggled = true)))
+      Multimodal.imageNearDupPairs(s, imgs.toDF("doc_id", "payload"))
+        .orderBy("id_a", "id_b")
+    }),
 
     "sample_split" -> ((s, dir) => {
       // modulo slot (cross-engine reproducible); the production default is
@@ -882,10 +908,13 @@ object SparkEntry {
         .orderBy("col")),
 
     // sketch-based profile (HLL distinct + t-digest quantiles): estimates,
-    // so rows-only here; accuracy vs exact is contract-tested in
+    // so rows-only here — but the row COUNT pins the accuracy contract:
+    // sketchProfileChecked drops any column whose sketch estimates drift
+    // outside tolerance vs an exact profile, so rows=4 IS the assertion
+    // (the ann_recall pattern); accuracy is also contract-tested in
     // SketchAggSpec
     "dataset_profile_sketch" -> ((s, dir) =>
-      graft.ops.Profile.sketchProfile(s, s.read.parquet(t(dir, "lineitem")),
+      graft.ops.Profile.sketchProfileChecked(s, s.read.parquet(t(dir, "lineitem")),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
         .orderBy("col")),
 

@@ -68,12 +68,7 @@ object Mutations {
       if (replacement.isEmpty) Nil
       else Publish.publishImpl(spark, replacement, root,
         meta.partitions, "append", Nil, Nil, 16, 0, Nil)
-    val rootUri = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
-    val addedRel = newFiles.map(a =>
-      new org.apache.hadoop.fs.Path(a).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/"))
+    val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
       removedRel = removedRel)
     // keep the stats-skipping index covering the snapshot: if this

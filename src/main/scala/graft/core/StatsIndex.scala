@@ -628,11 +628,12 @@ object StatsIndex {
     val stats = Versions.latestVersion(spark, root) match {
       case None => all
       case Some(latest) =>
-        val qualified = new Path(root)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .makeQualified(new Path(root)).toUri.getPath
-        val live = Versions.snapshotAt(spark, root, latest)._1
-          .map(r => s"$qualified/$r")
+        // shared path contract (Versions.absolutize): the sidecar's `file`
+        // column stores decoded absolute paths, the log stores decoded
+        // relative ones — a drifting private re-derivation here would
+        // empty the semi-join and silently degrade to the scan fallback
+        val live = Versions.absolutize(spark, root,
+          Versions.snapshotAt(spark, root, latest)._1)
         import spark.implicits._
         all.join(live.toDF("file"), Seq("file"), "left_semi")
     }

@@ -66,6 +66,36 @@ object Versions {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- the shared path contract ------------------------------------------
+  // Commit entries, mutation file matching and the stats sidecar all
+  // compare ROOT-RELATIVE, DECODED (`Path.toUri.getPath`) paths derived
+  // through these helpers. Every site must go through them: a private
+  // re-derivation that drifts (encoding, scheme, trailing slash) empties
+  // a path join SILENTLY — the join just matches nothing.
+
+  /** Qualified, scheme/authority-stripped root path. */
+  private[core] def qualifiedRootUri(spark: SparkSession, root: String): String =
+    fs(spark, root).makeQualified(new Path(root)).toUri.getPath
+
+  /** Absolute/URI file paths → root-relative (the commit-entry form). */
+  private[core] def relativize(spark: SparkSession, root: String,
+                               abs: Seq[String]): Seq[String] = {
+    val rootUri = qualifiedRootUri(spark, root)
+    abs.map { a =>
+      val p = new Path(a).toUri.getPath
+      require(p.startsWith(rootUri),
+        s"file $a is not under dataset root $root")
+      p.stripPrefix(rootUri).stripPrefix("/")
+    }
+  }
+
+  /** Root-relative → absolute decoded paths (the stats-sidecar form). */
+  private[core] def absolutize(spark: SparkSession, root: String,
+                               rel: Seq[String]): Seq[String] = {
+    val rootUri = qualifiedRootUri(spark, root).stripSuffix("/")
+    rel.map(r => s"$rootUri/$r")
+  }
+
   /** Whether `root` carries a version log (≥1 committed version). */
   def isVersioned(spark: SparkSession, root: String): Boolean = {
     val f = fs(spark, root)
@@ -131,13 +161,7 @@ object Versions {
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
     val f = fs(spark, root)
-    val rootUri = f.makeQualified(new Path(root)).toUri.getPath
-    val rel = addedAbs.map { a =>
-      val p = new Path(a).toUri.getPath
-      require(p.startsWith(rootUri),
-        s"added file $a is not under dataset root $root")
-      p.stripPrefix(rootUri).stripPrefix("/")
-    }
+    val rel = relativize(spark, root, addedAbs)
     var attempts = 0
     while (attempts < 10000) {
       val latest = latestVersion(spark, root)
@@ -293,8 +317,7 @@ object Versions {
   private[core] def readFilesWithPath(spark: SparkSession, root: String,
                                       relFiles: Seq[String], meta: DatasetMeta,
                                       fileCol: String): DataFrame = {
-    val rootPath = fs(spark, root).makeQualified(new Path(root)).toUri.getPath
-      .stripSuffix("/")
+    val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
     readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol))
       // `_metadata.file_path` is a URI-ENCODED string while commit entries
       // store DECODED `Path.toUri.getPath` paths (a hive dir like `d=a b`
@@ -501,9 +524,8 @@ object Versions {
       val live: Set[String] =
         (keepFrom to latest).flatMap(v => snapshotAt(spark, root, v)._1).toSet
       val all = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
-      val rootUri = f.makeQualified(new Path(root)).toUri.getPath
-      val dead = all.filterNot { a =>
-        live.contains(new Path(a).toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+      val dead = all.zip(relativize(spark, root, all)).collect {
+        case (a, rel) if !live.contains(rel) => a
       }
       dead.foreach(d => f.delete(new Path(d), false))
       val out = f.create(new Path(dirPath(root), VacuumMarker), true)

@@ -90,4 +90,59 @@ object Profile {
       (c, opt(s"min_$c"), opt(s"max_$c"), row.getAs[Long](s"nd_$c"), qOpt(0), qOpt(1))
     }.toDF("col", "min", "max", "approx_distinct", "p50", "p95")
   }
+
+  /** [[sketchProfile]] with the ACCURACY CONTRACT riding the result: each
+    * column's sketch estimates are verified and a row is emitted ONLY
+    * when the sketch is inside tolerance — so any artifact row-count
+    * comparison (the driver gate) pins the contract itself, the
+    * ann_recall pattern.
+    *
+    *  - Distinct counts check against the EXACT count (one column-pruned
+    *    hash-agg job per column) within `ndTol` relative error (HLL p=12
+    *    ⇒ ~1.6% standard error; 5% is >3σ).
+    *  - Quantile estimates check by RANK COVERAGE, the t-digest's own
+    *    contract: the target rank q must fall inside
+    *    [count(x < est)/n − rankTol, count(x ≤ est)/n + rankTol]. The
+    *    strict/inclusive pair makes the check atom-aware — a perfect
+    *    estimate sitting ON a heavy discrete value (a median atom
+    *    carrying 10% of the mass) spans the target instead of flunking a
+    *    naive |rank−q| test. One conditional-sum aggregation pass,
+    *    whole-stage codegen, no exact-percentile sort or per-value
+    *    buffers — this stays linear at any scale, unlike an exact
+    *    `percentile()` reference pass.
+    */
+  def sketchProfileChecked(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                           ndTol: Double = 0.05, rankTol: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    val sketched = sketchProfile(spark, df, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rankAggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(0.5 -> "p50", 0.95 -> "p95").flatMap { case (_, f) =>
+        val est = sketched(c).getAs[Double](f)
+        Seq(sum(when(d < est, 1L).otherwise(0L)).as(s"lt_${f}_$c"),
+          sum(when(d <= est, 1L).otherwise(0L)).as(s"le_${f}_$c"))
+      } :+ count(d).as(s"n_$c")
+    }
+    val ranks = df.agg(rankAggs.head, rankAggs.tail: _*).collect().head
+    val rows = cols.flatMap { c =>
+      val r = sketched(c)
+      val ndExact = df.select(col(c)).where(col(c).isNotNull)
+        .distinct().count().toDouble
+      val n = math.max(ranks.getAs[Long](s"n_$c").toDouble, 1.0)
+      val ndOk = math.abs(r.getAs[Long]("approx_distinct") - ndExact) <=
+        ndTol * math.max(ndExact, 1.0)
+      val qOk = Seq(0.5 -> "p50", 0.95 -> "p95").forall { case (q, f) =>
+        val below = ranks.getAs[Long](s"lt_${f}_$c") / n
+        val upTo = ranks.getAs[Long](s"le_${f}_$c") / n
+        below - rankTol <= q && q <= upTo + rankTol
+      }
+      if (ndOk && qOk)
+        Some((c, r.getAs[Double]("min"), r.getAs[Double]("max"),
+          r.getAs[Long]("approx_distinct"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p95")))
+      else None
+    }
+    rows.toDF("col", "min", "max", "approx_distinct", "p50", "p95")
+  }
 }

@@ -103,4 +103,22 @@ class SketchAggSpec extends AnyFunSuite {
     val b = prof("b")
     assert(math.abs(b.getAs[Double]("p50") - 499.5) < 25, s"p50 ${b.getAs[Double]("p50")}")
   }
+
+  test("sketchProfileChecked emits a row per in-tolerance column, drops violators") {
+    val df = (0 until 20000).map(i => (i.toLong % 4000, (i % 1000).toDouble)).toDF("a", "b")
+    // healthy sketches: every column survives the contract filter
+    val ok = graft.ops.Profile.sketchProfileChecked(spark, df, Seq("a", "b"))
+    assert(ok.count() == 2)
+    // an impossible tolerance flunks the rank-coverage check for every
+    // column — rows vanish instead of reporting out-of-contract numbers
+    val strict = graft.ops.Profile.sketchProfileChecked(spark, df, Seq("a", "b"),
+      ndTol = 0.0, rankTol = -1.0)
+    assert(strict.count() == 0)
+    // heavy median atom: half the mass on one value — the atom-aware
+    // strict/inclusive rank pair must cover q=0.5 instead of flunking a
+    // perfect estimate
+    val atom = (0 until 10000).map(i => (if (i < 5000) 7.0 else i.toDouble))
+      .toDF("x")
+    assert(graft.ops.Profile.sketchProfileChecked(spark, atom, Seq("x")).count() == 1)
+  }
 }
