@@ -829,6 +829,15 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // per-source document cap (the anti-spam domain cap of a crawl
+    // pipeline): ≤20 docs per source, keeper election by doc_id so the
+    // oracle can replay it with a window; production default is the
+    // xxhash64 shuffle order (DomainsSpec)
+    "sample_domain_cap" -> ((s, dir) =>
+      graft.ops.Domains.capPerSource(s.read.parquet(t(dir, "documents")), 20,
+        orderKey = Some(col("doc_id")))
+        .orderBy("doc_id")),
+
     "sample_mixture" -> ((s, dir) => {
       val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
       graft.ops.Sampling.mixture(s.read.parquet(t(dir, "documents")), slot,
@@ -2075,6 +2084,12 @@ object SparkEntry {
         |       WHEN source = 'src1' THEN 2500
         |       ELSE 10000 END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "sample_domain_cap" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        | SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT source, doc_id FROM (

@@ -77,6 +77,12 @@ object Versions {
   private[core] def qualifiedRootUri(spark: SparkSession, root: String): String =
     fs(spark, root).makeQualified(new Path(root)).toUri.getPath
 
+  /** Per-log JVM monitors serializing the commit-entry create window (see
+    * [[commit]] — local filesystems have no atomic create-if-absent).
+    */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Absolute/URI file paths → root-relative (the commit-entry form). */
   private[core] def relativize(spark: SparkSession, root: String,
                                abs: Seq[String]): Seq[String] = {
@@ -185,8 +191,24 @@ object Versions {
         "schema" -> JsonMethods.parse(meta.schema.json)
       )))
       try {
-        val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
-        try out.write(json.getBytes("UTF-8")) finally out.close()
+        // In-process committers must serialize the create itself: a local
+        // or checksummed filesystem's create-if-absent is CHECK-then-
+        // create, so two threads of one driver could both "win" the same
+        // version and the second would clobber the first's entry (the
+        // same reason DatasetLock pairs its file lock with a JVM mutex).
+        // The monitor covers only the tiny exists+create+write window —
+        // data writes still overlap fully. Cross-PROCESS atomicity comes
+        // from the filesystem's create-if-absent (atomic on HDFS-like
+        // stores; object stores without conditional create keep the same
+        // documented residual as DatasetLock).
+        val mon = commitMonitors.computeIfAbsent(
+          f.makeQualified(dirPath(root)).toString, _ => new Object)
+        mon.synchronized {
+          if (f.exists(entryPath(root, v)))
+            throw new java.io.IOException(s"version $v already committed")
+          val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+        }
         return v
       } catch {
         case e: java.io.IOException =>

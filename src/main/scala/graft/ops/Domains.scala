@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus domain operators — the URL hygiene layer of a crawl-derived
+  * training pipeline: normalize URLs to their registered (pay-level)
+  * domain, and cap the number of documents any one source/domain may
+  * contribute (the CCNet/RefinedWeb-style anti-spam measure: without a
+  * cap, a handful of template-heavy domains dominate the corpus).
+  *
+  * Everything here is built from codegen'd built-in expressions
+  * (regexp/split/when) — no UDFs — and the cap selection is a
+  * partial-aggregated bounded top-k, so at 100 TB only ≤cap keeper ids
+  * per (task, source) ride the shuffle, never the documents.
+  */
+object Domains {
+
+  /** Country-code second-level registrations the two-label heuristic must
+    * not split (`bbc.co.uk` → `bbc.co.uk`, not `co.uk`). A full public
+    * suffix list is a data file, not logic — callers with one pass it via
+    * `extraTwoLevel`.
+    */
+  private[ops] val TwoLevelSuffixes: Set[String] = Set(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id", "co.th")
+
+  /** Hostname of a URL: scheme, userinfo, port, path/query/fragment
+    * stripped, lowercased, leading `www.` dropped. Pure regexp/string
+    * expressions — whole-stage codegen, engine-portable.
+    */
+  def hostOf(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noUser = regexp_replace(noScheme, "^[^/@]*@", "")
+    val host = lower(regexp_extract(noUser, "^([^/:?#]+)", 1))
+    regexp_replace(host, "^www\\.", "")
+  }
+
+  /** Registered (pay-level) domain of a URL: the last two host labels, or
+    * three when the trailing two are a known two-level public suffix.
+    * Hosts with ≤2 labels (and bare words / IPs) pass through whole.
+    */
+  def registeredDomain(url: Column,
+                       extraTwoLevel: Set[String] = Set.empty): Column = {
+    val suffixes = TwoLevelSuffixes ++ extraTwoLevel
+    val h = hostOf(url)
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    val lastTwo = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val lastThree = concat_ws(".",
+      element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    // an IPv4 host has no registrable labels — pass it through whole
+    when(h.rlike("^\\d+(\\.\\d+){3}$"), h)
+      .when(n <= 2, h)
+      .otherwise(when(lastTwo.isInCollection(suffixes), lastThree)
+        .otherwise(lastTwo))
+  }
+
+  /** Keep at most `cap` documents per source/domain, deterministically.
+    *
+    * Keeper election is "the `cap` SMALLEST `orderKey` values per source,
+    * ties by id" through the bounded [[graft.functions.TopKPairs]]
+    * aggregate (score = −orderKey): each map task ships at most `cap`
+    * (key, id) pairs per source it saw, so the shuffle is O(cap ·
+    * sources · tasks) scalars — a window `row_number` here would shuffle
+    * AND sort every document row. Keeper ids then semi-join the corpus
+    * back (ids only on the build side).
+    *
+    * The default order key is `xxhash64(id)` — an unbiased deterministic
+    * shuffle, so the cap keeps a pseudo-random sample of each oversized
+    * domain rather than its earliest ids. Pass `orderKey` explicitly for
+    * reproducible cross-engine selections (e.g. the id itself).
+    *
+    * A NULL source is its own group (capped like any other); a NULL id
+    * row is dropped (it cannot be elected deterministically).
+    */
+  def capPerSource(docs: DataFrame, cap: Int,
+                   sourceCol: String = "source", idCol: String = "doc_id",
+                   orderKey: Option[Column] = None): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val key = orderKey.getOrElse(xxhash64(col(idCol)))
+    val keepers = docs
+      .where(col(idCol).isNotNull)
+      .select(col(sourceCol).as("__src"), col(idCol).cast("long").as("__id"),
+        (-key.cast("double")).as("__k"))
+      .groupBy("__src")
+      .agg(graft.functions.TopKPairs.topK(col("__k"), col("__id"), cap).as("top"))
+      .select(explode(col("top.id")).as("__keep"))
+    docs.join(keepers, col(idCol).cast("long") === col("__keep"), "left_semi")
+  }
+}

@@ -247,11 +247,15 @@ object TextAnalysis {
           i => xxhash64(array_join(slice(words, i + 1, lit(n)), " ")))).as("__g"))
     // Only grams in the ≥minCount HEAD of the count table can contribute
     // to n_repeated, so the join-back build side is the (small) repeated
-    // head, not the full open vocabulary — n_ngrams comes from a plain
-    // per-doc hash aggregate instead of riding the join. On a heavy-tailed
-    // corpus the head is orders of magnitude smaller than the vocabulary,
-    // which is what keeps this join broadcast-able at 100 TB.
-    val perDoc = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_ngrams"))
+    // head, not the full open vocabulary — on a heavy-tailed corpus the
+    // head is orders of magnitude smaller, which is what keeps this join
+    // broadcast-able at 100 TB. n_ngrams needs NO aggregation at all: a
+    // doc emits exactly max(words−n, 0)+1 grams, a pure projection of the
+    // word count — so the explode feeds only the count agg and the join,
+    // never a per-doc rollup of its own.
+    val perDoc = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (greatest(size(words) - n, lit(0)) + 1).cast("long").as("n_ngrams"))
     val repeatedHead = grams.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount)
     val repeated = grams.join(repeatedHead, grams("__g") === repeatedHead("__cg"))

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Domains
+
+/** URL→registered-domain extraction and the per-source document cap. */
+class DomainsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registeredDomain handles schemes, ports, userinfo, www, 2-level TLDs") {
+    val cases = Seq(
+      "https://www.example.com/path?q=1" -> "example.com",
+      "http://news.bbc.co.uk:8080/story" -> "bbc.co.uk",
+      "ftp://user:pw@files.deep.sub.example.org/x" -> "example.org",
+      "example.com/no-scheme" -> "example.com",
+      "https://EXAMPLE.COM" -> "example.com",
+      "https://localhost/x" -> "localhost",
+      "https://a.co.jp" -> "a.co.jp",
+      "https://shop.amazon.co.jp/item" -> "amazon.co.jp",
+      "https://www.gov.uk/x" -> "gov.uk",
+      "http://10.1.2.3/x" -> "10.1.2.3") // IPv4: no registrable labels, kept whole
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Domains.registeredDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (url, want) => assert(got(url) == want, url) }
+  }
+
+  test("capPerSource keeps at most cap docs per source, deterministically") {
+    // sources with 50, 30 and 3 docs; globally-unique ids (the semi-join
+    // keeper election requires them)
+    val docs = ((0 until 50).map(i => (i.toLong, "big")) ++
+      (100 until 130).map(i => (i.toLong, "mid")) ++
+      (200 until 203).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val capped = Domains.capPerSource(docs, 10)
+    val bySource = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("big" -> 10L, "mid" -> 10L, "small" -> 3L))
+    // deterministic: same selection on a re-run and under repartitioning
+    val again = Domains.capPerSource(docs.repartition(7), 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select("doc_id").as[Long].collect().sorted.toSeq)
+    // hash order is a shuffle, not a head: the big source's keepers are
+    // not simply ids 0..9
+    val bigKept = capped.where(col("source") === "big")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bigKept != (0L until 10L).toSeq, s"hash order degenerated to head: $bigKept")
+    // explicit order key reproduces the lowest-id selection (the oracle form)
+    val byId = Domains.capPerSource(docs, 10, orderKey = Some(col("doc_id")))
+    assert(byId.where(col("source") === "big").select("doc_id")
+      .as[Long].collect().sorted.toSeq == (0L until 10L).toSeq)
+    // null ids cannot be elected; null source is its own capped group
+    val withNulls = Seq((Some(1L), "s"), (None, "s"), (Some(2L), null), (Some(3L), null))
+      .map { case (id, s) => (id, s) }.toDF("doc_id", "source")
+    val cappedNulls = Domains.capPerSource(withNulls, 1, orderKey = Some(col("doc_id")))
+    assert(cappedNulls.select("doc_id").as[Option[Long]].collect().flatten.sorted.toSeq
+      == Seq(1L, 2L))
+  }
+}
