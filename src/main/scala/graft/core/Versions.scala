@@ -223,7 +223,14 @@ object Versions {
       s"gave up committing to $root after $attempts version collisions")
   }
 
+  /** Commit-entry reads performed by this JVM — a test hook: specs pin the
+    * snapshot memo's O(delta) replay by diffing this counter, which is
+    * cheaper and less brittle than mocking a FileSystem.
+    */
+  private[graft] val entryReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def readEntry(spark: SparkSession, root: String, v: Int): VersionEntry = {
+    entryReads.incrementAndGet()
     val f = fs(spark, root)
     val p = entryPath(root, v)
     require(f.exists(p), s"dataset $root has no version $v")
@@ -259,8 +266,37 @@ object Versions {
       schema, strings("partitions"))
   }
 
+  /** Memoized snapshots. A committed (root, version) is immutable — entry
+    * files are created-if-absent and never rewritten — so its resolved
+    * snapshot can be cached for the life of the JVM. The one way the
+    * mapping can change meaning is the whole dataset being deleted and
+    * re-created at the same path; the cache guards against that by
+    * witnessing the version's OWN entry content (VersionEntry equality —
+    * part-file names are UUID-unique, so a re-created dataset can never
+    * reproduce an old entry byte-for-byte). A hit therefore costs ONE
+    * entry read instead of the O(appends-since-overwrite) chain replay
+    * statsMinMax and fetchVersion were paying per call on long append
+    * chains over object stores. (mtime/length was rejected as the
+    * witness: a delete + re-publish inside one mtime tick produces
+    * identical lengths — entry JSON is fixed-width — and would serve a
+    * ghost file list.)
+    */
+  private val snapshotMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (VersionEntry, Seq[String], DatasetMeta)]()
+
+  private def memoGet(qroot: String, v: Int,
+                      witness: VersionEntry): Option[(Seq[String], DatasetMeta)] = {
+    val m = snapshotMemo.get((qroot, v))
+    if (m == null) None
+    else if (m._1 == witness) Some((m._2, m._3))
+    else { snapshotMemo.remove((qroot, v)); None } // root was re-created
+  }
+
   /** The live file set (root-relative) + metadata at `version`: replay back
-    * to the nearest overwrite, then forward-union the appends.
+    * to the nearest overwrite, then forward-union the appends. Replay is
+    * cut short at the requested version or any ancestor with a memoized
+    * snapshot, so a hot reader of a growing append chain pays O(commits
+    * since its last call), not O(chain).
     */
   def snapshotAt(spark: SparkSession, root: String, version: Int): (Seq[String], DatasetMeta) = {
     val latest = latestVersion(spark, root).getOrElse(
@@ -270,21 +306,38 @@ object Versions {
     val minReadable = minReadableVersion(spark, root)
     require(version >= minReadable,
       s"version $version of $root was vacuumed (oldest readable is $minReadable)")
-    // walk back to the governing overwrite
+    val qroot = qualifiedRootUri(spark, root)
+    val atVersion = readEntry(spark, root, version)
+    memoGet(qroot, version, atVersion) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    // walk back to the governing overwrite — or to a memoized ancestor
+    // whose live set seeds the replay
     var v = version
-    var chain = List(readEntry(spark, root, v))
-    while (chain.head.action != "overwrite" && v > 1) {
-      v -= 1
-      chain = readEntry(spark, root, v) :: chain
+    var chain = List(atVersion)
+    var base = Vector.empty[String]
+    var seeded = false
+    while (!seeded && chain.head.action != "overwrite" && v > 1) {
+      val prev = readEntry(spark, root, v - 1)
+      memoGet(qroot, v - 1, prev) match {
+        case Some((files, _)) => base = files.toVector; seeded = true
+        case None =>
+          v -= 1
+          chain = prev :: chain
+      }
     }
     // forward-replay from the governing overwrite: appends union their
     // files in, rewrites swap their removed set for their added set
-    val files = chain.foldLeft(Vector.empty[String]) { (live, e) =>
+    val files = chain.foldLeft(base) { (live, e) =>
       val dropped = e.removed.toSet
       (if (dropped.isEmpty) live else live.filterNot(dropped)) ++ e.added
     }
     val at = chain.last // the entry AT `version` carries the current schema
-    (files, DatasetMeta(at.schema, at.partitions))
+    val result = (files: Seq[String], DatasetMeta(at.schema, at.partitions))
+    if (snapshotMemo.size > 1024) snapshotMemo.clear() // bound driver state
+    snapshotMemo.put((qroot, version), (atVersion, result._1, result._2))
+    result
   }
 
   /** Read the dataset exactly as of `version` — schema, partition types and

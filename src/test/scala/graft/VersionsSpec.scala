@@ -306,4 +306,42 @@ class VersionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("snapshotAt memoizes: repeat costs one entry read, growth only the delta") {
+    val root = TestSpark.tmpDir("versions_memo")
+    Publish.publishVersioned(spark,
+      Seq((1L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    (2 to 6).foreach(i => Publish.publishVersioned(spark,
+      Seq((i.toLong, "a")).toDF("id", "grp"), root, Seq("grp"), mode = "append"))
+    def reads(body: => Unit): Long = {
+      val before = Versions.entryReads.get(); body
+      Versions.entryReads.get() - before
+    }
+    val (files6, _) = Versions.snapshotAt(spark, root, 6) // populates the memo
+    // repeat resolve = exactly the one witness read, not a 6-entry replay
+    assert(reads { assert(Versions.snapshotAt(spark, root, 6)._1 == files6) } == 1)
+    // a 7th append: resolving v7 seeds from the memoized v6 — the new entry
+    // plus the ancestor witness, never the whole chain
+    Publish.publishVersioned(spark,
+      Seq((7L, "a")).toDF("id", "grp"), root, Seq("grp"), mode = "append")
+    assert(reads {
+      assert(Versions.fetchVersion(spark, root, 7).select("id")
+        .as[Long].collect().sorted.toSeq == (1L to 7L))
+    } <= 2)
+  }
+
+  test("snapshot memo does not survive dataset re-creation at the same path") {
+    val root = TestSpark.tmpDir("versions_memo_recreate")
+    Publish.publishVersioned(spark,
+      Seq((1L, "a"), (2L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    Versions.snapshotAt(spark, root, 1) // memoized under this (root, 1)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // same path, same version number, DIFFERENT dataset: the memo's
+    // entry-content witness must reject the stale live set
+    Publish.publishVersioned(spark,
+      Seq((7L, "a")).toDF("id", "grp"), root, Seq("grp"))
+    assert(Versions.fetchVersion(spark, root, 1).select("id")
+      .as[Long].collect().toSeq == Seq(7L))
+  }
 }
