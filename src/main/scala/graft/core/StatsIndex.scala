@@ -253,7 +253,12 @@ object StatsIndex {
   /** Old (pre-string) sidecars lack `min_s`/`max_s`; reading them through
     * this schema yields nulls there, and the string prune branch treats
     * null string stats as UNKNOWN (never prunes) — old indexes stay valid,
-    * they just can't skip on string columns until rebuilt.
+    * they just can't skip on string columns until rebuilt. The same
+    * null-tolerant evolution admits `n_rows`/`n_nulls` (per-file row and
+    * per-column null counts, the Delta-stats `numRecords`/`nullCount`
+    * embedding): old sidecars read them as null = unknown, and the
+    * metadata-only COUNT answers ([[statsCount]] family) refuse rather
+    * than guess.
     */
   private def statsSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -261,7 +266,9 @@ object StatsIndex {
     StructField("min_v", DoubleType, nullable = true),
     StructField("max_v", DoubleType, nullable = true),
     StructField("min_s", StringType, nullable = true),
-    StructField("max_s", StringType, nullable = true)))
+    StructField("max_s", StringType, nullable = true),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("n_nulls", LongType, nullable = true)))
 
   /** `input_file_name()` yields a URI-ENCODED string; listings (and hence
     * the manifest contract) store real DECODED filesystem paths. Column
@@ -320,8 +327,10 @@ object StatsIndex {
         case StringType => col(c)
         case dt => normalized(col(c), dt)
       }
-      Seq(min(n).as(s"min_$c"), max(n).as(s"max_$c"))
-    }
+      // count(col) is the non-null count, so n_nulls derives without a
+      // second conditional aggregate per column
+      Seq(min(n).as(s"min_$c"), max(n).as(s"max_$c"), count(col(c)).as(s"cnt_$c"))
+    } :+ count(lit(1)).as("n_rows")
     val perFile = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val entries = array(target.map { c =>
@@ -331,18 +340,23 @@ object StatsIndex {
             lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v"),
             substring(col(s"min_$c"), 1, StringStatsMaxLen).as("min_s"),
             when(length(col(s"max_$c")) > StringStatsMaxLen, lit(null).cast("string"))
-              .otherwise(col(s"max_$c")).as("max_s"))
+              .otherwise(col(s"max_$c")).as("max_s"),
+            col("n_rows").as("n_rows"),
+            (col("n_rows") - col(s"cnt_$c")).as("n_nulls"))
         case _ =>
           struct(lit(c).as("column"),
             col(s"min_$c").cast("double").as("min_v"),
             col(s"max_$c").cast("double").as("max_v"),
-            lit(null).cast("string").as("min_s"), lit(null).cast("string").as("max_s"))
+            lit(null).cast("string").as("min_s"), lit(null).cast("string").as("max_s"),
+            col("n_rows").as("n_rows"),
+            (col("n_rows") - col(s"cnt_$c")).as("n_nulls"))
       }
     }: _*)
     perFile.select(normPath(col("file")).as("file"), explode(entries).as("s"))
       .select(col("file"), col("s.column").as("column"),
         col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
-        col("s.min_s").as("min_s"), col("s.max_s").as("max_s"))
+        col("s.min_s").as("min_s"), col("s.max_s").as("max_s"),
+        col("s.n_rows").as("n_rows"), col("s.n_nulls").as("n_nulls"))
   }
 
   private def sidecarPartitions(rows: Long): Int =
@@ -486,7 +500,8 @@ object StatsIndex {
     val mapDf = copied.toDF("src_file", "dest_file")
     val carried = srcStats.join(mapDf, srcStats("file") === mapDf("src_file"))
       .select(col("dest_file").as("file"), col("column"),
-        col("min_v"), col("max_v"), col("min_s"), col("max_s"))
+        col("min_v"), col("max_v"), col("min_s"), col("max_s"),
+        col("n_rows"), col("n_nulls"))
     val merged =
       if (freshFiles.isEmpty) carried
       else carried.unionByName(statsFor(spark, dest, meta, freshFiles, target))
@@ -617,26 +632,7 @@ object StatsIndex {
     }
     if (!numericish) return None
     if (!manifestColumns(spark, root).exists(_.contains(column))) return None
-    val all = read(spark, root).getOrElse(return None)
-    // A VERSIONED root's sidecar keeps rows for logically-overwritten /
-    // mutation-removed files (planning is log-aware, so they are harmless
-    // there) — but a min/max over ALL rows would resurrect those ghosts'
-    // extremes. Restrict the aggregate to the latest snapshot's live file
-    // set (tiny semi-join; the live list is already O(files) driver state),
-    // mirroring candidateFiles' versioned guard. Marker coverage claims all
-    // PHYSICAL files ⊇ live files, so exactness still holds.
-    val stats = Versions.latestVersion(spark, root) match {
-      case None => all
-      case Some(latest) =>
-        // shared path contract (Versions.absolutize): the sidecar's `file`
-        // column stores decoded absolute paths, the log stores decoded
-        // relative ones — a drifting private re-derivation here would
-        // empty the semi-join and silently degrade to the scan fallback
-        val live = Versions.absolutize(spark, root,
-          Versions.snapshotAt(spark, root, latest)._1)
-        import spark.implicits._
-        all.join(live.toDF("file"), Seq("file"), "left_semi")
-    }
+    val stats = liveStats(spark, root).getOrElse(return None)
     val row = stats.where(col("column") === column)
       .agg(min("min_v").as("lo"), max("max_v").as("hi")).head()
     if (row.isNullAt(0) || row.isNullAt(1)) return None // all-null column
@@ -664,6 +660,105 @@ object StatsIndex {
       case _ => v
     }
     Some((restore(lo), restore(hi)))
+  }
+
+  /** The sidecar restricted to files that are actually LIVE. A VERSIONED
+    * root's sidecar keeps rows for logically-overwritten / mutation-removed
+    * files (planning is log-aware, so they are harmless there) — but any
+    * metadata-only AGGREGATE over all rows would resurrect those ghosts.
+    * Restrict to the latest snapshot's live file set (tiny semi-join; the
+    * live list is already O(files) driver state), mirroring candidateFiles'
+    * versioned guard. Marker coverage claims all PHYSICAL files ⊇ live
+    * files, so completeness-gated exactness still holds. None = no sidecar.
+    */
+  private def liveStats(spark: SparkSession, root: String): Option[DataFrame] = {
+    val all = read(spark, root).getOrElse(return None)
+    Some(Versions.latestVersion(spark, root) match {
+      case None => all
+      case Some(latest) =>
+        // shared path contract (Versions.absolutize): the sidecar's `file`
+        // column stores decoded absolute paths, the log stores decoded
+        // relative ones — a drifting private re-derivation here would
+        // empty the semi-join and silently degrade to the scan fallback
+        val live = Versions.absolutize(spark, root,
+          Versions.snapshotAt(spark, root, latest)._1)
+        import spark.implicits._
+        all.join(live.toDF("file"), Seq("file"), "left_semi")
+    })
+  }
+
+  /** One live sidecar row per file with a trustworthy `n_rows`, or None
+    * unless EVERY live file carries one (pre-n_rows sidecar fragments read
+    * as null = unknown — a partially-evolved index must refuse, not guess).
+    * Exactness additionally needs the completeness marker, which the
+    * public entry points check first.
+    */
+  private def perFileRowCounts(spark: SparkSession, root: String): Option[DataFrame] = {
+    val stats = liveStats(spark, root).getOrElse(return None)
+    val perFile = stats.groupBy("file").agg(max("n_rows").as("n_rows"))
+    val gauge = perFile.agg(count(lit(1)).as("files"),
+      count(col("n_rows")).as("counted")).head()
+    if (gauge.getLong(0) != gauge.getLong(1)) return None
+    Some(perFile)
+  }
+
+  /** Metadata-only COUNT(*): answered from the stats sidecar alone — zero
+    * data rows read, the `SELECT count(*)` that a lakehouse format serves
+    * from its transaction log. Returns None (caller falls back to a scan)
+    * unless provably exact: completeness marker present AND every live
+    * file's stats carry `n_rows` (old sidecars refuse until rebuilt).
+    */
+  def statsCount(spark: SparkSession, root: String): Option[Long] = {
+    if (DatasetMeta.read(spark, root).isEmpty) return None
+    if (manifestColumns(spark, root).isEmpty) return None
+    val perFile = perFileRowCounts(spark, root).getOrElse(return None)
+    Some(Option(perFile.agg(sum("n_rows")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  /** Metadata-only COUNT(column) — the NON-NULL count, SQL semantics —
+    * from the per-column `n_nulls` embedding. Same exactness gates as
+    * [[statsCount]], plus the marker must cover `column`.
+    */
+  def statsCountCol(spark: SparkSession, root: String,
+                    column: String): Option[Long] = {
+    if (DatasetMeta.read(spark, root).isEmpty) return None
+    if (!manifestColumns(spark, root).exists(_.contains(column))) return None
+    val stats = liveStats(spark, root).getOrElse(return None)
+    val row = stats.where(col("column") === column)
+      .agg(count(lit(1)).as("files"), count(col("n_rows")).as("counted"),
+        count(col("n_nulls")).as("nullsKnown"),
+        sum(col("n_rows") - col("n_nulls")).as("nonNull")).head()
+    if (row.getLong(0) != row.getLong(1) || row.getLong(0) != row.getLong(2))
+      return None // some file predates the n_rows/n_nulls embedding
+    Some(if (row.isNullAt(3)) 0L else row.getLong(3))
+  }
+
+  /** Metadata-only `GROUP BY <partition columns> COUNT(*)`: per-partition
+    * row counts recovered from the sidecar's file paths alone (the hive
+    * segments are IN the path), zero data files read — the partition-level
+    * profile a 100 TB ingest dashboard polls after every batch. Columns:
+    * the dataset's partition columns (declared types) + `n_rows`. Same
+    * refusal contract as [[statsCount]]; None too when the dataset is
+    * unpartitioned.
+    */
+  def statsCountByPartition(spark: SparkSession, root: String): Option[DataFrame] = {
+    val meta = DatasetMeta.read(spark, root).getOrElse(return None)
+    if (meta.partitions.isEmpty) return None
+    if (manifestColumns(spark, root).isEmpty) return None
+    val perFile = perFileRowCounts(spark, root).getOrElse(return None)
+    // hive segments sit in the (decoded-absolute) file path as
+    // `col=<escaped value>`; hive escaping is percent-encoding, so the
+    // same protect-'+'-then-url_decode dance as normPath recovers the
+    // value (hive never escapes '+', form-decoding would eat it)
+    val withParts = meta.partitions.foldLeft(perFile) { (df, p) =>
+      val seg = regexp_extract(col("file"),
+        "/" + java.util.regex.Pattern.quote(p) + "=([^/]+)/", 1)
+      val dec = coalesce(try_url_decode(regexp_replace(seg, "\\+", "%2B")), seg)
+      df.withColumn(p, dec.cast(meta.schema(p).dataType))
+    }
+    Some(withParts.groupBy(meta.partitions.map(col): _*)
+      .agg(sum("n_rows").as("n_rows")))
   }
 
   private def normalized(c: Column, dt: DataType): Column =

@@ -400,4 +400,80 @@ class StatsIndexSpec extends AnyFunSuite {
     val scanned = Fetch.fetch(spark, r).agg(min("id"), max("id")).head()
     assert((scanned.getLong(0), scanned.getLong(1)) == ((0L, 399L)))
   }
+
+  test("statsCount family answers from the sidecar: exact, zero data rows read") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_count")
+    // nulls in v: COUNT(v) must be the non-null count, not n_rows
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i / 4.0), s"g${i % 3}"))
+    Publish.publish(spark, rows.toDF("id", "v", "grp")
+      .repartitionByRange(5, col("id")), r, Seq("grp"), statsCols = Seq("id", "v"))
+    val ((n, nv, byPart), recs) = IoMetrics.recordsReadDuring(spark) {
+      (StatsIndex.statsCount(spark, r).get,
+        StatsIndex.statsCountCol(spark, r, "v").get,
+        StatsIndex.statsCountByPartition(spark, r).get.collect())
+    }
+    assert(n == 5000L)
+    assert(nv == 5000L - rows.count(_._2.isEmpty))
+    assert(byPart.map(row => row.getString(0) -> row.getLong(1)).toMap ==
+      Map("g0" -> 1667L, "g1" -> 1667L, "g2" -> 1666L))
+    assert(recs <= 200, s"metadata-only counts read $recs records")
+    // refusals: column the marker does not cover; unpartitioned by-partition
+    assert(StatsIndex.statsCountCol(spark, r, "grp").isEmpty)
+    val r2 = TestSpark.tmpDir("stats_count_flat")
+    Publish.publish(spark, Seq((1L, 2.0)).toDF("id", "v"), r2, Nil,
+      statsCols = Seq("id"))
+    assert(StatsIndex.statsCountByPartition(spark, r2).isEmpty)
+  }
+
+  test("statsCount: versioned ghosts excluded, escaped partition values decode") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_count_versioned")
+    Publish.publishVersioned(spark,
+      (0 until 1000).map(i => (i.toLong, s"d ${i % 2}")).toDF("id", "d")
+        .repartitionByRange(4, col("id")),
+      r, Seq("d"), statsCols = Seq("id"))
+    assert(StatsIndex.statsCount(spark, r).contains(1000L))
+    // logical overwrite shrinks the dataset: v1's sidecar rows remain but
+    // must not inflate the metadata-only count
+    Publish.publishVersioned(spark,
+      (0 until 300).map(i => (i.toLong, s"d ${i % 2}")).toDF("id", "d")
+        .repartitionByRange(2, col("id")),
+      r, Seq("d"), statsCols = Seq("id"))
+    assert(StatsIndex.statsCount(spark, r).contains(300L))
+    // row-level DELETE: rewrite commits swap files, count follows the live set
+    Mutations.deleteWhere(spark, r, col("id") >= 200)
+    assert(StatsIndex.statsCount(spark, r).contains(200L))
+    // per-partition counts on hive values with a space ('d 0'/'d 1'):
+    // the path-segment decode must recover the escaped value exactly
+    val byPart = StatsIndex.statsCountByPartition(spark, r).get.collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(byPart == Map("d 0" -> 100L, "d 1" -> 100L))
+  }
+
+  test("statsCount refuses on a pre-n_rows sidecar instead of guessing") {
+    import spark.implicits._
+    val r = TestSpark.tmpDir("stats_count_legacy")
+    Publish.publish(spark, (0 until 100).map(i => (i.toLong, i / 2.0))
+      .toDF("id", "v"), r, Nil, statsCols = Seq("id"))
+    // simulate a sidecar written before the n_rows/n_nulls embedding by
+    // rewriting it without those columns (same rows otherwise)
+    val legacy = StatsIndex.read(spark, r).get
+      .drop("n_rows", "n_nulls").collect()
+    val dir = new java.io.File(s"$r/${StatsIndex.DirName}")
+    val schema = StatsIndex.read(spark, r).get.drop("n_rows", "n_nulls").schema
+    val legacyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(legacy: _*)),
+      schema)
+    val tmp = TestSpark.tmpDir("stats_count_legacy_rewrite")
+    legacyDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.cleanDirectory(dir)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(tmp), dir)
+    StatsIndex.writeMarker(spark, r, Seq("id")) // cleanDirectory ate the marker
+    // min/max still answers (bounds survive); counts refuse
+    assert(StatsIndex.statsMinMax(spark, r, "id").contains((0L, 99L)))
+    assert(StatsIndex.statsCount(spark, r).isEmpty)
+    assert(StatsIndex.statsCountCol(spark, r, "id").isEmpty)
+  }
 }
