@@ -58,7 +58,7 @@ object SparkEntry {
     * older build could silently serve a newer query — the suspected cause
     * of round 2's one non-reproducible hash mismatch.
     */
-  private val CacheVersion = "r4"
+  private val CacheVersion = "r5" // r5: sidecar n_rows/n_nulls embedding
 
   private def versionMarker(root: String) =
     java.nio.file.Paths.get(root, "_graft_cache_version")
@@ -434,6 +434,36 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`").orderBy("o_orderkey")
     }),
 
+    "version_sql_maintenance" -> ((s, dir) => {
+      // the operational verbs as SQL (injected parser, Delta-shaped
+      // grammar): appends fragment the dataset, OPTIMIZE compacts it, a
+      // bad overwrite lands, RESTORE rolls it back metadata-only, VACUUM
+      // RETAIN reclaims the unreferenced ghosts, DESCRIBE HISTORY
+      // narrates — and the expected history is pinned HERE so the cell
+      // fails loudly if any verb misbehaves; the dumped rows are the
+      // final content (SQL-expressible for the oracle)
+      val root = tmpRoot("ds_orders_vmaint", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 4 === 0),
+        root, Seq("o_orderstatus"))
+      (1 to 2).foreach(i => Publish.publishVersioned(s,
+        orders.where(col("o_orderkey") % 4 === i), root, Seq("o_orderstatus"),
+        mode = "append"))
+      s.sql(s"OPTIMIZE graft.`$root`")
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") === 4),
+        root, Seq("o_orderstatus")) // the bad overwrite
+      s.sql(s"RESTORE graft.`$root` TO VERSION AS OF 4")
+      s.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS")
+      val hist = s.sql(s"DESCRIBE HISTORY graft.`$root`")
+        .select("version", "action").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      val expected = Seq(1 -> "overwrite", 2 -> "append", 3 -> "append",
+        4 -> "overwrite", 5 -> "overwrite", 6 -> "overwrite")
+      require(hist == expected, s"DESCRIBE HISTORY mismatch: $hist")
+      s.sql(s"SELECT * FROM graft.`$root`").orderBy("o_orderkey")
+    }),
+
     "get_all_partition_values" -> ((s, dir) => {
       import s.implicits._
       Fetch.getAllPartitionValues(s, lineitemDataset(s, dir), "l_returnflag")
@@ -534,6 +564,30 @@ object SparkEntry {
           numHashes = 64, bands = 32)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // rolling-ingest near-dup: the corpus (doc_id%3≠0) is banded ONCE
+      // into a persisted index; the new batch (doc_id%3=0) dedups against
+      // the stored buckets + itself without re-reading corpus text. Same
+      // saturated 64/32 config as dedup_minhash, so LSH ≡ exhaustive and
+      // DuckDB's all-pairs Jaccard restricted to batch-touching pairs is
+      // the exact oracle.
+      val docs = s.read.parquet(t(dir, "documents"))
+      val root = tmpRoot("ds_dedup_index", dir)
+      val current = java.nio.file.Files.exists(versionMarker(root)) &&
+        java.nio.file.Files.readString(versionMarker(root)) == CacheVersion &&
+        DatasetMeta.read(s, s"$root/bands").nonEmpty
+      if (!current) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        graft.ops.DedupIndex.build(s, docs.where(col("doc_id") % 3 =!= 0),
+          root, numHashes = 64, bands = 32)
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      graft.ops.DedupIndex.dedupBatch(s, root,
+          docs.where(col("doc_id") % 3 === 0), threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
 
     // MD5-family signatures (bit j = bit j of md5(token)'s first-16-hex
     // uint64) make the simhash ORACLE-CHECKABLE: the 4×16-bit chunk cover
@@ -1220,6 +1274,35 @@ object SparkEntry {
         .toDF("min_price", "max_price", "min_qty", "max_qty")
     }),
 
+    "fetch_stats_count" -> ((s, dir) => {
+      // metadata-only COUNT(*) and COUNT(col): answered from the sidecar's
+      // n_rows/n_nulls embedding (zero data rows read — input-metrics spec
+      // in StatsIndexSpec), exactness guarded by the completeness marker
+      import s.implicits._
+      val root = publishOnce(s, "ds_lineitem_zstats", dir, Nil,
+        zorderCols = Seq("l_extendedprice", "l_quantity"),
+        statsCols = Seq("l_extendedprice", "l_quantity")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      val n = graft.core.StatsIndex.statsCount(s, root)
+        .getOrElse(sys.error("stats index cannot answer count(*)"))
+      val nq = graft.core.StatsIndex.statsCountCol(s, root, "l_quantity")
+        .getOrElse(sys.error("stats index cannot answer count(l_quantity)"))
+      Seq((n, nq)).toDF("n_rows", "n_qty")
+    }),
+
+    "fetch_stats_count_by_partition" -> ((s, dir) => {
+      // metadata-only GROUP BY partition COUNT(*): per-partition row counts
+      // recovered from the sidecar's hive path segments alone
+      val root = publishOnce(s, "ds_orders_pstats", dir, Seq("o_orderstatus"),
+        statsCols = Seq("o_totalprice")) {
+        s.read.parquet(t(dir, "orders"))
+      }
+      graft.core.StatsIndex.statsCountByPartition(s, root)
+        .getOrElse(sys.error("stats index cannot answer per-partition counts"))
+        .orderBy("o_orderstatus")
+    }),
+
     "fetch_indexed_string" -> ((s, dir) => {
       // STRING data-column equality served by the min_s/max_s half of the
       // stats index: sorting by l_returnflag makes each file's string
@@ -1397,6 +1480,10 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
+    "version_sql_maintenance" ->
+      """SELECT * FROM orders WHERE o_orderkey % 4 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
@@ -1419,6 +1506,13 @@ object SparkEntry {
       """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+
+    "fetch_stats_count" ->
+      "SELECT count(*) AS n_rows, count(l_quantity) AS n_qty FROM lineitem",
+
+    "fetch_stats_count_by_partition" ->
+      """SELECT o_orderstatus, count(*) AS n_rows FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "fetch_indexed_decimal" ->
       """SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS l_price_dec
@@ -1753,6 +1847,20 @@ object SparkEntry {
         |SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE c / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 3, 0) + 2)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE c / (sa.n + sb.n - c) >= 0.8
+        |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // The operator joins on xxhash64(shingle) (two longs through the
