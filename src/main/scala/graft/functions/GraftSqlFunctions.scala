@@ -116,5 +116,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectResolutionRule(session => new graft.plans.GraftLakehouseRule(session))
+    // maintenance statements Spark has no grammar for (OPTIMIZE / VACUUM /
+    // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

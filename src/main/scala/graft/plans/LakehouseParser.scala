@@ -1,0 +1,142 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.core.Versions
+
+/** Maintenance statements for the versioned lakehouse — the operational
+  * verbs Spark's own grammar has no words for (the Delta-SQL shapes):
+  *
+  * {{{
+  *   DESCRIBE HISTORY graft.`/data/events`
+  *   OPTIMIZE graft.`/data/events`                         -- compact
+  *   OPTIMIZE graft.`/data/events` ZORDER BY (x, y)        -- re-cluster
+  *   OPTIMIZE graft.`/data/events` ORDER BY (day)
+  *   RESTORE graft.`/data/events` TO VERSION AS OF 2
+  *   VACUUM graft.`/data/events` RETAIN 3 VERSIONS
+  * }}}
+  *
+  * Implementation follows the public Delta pattern: a ParserInterface
+  * wrapper ([[GraftSqlParser]], injected via `injectParser`) recognizes
+  * exactly these statement shapes and emits eager commands delegating to
+  * [[graft.core.Versions]] — everything else falls through verbatim to
+  * Spark's parser, so no stock SQL changes meaning. [[GraftSql.exec]]
+  * consults the same matcher first, keeping the two entry points
+  * byte-identical in behavior. The match is anchored (whole statement),
+  * case-insensitive in keywords, and never fires on statements that
+  * don't name a ``graft.`path` `` target — a typo'd maintenance verb
+  * still gets Spark's own parse error, not a silent fall-through.
+  *
+  * `VACUUM … RETAIN n VERSIONS` requires the clause: physical deletion
+  * with a defaulted horizon is how a SQL user loses time travel by
+  * accident.
+  */
+object LakehouseStatements {
+
+  // one shared lexeme: the target. Paths live in backticks (the Delta
+  // convention), which cannot themselves contain a backtick.
+  private val Target = "graft\\s*\\.\\s*`([^`]+)`"
+  private def re(pattern: String) =
+    ("(?is)\\A\\s*" + pattern + "\\s*;?\\s*\\z").r
+
+  private val DescribeHistory = re("DESCRIBE\\s+HISTORY\\s+" + Target)
+  private val Optimize =
+    re("OPTIMIZE\\s+" + Target + "(?:\\s+(ZORDER|ORDER)\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?")
+  private val Restore = re("RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?")
+
+  /** The command plan for a graft maintenance statement, or None when the
+    * text is not one (→ caller hands it to Spark's parser).
+    */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case DescribeHistory(root) => Some(GraftDescribeHistoryCommand(root))
+    case Optimize(root, kind, cols) =>
+      val names = Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val zorder = Option(kind).exists(_.toUpperCase(Locale.ROOT) == "ZORDER")
+      Some(GraftOptimizeCommand(root,
+        sortCols = if (zorder) Nil else names,
+        zorderCols = if (zorder) names else Nil))
+    case Restore(root, v) => Some(GraftRestoreCommand(root, v.toInt))
+    case Vacuum(root, n) => Some(GraftVacuumCommand(root, n.toInt))
+    case _ => None
+  }
+}
+
+/** `DESCRIBE HISTORY graft.`root``: the commit log, one row per version. */
+case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("n_added_files", LongType, nullable = false)(),
+    AttributeReference("n_removed_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Versions.history(spark, root).collect().toSeq
+}
+
+/** `OPTIMIZE graft.`root` [ZORDER BY (…) | ORDER BY (…)]` — compaction as
+  * a new logical-overwrite version ([[Versions.compact]]).
+  */
+case class GraftOptimizeCommand(root: String, sortCols: Seq[String],
+                                zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files_written", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val files = Versions.compact(spark, root, sortCols = sortCols, zorderCols = zorderCols)
+    Seq(Row(Versions.latestVersion(spark, root).get, files.size))
+  }
+}
+
+/** `RESTORE graft.`root` TO VERSION AS OF n` — metadata-only rollback. */
+case class GraftRestoreCommand(root: String, version: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(version, Versions.restore(spark, root, version)))
+}
+
+/** `VACUUM graft.`root` RETAIN n VERSIONS` — physically delete files only
+  * referenced by versions older than the newest `n`.
+  */
+case class GraftVacuumCommand(root: String, retain: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("keep_from", IntegerType, nullable = false)(),
+    AttributeReference("n_deleted_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retain >= 1, s"RETAIN $retain VERSIONS: must keep at least 1")
+    val latest = Versions.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    val keepFrom = math.max(1, latest - retain + 1)
+    val dead = Versions.vacuum(spark, root, keepFrom)
+    Seq(Row(keepFrom, dead.size))
+  }
+}
+
+/** The injected parser: graft maintenance statements short-circuit, all
+  * other text reaches the delegate (Spark's own parser) untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakehouseStatements.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -204,7 +204,10 @@ class GraftLakehouseRule(spark: SparkSession) extends Rule[LogicalPlan] {
   */
 object GraftSql {
   def exec(spark: SparkSession, sqlText: String): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // maintenance statements first — Spark's parser has no grammar for
+    // them, so they must short-circuit exactly like the injected parser
+    val parsed = LakehouseStatements.parse(sqlText)
+      .getOrElse(spark.sessionState.sqlParser.parsePlan(sqlText))
     shim.ofRows(spark, parsed.transformDown(LakehouseSql.convert(spark)))
   }
 }

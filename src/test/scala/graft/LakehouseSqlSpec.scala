@@ -105,4 +105,41 @@ class LakehouseSqlSpec extends AnyFunSuite {
     // reads of an unversioned root still work (plain fetch)
     assert(spark.sql(s"SELECT * FROM graft.`$plain`").count() == 1)
   }
+
+  test("maintenance statements: OPTIMIZE / RESTORE / VACUUM / DESCRIBE HISTORY") {
+    val root = freshTarget()
+    (0 until 3).foreach(i => Publish.publishVersioned(spark,
+      Seq((100L + i, "g0", 1.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"), mode = "append"))
+    val frag = Publish.listDataFiles(spark, root).size
+    val opt = spark.sql(s"OPTIMIZE graft.`$root`").head()
+    assert(opt.getInt(0) == 5) // v5 = the compaction overwrite
+    assert(Publish.listDataFiles(spark, root).size < frag)
+    assert(Fetch.fetch(spark, root).count() == 63)
+    // a bad overwrite, rolled back metadata-only
+    Publish.publishVersioned(spark, Seq((999L, "g0", 0.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    val rst = spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 5").head()
+    assert((rst.getInt(0), rst.getInt(1)) == ((5, 7)))
+    assert(Fetch.fetch(spark, root).count() == 63)
+    // vacuum keeps only versions the newest 1 references: v5's files
+    // survive (v7 restored them), the fragments and the bad overwrite die
+    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS").head()
+    assert(vac.getInt(0) == 7)
+    assert(vac.getInt(1) > 0)
+    assert(Fetch.fetch(spark, root).count() == 63)
+    intercept[IllegalArgumentException] { Versions.fetchVersion(spark, root, 6) }
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+      .select("version", "action").as[(Int, String)].collect().toSeq
+    assert(hist == Seq(1 -> "overwrite", 2 -> "append", 3 -> "append",
+      4 -> "append", 5 -> "overwrite", 6 -> "overwrite", 7 -> "overwrite"))
+    // ZORDER arm + GraftSql.exec parity (extension-less path)
+    val z = GraftSql.exec(spark, s"OPTIMIZE graft.`$root` ZORDER BY (id, v)").head()
+    assert(z.getInt(0) == 8)
+    assert(Fetch.fetch(spark, root).count() == 63)
+    // a defaulted-horizon VACUUM is NOT grammar — Spark's parser rejects
+    intercept[Exception] { spark.sql(s"VACUUM graft.`$root`") }
+    // non-graft statements never match the maintenance shapes
+    intercept[Exception] { spark.sql("OPTIMIZE some_table") }
+  }
 }
