@@ -231,6 +231,13 @@ object PlanAudit {
       // file list (the rewrite happened at mutation time, not read time)
       "plain file scan" -> (_.contains("FileScan parquet")),
       "no data shuffle" -> (p => !p.contains("hashpartitioning")))
+    audit("dedup_incremental",
+      // the batch-vs-store probe is a bucket hash join over (band, bhash)
+      // scalars with the broadcast skew-cap anti-join — never all-pairs,
+      // and shingle arrays only join back for surviving candidates
+      "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
