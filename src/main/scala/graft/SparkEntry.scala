@@ -1320,6 +1320,31 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "fetch_indexed_bloom" -> ((s, dir) => {
+      // per-file Bloom skipping on a deliberately RANDOM layout: every
+      // file's min/max orderkey range spans ~the whole domain, so range
+      // skipping is useless by construction and only the bloom probe can
+      // drop files (BloomIndexSpec asserts the skip count; this cell pins
+      // exactness of the pruned read). The IN list mixes live keys with a
+      // dead one — a file survives only if SOME probed value might be in it
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val root = publishOnce(s, "ds_lineitem_bloom", dir, Nil) {
+        s.read.parquet(t(dir, "lineitem")).repartition(16)
+      }
+      if (graft.core.BloomIndex.params(s, root).isEmpty) {
+        val n = s.read.parquet(t(dir, "lineitem")).count()
+        graft.core.BloomIndex.build(s, root, Seq("l_orderkey"),
+          expectedItemsPerFile = math.max(8192L, n / 16))
+      }
+      val r = s.read.parquet(t(dir, "lineitem"))
+        .agg(fmax("l_orderkey"), fmin("l_orderkey")).head
+      val keys = Seq(r.getLong(0), r.getLong(1), r.getLong(0) - 4444L)
+      Fetch.fetchIndexed(s, root,
+        dataFilters = Seq(ColFilter("l_orderkey", "==", keys)))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    }),
+
     "fetch_indexed_decimal" -> ((s, dir) => {
       // DECIMAL data column in the stats index — the custom_publish world:
       // money columns are DECIMAL(12,2). The stats row embeds the decimal
@@ -1513,6 +1538,15 @@ object SparkEntry {
     "fetch_stats_count_by_partition" ->
       """SELECT o_orderstatus, count(*) AS n_rows FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fetch_indexed_bloom" ->
+      """SELECT * FROM lineitem
+        |WHERE l_orderkey IN (
+        |  (SELECT max(l_orderkey) FROM lineitem),
+        |  (SELECT min(l_orderkey) FROM lineitem),
+        |  (SELECT max(l_orderkey) - 4444 FROM lineitem))
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
 
     "fetch_indexed_decimal" ->
       """SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS l_price_dec

@@ -434,6 +434,10 @@ object Publish {
         StatsIndex.appendFiles(spark, root, newFiles, cols, markComplete = true,
           verifyFiles = Some(allAfter))
     }
+    // A bloom sidecar maintains itself the same O(batch) way (no-op when
+    // none exists); until maintenance lands the new files simply aren't
+    // prunable — the subtractive index needs no completeness claim.
+    if (mode == "append") BloomIndex.appendFiles(spark, root, newFiles)
     newFiles
   }
 

@@ -549,6 +549,10 @@ object StatsIndex {
   def candidateFiles(spark: SparkSession, root: String, meta: DatasetMeta,
                      dataFilters: Seq[ColFilter]): Seq[String] = {
     val relevant = dataFilters.filter(f => indexable(meta.schema(f.partition).dataType))
+    // Per-file Bloom proofs ([[BloomIndex]]) compose with the range proofs
+    // below by UNION of pruned files: both are subtractive, so either index
+    // proving a file out suffices and neither can resurrect one.
+    val bloomPruned = BloomIndex.prunedFiles(spark, root, meta, dataFilters)
     // A VERSIONED root must plan from the commit log, not the manifest:
     // the stats sidecar keeps rows for logically-overwritten (and
     // mutation-removed) files, so manifest mode would resurrect ghosts.
@@ -557,23 +561,34 @@ object StatsIndex {
     // absent from `all`, which subtraction ignores.
     if (manifestColumns(spark, root).isDefined && !Versions.isVersioned(spark, root)) {
       read(spark, root) match {
-        case Some(stats) => return manifestSurvivors(stats, relevant, meta)
+        case Some(stats) => return manifestSurvivors(stats, relevant, meta, bloomPruned)
         case None => () // marker without sidecar: fall through to listing
       }
     }
     val all = Publish.listDataFiles(spark, root)
-    if (relevant.isEmpty) return all
-    read(spark, root) match {
-      case None => all
-      case Some(stats) =>
+    val rangePruned: Option[DataFrame] =
+      if (relevant.isEmpty) None
+      else read(spark, root).map { stats =>
         val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
+        stats.where(pruneCond).select("file").distinct()
+      }
+    val prunedOpt = (rangePruned, bloomPruned) match {
+      case (Some(r), Some(b)) =>
+        Some(r.unionByName(b.withColumnRenamed("bloom_pruned", "file")).distinct())
+      case (Some(r), None) => Some(r)
+      case (None, Some(b)) => Some(b.withColumnRenamed("bloom_pruned", "file"))
+      case (None, None) => None
+    }
+    prunedOpt match {
+      case None => all
+      case Some(pruned) =>
         // persisted across the count + (collect | anti-join) pair — without
         // it the sidecar scan would run twice per fetch
-        val prunedDf = stats.where(pruneCond).select("file").distinct().persist()
+        val prunedDf = pruned.persist()
         try {
           if (prunedDf.count() * 2 <= all.size) {
-            val pruned = prunedDf.collect().map(_.getString(0)).toSet
-            all.filterNot(pruned)
+            val prunedSet = prunedDf.collect().map(_.getString(0)).toSet
+            all.filterNot(prunedSet)
           } else {
             import spark.implicits._
             val survivors = all.toDF("path")
@@ -586,12 +601,15 @@ object StatsIndex {
   }
 
   /** One aggregation over the manifest: a file survives unless SOME stats
-    * row proves SOME filter can't match it. Sorted for the stable path
-    * order the listing mode returns.
+    * row proves SOME filter can't match it — then the Bloom proofs subtract
+    * frame-side (anti-join), so driver transfer stays O(final survivors)
+    * even when an equality probe prunes nearly every file. Sorted for the
+    * stable path order the listing mode returns.
     */
   private def manifestSurvivors(stats: DataFrame, relevant: Seq[ColFilter],
-                                meta: DatasetMeta): Seq[String] = {
-    val survivors =
+                                meta: DatasetMeta,
+                                bloomPruned: Option[DataFrame]): Seq[String] = {
+    val rangeSurvivors =
       if (relevant.isEmpty) stats.select("file").distinct()
       else {
         val pruneCond = relevant.map(f => pruneExpr(f, meta)).reduce(_ || _)
@@ -599,6 +617,10 @@ object StatsIndex {
           .agg(max(when(pruneCond, lit(true)).otherwise(lit(false))).as("pruned"))
           .where(!col("pruned")).select("file")
       }
+    val survivors = bloomPruned match {
+      case Some(b) => rangeSurvivors.join(b, col("file") === col("bloom_pruned"), "left_anti")
+      case None => rangeSurvivors
+    }
     survivors.collect().map(_.getString(0)).sorted.toIndexedSeq
   }
 

@@ -105,6 +105,23 @@ object ProbFilterOps {
     true
   }
 
+  /** [[mightContainBytes]] with the geometry read from the serialized
+    * header itself (int numHashes at 0, long numBits at 4, big-endian):
+    * per-file filters may be sized per build pass, so a probe over a
+    * column of filters cannot assume one geometry. Two header reads per
+    * probe — noise next to the k word loads.
+    */
+  def mightContainBytesSelf(bytes: Array[Byte], h: Long): Boolean = {
+    val numHashes = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val numBits =
+      ((bytes(4) & 0xffL) << 56) | ((bytes(5) & 0xffL) << 48) |
+      ((bytes(6) & 0xffL) << 40) | ((bytes(7) & 0xffL) << 32) |
+      ((bytes(8) & 0xffL) << 24) | ((bytes(9) & 0xffL) << 16) |
+      ((bytes(10) & 0xffL) << 8) | (bytes(11) & 0xffL)
+    mightContainBytes(bytes, h, numHashes, numBits)
+  }
+
   /** Serialized layout: int numHashes, long numBits, the words. */
   def serializeBloom(numHashes: Int, numBits: Long, words: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(12 + words.length * 8)
@@ -357,6 +374,37 @@ case class BloomMightContainSerialized(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** [[BloomMightContainSerialized]] with the geometry read from each row's
+  * serialized header instead of fixed plan parameters: the per-FILE skipping
+  * index ([[graft.core.BloomIndex]]) stores filters whose sizing may differ
+  * across build passes (an append can re-size), so one probe expression must
+  * handle a mixed-geometry filter column. Codegen'd; two header loads per
+  * probe on top of the k word loads.
+  */
+case class BloomMightContainSelf(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain_self"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (serialized filter, xxhash64 of the key), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(bloom: Any, h: Any): Any =
+    ProbFilterOps.mightContainBytesSelf(bloom.asInstanceOf[Array[Byte]], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.ProbFilterOps.mightContainBytesSelf($b, $h);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BloomMightContainSelf =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Mergeable count-min sketch over the XXH64(seed 42) hashes of `child`:
   * depth×width counters, merge = element-wise add. Estimates are upper
   * bounds; error ≤ 2n/width with probability 1 − 2^−depth. Output:
@@ -586,6 +634,11 @@ object ProbFilters {
                              numHashes: Int, numBits: Long): Column =
     shim.column(BloomMightContainSerialized(shim.expression(bloom),
       shim.expression(xxhash64(key)), numHashes, numBits))
+
+  /** Probe a filter-bytes column whose geometry rides each row's header. */
+  def mightContainSelf(bloom: Column, key: Column): Column =
+    shim.column(BloomMightContainSelf(shim.expression(bloom),
+      shim.expression(xxhash64(key))))
 
   /** Count-min aggregate; width ≈ 2/ε counters per row, depth ≈ log(1/δ). */
   def countMinAgg(key: Column, depth: Int = 5, width: Int = 4096): Column =

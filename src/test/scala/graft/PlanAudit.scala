@@ -86,6 +86,13 @@ object PlanAudit {
       // the plan — asserted by StatsIndexSpec on candidate counts)
       "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
       "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
+    audit("fetch_indexed_bloom",
+      // file-level bloom skip happened driver-side before this plan
+      // (BloomIndexSpec pins the candidate counts); what the plan must
+      // show is the residual IN predicate pushed into the surviving
+      // files' parquet scan, and no join anywhere in a pure fetch
+      "IN predicate pushed to parquet" -> (_.contains("In(l_orderkey")),
+      "no join in the pruned fetch" -> (p => !p.contains("Join")))
     audit("text_bigram_surprisal",
       // pairs must come from the in-array transform — a positional
       // self-join (shuffle of every token against itself) would show as
