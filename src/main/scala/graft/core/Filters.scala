@@ -142,19 +142,37 @@ object Filters {
     */
   def compileOn(typeOf: String => DataType, filters: Seq[ColFilter]): Option[Column] = {
     val preds = filters.map { f =>
-      val c = col(f.partition).cast(typeOf(f.partition))
-      val perValue: Seq[Column] = f.values.map { v =>
-        val l = typedLit(typeOf(f.partition), v)
-        f.comparison match {
-          case "==" => c === l
-          case "!=" => c =!= l
-          case ">"  => c > l
-          case "<"  => c < l
-          case ">=" => c >= l
-          case "<=" => c <= l
-        }
+      val dt = typeOf(f.partition)
+      val c = col(f.partition).cast(dt)
+      f.comparison match {
+        // Multi-value `==` is the reference's "in" form — compile it to a
+        // genuine Catalyst `In`, not an Or(EqualTo) fold: `In` translates
+        // to ONE pushed `In(col, values)` parquet filter, converts to the
+        // hash-set `InSet` past spark.sql.optimizer.inSetConversionThreshold
+        // (an Or tree stays O(values) per row forever), and keeps a
+        // 1,000-value filter list from building a 1,000-deep expression
+        // tree. (`!=` keeps its per-value OR fold: the reference's
+        // documented semantics there are a tautology for ≥2 distinct
+        // values — value-wise union, not NOT IN.)
+        case "==" if f.values.size > 1 =>
+          import org.apache.spark.sql.graft.shim
+          shim.column(org.apache.spark.sql.catalyst.expressions.In(
+            shim.expression(c),
+            f.values.map(v => shim.expression(typedLit(dt, v))).toList))
+        case _ =>
+          val perValue: Seq[Column] = f.values.map { v =>
+            val l = typedLit(dt, v)
+            f.comparison match {
+              case "==" => c === l
+              case "!=" => c =!= l
+              case ">"  => c > l
+              case "<"  => c < l
+              case ">=" => c >= l
+              case "<=" => c <= l
+            }
+          }
+          perValue.reduceOption(_ || _).getOrElse(lit(false))
       }
-      perValue.reduceOption(_ || _).getOrElse(lit(false))
     }
     preds.reduceOption(_ && _)
   }

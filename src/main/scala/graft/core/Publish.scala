@@ -223,19 +223,34 @@ object Publish {
     *      dataset plan from the commit log, and these files are in no
     *      committed entry yet. A crash here orphans invisible files, the
     *      same story as a crashed logical overwrite.
-    *   3. **Stats** — if the dataset (or this call) carries a stats
-    *      index, the new files' min/max rows append under the dataset
-    *      lock — the ONE short serialized step (sidecar writes don't
-    *      commute), paid before the commit so an indexed read of the new
+    *   3. **Stats/bloom** — if the dataset (or this call) carries a stats
+    *      or bloom index, the new files' sidecar rows append — cheap,
+    *      O(batch), paid before the commit so an indexed read of the new
     *      version never finds uncovered live files.
     *   4. **Commit** — [[Versions.commit]]'s entry-file CAS claims the
     *      next version, retrying past racing committers.
     *
     * Net effect: N racing appenders overlap their (expensive) data writes
-    * entirely and land as N consecutive versions; only the (cheap) stats
-    * append and the commit CAS touch shared state. Appends racing a
-    * schema-changing overwrite are REJECTED at the commit, not silently
-    * mixed — see [[Versions.commit]].
+    * entirely and land as N consecutive versions; only the (cheap) sidecar
+    * append and the commit CAS touch shared state — an append NEVER takes
+    * the dataset lock around its data path (ConcurrentAppendSpec pins
+    * that), so a slow writer elsewhere cannot stall ingestion.
+    *
+    * The vacuum interlock: between step 2's renames and step 4's commit,
+    * the moved files are referenced by no committed entry, so a concurrent
+    * [[Versions.vacuum]] would classify them dead and delete them — then
+    * the commit would land referencing deleted files. The guard is
+    * TEMPORAL, not a lock (a lock would re-serialize appends on every
+    * maintenance pass): each rename touches the file's modification time
+    * to "now", and vacuum keeps any unreferenced file younger than its
+    * `graceMs` horizon (default 15 min — the Delta retention-horizon
+    * design). The exposed window is rename→commit — sidecar maintenance,
+    * milliseconds of CAS — orders of magnitude inside the horizon, and the
+    * protection holds cross-process on object stores where the dataset
+    * lock is only best-effort (there the rename IS a copy, so the fresh
+    * timestamp comes for free). Appends racing a schema-changing overwrite
+    * are REJECTED at the commit, not silently mixed — see
+    * [[Versions.commit]].
     */
   private def appendVersionedOptimistic(spark: SparkSession, df: DataFrame,
                                         root: String, partitions: Seq[String],
@@ -266,6 +281,13 @@ object Publish {
           f.mkdirs(dest.getParent)
           require(f.rename(new Path(abs), dest),
             s"could not move staged append file $abs to $dest")
+          // restamp to "now": rename preserves mtime, but a long batch's
+          // FIRST staged file can be hours old by rename time — vacuum's
+          // grace horizon must measure from here, the start of the
+          // uncommitted-but-live window, not from the write. Best-effort:
+          // object-store "renames" are copies (fresh timestamp anyway).
+          try f.setTimes(dest, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () }
           dest.toUri.getPath
         }
       } finally {
@@ -273,14 +295,31 @@ object Publish {
         catch { case e: java.io.IOException =>
           System.err.println(s"[graft] could not clean append staging $staging: $e") }
       }
+    postRenameHook()
     val cols = (statsCols ++ StatsIndex.indexedColumns(spark, root))
       .distinct.filter(df.columns.contains)
-    if (cols.nonEmpty) DatasetLock.withLock(spark, root) {
-      StatsIndex.appendFiles(spark, root, moved, cols)
+    // sidecar maintenance doesn't commute (read-modify-write of shared
+    // index state) — the ONE short serialized step of the append. The
+    // bloom sidecar self-maintains like any append (no-op when no bloom
+    // index exists); without it versioned appends would silently decay
+    // bloom prune effectiveness forever.
+    // existence pre-checked OUTSIDE the lock: an unindexed dataset's
+    // append must stay entirely lock-free (ConcurrentAppendSpec pins it)
+    val hasBloom = BloomIndex.params(spark, root).isDefined
+    if (cols.nonEmpty || hasBloom) DatasetLock.withLock(spark, root) {
+      if (cols.nonEmpty) StatsIndex.appendFiles(spark, root, moved, cols)
+      if (hasBloom) BloomIndex.appendFiles(spark, root, moved)
     }
     Versions.commit(spark, root, "append", moved, DatasetMeta(df.schema, partitions))
     moved
   }
+
+  /** Test seam: runs between the optimistic append's renames and its
+    * sidecar/commit steps — the uncommitted-but-live window the
+    * vacuum×append race spec holds open to prove a concurrent vacuum's
+    * grace horizon keeps the renamed files until the commit lands.
+    */
+  private[graft] var postRenameHook: () => Unit = () => ()
 
   private[core] val StageDirName = "_graft_stage"
 

@@ -777,7 +777,13 @@ object StatsIndex {
       val seg = regexp_extract(col("file"),
         "/" + java.util.regex.Pattern.quote(p) + "=([^/]+)/", 1)
       val dec = coalesce(try_url_decode(regexp_replace(seg, "\\+", "%2B")), seg)
-      df.withColumn(p, dec.cast(meta.schema(p).dataType))
+      // hive spells a NULL partition value as a sentinel directory name —
+      // map it back to NULL before the cast, so the group matches GROUP
+      // BY's null group (and a non-string partition type doesn't throw
+      // casting the sentinel under ANSI)
+      val nulled = when(dec === lit("__HIVE_DEFAULT_PARTITION__"), lit(null))
+        .otherwise(dec)
+      df.withColumn(p, nulled.cast(meta.schema(p).dataType))
     }
     Some(withParts.groupBy(meta.partitions.map(col): _*)
       .agg(sum("n_rows").as("n_rows")))

@@ -58,6 +58,9 @@ object Versions {
   val DirName = "_graft_versions"
   private val VacuumMarker = "_vacuum_watermark"
 
+  /** Default [[vacuum]] staging-grace horizon (see its doc). */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
   private def dirPath(root: String) = new Path(root, DirName)
 
   private def entryPath(root: String, v: Int) =
@@ -175,11 +178,17 @@ object Versions {
         val entry = readEntry(spark, root, lv)
         val same = entry.schema.fields.map(x => (x.name, x.dataType)).toSet ==
           meta.schema.fields.map(x => (x.name, x.dataType)).toSet
-        if (entry.action == "overwrite" && !same)
+        // Checked against the latest entry UNCONDITIONALLY, not just when
+        // it is itself an overwrite: a schema-changing overwrite followed
+        // by a same-schema append would otherwise launder the stale
+        // appender's check (the governing schema is carried forward by
+        // EVERY entry, so comparing to the newest one is always the
+        // current truth — and versioned appends require exact match).
+        if (!same)
           throw new java.util.ConcurrentModificationException(
             s"append to $root lost a race with a schema-changing overwrite " +
-              s"(v$lv); the staged files no longer match the dataset — re-run " +
-              "the append against the new schema")
+              s"(schema in force at v$lv differs); the staged files no longer " +
+              "match the dataset — re-run the append against the new schema")
       }
       val v = latest.getOrElse(0) + 1
       val json = JsonMethods.compact(JsonMethods.render(JObject(
@@ -237,19 +246,27 @@ object Versions {
     // The commit CAS is create-if-absent THEN write: a reader racing a
     // committer can observe the claimed-but-not-yet-written entry (empty
     // or partial). That is a commit IN FLIGHT, not corruption — entry
-    // bodies are tiny, so retry briefly before concluding the log is
-    // actually damaged.
-    val deadline = System.currentTimeMillis() + 10000
+    // bodies are tiny (one write+close), so the in-flight window is
+    // milliseconds: retry for ~1 s, then fail FAST with repair guidance.
+    // A long retry here would turn a genuinely corrupt entry (committer
+    // died mid-write after the create; the collision handler skips past
+    // it, leaving the broken entry in the chain) into a multi-second
+    // stall on EVERY snapshot replay / history listing instead of an
+    // actionable error.
+    val deadline = System.currentTimeMillis() + 1000
     var lastErr: Throwable = null
+    var raw: String = ""
     while (System.currentTimeMillis() <= deadline) {
       val in = f.open(p)
-      val raw = try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
-                finally in.close()
+      raw = try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
+            finally in.close()
       try return parseEntry(raw)
       catch { case e: Exception => lastErr = e; Thread.sleep(20) }
     }
     throw new IllegalStateException(
-      s"commit entry $p stayed unreadable for 10s — a crashed committer? ", lastErr)
+      s"commit entry $p is unreadable (${raw.length} bytes) — a committer " +
+        "crashed mid-write. Later versions are intact; to repair, delete " +
+        s"this entry file and RESTORE or re-commit past v$v. ", lastErr)
   }
 
   private def parseEntry(raw: String): VersionEntry = {
@@ -588,8 +605,27 @@ object Versions {
     * reading partial data. Driver work is O(history size) over the tiny
     * entry files; deletes are issued per-file (object-store friendly — no
     * directory truncation that could catch live files).
+    *
+    * Runs under the dataset lock, which [[Publish]]'s optimistic append
+    * also takes around its rename→commit tail — so a racing appender's
+    * renamed-but-uncommitted files are never classified dead (vacuum
+    * either sees them committed, or runs before the rename while they are
+    * still under the hidden staging dir). `graceMs` is the belt for
+    * The GRACE HORIZON is what makes vacuum safe against [[Publish]]'s
+    * lock-free optimistic appends: an appender's files are renamed into
+    * the live tree (mtime restamped to "now") BEFORE its commit entry
+    * exists, so to a concurrent vacuum they look dead — deleting them
+    * would let the commit land referencing deleted files, a corrupt
+    * committed snapshot. Unreferenced files younger than `graceMs` are
+    * therefore kept (the Delta retention-horizon design); the default
+    * 15 min dwarfs the rename→commit window (milliseconds of sidecar +
+    * CAS work) and holds cross-process too, where the dataset lock is
+    * only best-effort. `graceMs = 0` reclaims everything immediately —
+    * only for callers who KNOW no append is in flight (tests, quiesced
+    * maintenance windows).
     */
-  def vacuum(spark: SparkSession, root: String, keepFrom: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keepFrom: Int,
+             graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val latest = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -599,8 +635,10 @@ object Versions {
       val live: Set[String] =
         (keepFrom to latest).flatMap(v => snapshotAt(spark, root, v)._1).toSet
       val all = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
+      val horizon = System.currentTimeMillis() - graceMs
       val dead = all.zip(relativize(spark, root, all)).collect {
-        case (a, rel) if !live.contains(rel) => a
+        case (a, rel) if !live.contains(rel) &&
+          (graceMs <= 0L || f.getFileStatus(new Path(a)).getModificationTime < horizon) => a
       }
       dead.foreach(d => f.delete(new Path(d), false))
       val out = f.create(new Path(dirPath(root), VacuumMarker), true)

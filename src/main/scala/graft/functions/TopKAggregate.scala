@@ -108,3 +108,90 @@ object TopKPairs {
     shim.column(TopKPairs(shim.expression(score), shim.expression(id), k)
       .toAggregateExpression())
 }
+
+/** [[TopKPairs]] with a BIGINT score — for order keys that are full-range
+  * 64-bit values (hashes): a double score collapses distinct longs above
+  * 2⁵³, silently merging their rank. Same bounded-heap partial
+  * aggregation; output array<struct<score bigint, id bigint>>.
+  */
+case class TopKPairsLong(scoreExpr: Expression, idExpr: Expression, k: Int,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == LongType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint score, bigint id), got " +
+          s"(${scoreExpr.dataType}, ${idExpr.dataType})")
+
+  private val evictionOrder: Ordering[(Long, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(evictionOrder)
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) offer(buf, (s.asInstanceOf[Long], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Long)],
+                     other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  private def offer(buf: mutable.PriorityQueue[(Long, Long)], e: (Long, Long)): Unit =
+    if (buf.size < k) buf.enqueue(e)
+    else if (evictionOrder.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType), StructField("id", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def prettyName: String = "graft_top_k_pairs_long"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKPairsLong =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKPairsLong {
+  /** Aggregate column: top-k (score, id) pairs, score desc / id asc. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    shim.column(TopKPairsLong(shim.expression(score), shim.expression(id), k)
+      .toAggregateExpression())
+}

@@ -73,7 +73,10 @@ object Domains {
     * The default order key is `xxhash64(id)` — an unbiased deterministic
     * shuffle, so the cap keeps a pseudo-random sample of each oversized
     * domain rather than its earliest ids. Pass `orderKey` explicitly for
-    * reproducible cross-engine selections (e.g. the id itself).
+    * reproducible cross-engine selections (e.g. the id itself); it is
+    * compared in 64-bit integer space (cast to BIGINT — the long-score
+    * [[graft.functions.TopKPairsLong]] heap, so full-range hash keys
+    * never collapse the way a double embedding collapses longs past 2⁵³).
     *
     * A NULL source is its own group (capped like any other); a NULL id
     * row is dropped (it cannot be elected deterministically).
@@ -83,13 +86,20 @@ object Domains {
                    orderKey: Option[Column] = None): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val key = orderKey.getOrElse(xxhash64(col(idCol)))
+    // smallest-key election through a LARGEST-kept heap: bitwise NOT is
+    // the overflow-free order-reversing bijection on longs (−x overflows
+    // at Long.MinValue)
     val keepers = docs
       .where(col(idCol).isNotNull)
       .select(col(sourceCol).as("__src"), col(idCol).cast("long").as("__id"),
-        (-key.cast("double")).as("__k"))
+        bitwise_not(key.cast("long")).as("__k"))
       .groupBy("__src")
-      .agg(graft.functions.TopKPairs.topK(col("__k"), col("__id"), cap).as("top"))
-      .select(explode(col("top.id")).as("__keep"))
-    docs.join(keepers, col(idCol).cast("long") === col("__keep"), "left_semi")
+      .agg(graft.functions.TopKPairsLong.topK(col("__k"), col("__id"), cap).as("top"))
+      .select(col("__src"), explode(col("top.id")).as("__keep"))
+    // keeper identity is (source, id), not id alone: the same id under
+    // two sources must win its cap in EACH source independently
+    docs.join(keepers,
+      col(sourceCol) <=> col("__src") && col(idCol).cast("long") === col("__keep"),
+      "left_semi")
   }
 }

@@ -51,7 +51,8 @@ object LakehouseStatements {
   private val Optimize =
     re("OPTIMIZE\\s+" + Target + "(?:\\s+(ZORDER|ORDER)\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?")
   private val Restore = re("RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
-  private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?")
+  private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?" +
+    "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -65,7 +66,8 @@ object LakehouseStatements {
         sortCols = if (zorder) Nil else names,
         zorderCols = if (zorder) names else Nil))
     case Restore(root, v) => Some(GraftRestoreCommand(root, v.toInt))
-    case Vacuum(root, n) => Some(GraftVacuumCommand(root, n.toInt))
+    case Vacuum(root, n, grace) => Some(GraftVacuumCommand(root, n.toInt,
+      Option(grace).map(_.toLong * 60000).getOrElse(Versions.DefaultVacuumGraceMs)))
     case _ => None
   }
 }
@@ -104,10 +106,16 @@ case class GraftRestoreCommand(root: String, version: Int) extends LeafRunnableC
     Seq(Row(version, Versions.restore(spark, root, version)))
 }
 
-/** `VACUUM graft.`root` RETAIN n VERSIONS` — physically delete files only
-  * referenced by versions older than the newest `n`.
+/** `VACUUM graft.`root` RETAIN n VERSIONS [GRACE m MINUTES]` — physically
+  * delete files only referenced by versions older than the newest `n`.
+  * GRACE overrides the default staging-grace horizon ([[Versions.vacuum]]):
+  * unreferenced files younger than it survive, protecting in-flight
+  * lock-free appends; `GRACE 0 MINUTES` reclaims immediately (quiesced
+  * maintenance windows only).
   */
-case class GraftVacuumCommand(root: String, retain: Int) extends LeafRunnableCommand {
+case class GraftVacuumCommand(root: String, retain: Int,
+                              graceMs: Long = Versions.DefaultVacuumGraceMs)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("keep_from", IntegerType, nullable = false)(),
     AttributeReference("n_deleted_files", IntegerType, nullable = false)())
@@ -116,7 +124,7 @@ case class GraftVacuumCommand(root: String, retain: Int) extends LeafRunnableCom
     val latest = Versions.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     val keepFrom = math.max(1, latest - retain + 1)
-    val dead = Versions.vacuum(spark, root, keepFrom)
+    val dead = Versions.vacuum(spark, root, keepFrom, graceMs)
     Seq(Row(keepFrom, dead.size))
   }
 }

@@ -91,6 +91,63 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).count() == 11)
   }
 
+  test("vacuum during the rename->commit window keeps the appender's files") {
+    // The race the grace horizon closes: an optimistic appender's files
+    // are renamed into the live tree BEFORE its commit entry exists, so a
+    // concurrent vacuum sees them as unreferenced. With the default grace
+    // horizon the just-renamed (freshly restamped) files survive while
+    // genuinely old ghosts are reclaimed; the append then commits a
+    // version whose every file is intact.
+    val root = TestSpark.tmpDir("vacuum_append_race")
+    Publish.publishVersioned(spark,
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    val v1Files = Versions.readEntry(spark, root, 1).added
+    // v2 overwrite makes v1's files dead; age BOTH sets past the horizon
+    // so the test distinguishes "kept by grace" from "kept because young"
+    Publish.publishVersioned(spark,
+      (100 until 120).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    Publish.listPhysicalDataFilesWithSize(spark, root).foreach { case (p, _) =>
+      f.setTimes(new org.apache.hadoop.fs.Path(p), old, -1)
+    }
+    val renamed = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    Publish.postRenameHook = () => { renamed.countDown(); proceed.await(60, TimeUnit.SECONDS); () }
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        override def call(): Seq[String] =
+          Publish.publishVersioned(spark,
+            (200 until 210).map(i => (i.toLong, -1.0)).toDF("id", "v"),
+            root, Nil, mode = "append")
+      })
+      assert(renamed.await(60, TimeUnit.SECONDS), "append never reached the rename window")
+      // vacuum fires inside the window, default grace: v1's aged ghosts go,
+      // the appender's renamed-but-uncommitted files stay
+      val dead = Versions.vacuum(spark, root, keepFrom = 2)
+      assert(dead.map(_.split("/").last).toSet ==
+        v1Files.map(_.split("/").last).toSet,
+        s"vacuum must reclaim exactly v1's ghosts, got $dead")
+      proceed.countDown()
+      val appended = fut.get(60, TimeUnit.SECONDS)
+      // the commit landed and references only files that still exist
+      assert(Versions.latestVersion(spark, root).contains(3))
+      appended.foreach(a => assert(f.exists(new org.apache.hadoop.fs.Path(a)),
+        s"appended file $a was vacuumed before its commit"))
+      val ids = Fetch.fetch(spark, root).select("id").as[Long].collect().sorted.toSeq
+      assert(ids == ((100L until 120L) ++ (200L until 210L)).sorted)
+    } finally {
+      Publish.postRenameHook = () => ()
+      pool.shutdownNow()
+    }
+    // with the appends quiesced, a zero-grace vacuum is allowed to reclaim
+    // anything unreferenced — nothing is, so it deletes nothing
+    assert(Versions.vacuum(spark, root, keepFrom = 3, graceMs = 0).isEmpty)
+    assert(Fetch.fetch(spark, root).count() == 30)
+  }
+
   test("append racing a schema-changing overwrite is rejected, not mixed") {
     val root = TestSpark.tmpDir("concurrent_append_conflict")
     val oldSchema = Seq((1L, 1.0)).toDF("id", "v").schema
@@ -105,6 +162,15 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     // same-schema interleaves commit fine (appends commute with them)
     Versions.commit(spark, root, "append", Nil,
       DatasetMeta(Seq((1L, "x")).toDF("id", "s").schema, Nil))
+    assert(Versions.latestVersion(spark, root).contains(3))
+    // the guard is UNCONDITIONAL on the latest entry: a same-schema append
+    // landing after the overwrite must not launder a still-staler append
+    // (the latest entry is no longer the overwrite itself, but it carries
+    // the governing schema forward)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      Versions.commit(spark, root, "append", Nil, DatasetMeta(oldSchema, Nil))
+    }
+    assert(e2.getMessage.contains("schema-changing overwrite"))
     assert(Versions.latestVersion(spark, root).contains(3))
   }
 }

@@ -59,4 +59,31 @@ class DomainsSpec extends AnyFunSuite {
     assert(cappedNulls.select("doc_id").as[Option[Long]].collect().flatten.sorted.toSeq
       == Seq(1L, 2L))
   }
+
+  test("capPerSource keeper identity is (source, id), not id alone") {
+    // id 7 appears under BOTH sources; electing it in "a" must not smuggle
+    // the same-id doc in "b" past b's cap
+    val docs = ((0 until 20).map(i => (i.toLong, "a")) ++
+      (0 until 20).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val capped = Domains.capPerSource(docs, 5, orderKey = Some(col("doc_id")))
+    val bySource = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("a" -> 5L, "b" -> 5L),
+      s"cross-source id reuse broke the cap: $bySource")
+  }
+
+  test("capPerSource hash order distinguishes keys beyond double precision") {
+    // two ids whose xxhash64 order keys differ only below double's 53-bit
+    // mantissa still elect deterministically: the long-space heap must not
+    // collapse them. Construct adjacent longs directly via orderKey.
+    val base = (1L << 60) + 12345L
+    // id 1 carries the LARGER key but would win a double-space tie-break
+    // (base and base+1 collapse to the same double, ties break id-asc)
+    val docs = Seq((1L, "s", base + 1L), (2L, "s", base))
+      .toDF("doc_id", "source", "k")
+    val kept = Domains.capPerSource(docs, 1, orderKey = Some(col("k")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L), s"expected id 2 (smallest long key), got $kept")
+  }
 }

@@ -124,7 +124,7 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).count() == 63)
     // vacuum keeps only versions the newest 1 references: v5's files
     // survive (v7 restored them), the fragments and the bad overwrite die
-    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS").head()
+    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS GRACE 0 MINUTES").head()
     assert(vac.getInt(0) == 7)
     assert(vac.getInt(1) > 0)
     assert(Fetch.fetch(spark, root).count() == 63)

@@ -141,7 +141,7 @@ class MutationsSpec extends AnyFunSuite {
       .select("id", "change_type").as[(Long, String)].collect()
     assert(diff.forall(_._2 == "removed") && diff.length == 20)
     // vacuum to the rewrite version: v1 must fail loudly afterwards
-    val dead = Versions.vacuum(spark, root, keepFrom = 2)
+    val dead = Versions.vacuum(spark, root, keepFrom = 2, graceMs = 0)
     assert(dead.nonEmpty)
     val e = intercept[IllegalArgumentException] {
       Versions.fetchVersion(spark, root, 1)

@@ -452,6 +452,31 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(byPart == Map("d 0" -> 100L, "d 1" -> 100L))
   }
 
+  test("statsCountByPartition maps the hive null sentinel back to NULL") {
+    import spark.implicits._
+    // string partition: the __HIVE_DEFAULT_PARTITION__ directory must
+    // surface as the NULL group (GROUP BY semantics), not as the sentinel
+    // string literal
+    val r = TestSpark.tmpDir("stats_count_null_part")
+    Publish.publish(spark,
+      ((0 until 40).map(i => (i.toLong, Some(s"g${i % 2}"))) ++
+        (100 until 110).map(i => (i.toLong, Option.empty[String])))
+        .toDF("id", "grp"), r, Seq("grp"), statsCols = Seq("id"))
+    val byPart = StatsIndex.statsCountByPartition(spark, r).get.collect()
+      .map(row => Option(row.getString(0)) -> row.getLong(1)).toMap
+    assert(byPart == Map(Some("g0") -> 20L, Some("g1") -> 20L, None -> 10L))
+    // int partition: the sentinel must not throw under ANSI casting
+    val r2 = TestSpark.tmpDir("stats_count_null_part_int")
+    Publish.publish(spark,
+      ((0 until 6).map(i => (i.toLong, Some(i % 3))) ++
+        Seq((100L, Option.empty[Int]))).toDF("id", "bucket"),
+      r2, Seq("bucket"), statsCols = Seq("id"))
+    val byInt = StatsIndex.statsCountByPartition(spark, r2).get.collect()
+      .map(row => (if (row.isNullAt(0)) None else Some(row.getInt(0))) -> row.getLong(1))
+      .toMap
+    assert(byInt == Map(Some(0) -> 2L, Some(1) -> 2L, Some(2) -> 2L, None -> 1L))
+  }
+
   test("statsCount refuses on a pre-n_rows sidecar instead of guessing") {
     import spark.implicits._
     val r = TestSpark.tmpDir("stats_count_legacy")

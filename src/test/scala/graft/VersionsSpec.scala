@@ -88,7 +88,7 @@ class VersionsSpec extends AnyFunSuite {
   test("vacuum deletes only dead files and makes old versions fail loudly") {
     val root = freshVersioned()
     val deadBefore = Publish.listPhysicalDataFilesWithSize(spark, root).size
-    val deleted = Versions.vacuum(spark, root, keepFrom = 3)
+    val deleted = Versions.vacuum(spark, root, keepFrom = 3, graceMs = 0)
     assert(deleted.nonEmpty)
     val after = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
     assert(after.size == deadBefore - deleted.size)
@@ -102,6 +102,23 @@ class VersionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
     // history survives vacuum (the log is never truncated)
     assert(Versions.history(spark, root).count() == 3)
+  }
+
+  test("a corrupt commit entry fails fast with repair guidance, not a stall") {
+    val root = freshVersioned()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entry = new org.apache.hadoop.fs.Path(root, "_graft_versions/v00000002.json")
+    val out = f.create(entry, true)
+    try out.write("{\"version\": 2, \"action\"".getBytes("UTF-8")) finally out.close()
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] { Versions.readEntry(spark, root, 2) }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("crashed mid-write"))
+    assert(e.getMessage.contains("delete this entry file") ||
+      e.getMessage.contains("repair"), e.getMessage)
+    // the old behavior stalled 10s PER READ on every replay/history call
+    assert(sec < 5, s"corrupt-entry read took ${sec}s — retry cap regressed")
   }
 
   test("addedBetween reads exactly the delta files of the commit range") {
@@ -138,7 +155,7 @@ class VersionsSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (0L until 12L))
     // pre-compaction versions still time-travel until vacuumed
     assert(Versions.fetchVersion(spark, root, 3).count() == 3)
-    Versions.vacuum(spark, root, keepFrom = 13)
+    Versions.vacuum(spark, root, keepFrom = 13, graceMs = 0)
     assert(Fetch.fetch(spark, root).count() == 12)
   }
 
@@ -298,7 +315,7 @@ class VersionsSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (0L until 15L))
     // vacuum to the restore point: v1/v2's files survive (v4 references
     // them), v3's logically-abandoned files die, v3 reads fail loudly
-    val dead = Versions.vacuum(spark, root, keepFrom = 4)
+    val dead = Versions.vacuum(spark, root, keepFrom = 4, graceMs = 0)
     assert(dead.nonEmpty)
     assert(Versions.fetchSnapshot(spark, root).count() == 15)
     val e = intercept[IllegalArgumentException] {
