@@ -589,6 +589,50 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental_simhash" -> ((s, dir) => {
+      // SimHash modality of the rolling-ingest index: corpus signatures
+      // (16 bytes/doc) persisted once, the batch probes the 4x16-bit
+      // chunk buckets. MD5-family sigs + the exhaustive chunk cover make
+      // DuckDB's brute-force hamming join restricted to batch-touching
+      // pairs the EXACT oracle (the dedup_simhash identity).
+      val docs = s.read.parquet(t(dir, "documents"))
+      def sig = graft.functions.SketchFunctions.simHash64Md5(split(col("text"), " "))
+      val root = tmpRoot("ds_dedup_index_sh", dir)
+      val current = java.nio.file.Files.exists(versionMarker(root)) &&
+        java.nio.file.Files.readString(versionMarker(root)) == CacheVersion &&
+        DatasetMeta.read(s, s"$root/simhash").nonEmpty
+      if (!current) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        graft.ops.DedupIndex.buildSimHash(s, docs.where(col("doc_id") % 3 =!= 0),
+          root, sig = Some(sig))
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      graft.ops.DedupIndex.dedupBatchSimHash(s, root,
+          docs.where(col("doc_id") % 3 === 0), maxHamming = 3, sig = Some(sig))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_incremental_embedding" -> ((s, dir) => {
+      // embedding modality: hyperplane buckets + vectors persisted once,
+      // the planted-twin batch probes them. The saturated 12x96 config is
+      // the dedup_embedding_oracle trick, so DuckDB's all-pairs cosine
+      // restricted to batch-touching pairs is the exact oracle.
+      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+      val root = tmpRoot("ds_dedup_index_emb", dir)
+      val current = java.nio.file.Files.exists(versionMarker(root)) &&
+        java.nio.file.Files.readString(versionMarker(root)) == CacheVersion &&
+        DatasetMeta.read(s, s"$root/vectors").nonEmpty
+      if (!current) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        graft.ops.DedupIndex.buildEmbedding(s, embs, root, planes = 12, tables = 96)
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      val batch = embeddingNearDupInput(s, dir).where(col("vec_id") >= 1000000000L)
+      graft.ops.DedupIndex.dedupBatchEmbedding(s, root, batch, threshold = 0.95)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // MD5-family signatures (bit j = bit j of md5(token)'s first-16-hex
     // uint64) make the simhash ORACLE-CHECKABLE: the 4×16-bit chunk cover
     // is exhaustive for hamming ≤ 3 (pigeonhole), so the operator's output
@@ -1932,6 +1976,59 @@ object SparkEntry {
         |SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
         |       THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The dedup_simhash oracle restricted to pairs touching the probe
+    // batch (doc_id % 3 = 0) — the incremental SimHash index's contract:
+    // corpus-internal pairs are structurally never recomputed.
+    "dedup_incremental_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        | SELECT doc_id, j,
+        |   ((strpos('0123456789abcdef', substr(h, CAST(16 - (j // 4) AS INT), 1)) - 1)
+        |     // (1 << (j % 4))) % 2 * 2 - 1 AS vote
+        | FROM hs, UNNEST(range(0, 64)) AS t(j)),
+        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN v > 0 THEN
+        |     CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |          ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+        |     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM votes GROUP BY 1),
+        |chunks AS (
+        | SELECT doc_id, sig, c, ((sig >> CAST(c*16 AS INT)) & 65535) AS ck
+        | FROM sigs, UNNEST(range(0, 4)) AS t(c)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM chunks a JOIN chunks b
+        |   ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
+        |pairs AS (
+        | SELECT id_a, id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        | FROM cand JOIN sigs sa ON id_a = sa.doc_id
+        |           JOIN sigs sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 3 AND (id_a % 3 = 0 OR id_b % 3 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The dedup_embedding_oracle restricted to pairs touching the planted
+    // batch (ids >= 1e9) — the incremental embedding index's contract.
+    "dedup_incremental_embedding" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 1000000000 AS vec_id, list_prepend(-v[1], v[2:]) AS v
+        | FROM base WHERE vec_id < 8
+        | UNION ALL
+        | SELECT vec_id + 2000000000, list_concat([v[1], -v[2]], v[3:])
+        | FROM base WHERE vec_id < 8),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS cosine
+        | FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine
+        |FROM pairs WHERE cosine >= 0.95
+        |  AND (id_a >= 1000000000 OR id_b >= 1000000000)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Hamming ≤ 3 self-join over MD5-family simhash sigs, recomputed from
     // scratch in SQL: per-token vote word = the uint64 of md5(token)'s

@@ -142,4 +142,189 @@ object DedupIndex {
         .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b"),
       threshold)
   }
+
+  // ------------------------------------------------------- SimHash modality
+  // Rolling ingest needs all three near-dup modalities incremental; the
+  // SimHash store is the cheapest of the three — 16 bytes per corpus doc
+  // (id + signature), chunks derived at probe time by a codegen projection
+  // (a 4-way shift/mask is cheaper than storing 4× the rows).
+
+  private val SimHashParamsName = "_dedup_index_simhash.json"
+
+  private def writeMarker(spark: SparkSession, root: String, name: String,
+                          json: String): Unit = {
+    val out = fs(spark, root).create(new Path(root, name), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireMarker(spark: SparkSession, root: String, name: String,
+                            kind: String): String = {
+    val f = fs(spark, root)
+    val p = new Path(root, name)
+    require(f.exists(p), s"$root is not a $kind dedup index (no $name)")
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
+  }
+
+  /** (id, sim) under the caller's signature family. The SIGNATURE is the
+    * one build/probe contract (chunking is fixed 4×16): pass the same
+    * `sig` to build, append and probe — the default is the fast XXH64
+    * family of [[Dedup.simHash64]]; the MD5 twin makes probes
+    * oracle-checkable.
+    */
+  private def simHashed(docs: DataFrame, idCol: String, textCol: String,
+                        sig: Option[Column]): DataFrame =
+    docs.select(col(idCol).as("id"),
+      sig.getOrElse(Dedup.simHash64(split(col(textCol), " "))).as("sim"))
+
+  /** Build the SimHash index over the current corpus. */
+  def buildSimHash(spark: SparkSession, docs: DataFrame, root: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sig: Option[Column] = None): Unit = {
+    Publish.publish(spark, simHashed(docs, idCol, textCol, sig),
+      s"$root/simhash", Nil)
+    writeMarker(spark, root, SimHashParamsName, """{"kind":"simhash"}""")
+  }
+
+  /** Fold a batch's signatures into the SimHash index — O(batch). */
+  def appendSimHash(spark: SparkSession, docs: DataFrame, root: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sig: Option[Column] = None): Unit = {
+    requireMarker(spark, root, SimHashParamsName, "SimHash")
+    Publish.publish(spark, simHashed(docs, idCol, textCol, sig),
+      s"$root/simhash", Nil, mode = "append")
+  }
+
+  /** SimHash near-dup pairs touching the batch: batch-vs-corpus and
+    * batch-vs-batch at Hamming ≤ `maxHamming`, `(id_a, id_b, hamming)`
+    * with id_a < id_b. The 4×16-bit chunk cover is EXHAUSTIVE for
+    * Hamming ≤ 3 (pigeonhole — the [[Dedup.simHashPairs]] identity), so
+    * under the default the output is exactly every qualifying pair, never
+    * a recall approximation. Only (id, sim, chunk) scalars ride the
+    * bucket join; corpus text is never read.
+    */
+  def dedupBatchSimHash(spark: SparkSession, root: String, batch: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxHamming: Int = 3, maxBucket: Int = 1000,
+                        sig: Option[Column] = None): DataFrame = {
+    requireMarker(spark, root, SimHashParamsName, "SimHash")
+    require(maxHamming <= 3,
+      s"the 4-chunk cover is only exhaustive to Hamming 3, got $maxHamming")
+    val newSims = simHashed(batch, idCol, textCol, sig)
+    val probeSide = Fetch.fetch(spark, s"$root/simhash")
+      .select(col("id"), col("sim")).unionByName(newSims)
+    def chunked(df: DataFrame) = df.select(col("id"), col("sim"),
+      explode(transform(sequence(lit(0), lit(3)), j => struct(j.as("j"),
+        call_function("shiftright", col("sim"), j * 16)
+          .bitwiseAND(0xFFFFL).as("chunk")))).as("c"))
+      .select(col("id"), col("sim"), col("c.j"), col("c.chunk"))
+    val keys = Seq("j", "chunk")
+    val over = chunked(probeSide).groupBy(keys.map(col): _*).count()
+      .where(col("count") > maxBucket).select(keys.map(col): _*)
+    val a = chunked(newSims).join(broadcast(over), keys, "left_anti")
+      .select(col("j"), col("chunk"), col("id").as("raw_a"), col("sim").as("sim_a"))
+    val b = chunked(probeSide).join(broadcast(over), keys, "left_anti")
+      .select(col("j"), col("chunk"), col("id").as("raw_b"), col("sim").as("sim_b"))
+    a.join(b, keys)
+      .where(col("raw_a") =!= col("raw_b"))
+      .select(least(col("raw_a"), col("raw_b")).as("id_a"),
+        greatest(col("raw_a"), col("raw_b")).as("id_b"),
+        // hamming is symmetric — unaffected by the id normalization
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------- embedding modality
+
+  final case class EmbParams(planes: Int, tables: Int)
+
+  private val EmbParamsName = "_dedup_index_embedding.json"
+
+  def embParams(spark: SparkSession, root: String): EmbParams = {
+    val raw = requireMarker(spark, root, EmbParamsName, "embedding")
+    def field(n: String): Int =
+      s""""$n":(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"malformed $EmbParamsName: $raw"))
+    EmbParams(field("planes"), field("tables"))
+  }
+
+  private def embBase(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2Norm(col("v")))
+      .where(col("norm") > 0)
+
+  private def embSigs(base: DataFrame, p: EmbParams): DataFrame =
+    base.select(col("id"),
+      posexplode(Similarity.hyperplaneSigs(col("v"), p.planes, p.tables))
+        .as(Seq("t", "sig")))
+
+  /** Build the embedding index: `vecsigs/` (id, table, hyperplane sig —
+    * the probe side, partitioned by table) + `vectors/` (id, vector, norm
+    * — joined back only for surviving candidates). The hyperplane family
+    * is a deterministic function of (table, plane, dim) indices, so
+    * signatures reproduce across sessions; (planes, tables) are pinned in
+    * the sidecar — probes read them from here, never from call sites.
+    */
+  def buildEmbedding(spark: SparkSession, embs: DataFrame, root: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     planes: Int = 12, tables: Int = 4): Unit = {
+    val p = EmbParams(planes, tables)
+    val base = embBase(embs, idCol, vecCol)
+    Publish.publish(spark, embSigs(base, p), s"$root/vecsigs", Seq("t"))
+    Publish.publish(spark, base, s"$root/vectors", Nil)
+    writeMarker(spark, root, EmbParamsName,
+      s"""{"kind":"embedding","planes":$planes,"tables":$tables}""")
+  }
+
+  /** Fold a batch's vectors + signatures into the index — O(batch). */
+  def appendEmbedding(spark: SparkSession, embs: DataFrame, root: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = embParams(spark, root)
+    val base = embBase(embs, idCol, vecCol)
+    Publish.publish(spark, embSigs(base, p), s"$root/vecsigs", Seq("t"), mode = "append")
+    Publish.publish(spark, base, s"$root/vectors", Nil, mode = "append")
+  }
+
+  /** Embedding near-dup pairs touching the batch: cosine ≥ threshold,
+    * `(id_a, id_b, cosine)` with id_a < id_b. Candidates come from the
+    * stored hyperplane buckets (scalar-only shuffle); vectors join back
+    * for survivors only. Recall follows the pinned (planes, tables)
+    * config — saturate tables for oracle-exact runs, the
+    * [[Dedup.embeddingNearDup]] contract.
+    */
+  def dedupBatchEmbedding(spark: SparkSession, root: String, batch: DataFrame,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          threshold: Double = 0.95, maxBucket: Int = 2000): DataFrame = {
+    val p = embParams(spark, root)
+    val base = embBase(batch, idCol, vecCol)
+    val probeSide = Fetch.fetch(spark, s"$root/vecsigs")
+      .select(col("id"), col("t"), col("sig")).unionByName(embSigs(base, p))
+    val keys = Seq("t", "sig")
+    val over = probeSide.groupBy(keys.map(col): _*).count()
+      .where(col("count") > maxBucket).select(keys.map(col): _*)
+    val a = embSigs(base, p).join(broadcast(over), keys, "left_anti")
+      .select(col("t"), col("sig"), col("id").as("raw_a"))
+    val b = probeSide.join(broadcast(over), keys, "left_anti")
+      .select(col("t"), col("sig"), col("id").as("raw_b"))
+    val pairs = a.join(b, keys)
+      .where(col("raw_a") =!= col("raw_b"))
+      .select(least(col("raw_a"), col("raw_b")).as("id_a"),
+        greatest(col("raw_a"), col("raw_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val lookup = Fetch.fetch(spark, s"$root/vectors")
+      .select(col("id"), col("v"), col("norm")).unionByName(base)
+    pairs
+      .join(lookup.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("norm").as("n_a")), "id_a")
+      .join(lookup.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("norm").as("n_b")), "id_b")
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

@@ -74,4 +74,65 @@ class DedupIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got.exists { case (a, b, j) => a == 2L && b == 102L && j == 1.0 })
   }
+
+  test("SimHash index: dedupBatchSimHash == one-shot simHashPairs on batch pairs") {
+    val root = TestSpark.tmpDir("dedup_index_simhash")
+    DedupIndex.buildSimHash(spark, df(corpusRows), root)
+    DedupIndex.appendSimHash(spark, df(batch1Rows), root)
+    val got = DedupIndex.dedupBatchSimHash(spark, root, df(batch2Rows))
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // the 4x16 chunk cover is exhaustive at hamming<=3: identity with the
+    // one-shot operator restricted to batch-2-touching pairs
+    val full = Dedup.simHashPairs(df(corpusRows ++ batch1Rows ++ batch2Rows))
+      .where(col("id_a") >= 200 || col("id_b") >= 200)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got == full)
+    assert(got.forall { case (a, b, _) => a >= 200 || b >= 200 })
+    // probing a MinHash root as SimHash fails loudly, not silently empty
+    val mhRoot = TestSpark.tmpDir("dedup_index_kind_guard")
+    DedupIndex.build(spark, df(corpusRows), mhRoot)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.dedupBatchSimHash(spark, mhRoot, df(batch1Rows))
+    }
+    assert(e.getMessage.contains("SimHash"))
+  }
+
+  test("SimHash index finds an exact and a near dup across the corpus") {
+    val root = TestSpark.tmpDir("dedup_index_simhash_hits")
+    DedupIndex.buildSimHash(spark, df(corpusRows), root)
+    val got = DedupIndex.dedupBatchSimHash(spark, root, df(batch1Rows))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.exists { case (a, b, h) => a == 2L && b == 102L && h == 0 },
+      s"exact dup must surface at hamming 0: $got")
+  }
+
+  test("embedding index: pinned params, rolling append, cosine verification") {
+    val root = TestSpark.tmpDir("dedup_index_embedding")
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i)))
+    // batch: one planted twin of corpus vec 3 (small additive nudge on
+    // one component -> cosine just below 1) + novel vectors
+    val twin = vec(3).clone(); twin(15) = twin(15) + 0.05
+    val batch = Seq((100L, twin), (101L, vec(900)), (102L, vec(901)))
+    // saturated tables so the probe is exhaustive at this scale
+    DedupIndex.buildEmbedding(spark, corpus.toDF("vec_id", "embedding"), root,
+      planes = 8, tables = 32)
+    assert(DedupIndex.embParams(spark, root) == DedupIndex.EmbParams(8, 32))
+    val got = DedupIndex.dedupBatchEmbedding(spark, root,
+        batch.toDF("vec_id", "embedding"), threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((3L, 100L)),
+      s"exactly the planted twin pair must surface: $got")
+    assert(got.head._3 > 0.9 && got.head._3 < 1.0)
+    // rolling: append the batch; a twin of an APPENDED vector surfaces
+    DedupIndex.appendEmbedding(spark, batch.toDF("vec_id", "embedding"), root)
+    val twin2 = vec(900).clone(); twin2(15) = twin2(15) + 0.05
+    val got2 = DedupIndex.dedupBatchEmbedding(spark, root,
+        Seq((200L, twin2)).toDF("vec_id", "embedding"), threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got2.map(p => (p._1, p._2)) == Seq((101L, 200L)), s"$got2")
+  }
 }
