@@ -293,6 +293,16 @@ object SparkEntry {
         ColFilter("l_returnflag", "==", Seq("R")),
         ColFilter("l_linenumber", "<=", Seq(3))))),
 
+    "fetch_format_read" -> ((s, dir) => {
+      // the format("graft") surface: a plain Spark reader over a graft
+      // dataset, partition predicate pushed through the relation into the
+      // driver-side pruner (GraftDataSourceSpec pins the records-read
+      // bound; this cell pins result equivalence)
+      val df = s.read.format("graft").load(lineitemDataset(s, dir))
+        .where(col("l_returnflag") === "R" && col("l_linenumber") <= 3)
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+    }),
+
     "fetch_diff" -> ((s, dir) => {
       Fetch.fetchDiff(s, ordersDataset(s, dir), ordersNoFDataset(s, dir), "o_orderstatus")
         .orderBy("o_orderkey")
@@ -1707,6 +1717,8 @@ object SparkEntry {
 
     "fetch_filter_eq" ->
       "SELECT * FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
+    "fetch_format_read" ->
+      "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber <= 3 ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
     "fetch_filter_neq" ->
       "SELECT * FROM lineitem WHERE l_returnflag <> 'R' ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
     "fetch_filter_in" ->

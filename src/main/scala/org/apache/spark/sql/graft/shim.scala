@@ -24,6 +24,18 @@ object shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Streaming-tagged DataFrame over already-computed internal rows — what
+    * a V1 streaming `Source.getBatch` must return (the engine asserts
+    * `isStreaming`; `internalCreateDataFrame` went `private[sql]` with the
+    * Spark 4 classic split).
+    */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Register a function builder on an EXISTING session's registry (the
     * extensions path only applies at session construction).
     */

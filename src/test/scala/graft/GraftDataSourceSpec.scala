@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Fetch, Publish, Versions}
+
+/** `format("graft")`: reader/writer/DDL/streaming through Spark's standard
+  * data-source surface.
+  */
+class GraftDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample = (0 until 400)
+    .map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "grp", "v")
+
+  test("read: latest snapshot, versionAsOf time travel, short name resolves") {
+    val root = TestSpark.tmpDir("dsv_read")
+    Publish.publishVersioned(spark, sample, root, Seq("grp"))
+    Publish.publishVersioned(spark, sample.where(col("id") < 100), root, Seq("grp"))
+    val live = spark.read.format("graft").load(root)
+    assert(live.count() == 100)
+    assert(live.schema.fieldNames.sorted.toSeq == Seq("grp", "id", "v"))
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(root)
+    assert(v1.count() == 400)
+    // unversioned datasets read the same way
+    val flat = TestSpark.tmpDir("dsv_read_flat")
+    Publish.publish(spark, sample, flat, Seq("grp"))
+    assert(spark.read.format("graft").load(flat).count() == 400)
+  }
+
+  test("read: partition filters prune through the pushed-down scan") {
+    val root = TestSpark.tmpDir("dsv_prune")
+    Publish.publish(spark, sample, root, Seq("grp"))
+    val (rows, recs) = IoMetrics.recordsReadDuring(spark) {
+      spark.read.format("graft").load(root)
+        .where(col("grp") === "g1").select("id").collect()
+    }
+    assert(rows.length == 100)
+    assert(recs <= 110, s"partition-filtered read scanned $recs records (expected ~100)")
+    // data-column filters and pruned projections stay correct
+    val narrow = spark.read.format("graft").load(root)
+      .where(col("id") >= 390).select("v").as[Double].collect().sorted.toSeq
+    assert(narrow == (390 until 400).map(_ * 1.5))
+  }
+
+  test("write: SaveMode mapping, versioned option, round-trip") {
+    val root = TestSpark.tmpDir("dsv_write")
+    sample.write.format("graft").option("partitions", "grp").save(root)
+    assert(Fetch.fetch(spark, root).count() == 400)
+    // default SaveMode is ErrorIfExists
+    intercept[IllegalArgumentException] {
+      sample.write.format("graft").option("partitions", "grp").save(root)
+    }
+    sample.write.format("graft").option("partitions", "grp")
+      .mode(SaveMode.Append).save(root)
+    assert(Fetch.fetch(spark, root).count() == 800)
+    sample.write.format("graft").option("partitions", "grp")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(Fetch.fetch(spark, root).count() == 400)
+    // versioned=true writes through the commit log
+    val vroot = TestSpark.tmpDir("dsv_write_versioned")
+    sample.write.format("graft").option("versioned", "true").save(vroot)
+    sample.write.format("graft").mode(SaveMode.Append).save(vroot)
+    assert(Versions.latestVersion(spark, vroot).contains(2))
+    assert(spark.read.format("graft").load(vroot).count() == 800)
+  }
+
+  test("CREATE TABLE USING graft + INSERT INTO / INSERT OVERWRITE") {
+    val root = TestSpark.tmpDir("dsv_table")
+    Publish.publish(spark, sample, root, Seq("grp"))
+    spark.sql(s"CREATE TABLE graft_t USING graft OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_t").head().getLong(0) == 400)
+      assert(spark.sql("SELECT sum(v) FROM graft_t WHERE grp = 'g2'").head().getDouble(0) ==
+        (0 until 400).filter(_ % 4 == 2).map(_ * 1.5).sum)
+      spark.sql("INSERT INTO graft_t SELECT id + 1000, grp, v FROM graft_t WHERE id < 50")
+      assert(spark.sql("SELECT count(*) FROM graft_t").head().getLong(0) == 450)
+      // the insert went through graft's publish: sidecar metadata intact
+      assert(Fetch.fetch(spark, root).count() == 450)
+      spark.sql("INSERT OVERWRITE graft_t SELECT id, grp, v FROM graft_t WHERE id < 10")
+      assert(spark.sql("SELECT count(*) FROM graft_t").head().getLong(0) == 10)
+      // schema-mismatched inserts are rejected, not silently coerced
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_t SELECT 1, 2")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t")
+  }
+
+  test("streaming CDC source: one batch per commit range, restart resumes") {
+    val root = TestSpark.tmpDir("dsv_cdc")
+    val ckpt = TestSpark.tmpDir("dsv_cdc_ckpt")
+    Publish.publishVersioned(spark, sample.where(col("id") < 10), root, Nil)
+    Publish.publishVersioned(spark, sample.where(col("id") >= 10 && col("id") < 15),
+      root, Nil, mode = "append")
+    val out = TestSpark.tmpDir("dsv_cdc_out")
+    def drain(): Unit = {
+      // a fault-tolerant sink (parquet), so the restart path exercises the
+      // checkpointed version offset for real
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    drain()
+    val first = spark.read.parquet(out)
+      .select("id", "_commit_version").as[(Long, Int)].collect().toSeq
+    assert(first.map(_._1).sorted == (0L until 15L))
+    assert(first.toMap.view.filterKeys(_ < 10).values.toSet == Set(1))
+    assert(first.toMap.view.filterKeys(_ >= 10).values.toSet == Set(2))
+    // new commits while the stream is down; restart from the checkpoint
+    // delivers ONLY the new versions
+    Publish.publishVersioned(spark, sample.where(col("id") >= 15 && col("id") < 18),
+      root, Nil, mode = "append")
+    drain()
+    val second = spark.read.parquet(out)
+      .select("id", "_commit_version").as[(Long, Int)].collect().toSeq
+    assert(second.map(_._1).sorted == (0L until 18L), s"restart replayed: $second")
+    assert(second.count(_._2 == 3) == 3,
+      s"exactly the new commit's rows must arrive after restart: $second")
+    // an unversioned root is refused up front
+    val flat = TestSpark.tmpDir("dsv_cdc_flat")
+    Publish.publish(spark, sample, flat, Nil)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(flat)
+    }
+    assert(e.getMessage.contains("VERSIONED") || e.getMessage.contains("commit log"))
+  }
+}
