@@ -33,11 +33,17 @@ object Domains {
     * stripped, lowercased, leading `www.` dropped. Pure regexp/string
     * expressions — whole-stage codegen, engine-portable.
     */
-  def hostOf(url: Column): Column = {
+  def hostOf(url: Column): Column =
+    regexp_replace(rawHostOf(url), "^www\\.", "")
+
+  /** [[hostOf]] WITHOUT the `www.` strip — PSL matching needs the raw
+    * host (the real list has rules like `!www.ck`; and suffix+1 picks
+    * `example.com` out of `www.example.com` without any stripping).
+    */
+  private[ops] def rawHostOf(url: Column): Column = {
     val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val noUser = regexp_replace(noScheme, "^[^/@]*@", "")
-    val host = lower(regexp_extract(noUser, "^([^/:?#]+)", 1))
-    regexp_replace(host, "^www\\.", "")
+    lower(regexp_extract(noUser, "^([^/:?#]+)", 1))
   }
 
   /** Registered (pay-level) domain of a URL: the last two host labels, or
@@ -58,6 +64,87 @@ object Domains {
       .when(n <= 2, h)
       .otherwise(when(lastTwo.isInCollection(suffixes), lastThree)
         .otherwise(lastTwo))
+  }
+
+  /** Parsed public-suffix-list rules ([[https://publicsuffix.org/list/]]
+    * format): `exact` plain suffix entries, `wildcardParents` the `x` of
+    * `*.x` entries (any single label under `x` is a suffix), `exceptions`
+    * the `!y` entries (`y` is registrable despite a covering wildcard).
+    * The list is DATA, not logic — feed the real ~9k-entry PSL here; the
+    * rule sets become plan literals (`InSet` hash lookups, whole-stage
+    * codegen, ~200 KB broadcast in the plan — nothing per-row).
+    */
+  final case class PublicSuffixRules(exact: Set[String],
+                                     wildcardParents: Set[String],
+                                     exceptions: Set[String]) {
+    /** Deepest label count any rule can make a public suffix. */
+    private[ops] def maxSuffixLabels: Int =
+      ((exact.map(_.count(_ == '.') + 1) ++
+        wildcardParents.map(_.count(_ == '.') + 2) ++
+        exceptions.map(_.count(_ == '.'))) + 1).max
+  }
+
+  /** Parse PSL-format text: one rule per line, `//` comments and blanks
+    * skipped, `*.` and `!` prefixes mapped to their rule kinds. Both the
+    * ICANN and private sections are kept (split the input beforehand to
+    * drop one). Rules are lowercased; the implicit root wildcard (`*` —
+    * every bare TLD is a suffix) is the matcher's default and needs no
+    * entry.
+    */
+  def parsePsl(lines: IterableOnce[String]): PublicSuffixRules = {
+    val rules = lines.iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.takeWhile(!_.isWhitespace)).toSeq
+    PublicSuffixRules(
+      exact = rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")).toSet,
+      wildcardParents = rules.collect { case r if r.startsWith("*.") => r.drop(2) }.toSet,
+      exceptions = rules.collect { case r if r.startsWith("!") => r.drop(1) }.toSet)
+  }
+
+  /** Load PSL rules from a text file/dataset path (the list is ~240 KB —
+    * bounded driver state by construction).
+    */
+  def pslRulesFrom(spark: org.apache.spark.sql.SparkSession,
+                   path: String): PublicSuffixRules =
+    parsePsl(spark.read.textFile(path).collect())
+
+  /** Registered (pay-level) domain under FULL public-suffix-list
+    * semantics: the longest matching rule wins, exceptions beat wildcards,
+    * and the registered domain is the public suffix plus one label (a
+    * host that IS a public suffix passes through whole, as do IPv4
+    * literals). Pure split/when/set-membership expressions — one codegen
+    * projection, no UDF, rule sets are plan literals.
+    */
+  def registeredDomainPsl(url: Column, rules: PublicSuffixRules): Column = {
+    val h = rawHostOf(url)
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    // last k labels re-joined; for hosts with fewer labels concat_ws skips
+    // the null slots, yielding the whole host (which then only matches a
+    // rule when the host IS that suffix — pass-through, the right answer)
+    def lastK(k: Int): Column =
+      // try_element_at: hosts with < k labels yield nulls, which concat_ws
+      // skips (ANSI element_at would throw on the out-of-bounds index)
+      concat_ws(".", (k to 1 by -1).map(i => try_element_at(parts, lit(-i))): _*)
+    def inSet(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else c.isInCollection(s)
+    def byDepth(s: Set[String], d: Int): Set[String] =
+      s.filter(_.count(_ == '.') == d - 1)
+    val maxK = math.max(2, rules.maxSuffixLabels)
+    // deepest rules first (longest match wins); within a depth, exception
+    // beats wildcard beats exact. `registered(k)` = suffix has k labels.
+    def registered(k: Int): Column = when(n > k, lastK(k + 1)).otherwise(h)
+    val chain = (maxK to 1 by -1).foldLeft(Option.empty[Column]) { (acc, k) =>
+      val step = when(inSet(lastK(k), byDepth(rules.exceptions, k)), lastK(k))
+        .when(inSet(lastK(k - 1), byDepth(rules.wildcardParents, k - 1)) && (n >= k),
+          registered(k))
+        .when(inSet(lastK(k), byDepth(rules.exact, k)), registered(k))
+      // acc holds the DEEPER depths' chain — longest match wins, so it
+      // stays in front of this (shallower) step
+      Some(acc.fold(step)(deeper => coalesce(deeper, step)))
+    }.get
+    when(h.rlike("^\\d+(\\.\\d+){3}$"), h)
+      .otherwise(coalesce(chain, registered(1))) // implicit root wildcard: TLD+1
   }
 
   /** Keep at most `cap` documents per source/domain, deterministically.

@@ -28,6 +28,44 @@ class DomainsSpec extends AnyFunSuite {
     cases.foreach { case (url, want) => assert(got(url) == want, url) }
   }
 
+  test("registeredDomainPsl follows a FED public-suffix list: exact, wildcard, exception") {
+    // a PSL-format file with rules the builtin heuristic does NOT know:
+    // a 2-level exact, a 3-level exact, a wildcard, and its exception
+    val psl = Seq(
+      "// ===BEGIN TEST DOMAINS===",
+      "com", "xy", "com.xy          // registry with 2-level registrations",
+      "a.b.cd", "*.ck", "!www.ck",
+      "kobe.jp", "*.kobe.jp", "!city.kobe.jp")
+    val pslPath = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(pslPath,
+      psl.mkString("\n"))
+    val rules = Domains.pslRulesFrom(spark, pslPath.toString)
+    assert(rules.exact.contains("com.xy") && rules.exact.contains("a.b.cd"))
+    assert(rules.wildcardParents == Set("ck", "kobe.jp"))
+    assert(rules.exceptions == Set("www.ck", "city.kobe.jp"))
+    val cases = Seq(
+      // 2-level exact NOT in the builtin set: the verdict's litmus case
+      "https://shop.foo.com.xy/item" -> "foo.com.xy",
+      "https://com.xy" -> "com.xy", // host IS the suffix: pass-through
+      // 3-level exact: deeper than the builtin heuristic can ever go
+      "http://w.x.a.b.cd/p" -> "x.a.b.cd",
+      // wildcard *.ck: any label under ck is a suffix
+      "https://one.two.ck/x" -> "one.two.ck",
+      "https://deep.one.two.ck/x" -> "one.two.ck",
+      // exception !www.ck beats the wildcard
+      "https://www.ck/x" -> "www.ck",
+      // longest match: *.kobe.jp beats kobe.jp; !city.kobe.jp beats both
+      "https://sub.host.kobe.jp/x" -> "sub.host.kobe.jp",
+      "https://a.city.kobe.jp/x" -> "city.kobe.jp",
+      // implicit root wildcard: unknown TLD still yields TLD+1
+      "https://foo.bar.unknowntld/x" -> "bar.unknowntld",
+      "http://10.1.2.3/x" -> "10.1.2.3")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Domains.registeredDomainPsl(col("url"), rules).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (url, want) => assert(got(url) == want, s"$url -> ${got(url)}") }
+  }
+
   test("capPerSource keeps at most cap docs per source, deterministically") {
     // sources with 50, 30 and 3 docs; globally-unique ids (the semi-join
     // keeper election requires them)
