@@ -855,10 +855,12 @@ object SparkEntry {
         .toDF("lhs", "rhs")
     }),
     "text_bpe_learn" -> ((s, dir) => {
-      import s.implicits._
-      TextAnalysis.bpeLearn(s.read.parquet(t(dir, "documents")), 6)
-        .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
-        .toDF("rank", "lhs", "rhs").orderBy("rank")
+      // the learned-merges CONTRACT is pinned in-artifact (the ann_recall
+      // pattern): each of the 6 merges re-verified as the distributed
+      // argmax of a recount under its prefix — a trainer defect shrinks
+      // the row count the driver pins
+      TextAnalysis.bpeLearnChecked(s.read.parquet(t(dir, "documents")), 6)
+        .orderBy("rank")
     }),
 
     "text_token_counts_bpe" -> ((s, dir) =>

@@ -155,6 +155,45 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** [[bpeLearn]] with the learned merges RE-VERIFIED engine-side — the
+    * in-artifact contract for tokenizer training: for each learned merge,
+    * a DISTRIBUTED aggregation re-segments the corpus vocabulary under the
+    * preceding merge prefix (the codegen'd
+    * [[graft.functions.BpeSegments]] expression — rank-priority encoding,
+    * an independent path from the trainer's sequential driver loop) and
+    * recounts every adjacent pair; the merge's row is emitted ONLY when it
+    * is the true argmax of that recount (same `(-count, lhs, rhs)` order).
+    * A trainer defect therefore SHRINKS the row count a driver artifact
+    * pins, instead of shipping plausible-but-wrong merges silently.
+    * Output: (rank, lhs, rhs, support).
+    */
+  def bpeLearnChecked(docs: DataFrame, numMerges: Int,
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeLearn(docs, numMerges, textCol)
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .persist() // one corpus pass; numMerges tiny recounts reuse it
+    try {
+      val checked = merges.zipWithIndex.flatMap { case ((lhs, rhs), i) =>
+        val segs = graft.functions.BpeSegments.column(col("word"), merges.take(i))
+        val top = words.select(col("f"), segs.as("segs"))
+          .where(size(col("segs")) > 1)
+          .select(col("f"),
+            explode(transform(sequence(lit(0), size(col("segs")) - 2),
+              j => struct(element_at(col("segs"), j + 1).as("a"),
+                element_at(col("segs"), j + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("f").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .as[(String, String, Long)].collect().headOption
+        top.collect { case (a, b, n) if a == lhs && b == rhs => (i + 1, lhs, rhs, n) }
+      }
+      checked.toDF("rank", "lhs", "rhs", "support")
+    } finally { words.unpersist(); () }
+  }
+
   private def applyMerge(syms: Array[String], m: (String, String)): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -24,6 +24,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(counts(1L) == 5L)
   }
 
+  test("bpeLearnChecked re-verifies every merge as the distributed argmax") {
+    val docs = Seq((1L, "abab abab abab ab ab cd cd cd")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeLearnChecked(docs, 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // every learned merge must survive the recount, supports recomputed
+    // independently: (a,b)=8 [2/abab x3 + 1/ab x2]; then (ab,ab)=3 ties
+    // (c,d)=3 and wins the lexicographic tie-break
+    assert(got == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "c", "d", 3L)),
+      s"checked merges diverged: $got")
+  }
+
   test("bpeLearn tie-break and position-weighted pair counting are deterministic") {
     // "aaa": positions (a,a),(a,a) → count 2; "bc" once → (b,c) 1
     val docs = Seq((1L, "aaa bc")).toDF("doc_id", "text")
