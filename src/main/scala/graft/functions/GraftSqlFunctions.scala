@@ -115,7 +115,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           "graft.functions.GraftSqlFunctions", name),
         b))
     }
-    ext.injectResolutionRule(session => new graft.plans.GraftLakehouseRule(session))
+    // HINT-resolution batch, not the main Resolution batch: since "graft"
+    // is also a registered DataSource short name (format("graft")),
+    // Spark's ResolveSQLOnFile would otherwise claim `graft.`path``
+    // references first and fail them as direct-query-on-files (the
+    // provider is not a FileFormat). The Hints batch runs BEFORE
+    // Resolution, so graft's rule resolves its own references first.
+    ext.injectHintResolutionRule(session => new graft.plans.GraftLakehouseRule(session))
     // maintenance statements Spark has no grammar for (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

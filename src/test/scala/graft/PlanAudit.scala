@@ -245,6 +245,25 @@ object PlanAudit {
       "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")
         && !p.contains("BroadcastNestedLoop")))
+    audit("dedup_incremental_simhash",
+      // chunk-bucket probe join over (j, chunk) scalars; hamming verify
+      // rides the carried signatures — no second join, no all-pairs
+      "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")))
+    audit("dedup_incremental_embedding",
+      // hyperplane-bucket probe join; vectors join back for survivors only
+      "broadcast skew-cap anti-join" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")))
+    audit("fetch_format_read",
+      // the format("graft") relation must route partition predicates into
+      // the pruned fetch underneath (V1 scans print as an RDD over the
+      // inner plan; the partition filter's work is pinned by the
+      // records-read bound in GraftDataSourceSpec) — here: no join, and
+      // the residual data predicate evaluates in one stage
+      "no join in a plain format read" -> (p => !p.contains("Join")),
+      "whole-stage codegen filter" -> (_.contains("*(")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
