@@ -175,7 +175,8 @@ object Publish {
                        zorderCols: Seq[String] = Nil,
                        zorderBits: Int = 16,
                        zorderPartitions: Int = 0,
-                       statsCols: Seq[String] = Nil): Seq[String] = {
+                       statsCols: Seq[String] = Nil,
+                       txn: Option[(String, Long)] = None): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // Appends to an existing versioned dataset are OPTIMISTIC: racing
     // appenders run concurrently and land as consecutive versions (the
@@ -184,7 +185,7 @@ object Publish {
     // locked path (their read-compute-write does not commute).
     if (mode == "append" && Versions.isVersioned(spark, root))
       return appendVersionedOptimistic(spark, df, root, partitions, sortCols,
-        zorderCols, zorderBits, zorderPartitions, statsCols)
+        zorderCols, zorderBits, zorderPartitions, statsCols, txn)
     DatasetLock.withLock(spark, root) {
       val existing = DatasetMeta.read(spark, root)
       require(existing.isEmpty || Versions.isVersioned(spark, root),
@@ -206,7 +207,7 @@ object Publish {
             zorderCols, zorderBits, zorderPartitions, statsCols,
             requireSchemaMatch = mode == "append")
       Versions.commit(spark, root, mode, newFiles,
-        DatasetMeta(df.schema, partitions))
+        DatasetMeta(df.schema, partitions), txn = txn)
       newFiles
     }
   }
@@ -256,7 +257,8 @@ object Publish {
                                         root: String, partitions: Seq[String],
                                         sortCols: Seq[String], zorderCols: Seq[String],
                                         zorderBits: Int, zorderPartitions: Int,
-                                        statsCols: Seq[String]): Seq[String] = {
+                                        statsCols: Seq[String],
+                                        txn: Option[(String, Long)] = None): Seq[String] = {
     val meta = DatasetMeta.read(spark, root).getOrElse(throw new IllegalArgumentException(
       s"dataset $root is versioned but has no metadata sidecar"))
     require(meta.partitions == partitions,
@@ -310,7 +312,8 @@ object Publish {
       if (cols.nonEmpty) StatsIndex.appendFiles(spark, root, moved, cols)
       if (hasBloom) BloomIndex.appendFiles(spark, root, moved)
     }
-    Versions.commit(spark, root, "append", moved, DatasetMeta(df.schema, partitions))
+    Versions.commit(spark, root, "append", moved, DatasetMeta(df.schema, partitions),
+      txn = txn)
     moved
   }
 

@@ -18,7 +18,8 @@ import org.json4s.jackson.JsonMethods
   */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
-                              schema: StructType, partitions: Seq[String])
+                              schema: StructType, partitions: Seq[String],
+                              txn: Option[(String, Long)] = None)
 
 /** Versioned datasets: a commit log that gives graft datasets time travel,
   * snapshot isolation, and safe logical overwrite — the lakehouse surface
@@ -162,9 +163,16 @@ object Versions {
     * attempt, an append checks the governing latest entry's schema
     * against its own.
     */
+  /** `txn`: an optional (appId, batchId) idempotence stamp recorded IN the
+    * commit entry — the transactional-sink contract (Delta's txn action):
+    * a streaming sink that crashed between its commit and any external
+    * marker can check [[lastTxnBatch]] on restart and skip the replayed
+    * batch, because the stamp and the data commit are one atomic write.
+    */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
-             removedRel: Seq[String] = Nil): Int = {
+             removedRel: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite",
       s"unknown action $action")
     require(removedRel.isEmpty || action == "rewrite",
@@ -191,14 +199,16 @@ object Versions {
               "match the dataset — re-run the append against the new schema")
       }
       val v = latest.getOrElse(0) + 1
-      val json = JsonMethods.compact(JsonMethods.render(JObject(
+      val base = List(
         "version" -> JInt(v),
         "action" -> JString(action),
         "added" -> JArray(rel.map(JString(_)).toList),
         "removed" -> JArray(removedRel.map(JString(_)).toList),
         "partitions" -> JArray(meta.partitions.map(JString(_)).toList),
-        "schema" -> JsonMethods.parse(meta.schema.json)
-      )))
+        "schema" -> JsonMethods.parse(meta.schema.json))
+      val txnFields = txn.toList.flatMap { case (app, b) =>
+        List("txnApp" -> JString(app), "txnBatch" -> JInt(b)) }
+      val json = JsonMethods.compact(JsonMethods.render(JObject(base ++ txnFields: _*)))
       try {
         // In-process committers must serialize the create itself: a local
         // or checksummed filesystem's create-if-absent is CHECK-then-
@@ -279,8 +289,24 @@ object Versions {
       JsonMethods.compact(JsonMethods.render(jv \ "schema"))).asInstanceOf[StructType]
     val JInt(ver) = (jv \ "version"): @unchecked
     val JString(action) = (jv \ "action"): @unchecked
+    val txn = ((jv \ "txnApp"), (jv \ "txnBatch")) match {
+      case (JString(app), JInt(b)) => Some((app, b.toLong))
+      case _ => None
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"))
+      schema, strings("partitions"), txn)
+  }
+
+  /** Highest batchId committed under `appId`, or None — the restart probe
+    * of a transactional streaming sink. O(history) tiny-entry reads, paid
+    * once per query start (the running sink tracks it in memory).
+    */
+  def lastTxnBatch(spark: SparkSession, root: String, appId: String): Option[Long] = {
+    val latest = latestVersion(spark, root).getOrElse(return None)
+    (1 to latest).iterator
+      .map(v => readEntry(spark, root, v).txn)
+      .collect { case Some((app, b)) if app == appId => b }
+      .maxOption
   }
 
   /** Memoized snapshots. A committed (root, version) is immutable — entry

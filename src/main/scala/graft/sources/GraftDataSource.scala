@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.sources._
@@ -38,7 +39,7 @@ import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, Versions}
   * scan), so no custom columnar reader is on the hot path.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -89,6 +90,23 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftCdcSource(sqlContext.sparkSession, rootOf(parameters))
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft streaming sink is append-only (a versioned commit per batch), got $outputMode")
+    val partitions = parameters.get("partitions")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+    // sink identity for the exactly-once txn stamp: stable across restarts
+    // of the same query (same checkpoint), distinct across queries
+    val appId = parameters.getOrElse("txnAppId",
+      "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+        parameters.getOrElse("checkpointLocation", rootOf(parameters))
+          .getBytes("UTF-8")).toString)
+    new GraftSink(sqlContext.sparkSession, rootOf(parameters), partitions, appId)
+  }
 }
 
 /** Batch relation: the dataset's (or a pinned version's) snapshot, scanned
@@ -182,6 +200,40 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
       Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode)
     else Publish.publish(spark, data, root, meta.partitions, mode = mode)
   }
+}
+
+/** Streaming sink — `df.writeStream.format("graft")` commits one version
+  * per micro-batch into a versioned dataset ([[Publish.publishVersioned]]
+  * append), EXACTLY-ONCE: the batch's (appId, batchId) stamp is recorded
+  * inside the commit entry itself (one atomic write — the Delta `txn`
+  * action), so a batch replayed after a crash anywhere between commit and
+  * checkpoint advance is recognized via [[Versions.lastTxnBatch]] and
+  * skipped, never double-appended. The restart probe costs one O(history)
+  * pass over the tiny entry files; the running sink tracks the watermark
+  * in memory.
+  */
+class GraftSink(spark: SparkSession, root: String, partitions: Seq[String],
+                appId: String) extends Sink {
+
+  // -1 = nothing committed yet; lazily probed so an empty first batch on a
+  // fresh (not-yet-versioned) dataset doesn't fail the lookup
+  private var lastBatch: Long = -1L
+  private var probed = false
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = synchronized {
+    if (!probed) {
+      lastBatch = Versions.lastTxnBatch(spark, root, appId).getOrElse(-1L)
+      probed = true
+    }
+    if (batchId <= lastBatch) return // replayed batch: committed already
+    val batch = shim.batchDataFrame(spark, data.queryExecution.toRdd, data.schema)
+    if (!batch.isEmpty)
+      Publish.publishVersioned(spark, batch, root, partitions,
+        mode = "append", txn = Some((appId, batchId)))
+    lastBatch = batchId
+  }
+
+  override def toString: String = s"GraftSink[$root]"
 }
 
 /** Structured-streaming CDC source following a versioned graft dataset:

@@ -36,6 +36,18 @@ object shim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Batch DataFrame over a streaming micro-batch's internal rows — what a
+    * V1 `Sink.addBatch` must do before handing the data to a normal batch
+    * writer (the incoming frame is incremental-execution-planned; writing
+    * it directly would re-trigger the streaming planner).
+    */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Register a function builder on an EXISTING session's registry (the
     * extensions path only applies at session construction).
     */

@@ -89,6 +89,43 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t")
   }
 
+  test("streaming sink: one version per micro-batch, exactly-once on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val root = TestSpark.tmpDir("dsv_sink")
+    val ckpt = TestSpark.tmpDir("dsv_sink_ckpt")
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("id", "grp", "v")
+      .writeStream.format("graft")
+      .option("partitions", "grp")
+      .option("checkpointLocation", ckpt)
+      .start(root)
+    try {
+      input.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, "a", 3.0))
+      q.processAllAvailable()
+      assert(Versions.latestVersion(spark, root).contains(2),
+        "each non-empty micro-batch must commit exactly one version")
+      assert(spark.read.format("graft").load(root).count() == 3)
+      // every commit carries its txn stamp
+      val entries = (1 to 2).map(Versions.readEntry(spark, root, _))
+      assert(entries.forall(_.txn.exists(_._2 >= 0)))
+      val appId = entries.head.txn.get._1
+      // exactly-once: a replayed batchId is recognized FROM THE LOG by a
+      // fresh sink instance (crash-between-commit-and-checkpoint shape)
+      val sink = new graft.sources.GraftSink(spark, root, Seq("grp"), appId)
+      val replay = Seq((9L, "a", 9.0)).toDF("id", "grp", "v")
+      sink.addBatch(1, replay) // already committed under this appId
+      assert(spark.read.format("graft").load(root).count() == 3,
+        "replayed batch must not double-append")
+      sink.addBatch(99, replay) // genuinely new batch commits
+      assert(spark.read.format("graft").load(root).count() == 4)
+      assert(Versions.lastTxnBatch(spark, root, appId).contains(99L))
+    } finally q.stop()
+  }
+
   test("streaming CDC source: one batch per commit range, restart resumes") {
     val root = TestSpark.tmpDir("dsv_cdc")
     val ckpt = TestSpark.tmpDir("dsv_cdc_ckpt")
