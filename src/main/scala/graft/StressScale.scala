@@ -138,6 +138,40 @@ object StressScale {
         rs.map(r => math.round(r.getAs[Double]("recall") * 10000)).min
     }
 
+    // ---- 4. incremental near-dup index at scale (the r12 verdict ask):
+    // the corpus is banded ONCE; each increment pays one scalar-only scan
+    // of the stored buckets + O(batch) shingling — never a re-shingle of
+    // the corpus text. Three numbers make the case: index build (paid
+    // once), probe at two batch sizes (10× apart — the delta isolates the
+    // O(batch) component from the fixed bucket-scan floor), and the
+    // ONE-SHOT equivalent (full minHashLsh over corpus ∪ batch, what a
+    // pipeline without the index re-pays every increment).
+    val docs = spark.read.parquet(s"$stressDir/documents.parquet")
+    val idxRoot = s"$workDir/dedup_index_scale"
+    fs.delete(new Path(idxRoot), true)
+    val corpus = docs.where(col("doc_id") % 100 =!= 0)
+    val batch1pct = docs.where(col("doc_id") % 100 === 0)   // ~1% of docs
+    val batch01pct = docs.where(col("doc_id") % 1000 === 0) // ~0.1%
+    checks("dedup_index_corpus_docs") = timed("dedup_index_build") {
+      graft.ops.DedupIndex.build(spark, corpus, idxRoot, numHashes = 64, bands = 16)
+      corpus.count()
+    }
+    checks("dedup_probe_1pct_pairs") = timed("dedup_probe_1pct") {
+      graft.ops.DedupIndex.dedupBatch(spark, idxRoot, batch1pct, threshold = 0.8).count()
+    }
+    checks("dedup_probe_01pct_pairs") = timed("dedup_probe_01pct") {
+      graft.ops.DedupIndex.dedupBatch(spark, idxRoot, batch01pct, threshold = 0.8).count()
+    }
+    checks("dedup_oneshot_pairs") = timed("dedup_oneshot_equivalent") {
+      graft.ops.Dedup.minHashLsh(corpus.unionByName(batch1pct),
+          numHashes = 64, bands = 16, threshold = 0.8)
+        .where(col("id_a") % 100 === 0 || col("id_b") % 100 === 0).count()
+    }
+    checks("dedup_append_docs") = timed("dedup_append_1pct") {
+      graft.ops.DedupIndex.append(spark, batch1pct, idxRoot)
+      batch1pct.count()
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +
