@@ -3,6 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types._
 
 /** Hive-partitioned snappy-parquet dataset writer — the Spark-native
@@ -203,9 +204,12 @@ object Publish {
           publishImpl(spark, df, root, partitions, "overwrite", sortCols,
             zorderCols, zorderBits, zorderPartitions, statsCols)
         else
+          // existing versioned dataset: visibility is commit-controlled,
+          // so the physical file adds go through the direct-write protocol
+          // (one write per byte, O(batch) file discovery)
           publishImpl(spark, df, root, partitions, "append", sortCols,
             zorderCols, zorderBits, zorderPartitions, statsCols,
-            requireSchemaMatch = mode == "append")
+            requireSchemaMatch = mode == "append", directCommit = true)
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(df.schema, partitions), txn = txn)
       newFiles
@@ -215,20 +219,24 @@ object Publish {
   /** Lock-free append to a versioned dataset — the optimistic-concurrency
     * path behind [[publishVersioned]]'s append mode:
     *
-    *   1. **Stage** — the batch is written as a complete mini-dataset
-    *      (same sizing / salting / clustering as any publish) into a
-    *      UUID-unique dir under `root/_graft_stage/` (underscore-hidden:
-    *      invisible to every data listing and parquet scan).
-    *   2. **Move** — the staged data files rename into their partition
-    *      dirs under the root. Still invisible: live reads of a versioned
-    *      dataset plan from the commit log, and these files are in no
-    *      committed entry yet. A crash here orphans invisible files, the
-    *      same story as a crashed logical overwrite.
-    *   3. **Stats/bloom** — if the dataset (or this call) carries a stats
+    *   1. **Write in place** — the batch is shaped like any publish (same
+    *      sizing / salting / clustering) and written DIRECTLY into its
+    *      final partition dirs under the root via
+    *      [[DirectWriteCommitProtocol]]: every file carries the write's
+    *      unique job id + task attempt in its name, so racing appenders
+    *      (and retried tasks) can never collide — no staging dir, no
+    *      rename (a byte COPY on object stores: the old stage-then-move
+    *      design wrote every appended byte twice there). The new files
+    *      are invisible: live reads of a versioned dataset plan from the
+    *      commit log, and these files are in no committed entry yet. A
+    *      crash here orphans invisible files — the same story as a
+    *      crashed logical overwrite — reclaimed by vacuum past its grace
+    *      horizon.
+    *   2. **Stats/bloom** — if the dataset (or this call) carries a stats
     *      or bloom index, the new files' sidecar rows append — cheap,
     *      O(batch), paid before the commit so an indexed read of the new
     *      version never finds uncovered live files.
-    *   4. **Commit** — [[Versions.commit]]'s entry-file CAS claims the
+    *   3. **Commit** — [[Versions.commit]]'s entry-file CAS claims the
     *      next version, retrying past racing committers.
     *
     * Net effect: N racing appenders overlap their (expensive) data writes
@@ -237,21 +245,23 @@ object Publish {
     * the dataset lock around its data path (ConcurrentAppendSpec pins
     * that), so a slow writer elsewhere cannot stall ingestion.
     *
-    * The vacuum interlock: between step 2's renames and step 4's commit,
-    * the moved files are referenced by no committed entry, so a concurrent
+    * The vacuum interlock: between step 1's write and step 3's commit,
+    * the new files are referenced by no committed entry, so a concurrent
     * [[Versions.vacuum]] would classify them dead and delete them — then
     * the commit would land referencing deleted files. The guard is
     * TEMPORAL, not a lock (a lock would re-serialize appends on every
-    * maintenance pass): each rename touches the file's modification time
-    * to "now", and vacuum keeps any unreferenced file younger than its
-    * `graceMs` horizon (default 15 min — the Delta retention-horizon
-    * design). The exposed window is rename→commit — sidecar maintenance,
-    * milliseconds of CAS — orders of magnitude inside the horizon, and the
-    * protection holds cross-process on object stores where the dataset
-    * lock is only best-effort (there the rename IS a copy, so the fresh
-    * timestamp comes for free). Appends racing a schema-changing overwrite
-    * are REJECTED at the commit, not silently mixed — see
-    * [[Versions.commit]].
+    * maintenance pass): the completed write restamps every new file's
+    * modification time to "now", and vacuum keeps any unreferenced file
+    * younger than its `graceMs` horizon (default 15 min — the Delta
+    * retention-horizon design). The exposed window is write-end→commit —
+    * sidecar maintenance, milliseconds of CAS — orders of magnitude
+    * inside the horizon. On object stores without `setTimes`, file
+    * timestamps are upload-completion times instead: there `graceMs` must
+    * exceed the longest expected BATCH WRITE duration plus the commit
+    * window (exactly Delta's deleted-file-retention sizing rule; its
+    * default is 7 days for the same reason). Appends racing a
+    * schema-changing overwrite are REJECTED at the commit, not silently
+    * mixed — see [[Versions.commit]].
     */
   private def appendVersionedOptimistic(spark: SparkSession, df: DataFrame,
                                         root: String, partitions: Seq[String],
@@ -267,37 +277,21 @@ object Publish {
     require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       "append schema does not match the dataset's recorded schema")
-    val p = new Path(root)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val qualifiedRoot = f.makeQualified(p)
-    val staging = new Path(qualifiedRoot,
-      s"$StageDirName/${java.util.UUID.randomUUID()}")
-    val moved =
-      try {
-        publishImpl(spark, df, staging.toString, partitions, "overwrite",
-          sortCols, zorderCols, zorderBits, zorderPartitions, Nil)
-        val stagingUri = f.makeQualified(staging).toUri.getPath
-        listPhysicalDataFilesWithSize(spark, staging.toString).map(_._1).map { abs =>
-          val rel = abs.stripPrefix(stagingUri).stripPrefix("/")
-          val dest = new Path(qualifiedRoot, rel)
-          f.mkdirs(dest.getParent)
-          require(f.rename(new Path(abs), dest),
-            s"could not move staged append file $abs to $dest")
-          // restamp to "now": rename preserves mtime, but a long batch's
-          // FIRST staged file can be hours old by rename time — vacuum's
-          // grace horizon must measure from here, the start of the
-          // uncommitted-but-live window, not from the write. Best-effort:
-          // object-store "renames" are copies (fresh timestamp anyway).
-          try f.setTimes(dest, System.currentTimeMillis(), -1)
-          catch { case _: Exception => () }
-          dest.toUri.getPath
-        }
-      } finally {
-        try f.delete(staging, true)
-        catch { case e: java.io.IOException =>
-          System.err.println(s"[graft] could not clean append staging $staging: $e") }
-      }
-    postRenameHook()
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (out, recordsPerFile) = prepareForWrite(spark, df, partitions,
+      sortCols, zorderCols, zorderBits, zorderPartitions)
+    val moved = directWrite(spark, out, root, partitions, recordsPerFile)
+    // restamp to "now": vacuum's grace horizon must measure from HERE —
+    // the end of the batch write, the start of the uncommitted-but-live
+    // window — not from each file's own write time (a long batch's FIRST
+    // file is already old when the commit races a vacuum). Best-effort:
+    // where setTimes is unsupported, graceMs must cover the batch write
+    // duration instead (see the doc comment).
+    moved.foreach { m =>
+      try f.setTimes(new Path(m), System.currentTimeMillis(), -1)
+      catch { case _: Exception => () }
+    }
+    postWriteHook()
     val cols = (statsCols ++ StatsIndex.indexedColumns(spark, root))
       .distinct.filter(df.columns.contains)
     // sidecar maintenance doesn't commute (read-modify-write of shared
@@ -317,23 +311,51 @@ object Publish {
     moved
   }
 
-  /** Test seam: runs between the optimistic append's renames and its
+  /** Test seam: runs between the optimistic append's direct write and its
     * sidecar/commit steps — the uncommitted-but-live window the
     * vacuum×append race spec holds open to prove a concurrent vacuum's
-    * grace horizon keeps the renamed files until the commit lands.
+    * grace horizon keeps the just-written files until the commit lands.
     */
-  private[graft] var postRenameHook: () => Unit = () => ()
+  private[graft] var postWriteHook: () => Unit = () => ()
 
-  private[core] val StageDirName = "_graft_stage"
+  /** One write per byte: run the shaped frame's physical file adds through
+    * [[DirectWriteCommitProtocol]] — files land DIRECTLY at their final
+    * paths (no `_temporary`, no rename/copy) and the committed list comes
+    * back from the protocol itself, so file discovery is O(batch) instead
+    * of an O(dataset) pre/post listing diff. The protocol conf rides a
+    * CLONED session (shared context/catalog, isolated SQLConf): nothing
+    * leaks to concurrent writes on the caller's session. Versioned roots
+    * only — visibility must be commit-log-controlled.
+    */
+  private def directWrite(spark: SparkSession, out: DataFrame, root: String,
+                          partitions: Seq[String], recordsPerFile: Long): Seq[String] = {
+    val clone = shim.cloneSession(spark)
+    clone.conf.set(DirectWriteCommitProtocol.ConfKey,
+      classOf[DirectWriteCommitProtocol].getName)
+    val cout = shim.ofRows(clone, out.queryExecution.logical)
+    val token = java.util.UUID.randomUUID().toString
+    DirectWriteCommitProtocol.capture(token) {
+      cout.write
+        .mode("append")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", recordsPerFile)
+        .option(DirectWriteCommitProtocol.TokenKey, token)
+        .partitionBy(partitions: _*)
+        .parquet(root)
+    }.map(fl => new Path(fl).toUri.getPath)
+  }
 
-  private[core] def publishImpl(spark: SparkSession, df: DataFrame, root: String,
-                          partitions: Seq[String], mode: String,
-                          sortCols: Seq[String], zorderCols: Seq[String],
-                          zorderBits: Int, zorderPartitions: Int,
-                          statsCols: Seq[String],
-                          requireSchemaMatch: Boolean = true,
-                          metaSchemaOverride: Option[StructType] = None): Seq[String] = {
-    require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+  /** Shapes a frame for a publish write: validates inputs, derives the
+    * records-per-file cap from a sampled bytes/row estimate (the ~60 MB
+    * target), routes rows (salted partition routing, or z-range when
+    * z-ordering), and applies within-task clustering. Pure plan surgery,
+    * no I/O beyond the sizing sample — shared by the default
+    * (listing-diff) and direct-commit write paths.
+    */
+  private[core] def prepareForWrite(spark: SparkSession, df: DataFrame,
+                                    partitions: Seq[String], sortCols: Seq[String],
+                                    zorderCols: Seq[String], zorderBits: Int,
+                                    zorderPartitions: Int): (DataFrame, Long) = {
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     require(zorderCols.forall(df.columns.contains),
@@ -345,27 +367,6 @@ object Publish {
     checkNonEmpty(df)
     checkNoIntervals(df)
     checkPartitions(partitions, df)
-    if (mode == "append") {
-      // The reference's incremental flow: repeated publishes ADD files to
-      // the dataset (publish_parq.py writes into the existing key).
-      // Appends must agree with the recorded logical schema + partitioning;
-      // data present WITHOUT a sidecar (e.g. a crashed earlier publish that
-      // died before writing metadata) is not appendable — blind appends
-      // into an unverifiable layout would mix schemas silently.
-      DatasetMeta.read(spark, root) match {
-        case Some(meta) =>
-          require(meta.partitions == partitions,
-            s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
-          require(!requireSchemaMatch ||
-            meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-              df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-            "append schema does not match the dataset's recorded schema")
-        case None =>
-          require(!Fetch.hasData(spark, root),
-            s"cannot append to $root: it contains data but no graft metadata " +
-              "(recover or republish with mode=overwrite)")
-      }
-    }
 
     val (rowBytes, sampleRows) = sampleRowBytes(df, partitions)
     // Parquet bytes/row ≈ in-memory bytes / compression ratio; cap records
@@ -426,12 +427,52 @@ object Publish {
         if (sortCols.isEmpty) routed
         else routed.sortWithinPartitions((partitions ++ sortCols).map(col): _*)
     }
+    (out, recordsPerFile)
+  }
+
+  private[core] def publishImpl(spark: SparkSession, df: DataFrame, root: String,
+                          partitions: Seq[String], mode: String,
+                          sortCols: Seq[String], zorderCols: Seq[String],
+                          zorderBits: Int, zorderPartitions: Int,
+                          statsCols: Seq[String],
+                          requireSchemaMatch: Boolean = true,
+                          metaSchemaOverride: Option[StructType] = None,
+                          directCommit: Boolean = false): Seq[String] = {
+    require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    require(!directCommit || mode == "append",
+      "direct commit is an append-files protocol (versioned roots only)")
+    if (mode == "append") {
+      // The reference's incremental flow: repeated publishes ADD files to
+      // the dataset (publish_parq.py writes into the existing key).
+      // Appends must agree with the recorded logical schema + partitioning;
+      // data present WITHOUT a sidecar (e.g. a crashed earlier publish that
+      // died before writing metadata) is not appendable — blind appends
+      // into an unverifiable layout would mix schemas silently.
+      DatasetMeta.read(spark, root) match {
+        case Some(meta) =>
+          require(meta.partitions == partitions,
+            s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
+          require(!requireSchemaMatch ||
+            meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            "append schema does not match the dataset's recorded schema")
+        case None =>
+          require(!Fetch.hasData(spark, root),
+            s"cannot append to $root: it contains data but no graft metadata " +
+              "(recover or republish with mode=overwrite)")
+      }
+    }
+
+    val (out, recordsPerFile) = prepareForWrite(spark, df, partitions,
+      sortCols, zorderCols, zorderBits, zorderPartitions)
 
     // Append must report ONLY the newly written files (the reference
-    // returns freshly published keys, publish_parq.py:573) — snapshot the
-    // existing listing first.
+    // returns freshly published keys, publish_parq.py:573). The default
+    // committer path discovers them by a pre/post listing diff; the
+    // direct-commit path gets them from the protocol itself (O(batch),
+    // no O(dataset) listing).
     val preExisting: Set[String] =
-      if (mode == "append")
+      if (mode == "append" && !directCommit)
         listPhysicalDataFilesWithSize(spark, root).map(_._1).toSet
       else Set.empty
     // Take down the index's completeness claim BEFORE files land: a reader
@@ -441,17 +482,22 @@ object Publish {
     val priorManifestCols: Option[Seq[String]] =
       if (mode == "append") StatsIndex.invalidateMarker(spark, root) else None
 
-    out.write
-      .mode(mode)
-      .option("compression", "snappy")
-      .option("maxRecordsPerFile", recordsPerFile)
-      .partitionBy(partitions: _*)
-      .parquet(root)
+    val directFiles: Seq[String] =
+      if (directCommit) directWrite(spark, out, root, partitions, recordsPerFile)
+      else {
+        out.write
+          .mode(mode)
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", recordsPerFile)
+          .partitionBy(partitions: _*)
+          .parquet(root)
+        Nil
+      }
 
     DatasetMeta.write(spark, root,
       DatasetMeta(metaSchemaOverride.getOrElse(df.schema), partitions))
-    val allAfter = listPhysicalDataFilesWithSize(spark, root).map(_._1)
-    val newFiles = allAfter.filterNot(preExisting)
+    lazy val allAfter = listPhysicalDataFilesWithSize(spark, root).map(_._1)
+    val newFiles = if (directCommit) directFiles else allAfter.filterNot(preExisting)
     // Index maintenance is O(this batch), never O(dataset): an append
     // stats only the files it just wrote and appends their rows to the
     // sidecar; overwrite (a fresh dataset) builds from the same listing.

@@ -48,6 +48,16 @@ object shim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Fork an isolated session over the same SparkContext: shared cached
+    * data and catalog, but an independent runtime SQLConf — so a single
+    * write can run under a session-scoped conf (e.g. a custom commit
+    * protocol) without leaking it to concurrent queries on the caller's
+    * session. `cloneSession` (runtime state copied) went `private[sql]`
+    * with the Spark 4 classic split.
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register a function builder on an EXISTING session's registry (the
     * extensions path only applies at session construction).
     */

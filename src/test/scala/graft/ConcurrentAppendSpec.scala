@@ -50,13 +50,13 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     assert(entryFiles.toSet == writerFiles.toSet,
       s"commit entries $entryFiles must match writer file sets $writerFiles")
     assert(entryFiles.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
-    // no rows lost, base rows untouched, staging cleaned up
+    // no rows lost, base rows untouched; direct-write appends never
+    // create a staging dir at all
     val ids = Fetch.fetch(spark, root).select("id").as[Long].collect().sorted.toSeq
     val expect = ((0L until 40L) ++
       (0 until writers).flatMap(w => (0 until 10).map(i => 1000L + w * 100 + i))).sorted
     assert(ids == expect)
-    assert(!new java.io.File(root, "_graft_stage").exists()
-      || new java.io.File(root, "_graft_stage").list().isEmpty)
+    assert(!new java.io.File(root, "_graft_stage").exists())
     // every intermediate snapshot is readable and monotone in size
     val counts = (1 to 1 + writers).map(v =>
       Versions.fetchVersion(spark, root, v).count())
@@ -91,11 +91,11 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).count() == 11)
   }
 
-  test("vacuum during the rename->commit window keeps the appender's files") {
+  test("vacuum during the write->commit window keeps the appender's files") {
     // The race the grace horizon closes: an optimistic appender's files
-    // are renamed into the live tree BEFORE its commit entry exists, so a
+    // are written into the live tree BEFORE its commit entry exists, so a
     // concurrent vacuum sees them as unreferenced. With the default grace
-    // horizon the just-renamed (freshly restamped) files survive while
+    // horizon the just-written (freshly restamped) files survive while
     // genuinely old ghosts are reclaimed; the append then commits a
     // version whose every file is intact.
     val root = TestSpark.tmpDir("vacuum_append_race")
@@ -114,7 +114,7 @@ class ConcurrentAppendSpec extends AnyFunSuite {
     }
     val renamed = new CountDownLatch(1)
     val proceed = new CountDownLatch(1)
-    Publish.postRenameHook = () => { renamed.countDown(); proceed.await(60, TimeUnit.SECONDS); () }
+    Publish.postWriteHook = () => { renamed.countDown(); proceed.await(60, TimeUnit.SECONDS); () }
     val pool = Executors.newSingleThreadExecutor()
     try {
       val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
@@ -123,7 +123,7 @@ class ConcurrentAppendSpec extends AnyFunSuite {
             (200 until 210).map(i => (i.toLong, -1.0)).toDF("id", "v"),
             root, Nil, mode = "append")
       })
-      assert(renamed.await(60, TimeUnit.SECONDS), "append never reached the rename window")
+      assert(renamed.await(60, TimeUnit.SECONDS), "append never reached the post-write window")
       // vacuum fires inside the window, default grace: v1's aged ghosts go,
       // the appender's renamed-but-uncommitted files stay
       val dead = Versions.vacuum(spark, root, keepFrom = 2)
@@ -139,7 +139,7 @@ class ConcurrentAppendSpec extends AnyFunSuite {
       val ids = Fetch.fetch(spark, root).select("id").as[Long].collect().sorted.toSeq
       assert(ids == ((100L until 120L) ++ (200L until 210L)).sorted)
     } finally {
-      Publish.postRenameHook = () => ()
+      Publish.postWriteHook = () => ()
       pool.shutdownNow()
     }
     // with the appends quiesced, a zero-grace vacuum is allowed to reclaim
