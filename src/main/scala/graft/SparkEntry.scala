@@ -378,6 +378,21 @@ object SparkEntry {
         col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 1)
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // DELETE via DELETION VECTOR: two stacked delete_dv commits remove
+    // rows with ZERO data files rewritten (one parquet sidecar of
+    // (file, row_index) pairs per delete); the read side anti-joins
+    // covered files against the union of live DVs. O(deleted rows), the
+    // sparse-delete path a 100 TB table needs.
+    "version_delete_dv" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vdeletedv", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.deleteWhereDv(s, root,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 1)
+      Mutations.deleteWhereDv(s, root, col("o_orderkey") % 97 === 0)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
     "version_update_where" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vupdate", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1522,6 +1537,11 @@ object SparkEntry {
     "version_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_delete_dv" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 1)
+        |  AND NOT (o_orderkey % 97 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "version_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, StatsIndex}
+import graft.core.{ColFilter, DatasetMeta, Fetch, Mutations, Publish, StatsIndex}
 import graft.ops.BloomPrune
 
 /** Targeted ×N-scale measurements for the two round-7 driver-scalability
@@ -170,6 +170,39 @@ object StressScale {
     checks("dedup_append_docs") = timed("dedup_append_1pct") {
       graft.ops.DedupIndex.append(spark, batch1pct, idxRoot)
       batch1pct.count()
+    }
+
+    // ---- 5. deletion-vector DELETE vs copy-on-write DELETE at scale:
+    // the same sparse predicate (~0.2% of rows, but spread over MOST
+    // files — the rewrite path's worst case, where "affected files" ≈
+    // "all files"). The DV commit writes O(deleted rows) of (file,
+    // row_index) pairs and moves zero data bytes; the rewrite path
+    // re-copies every affected file. The post-delete full scans price
+    // the read side of each: the DV probe (broadcast anti-join) vs the
+    // plain rewritten scan.
+    val orders = spark.read.parquet(s"$stressDir/orders.parquet")
+    val dvRoot = s"$workDir/dv_delete_scale"
+    val rwRoot = s"$workDir/rw_delete_scale"
+    fs.delete(new Path(dvRoot), true)
+    fs.delete(new Path(rwRoot), true)
+    Publish.publishVersioned(spark, orders, dvRoot, Nil)
+    Publish.publishVersioned(spark, orders, rwRoot, Nil)
+    val delPred = col("o_orderkey") % 499 === 0
+    checks("delete_dv_rows_removed") = {
+      val before = Fetch.fetch(spark, dvRoot).count()
+      timed("delete_dv") { Mutations.deleteWhereDv(spark, dvRoot, delPred) }
+      before - Fetch.fetch(spark, dvRoot).count()
+    }
+    checks("delete_rewrite_rows_removed") = {
+      val before = Fetch.fetch(spark, rwRoot).count()
+      timed("delete_rewrite") { Mutations.deleteWhere(spark, rwRoot, delPred) }
+      before - Fetch.fetch(spark, rwRoot).count()
+    }
+    checks("delete_dv_scan_rows") = timed("delete_dv_read_scan") {
+      Fetch.fetch(spark, dvRoot).count()
+    }
+    checks("delete_rewrite_scan_rows") = timed("delete_rewrite_read_scan") {
+      Fetch.fetch(spark, rwRoot).count()
     }
 
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)

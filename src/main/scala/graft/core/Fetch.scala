@@ -61,7 +61,7 @@ object Fetch {
         // crashed after writing the sidecar but before committing must not
         // leak its half-published schema into reads of the old snapshot).
         val snapshot = Versions.latestVersion(spark, root)
-          .map(v => Versions.snapshotAt(spark, root, v))
+          .map(v => Versions.snapshotFullAt(spark, root, v))
         val meta = snapshot.map(_._2).getOrElse(sidecarMeta)
         Filters.validateAgainst(meta, filters)
         if (!hasData(spark, root))
@@ -72,17 +72,22 @@ object Fetch {
         // silently match nothing. basePath keeps hive partition columns
         // and Catalyst partition pruning working on an explicit file list.
         val raw = snapshot match {
-          case Some((relFiles, _)) =>
+          case Some((relFiles, _, _)) =>
             val files = relFiles
               .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
             spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
           case None => spark.read.schema(meta.schema).parquet(root)
         }
         val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
+        // Deletion vectors apply AFTER the partition filter (fewer rows to
+        // probe) and BEFORE the restoring select; a snapshot without DVs
+        // pays nothing here
+        val undeleted = applyDvs(spark, root, filtered,
+          snapshot.map(_._3).getOrElse(Nil))
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
         // partition-column expression the scan can prune on.
         val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
-        filtered.select(restored: _*)
+        undeleted.select(restored: _*)
     }
   }
 
@@ -105,9 +110,9 @@ object Fetch {
     // versioned roots: the commit entry's schema governs (as in fetch) and
     // candidateFiles plans from the version-log-aware listing, so stats
     // rows of overwritten/mutation-removed files never resurrect ghosts
-    val meta = Versions.latestVersion(spark, root)
-      .map(v => Versions.snapshotAt(spark, root, v)._2)
-      .getOrElse(requireMeta(spark, root))
+    val full = Versions.latestVersion(spark, root)
+      .map(v => Versions.snapshotFullAt(spark, root, v))
+    val meta = full.map(_._2).getOrElse(requireMeta(spark, root))
     Filters.validateAgainst(meta, filters)
     Filters.validateDataFilters(meta, dataFilters)
     if (!hasData(spark, root))
@@ -122,8 +127,26 @@ object Fetch {
       Filters.compileOn(c => meta.schema(c).dataType, dataFilters)).flatten
       .reduceOption(_ && _)
     val filtered = pred.map(raw.where).getOrElse(raw)
+    val undeleted = applyDvs(spark, root, filtered, full.map(_._3).getOrElse(Nil))
     val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
-    filtered.select(restored: _*)
+    undeleted.select(restored: _*)
+  }
+
+  /** Anti-join a filtered scan of a versioned root against its live
+    * deletion vectors (no-op when there are none). Metadata columns must
+    * materialize before the join, so they are added here, used as the
+    * probe key, and never escape (the caller's restoring select keeps
+    * only schema columns).
+    */
+  private def applyDvs(spark: SparkSession, root: String, scan: DataFrame,
+                       dvs: Seq[DvRef]): DataFrame = {
+    if (dvs.isEmpty) return scan
+    val fTmp = "__graft_meta_file"
+    val iTmp = "__graft_meta_idx"
+    Versions.withDvApplied(spark, root,
+      scan.withColumn(fTmp, col("_metadata.file_path"))
+          .withColumn(iTmp, col("_metadata.row_index")),
+      dvs, fTmp, iTmp).drop(fTmp, iTmp)
   }
 
   /** Rows of `inputRoot` whose `partition` value does not occur in

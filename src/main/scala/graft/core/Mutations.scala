@@ -41,14 +41,24 @@ final case class MutationResult(version: Int,
 object Mutations {
 
   private val FileCol = "_graft_file"
+  private val RowIdxCol = "_graft_row_index"
 
-  private def snapshotWithPath(spark: SparkSession, root: String)
-      : (Int, DatasetMeta, DataFrame) = {
+  /** Latest snapshot read with the per-row source-file handle, DELETION
+    * VECTORS APPLIED — a mutation must never locate (or resurrect) a row
+    * an earlier delete_dv already removed. Also returns the snapshot's
+    * live DV refs so rewrite legs re-reading affected files apply them
+    * too.
+    */
+  private def snapshotWithPath(spark: SparkSession, root: String,
+                               withRowIndex: Boolean = false)
+      : (Int, DatasetMeta, Seq[DvRef], DataFrame) = {
     val latest = Versions.latestVersion(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"row-level mutations need a versioned dataset; $root has no version log"))
-    val (files, meta) = Versions.snapshotAt(spark, root, latest)
-    (latest, meta, Versions.readFilesWithPath(spark, root, files, meta, FileCol))
+    val (files, meta, dvs) = Versions.snapshotFullAt(spark, root, latest)
+    val df = Versions.readFilesWithPath(spark, root, files, meta, FileCol,
+      dvs = dvs, rowIndexCol = if (withRowIndex) Some(RowIdxCol) else None)
+    (latest, meta, dvs, df)
   }
 
   /** The root-relative files containing at least one row of `affected`
@@ -88,14 +98,61 @@ object Mutations {
   def deleteWhere(spark: SparkSession, root: String,
                   predicate: Column): MutationResult =
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
       val affected = affectedFiles(snap.where(predicate))
       if (affected.isEmpty) MutationResult(latest, Nil, Nil)
       else {
         val survivors = Versions
-          .readFiles(spark, root, affected, meta)
+          .readFiles(spark, root, affected, meta, dvs = dvs)
           .where(not(predicate <=> lit(true)))
         rewriteCommit(spark, root, meta, survivors, affected)
+      }
+    }
+
+  /** DELETE FROM root WHERE predicate — via a DELETION VECTOR: instead of
+    * rewriting every file that contains a matching row (copy-on-write at
+    * FILE granularity, [[deleteWhere]]), one commit records the matching
+    * rows' (file, row_index) pairs in a `_graft_dv/` parquet sidecar and
+    * the live file set does not change. Cost is O(matched rows) written +
+    * the locate scan — on a 100 TB dataset where a predicate matches 0.1 %
+    * of rows spread over most files, the rewrite path would re-copy
+    * nearly the whole dataset; this writes ~the deleted row-ids and
+    * nothing else. Reads anti-join covered files against the DV (a
+    * broadcast probe while deletes are small); compaction/OPTIMIZE
+    * materializes deletes and retires the DV; RESTORE carries DVs so
+    * rollback cannot resurrect deleted rows. Prefer [[deleteWhere]] when
+    * a large fraction of the affected files' rows die — scans then stop
+    * paying the probe and vacuum can reclaim the replaced bytes.
+    */
+  def deleteWhereDv(spark: SparkSession, root: String,
+                    predicate: Column): MutationResult =
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qroot = f.makeQualified(rootPath).toUri.getPath
+      val hits = snap.where(predicate).select(
+        // FileCol carries the raw (possibly URI-encoded, scheme-qualified)
+        // scan path; normalize to the root-relative commit-entry form the
+        // read-side anti-join derives
+        regexp_replace(StatsIndex.normPath(col(FileCol)),
+          lit("^" + java.util.regex.Pattern.quote(qroot.stripSuffix("/") + "/")),
+          lit("")).as("file"),
+        col(RowIdxCol).as("row_index"))
+      val dvRel = s"${Versions.DvDirName}/${java.util.UUID.randomUUID()}"
+      val dvAbs = new org.apache.hadoop.fs.Path(root, dvRel)
+      hits.write.mode("overwrite").parquet(dvAbs.toString)
+      // covered files read back from the written DV itself: one tiny scan,
+      // no second pass over the data
+      val covered = spark.read.schema(Versions.DvSchema).parquet(dvAbs.toString)
+        .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (covered.isEmpty) {
+        f.delete(dvAbs, true)
+        MutationResult(latest, Nil, Nil)
+      } else {
+        val v = Versions.commit(spark, root, "delete_dv", Nil, meta,
+          dvs = Seq(DvRef(dvRel, covered)))
+        MutationResult(v, Nil, Nil)
       }
     }
 
@@ -110,7 +167,7 @@ object Mutations {
                   assignments: Map[String, Column]): MutationResult = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
       val bad = assignments.keySet.filterNot(meta.schema.fieldNames.contains)
       require(bad.isEmpty, s"assignment to unknown columns: ${bad.mkString(",")}")
       val part = assignments.keySet.filter(meta.partitions.contains)
@@ -128,7 +185,7 @@ object Mutations {
           }
         }
         val rewritten = Versions
-          .readFiles(spark, root, affected, meta)
+          .readFiles(spark, root, affected, meta, dvs = dvs)
           .select(updatedCols: _*)
         rewriteCommit(spark, root, meta, rewritten, affected)
       }
@@ -152,7 +209,7 @@ object Mutations {
     require(changes.columns.contains(opCol),
       s"changes must carry the operation column $opCol")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
       val tgtCols = meta.schema.fieldNames.toSeq
       val missing = tgtCols.filterNot(changes.columns.contains)
       val extra = changes.columns.filterNot(c => tgtCols.contains(c) || c == opCol)
@@ -180,12 +237,12 @@ object Mutations {
         val payload = tgtCols.filterNot(keyCols.contains)
         val upserted =
           if (payload.isEmpty)
-            Versions.readFiles(spark, root, affected, meta)
+            Versions.readFiles(spark, root, affected, meta, dvs = dvs)
               .unionByName(ups).distinct()
           else {
             def packed(df: DataFrame, tag: String) =
               df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-            packed(Versions.readFiles(spark, root, affected, meta), "_t")
+            packed(Versions.readFiles(spark, root, affected, meta, dvs = dvs), "_t")
               .join(packed(ups, "_s"), keyCols, "full_outer")
               .withColumn("_m", coalesce(col("_s"), col("_t")))
               .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
@@ -216,7 +273,7 @@ object Mutations {
             keyCols: Seq[String]): MutationResult = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, snap) = snapshotWithPath(spark, root)
+      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
       val tgtCols = meta.schema.fieldNames.toSeq
       keyCols.foreach { k =>
         require(tgtCols.contains(k), s"key column $k is not a dataset column")
@@ -241,12 +298,12 @@ object Mutations {
         val merged =
           if (payload.isEmpty) {
             // keys-only dataset: upsert degenerates to set union
-            Versions.readFiles(spark, root, affected, meta)
+            Versions.readFiles(spark, root, affected, meta, dvs = dvs)
               .unionByName(src).distinct()
           } else {
             def packed(df: DataFrame, tag: String) =
               df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-            packed(Versions.readFiles(spark, root, affected, meta), "_t")
+            packed(Versions.readFiles(spark, root, affected, meta, dvs = dvs), "_t")
               .join(packed(src, "_s"), keyCols, "full_outer")
               .withColumn("_m", coalesce(col("_s"), col("_t")))
               .select(meta.schema.fieldNames.toIndexedSeq.map(n =>

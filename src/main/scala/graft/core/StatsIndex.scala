@@ -698,12 +698,19 @@ object StatsIndex {
     Some(Versions.latestVersion(spark, root) match {
       case None => all
       case Some(latest) =>
+        val (liveRel, _, dvs) = Versions.snapshotFullAt(spark, root, latest)
+        // deletion vectors poison every metadata-only AGGREGATE: a covered
+        // file's sidecar row still counts (and may min/max) its DELETED
+        // rows. Refuse — callers fall back to the (DV-aware) scan path.
+        // File-level PRUNING stays sound (DVs only remove rows, so stats
+        // ranges remain conservative) and does not come through here.
+        if (dvs.flatMap(_.files).toSet.intersect(liveRel.toSet).nonEmpty)
+          return None
         // shared path contract (Versions.absolutize): the sidecar's `file`
         // column stores decoded absolute paths, the log stores decoded
         // relative ones — a drifting private re-derivation here would
         // empty the semi-join and silently degrade to the scan fallback
-        val live = Versions.absolutize(spark, root,
-          Versions.snapshotAt(spark, root, latest)._1)
+        val live = Versions.absolutize(spark, root, liveRel)
         import spark.implicits._
         all.join(live.toDF("file"), Seq("file"), "left_semi")
     })

@@ -19,7 +19,17 @@ import org.json4s.jackson.JsonMethods
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String],
-                              txn: Option[(String, Long)] = None)
+                              txn: Option[(String, Long)] = None,
+                              dvs: Seq[DvRef] = Nil)
+
+/** One deletion-vector sidecar: `dir` (root-relative, under `_graft_dv/`)
+  * holds a parquet dataset of `(file, row_index)` — the exact rows a
+  * `delete_dv` commit removed without rewriting their files — and `files`
+  * names the data files it covers. Readers anti-join covered scans
+  * against the union of a snapshot's live DV refs; a covered file leaving
+  * the live set (rewrite/compaction/overwrite) makes its rows inert.
+  */
+final case class DvRef(dir: String, files: Seq[String])
 
 /** Versioned datasets: a commit log that gives graft datasets time travel,
   * snapshot isolation, and safe logical overwrite — the lakehouse surface
@@ -172,11 +182,17 @@ object Versions {
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
              removedRel: Seq[String] = Nil,
-             txn: Option[(String, Long)] = None): Int = {
-    require(action == "overwrite" || action == "append" || action == "rewrite",
+             txn: Option[(String, Long)] = None,
+             dvs: Seq[DvRef] = Nil): Int = {
+    require(action == "overwrite" || action == "append" || action == "rewrite"
+        || action == "delete_dv",
       s"unknown action $action")
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
+    require(dvs.isEmpty || action == "delete_dv" || action == "overwrite",
+      "deletion vectors ride delete_dv commits (or an overwrite carrying a restored snapshot)")
+    require(action != "delete_dv" || addedAbs.isEmpty,
+      "a delete_dv commit adds no data files")
     val f = fs(spark, root)
     val rel = relativize(spark, root, addedAbs)
     var attempts = 0
@@ -208,7 +224,13 @@ object Versions {
         "schema" -> JsonMethods.parse(meta.schema.json))
       val txnFields = txn.toList.flatMap { case (app, b) =>
         List("txnApp" -> JString(app), "txnBatch" -> JInt(b)) }
-      val json = JsonMethods.compact(JsonMethods.render(JObject(base ++ txnFields: _*)))
+      val dvFields =
+        if (dvs.isEmpty) Nil
+        else List("dvs" -> JArray(dvs.map(d => JObject(
+          "dir" -> JString(d.dir),
+          "files" -> JArray(d.files.map(JString(_)).toList))).toList))
+      val json = JsonMethods.compact(JsonMethods.render(
+        JObject(base ++ txnFields ++ dvFields: _*)))
       try {
         // In-process committers must serialize the create itself: a local
         // or checksummed filesystem's create-if-absent is CHECK-then-
@@ -293,8 +315,19 @@ object Versions {
       case (JString(app), JInt(b)) => Some((app, b.toLong))
       case _ => None
     }
+    val dvs = (jv \ "dvs") match {
+      case JArray(xs) => xs.collect { case o: JObject =>
+        val JString(dir) = (o \ "dir"): @unchecked
+        val files = (o \ "files") match {
+          case JArray(fs) => fs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        DvRef(dir, files)
+      }
+      case _ => Nil
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn)
+      schema, strings("partitions"), txn, dvs)
   }
 
   /** Highest batchId committed under `appId`, or None — the restart probe
@@ -325,13 +358,13 @@ object Versions {
     * ghost file list.)
     */
   private val snapshotMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (VersionEntry, Seq[String], DatasetMeta)]()
+    (String, Int), (VersionEntry, Seq[String], DatasetMeta, Seq[DvRef])]()
 
-  private def memoGet(qroot: String, v: Int,
-                      witness: VersionEntry): Option[(Seq[String], DatasetMeta)] = {
+  private def memoGet(qroot: String, v: Int, witness: VersionEntry)
+      : Option[(Seq[String], DatasetMeta, Seq[DvRef])] = {
     val m = snapshotMemo.get((qroot, v))
     if (m == null) None
-    else if (m._1 == witness) Some((m._2, m._3))
+    else if (m._1 == witness) Some((m._2, m._3, m._4))
     else { snapshotMemo.remove((qroot, v)); None } // root was re-created
   }
 
@@ -342,6 +375,17 @@ object Versions {
     * since its last call), not O(chain).
     */
   def snapshotAt(spark: SparkSession, root: String, version: Int): (Seq[String], DatasetMeta) = {
+    val (files, meta, _) = snapshotFullAt(spark, root, version)
+    (files, meta)
+  }
+
+  /** [[snapshotAt]] plus the snapshot's live deletion-vector refs —
+    * accumulated since the governing overwrite (an overwrite resets them:
+    * its live set carries exactly the DV refs recorded in its own entry,
+    * which is how RESTORE preserves row-level deletes).
+    */
+  private[graft] def snapshotFullAt(spark: SparkSession, root: String,
+                                    version: Int): (Seq[String], DatasetMeta, Seq[DvRef]) = {
     val latest = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     require(version >= 1 && version <= latest,
@@ -360,26 +404,31 @@ object Versions {
     var v = version
     var chain = List(atVersion)
     var base = Vector.empty[String]
+    var baseDvs = Vector.empty[DvRef]
     var seeded = false
     while (!seeded && chain.head.action != "overwrite" && v > 1) {
       val prev = readEntry(spark, root, v - 1)
       memoGet(qroot, v - 1, prev) match {
-        case Some((files, _)) => base = files.toVector; seeded = true
+        case Some((files, _, dvs)) =>
+          base = files.toVector; baseDvs = dvs.toVector; seeded = true
         case None =>
           v -= 1
           chain = prev :: chain
       }
     }
     // forward-replay from the governing overwrite: appends union their
-    // files in, rewrites swap their removed set for their added set
-    val files = chain.foldLeft(base) { (live, e) =>
+    // files in, rewrites swap their removed set for their added set,
+    // delete_dv commits stack their DV refs, overwrites reset both
+    val (files, dvs) = chain.foldLeft((base, baseDvs)) { case ((live, dv), e) =>
       val dropped = e.removed.toSet
-      (if (dropped.isEmpty) live else live.filterNot(dropped)) ++ e.added
+      val nextLive = (if (dropped.isEmpty) live else live.filterNot(dropped)) ++ e.added
+      val nextDvs = (if (e.action == "overwrite") Vector.empty[DvRef] else dv) ++ e.dvs
+      (nextLive, nextDvs)
     }
     val at = chain.last // the entry AT `version` carries the current schema
-    val result = (files: Seq[String], DatasetMeta(at.schema, at.partitions))
+    val result = (files: Seq[String], DatasetMeta(at.schema, at.partitions), dvs: Seq[DvRef])
     if (snapshotMemo.size > 1024) snapshotMemo.clear() // bound driver state
-    snapshotMemo.put((qroot, version), (atVersion, result._1, result._2))
+    snapshotMemo.put((qroot, version), (atVersion, result._1, result._2, result._3))
     result
   }
 
@@ -390,8 +439,8 @@ object Versions {
     * the evolution, exactly like [[Fetch.fetch]] does for live reads.
     */
   def fetchVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
-    val (files, meta) = snapshotAt(spark, root, version)
-    readFiles(spark, root, files, meta)
+    val (files, meta, dvs) = snapshotFullAt(spark, root, version)
+    readFiles(spark, root, files, meta, dvs = dvs)
   }
 
   /** The version in force at wall-clock `tsMillis` — the newest commit
@@ -434,9 +483,12 @@ object Versions {
     */
   private[core] def readFilesWithPath(spark: SparkSession, root: String,
                                       relFiles: Seq[String], meta: DatasetMeta,
-                                      fileCol: String): DataFrame = {
+                                      fileCol: String,
+                                      dvs: Seq[DvRef] = Nil,
+                                      rowIndexCol: Option[String] = None): DataFrame = {
     val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
-    readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol))
+    readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol),
+      dvs = dvs, keepRowIndex = rowIndexCol)
       // `_metadata.file_path` is a URI-ENCODED string while commit entries
       // store DECODED `Path.toUri.getPath` paths (a hive dir like `d=a b`
       // surfaces percent-encoded from the scan) — [[StatsIndex.normPath]]
@@ -449,17 +501,68 @@ object Versions {
 
   private[core] def readFiles(spark: SparkSession, root: String,
                               relFiles: Seq[String], meta: DatasetMeta,
-                              keepPath: Option[String] = None): DataFrame = {
+                              keepPath: Option[String] = None,
+                              dvs: Seq[DvRef] = Nil,
+                              keepRowIndex: Option[String] = None): DataFrame = {
     if (relFiles.isEmpty) {
-      val schema = keepPath.fold(meta.schema)(p =>
-        StructType(meta.schema.fields :+ org.apache.spark.sql.types.StructField(
-          p, org.apache.spark.sql.types.StringType)))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val extra = keepPath.map(p => org.apache.spark.sql.types.StructField(
+          p, org.apache.spark.sql.types.StringType)).toSeq ++
+        keepRowIndex.map(p => org.apache.spark.sql.types.StructField(
+          p, org.apache.spark.sql.types.LongType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(meta.schema.fields ++ extra))
     }
     val abs = relFiles.map(r => new Path(root, r).toString)
-    val raw = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+    val raw0 = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+    // metadata-derived columns materialize BEFORE any DV anti-join —
+    // `_metadata` resolves only against the scan, not a join result
+    val fileTmp = "__graft_meta_file"
+    val idxTmp = "__graft_meta_idx"
+    val needMeta = keepPath.isDefined || keepRowIndex.isDefined || dvs.nonEmpty
+    val withMeta =
+      if (!needMeta) raw0
+      else raw0.withColumn(fileTmp, col("_metadata.file_path"))
+               .withColumn(idxTmp, col("_metadata.row_index"))
+    val raw = withDvApplied(spark, root, withMeta, dvs, fileTmp, idxTmp)
     val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
-    raw.select(restored ++ keepPath.map(p => col("_metadata.file_path").as(p)): _*)
+    raw.select(restored ++ keepPath.map(p => col(fileTmp).as(p))
+      ++ keepRowIndex.map(p => col(idxTmp).as(p)): _*)
+  }
+
+  /** Name of the deletion-vector sidecar base dir (underscore-hidden:
+    * invisible to data listings, scans and vacuum's physical listing).
+    */
+  private[core] val DvDirName = "_graft_dv"
+
+  private[core] val DvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_index", org.apache.spark.sql.types.LongType)))
+
+  /** Filter a scan over `root`'s files down to its live rows: LEFT ANTI
+    * join against the union of the snapshot's deletion vectors on
+    * (root-relative file, parquet row index). Rows of uncovered files
+    * match nothing and stream through; the DV side is O(deleted rows),
+    * so AQE turns the anti-join into a broadcast hash probe in the
+    * common small-delete case — covered scans pay one in-memory probe
+    * per row, never a shuffle of the data side. `scan` must already
+    * carry the materialized metadata columns (`fileTmpCol` = raw
+    * `_metadata.file_path`, `idxTmpCol` = `_metadata.row_index`).
+    */
+  private[core] def withDvApplied(spark: SparkSession, root: String,
+                                  scan: DataFrame, dvs: Seq[DvRef],
+                                  fileTmpCol: String, idxTmpCol: String): DataFrame = {
+    if (dvs.isEmpty) return scan
+    val relTmp = "__graft_dv_rel"
+    val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
+    val rel = regexp_replace(StatsIndex.normPath(col(fileTmpCol)),
+      lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit(""))
+    val dvRows = dvs.map(d => spark.read.schema(DvSchema)
+        .parquet(new Path(root, d.dir).toString))
+      .reduce(_.unionByName(_))
+      .select(col("file").as(relTmp), col("row_index").as(idxTmpCol))
+    scan.withColumn(relTmp, rel)
+      .join(dvRows, Seq(relTmp, idxTmpCol), "left_anti")
+      .drop(relTmp)
   }
 
   /** Incremental (CDC-style) read: the rows ADDED by commits in
@@ -472,7 +575,10 @@ object Versions {
     * An `overwrite` commit's added files ARE its full snapshot: a
     * consumer crossing an overwrite boundary re-reads the new snapshot
     * (logical replacement has no per-row delta; row-level deletes are a
-    * compare the consumer must do itself).
+    * compare the consumer must do itself). `delete_dv` commits likewise
+    * surface nothing here — they add no files; a consumer that must see
+    * row-level deletions diffs with [[rowDiff]], which reads both ends
+    * DV-applied.
     */
   def addedBetween(spark: SparkSession, root: String,
                    fromVersion: Int, toVersion: Int): DataFrame = {
@@ -621,9 +727,12 @@ object Versions {
     */
   def restore(spark: SparkSession, root: String, version: Int): Int =
     DatasetLock.withLock(spark, root) {
-      val (files, meta) = snapshotAt(spark, root, version)
+      val (files, meta, dvs) = snapshotFullAt(spark, root, version)
       val abs = files.map(r => new Path(root, r).toString)
-      commit(spark, root, "overwrite", abs, meta)
+      // the restored snapshot's deletion vectors ride the overwrite entry:
+      // rolling back to a DV-bearing version must not resurrect its
+      // deleted rows
+      commit(spark, root, "overwrite", abs, meta, dvs = dvs)
     }
 
   /** Physically delete files no version ≥ `keepFrom` references, then
@@ -632,23 +741,23 @@ object Versions {
     * entry files; deletes are issued per-file (object-store friendly — no
     * directory truncation that could catch live files).
     *
-    * Runs under the dataset lock, which [[Publish]]'s optimistic append
-    * also takes around its rename→commit tail — so a racing appender's
-    * renamed-but-uncommitted files are never classified dead (vacuum
-    * either sees them committed, or runs before the rename while they are
-    * still under the hidden staging dir). `graceMs` is the belt for
     * The GRACE HORIZON is what makes vacuum safe against [[Publish]]'s
-    * lock-free optimistic appends: an appender's files are renamed into
-    * the live tree (mtime restamped to "now") BEFORE its commit entry
-    * exists, so to a concurrent vacuum they look dead — deleting them
-    * would let the commit land referencing deleted files, a corrupt
-    * committed snapshot. Unreferenced files younger than `graceMs` are
-    * therefore kept (the Delta retention-horizon design); the default
-    * 15 min dwarfs the rename→commit window (milliseconds of sidecar +
-    * CAS work) and holds cross-process too, where the dataset lock is
-    * only best-effort. `graceMs = 0` reclaims everything immediately —
-    * only for callers who KNOW no append is in flight (tests, quiesced
-    * maintenance windows).
+    * lock-free optimistic appends: an appender's files are written into
+    * the live tree (mtime restamped to "now" at write end) BEFORE its
+    * commit entry exists, so to a concurrent vacuum they look dead —
+    * deleting them would let the commit land referencing deleted files,
+    * a corrupt committed snapshot. Unreferenced files younger than
+    * `graceMs` are therefore kept (the Delta retention-horizon design);
+    * the default 15 min dwarfs the write-end→commit window (milliseconds
+    * of sidecar + CAS work) and holds cross-process too, where the
+    * dataset lock is only best-effort. `graceMs = 0` reclaims everything
+    * immediately — only for callers who KNOW no append is in flight
+    * (tests, quiesced maintenance windows).
+    *
+    * Deletion-vector sidecars are reference-counted the same way: a DV
+    * dir under `_graft_dv/` referenced by no kept version and older than
+    * the horizon is removed (an in-flight delete_dv's dir has a fresh
+    * mtime, so the grace window protects its write→commit gap too).
     */
   def vacuum(spark: SparkSession, root: String, keepFrom: Int,
              graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
@@ -667,9 +776,21 @@ object Versions {
           (graceMs <= 0L || f.getFileStatus(new Path(a)).getModificationTime < horizon) => a
       }
       dead.foreach(d => f.delete(new Path(d), false))
+      // dead deletion-vector dirs: kept versions' refs are live, the rest
+      // go once past the horizon (dir mtime refreshes on writes into it)
+      val liveDvs = (keepFrom to latest)
+        .flatMap(v => snapshotFullAt(spark, root, v)._3).map(_.dir).toSet
+      val dvBase = new Path(root, DvDirName)
+      val deadDvs =
+        if (!f.exists(dvBase)) Nil
+        else f.listStatus(dvBase).toSeq.filter { st =>
+          !liveDvs.contains(s"$DvDirName/${st.getPath.getName}") &&
+            (graceMs <= 0L || st.getModificationTime < horizon)
+        }.map(_.getPath)
+      deadDvs.foreach(d => f.delete(d, true))
       val out = f.create(new Path(dirPath(root), VacuumMarker), true)
       try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
-      dead
+      dead ++ deadDvs.map(_.toUri.getPath)
     }
   }
 }

@@ -161,11 +161,24 @@ private[plans] trait GraftMutationCommand extends LeafRunnableCommand {
     Seq(Row(r.version, r.removedFiles.size, r.addedFiles.size))
 }
 
-/** `DELETE FROM graft.`root` WHERE cond`. */
+/** `DELETE FROM graft.`root` WHERE cond`. Strategy is session-selectable:
+  * `spark.graft.delete.mode = rewrite` (default — copy-on-write of the
+  * affected files) or `dv` (deletion vector: one `delete_dv` commit of the
+  * matched (file, row_index) pairs, zero data files touched — the
+  * O(deleted rows) path for sparse deletes over huge tables).
+  */
 case class GraftDeleteCommand(root: String, cond: PlanArg[Expression])
     extends GraftMutationCommand {
-  override def run(spark: SparkSession): Seq[Row] =
-    asRow(Mutations.deleteWhere(spark, root, shim.column(cond.value)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mode = spark.conf.get("spark.graft.delete.mode", "rewrite")
+    val result = mode match {
+      case "rewrite" => Mutations.deleteWhere(spark, root, shim.column(cond.value))
+      case "dv" => Mutations.deleteWhereDv(spark, root, shim.column(cond.value))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be rewrite|dv, got $other")
+    }
+    asRow(result)
+  }
 }
 
 /** `UPDATE graft.`root` SET c = e, ... WHERE cond`. */

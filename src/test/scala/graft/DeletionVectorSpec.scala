@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Fetch, Mutations, Publish, StatsIndex, Versions}
+
+/** Deletion vectors: DELETE as O(deleted rows) instead of O(affected
+  * files) — a `delete_dv` commit records (file, row_index) pairs in a
+  * `_graft_dv/` sidecar, the live file set does not change, and every
+  * read surface (fetch, fetchIndexed, time travel, mutations, CDC diff,
+  * the `graft` format) anti-joins covered files against the live DVs.
+  * Compaction materializes deletes; RESTORE carries them; vacuum
+  * reference-counts the sidecars.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def physicalFiles(root: String): Set[String] =
+    Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1).toSet
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("dv delete removes rows without touching a single data file") {
+    val root = TestSpark.tmpDir("dv_basic")
+    Publish.publishVersioned(spark,
+      (0 until 100).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    val before = physicalFiles(root)
+    val r = Mutations.deleteWhereDv(spark, root, col("id") % 10 === 3)
+    assert(r.version == 2 && r.addedFiles.isEmpty && r.removedFiles.isEmpty)
+    // zero data movement: identical physical file set
+    assert(physicalFiles(root) == before)
+    val entry = Versions.readEntry(spark, root, 2)
+    assert(entry.action == "delete_dv" && entry.added.isEmpty
+      && entry.removed.isEmpty && entry.dvs.size == 1)
+    assert(entry.dvs.head.dir.startsWith("_graft_dv/"))
+    // fetch, snapshot and time travel all see the right rows
+    val expect = (0L until 100L).filterNot(_ % 10 == 3)
+    assert(ids(Fetch.fetch(spark, root)) == expect)
+    assert(ids(Versions.fetchVersion(spark, root, 2)) == expect)
+    assert(ids(Versions.fetchVersion(spark, root, 1)) == (0L until 100L))
+    // partition filters compose with the DV probe
+    assert(ids(Fetch.fetch(spark, root,
+      Seq(graft.core.ColFilter("grp", "==", Seq("g3"))))) ==
+      expect.filter(_ % 4 == 3))
+  }
+
+  test("dv deletes stack, and appends after a dv carry it forward") {
+    val root = TestSpark.tmpDir("dv_stack")
+    Publish.publishVersioned(spark,
+      (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Mutations.deleteWhereDv(spark, root, col("id") < 10)
+    Mutations.deleteWhereDv(spark, root, col("id") >= 50)
+    assert(ids(Fetch.fetch(spark, root)) == (10L until 50L))
+    Publish.publishVersioned(spark,
+      (100 until 110).map(i => (i.toLong, -1.0)).toDF("id", "v"),
+      root, Nil, mode = "append")
+    assert(ids(Fetch.fetch(spark, root)) == ((10L until 50L) ++ (100L until 110L)))
+    // a second dv delete hitting the appended file works too
+    Mutations.deleteWhereDv(spark, root, col("id") === 105)
+    assert(ids(Fetch.fetch(spark, root)) ==
+      ((10L until 50L) ++ (100L until 110L).filterNot(_ == 105)))
+  }
+
+  test("a dv-deleted row cannot be located, resurrected or re-matched by mutations") {
+    val root = TestSpark.tmpDir("dv_mutations")
+    Publish.publishVersioned(spark,
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Mutations.deleteWhereDv(spark, root, col("id") < 5)
+    // UPDATE touching a file with dv'd rows must not resurrect them
+    Mutations.updateWhere(spark, root, col("id") === 10, Map("v" -> lit(-99.0)))
+    assert(ids(Fetch.fetch(spark, root)) == (5L until 40L))
+    assert(Fetch.fetch(spark, root).where(col("v") === -99.0).count() == 1)
+    // rewrite-DELETE composes with an existing dv
+    Mutations.deleteWhere(spark, root, col("id") >= 35)
+    assert(ids(Fetch.fetch(spark, root)) == (5L until 35L))
+    // MERGE re-inserting a dv-deleted key is an INSERT (standard upsert)
+    Mutations.merge(spark, root, Seq((3L, 3.5)).toDF("id", "v"), Seq("id"))
+    assert(ids(Fetch.fetch(spark, root)) == (3L +: (5L until 35L)))
+  }
+
+  test("compaction materializes deletes; vacuum then reclaims the dv sidecar") {
+    val root = TestSpark.tmpDir("dv_compact")
+    Publish.publishVersioned(spark,
+      (0 until 80).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Mutations.deleteWhereDv(spark, root, col("id") % 2 === 0)
+    val dvBase = new java.io.File(root, "_graft_dv")
+    assert(dvBase.exists && dvBase.list().nonEmpty)
+    // the dv is REFERENCED: a zero-grace vacuum keeping the dv version
+    // must not reclaim it
+    Versions.vacuum(spark, root, keepFrom = 2, graceMs = 0)
+    assert(dvBase.list().nonEmpty)
+    assert(ids(Fetch.fetch(spark, root)) == (0L until 80L).filter(_ % 2 == 1))
+    // OPTIMIZE rewrites the survivors; the new snapshot carries no DVs
+    Versions.compact(spark, root)
+    assert(Versions.snapshotFullAt(spark, root,
+      Versions.latestVersion(spark, root).get)._3.isEmpty)
+    assert(ids(Fetch.fetch(spark, root)) == (0L until 80L).filter(_ % 2 == 1))
+    // now unreferenced (only the compacted version kept): vacuum reclaims
+    // the dv dir along with the replaced data files
+    val dead = Versions.vacuum(spark, root,
+      keepFrom = Versions.latestVersion(spark, root).get, graceMs = 0)
+    assert(dead.exists(_.contains("_graft_dv/")))
+    assert(!dvBase.exists || dvBase.list().isEmpty)
+    assert(ids(Fetch.fetch(spark, root)) == (0L until 80L).filter(_ % 2 == 1))
+  }
+
+  test("RESTORE carries deletion vectors both directions") {
+    val root = TestSpark.tmpDir("dv_restore")
+    Publish.publishVersioned(spark,
+      (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Mutations.deleteWhereDv(spark, root, col("id") < 10)           // v2
+    Publish.publishVersioned(spark,
+      (100 until 105).map(i => (i.toLong, -1.0)).toDF("id", "v"),
+      root, Nil, mode = "append")                                  // v3
+    // back to the dv version: deletes must hold
+    Versions.restore(spark, root, 2)                               // v4
+    assert(ids(Fetch.fetch(spark, root)) == (10L until 30L))
+    // back to the pre-dv version: rows return
+    Versions.restore(spark, root, 1)                               // v5
+    assert(ids(Fetch.fetch(spark, root)) == (0L until 30L))
+  }
+
+  test("metadata-only answers refuse under live DVs; scans stay exact") {
+    val root = TestSpark.tmpDir("dv_stats")
+    Publish.publishVersioned(spark,
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      root, Nil, statsCols = Seq("id", "v"))
+    assert(StatsIndex.statsCount(spark, root).contains(50L))
+    assert(StatsIndex.statsMinMax(spark, root, "id").contains((0L, 49L)))
+    Mutations.deleteWhereDv(spark, root, col("id") === 49)
+    // the sidecar still counts (and maxes) the deleted row — refuse
+    assert(StatsIndex.statsCount(spark, root).isEmpty)
+    assert(StatsIndex.statsMinMax(spark, root, "id").isEmpty)
+    // the scan path (incl. index-pruned) returns the truth
+    assert(Fetch.fetch(spark, root).count() == 49)
+    assert(ids(Fetch.fetchIndexed(spark, root,
+      dataFilters = Seq(graft.core.ColFilter("id", ">=", Seq(48L))))) == Seq(48L))
+    // compaction re-materializes; metadata-only answers come back
+    Versions.compact(spark, root)
+    assert(StatsIndex.statsCount(spark, root).contains(49L))
+    assert(StatsIndex.statsMinMax(spark, root, "id").contains((0L, 48L)))
+  }
+
+  test("rowDiff surfaces dv-deleted rows as removals; no-op dv commits nothing") {
+    val root = TestSpark.tmpDir("dv_diff")
+    Publish.publishVersioned(spark,
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    val r0 = Mutations.deleteWhereDv(spark, root, col("id") > 1000)
+    assert(r0.version == 1) // nothing matched: no commit, no dv dir
+    assert(!new java.io.File(root, "_graft_dv").exists
+      || new java.io.File(root, "_graft_dv").list().isEmpty)
+    Mutations.deleteWhereDv(spark, root, col("id") === 7)
+    val diff = Versions.rowDiff(spark, root, 1, 2, Seq("id"))
+    val removed = diff.where(col("change_type") === "removed")
+    assert(removed.count() == 1 && ids(removed) == Seq(7L))
+  }
+}

@@ -86,6 +86,13 @@ object PlanAudit {
       // the plan — asserted by StatsIndexSpec on candidate counts)
       "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
       "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
+    audit("version_delete_dv",
+      // the DV probe is a LEFT ANTI against the tiny (file,row_index)
+      // sidecar — broadcast hash, never a shuffle of the data side; the
+      // partitioned scan itself stays intact underneath
+      "broadcast anti-join DV probe" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
     audit("fetch_indexed_bloom",
       // file-level bloom skip happened driver-side before this plan
       // (BloomIndexSpec pins the candidate counts); what the plan must
