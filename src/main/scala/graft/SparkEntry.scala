@@ -417,6 +417,37 @@ object SparkEntry {
       Mutations.merge(s, root, source, Seq("o_orderkey"))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // UPDATE via DELETION VECTOR, stacked on a DV delete: the update
+    // writes ONLY the matched rows' updated copies (one `update_dv`
+    // commit = DV over the originals + the appended replacements) — no
+    // pre-existing data file is rewritten. O(matched rows), the
+    // sparse-update path a 100 TB table needs.
+    "version_update_dv" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vupdatedv", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.deleteWhereDv(s, root, col("o_orderkey") % 97 === 0)
+      Mutations.updateWhereDv(s, root, col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+    // MERGE via DELETION VECTOR: matched target rows die by DV, the
+    // whole source appends — O(source ∪ matched rows) instead of
+    // O(affected files). Same semantics as version_merge_upsert.
+    "version_merge_dv" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vmergedv", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders, root, Seq("o_orderstatus"))
+      val tenth = orders.where(col("o_orderkey") % 10 === 0)
+      val source = tenth.withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(tenth
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_orderpriority", lit("INSERTED")))
+      Mutations.mergeDv(s, root, source, Seq("o_orderkey"))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
     "version_apply_changes" -> ((s, dir) => {
       // the CDC-sink path: one atomic version applying a batch of
       // upserts (%10 keys re-prioritized) and delete tombstones (%7
@@ -1549,6 +1580,22 @@ object SparkEntry {
         |      ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "version_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'INSERTED' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_update_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 7 = 0 THEN 'U:' || o_orderpriority
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_merge_dv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
         |      ELSE o_orderpriority END AS o_orderpriority

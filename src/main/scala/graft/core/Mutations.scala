@@ -128,33 +128,162 @@ object Mutations {
                     predicate: Column): MutationResult =
     DatasetLock.withLock(spark, root) {
       val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val qroot = f.makeQualified(rootPath).toUri.getPath
-      val hits = snap.where(predicate).select(
-        // FileCol carries the raw (possibly URI-encoded, scheme-qualified)
-        // scan path; normalize to the root-relative commit-entry form the
-        // read-side anti-join derives
-        regexp_replace(StatsIndex.normPath(col(FileCol)),
-          lit("^" + java.util.regex.Pattern.quote(qroot.stripSuffix("/") + "/")),
-          lit("")).as("file"),
-        col(RowIdxCol).as("row_index"))
-      val dvRel = s"${Versions.DvDirName}/${java.util.UUID.randomUUID()}"
-      val dvAbs = new org.apache.hadoop.fs.Path(root, dvRel)
-      hits.write.mode("overwrite").parquet(dvAbs.toString)
-      // covered files read back from the written DV itself: one tiny scan,
-      // no second pass over the data
-      val covered = spark.read.schema(Versions.DvSchema).parquet(dvAbs.toString)
-        .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
-      if (covered.isEmpty) {
-        f.delete(dvAbs, true)
-        MutationResult(latest, Nil, Nil)
-      } else {
-        val v = Versions.commit(spark, root, "delete_dv", Nil, meta,
-          dvs = Seq(DvRef(dvRel, covered)))
-        MutationResult(v, Nil, Nil)
+      writeDv(spark, root, dvHits(spark, root, snap.where(predicate))) match {
+        case None => MutationResult(latest, Nil, Nil)
+        case Some(dv) =>
+          val v = Versions.commit(spark, root, "delete_dv", Nil, meta,
+            dvs = Seq(dv))
+          MutationResult(v, Nil, Nil)
       }
     }
+
+  /** Matched snapshot rows → the `(file, row_index)` DV form. FileCol
+    * carries the raw (possibly URI-encoded, scheme-qualified) scan path;
+    * normalize to the root-relative commit-entry form the read-side
+    * anti-join derives.
+    */
+  private def dvHits(spark: SparkSession, root: String,
+                     matched: DataFrame): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = f.makeQualified(rootPath).toUri.getPath
+    matched.select(
+      regexp_replace(StatsIndex.normPath(col(FileCol)),
+        lit("^" + java.util.regex.Pattern.quote(qroot.stripSuffix("/") + "/")),
+        lit("")).as("file"),
+      col(RowIdxCol).as("row_index"))
+  }
+
+  /** Write `hits` as a fresh `_graft_dv/` sidecar; None (sidecar removed)
+    * when nothing matched. Covered files are read back from the written DV
+    * itself: one tiny scan, no second pass over the data.
+    */
+  private def writeDv(spark: SparkSession, root: String,
+                      hits: DataFrame): Option[DvRef] = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRel = s"${Versions.DvDirName}/${java.util.UUID.randomUUID()}"
+    val dvAbs = new org.apache.hadoop.fs.Path(root, dvRel)
+    hits.write.mode("overwrite").parquet(dvAbs.toString)
+    val covered = spark.read.schema(Versions.DvSchema).parquet(dvAbs.toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (covered.isEmpty) { f.delete(dvAbs, true); None }
+    else Some(DvRef(dvRel, covered))
+  }
+
+  /** Append `rows` through publish's sized-write path and commit them plus
+    * `dv` as ONE `update_dv` entry — the shared tail of the DV-backed
+    * UPDATE/MERGE: old row copies die via the deletion vector, their
+    * replacements ride `added`, and no pre-existing data file is rewritten.
+    * A crash between the append and the commit leaves the new files
+    * invisible (versioned-root visibility is commit-controlled) and the
+    * DV sidecar unreferenced — vacuum reclaims both past the grace
+    * horizon.
+    */
+  private def updateDvCommit(spark: SparkSession, root: String,
+                             meta: DatasetMeta, rows: DataFrame,
+                             dv: Option[DvRef]): MutationResult = {
+    val newFiles =
+      if (rows.isEmpty) Nil
+      else Publish.publishImpl(spark, rows, root,
+        meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+    val addedRel = Versions.relativize(spark, root, newFiles)
+    val v = Versions.commit(spark, root, "update_dv", newFiles, meta,
+      dvs = dv.toSeq)
+    val idxCols = StatsIndex.indexedColumns(spark, root)
+    if (idxCols.nonEmpty && newFiles.nonEmpty)
+      StatsIndex.appendFiles(spark, root, newFiles, idxCols)
+    if (newFiles.nonEmpty) BloomIndex.appendFiles(spark, root, newFiles)
+    MutationResult(v, Nil, addedRel)
+  }
+
+  /** UPDATE root SET assignments WHERE predicate — via a DELETION VECTOR:
+    * instead of rewriting every file that contains a matching row
+    * ([[updateWhere]]'s copy-on-write at FILE granularity), one commit
+    * records the matched rows' (file, row_index) pairs in a `_graft_dv/`
+    * sidecar and appends ONLY the updated copies of those rows. Cost is
+    * O(matched rows) written — on a 100 TB dataset where an update touches
+    * 0.1 % of rows spread over most files, the rewrite path re-copies
+    * nearly the whole dataset; this writes the updated rows and nothing
+    * else. Same contract as [[updateWhere]] otherwise (TRUE-predicate rows
+    * updated, partition columns unassignable). Prefer [[updateWhere]] when
+    * a large fraction of the affected files' rows change — scans then stop
+    * paying the DV probe and vacuum can reclaim the replaced bytes.
+    */
+  def updateWhereDv(spark: SparkSession, root: String, predicate: Column,
+                    assignments: Map[String, Column]): MutationResult = {
+    require(assignments.nonEmpty, "updateWhereDv needs at least one assignment")
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
+      val bad = assignments.keySet.filterNot(meta.schema.fieldNames.contains)
+      require(bad.isEmpty, s"assignment to unknown columns: ${bad.mkString(",")}")
+      val part = assignments.keySet.filter(meta.partitions.contains)
+      require(part.isEmpty,
+        s"cannot assign partition columns ${part.mkString(",")} in updateWhereDv")
+      // matched feeds two actions (the DV write, then the updated copies);
+      // persist so the locate scan runs once
+      val matched = snap.where(predicate).persist()
+      try {
+        writeDv(spark, root, dvHits(spark, root, matched)) match {
+          case None => MutationResult(latest, Nil, Nil)
+          case Some(dv) =>
+            val updated = matched.select(meta.schema.fields.toIndexedSeq.map { f =>
+              assignments.get(f.name) match {
+                case Some(e) => e.cast(f.dataType).as(f.name)
+                case None => col(f.name)
+              }
+            }: _*)
+            updateDvCommit(spark, root, meta, updated, Some(dv))
+        }
+      } finally matched.unpersist()
+    }
+  }
+
+  /** MERGE INTO root USING source ON keyCols — via a DELETION VECTOR:
+    * matched target rows are removed by one `_graft_dv/` sidecar and the
+    * ENTIRE normalized source is appended (matched keys' source rows are
+    * the replacements, unmatched ones the inserts), committed as ONE
+    * `update_dv` entry. Cost is O(source ∪ matched rows) — [[merge]]'s
+    * rewrite path re-copies every row of every file containing a matched
+    * key, which on a sparse merge over a huge table is nearly the whole
+    * dataset. Same source contract as [[merge]] (columns equal the
+    * target's, unique on `keyCols`). One semantic note: a target that is
+    * itself duplicate on `keyCols` collapses to the single source row here
+    * (true upsert-by-key), where [[merge]] preserves the duplication —
+    * identical results whenever the target is key-unique, the standard
+    * MERGE precondition.
+    */
+  def mergeDv(spark: SparkSession, root: String, source: DataFrame,
+              keyCols: Seq[String]): MutationResult = {
+    require(keyCols.nonEmpty, "mergeDv needs at least one key column")
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
+      val tgtCols = meta.schema.fieldNames.toSeq
+      keyCols.foreach { k =>
+        require(tgtCols.contains(k), s"key column $k is not a dataset column")
+        require(source.columns.contains(k), s"key column $k missing from source")
+      }
+      val missing = tgtCols.filterNot(source.columns.contains)
+      val extra = source.columns.filterNot(tgtCols.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"merge source columns must equal dataset columns; missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+      val src = source.select(meta.schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*).persist()
+      try {
+        val dup = src.groupBy(keyCols.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"merge source is not unique on (${keyCols.mkString(",")}): e.g. ${dup.headOption.getOrElse("")}")
+        if (src.isEmpty) MutationResult(latest, Nil, Nil)
+        else {
+          val matched = snap.join(src.select(keyCols.map(col): _*),
+            keyCols, "left_semi")
+          val dv = writeDv(spark, root, dvHits(spark, root, matched))
+          updateDvCommit(spark, root, meta, src, dv)
+        }
+      } finally src.unpersist()
+    }
+  }
 
   /** UPDATE root SET assignments WHERE predicate. Rows where the
     * predicate is TRUE get each assignment applied (cast back to the

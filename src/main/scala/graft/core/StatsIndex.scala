@@ -321,6 +321,7 @@ object StatsIndex {
     */
   private def statsFor(spark: SparkSession, root: String, meta: DatasetMeta,
                        files: Seq[String], target: Seq[String]): DataFrame = {
+    import spark.implicits._
     val df = spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
     val aggs = target.flatMap { c =>
       val n = meta.schema(c).dataType match {
@@ -331,8 +332,22 @@ object StatsIndex {
       // second conditional aggregate per column
       Seq(min(n).as(s"min_$c"), max(n).as(s"max_$c"), count(col(c)).as(s"cnt_$c"))
     } :+ count(lit(1)).as("n_rows")
-    val perFile = df.groupBy(input_file_name().as("file"))
+    val scanned = df.groupBy(normPath(input_file_name()).as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // EMPTY files produce no scanned group, but still need a sidecar row
+    // (n_rows = 0, min/max unknown) — without one, a zero-row part file
+    // (a rewrite task that lost every row, a writer's empty split) makes
+    // completeness-marker coverage unprovable FOREVER and every
+    // metadata-only answer silently degrades to the scan path. The file
+    // list is already O(batch) driver state: outer-join it against the
+    // scanned groups — still exactly one pass over the data.
+    // `files` is already the sidecar path form (decoded listing paths —
+    // marker coverage compares them against sidecar rows verbatim); do
+    // NOT normPath it again: hive-escaped dirs (`ts=… 00%3A00`) contain
+    // literal %XX that a second decode would corrupt
+    val perFile =
+      if (files.isEmpty) scanned
+      else files.toDF("file").join(scanned, Seq("file"), "left_outer")
     val entries = array(target.map { c =>
       meta.schema(c).dataType match {
         case StringType =>
@@ -341,18 +356,18 @@ object StatsIndex {
             substring(col(s"min_$c"), 1, StringStatsMaxLen).as("min_s"),
             when(length(col(s"max_$c")) > StringStatsMaxLen, lit(null).cast("string"))
               .otherwise(col(s"max_$c")).as("max_s"),
-            col("n_rows").as("n_rows"),
-            (col("n_rows") - col(s"cnt_$c")).as("n_nulls"))
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("n_rows") - col(s"cnt_$c"), lit(0L)).as("n_nulls"))
         case _ =>
           struct(lit(c).as("column"),
             col(s"min_$c").cast("double").as("min_v"),
             col(s"max_$c").cast("double").as("max_v"),
             lit(null).cast("string").as("min_s"), lit(null).cast("string").as("max_s"),
-            col("n_rows").as("n_rows"),
-            (col("n_rows") - col(s"cnt_$c")).as("n_nulls"))
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("n_rows") - col(s"cnt_$c"), lit(0L)).as("n_nulls"))
       }
     }: _*)
-    perFile.select(normPath(col("file")).as("file"), explode(entries).as("s"))
+    perFile.select(col("file"), explode(entries).as("s"))
       .select(col("file"), col("s.column").as("column"),
         col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
         col("s.min_s").as("min_s"), col("s.max_s").as("max_s"),

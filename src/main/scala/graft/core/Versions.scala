@@ -12,9 +12,13 @@ import org.json4s.jackson.JsonMethods
   * schema/partitioning in force at the commit. `action` is `overwrite`
   * (the version's live file set is exactly `added` — prior files are
   * logically dropped but stay on disk for time travel), `append` (live set
-  * = previous live set ∪ `added`) or `rewrite` (live set = previous live
+  * = previous live set ∪ `added`), `rewrite` (live set = previous live
   * set ∖ `removed` ∪ `added` — the row-level-mutation commit: DELETE /
-  * UPDATE / MERGE rewrite only the files that contain affected rows).
+  * UPDATE / MERGE rewrite only the files that contain affected rows),
+  * `delete_dv` (live set unchanged; `dvs` names a deletion-vector sidecar
+  * removing individual rows) or `update_dv` (both at once: `added` carries
+  * the updated/merged row copies, `dvs` removes their originals — the
+  * O(matched rows) UPDATE/MERGE commit).
   */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
@@ -185,12 +189,14 @@ object Versions {
              txn: Option[(String, Long)] = None,
              dvs: Seq[DvRef] = Nil): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
-        || action == "delete_dv",
+        || action == "delete_dv" || action == "update_dv",
       s"unknown action $action")
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
-    require(dvs.isEmpty || action == "delete_dv" || action == "overwrite",
-      "deletion vectors ride delete_dv commits (or an overwrite carrying a restored snapshot)")
+    require(dvs.isEmpty || action == "delete_dv" || action == "update_dv"
+        || action == "overwrite",
+      "deletion vectors ride delete_dv/update_dv commits (or an overwrite " +
+        "carrying a restored snapshot)")
     require(action != "delete_dv" || addedAbs.isEmpty,
       "a delete_dv commit adds no data files")
     val f = fs(spark, root)
@@ -250,6 +256,15 @@ object Versions {
           val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
           try out.write(json.getBytes("UTF-8")) finally out.close()
         }
+        // auto-checkpoint every `interval` commits so fresh processes
+        // seed their replay from a resolved snapshot instead of walking
+        // the whole chain (see the checkpoint section below). Best-effort:
+        // the commit IS durable at this point; a failed checkpoint write
+        // only costs later readers the replay they'd have paid anyway.
+        val interval = spark.conf.get("spark.graft.checkpoint.interval", "10").toInt
+        if (interval > 0 && v % interval == 0)
+          try writeCheckpoint(spark, root, v)
+          catch { case scala.util.control.NonFatal(_) => }
         return v
       } catch {
         case e: java.io.IOException =>
@@ -368,6 +383,110 @@ object Versions {
     else { snapshotMemo.remove((qroot, v)); None } // root was re-created
   }
 
+  /** Test hook: drop all memoized snapshots, simulating a fresh JVM. */
+  private[graft] def clearSnapshotMemo(): Unit = snapshotMemo.clear()
+
+  // ---- persisted checkpoints ----------------------------------------------
+  // The in-JVM memo bounds replay to O(commits since the reader's last
+  // call) — but only for the life of one driver. A long-lived ingestion
+  // dataset (one append per micro-batch, overwrites rare or never) makes
+  // every FRESH process replay the whole chain: thousands of tiny entry
+  // reads, each a round-trip on an object store. A CHECKPOINT persists a
+  // resolved snapshot (live files + DV refs) beside the log every
+  // `spark.graft.checkpoint.interval` commits (default 10, 0 disables),
+  // so any reader seeds its replay from the newest checkpoint at or below
+  // its target version and pays O(interval) entry reads, cross-process —
+  // the Delta _last_checkpoint design re-expressed over graft's
+  // one-JSON-per-commit log. Schema/partitions are NOT checkpointed: the
+  // replay's terminal entry always carries them.
+  //
+  // Safety: a checkpoint embeds the RAW BYTES of its version's entry file
+  // as a witness; a loader compares them to the current entry and ignores
+  // the checkpoint on mismatch (a dataset deleted and re-created at the
+  // same path can never reproduce an old entry byte-for-byte — part-file
+  // names are UUID-unique — so a stale checkpoint can never serve ghost
+  // files). Checkpoint writes are best-effort and idempotent: content is
+  // a pure function of the immutable chain, a failed/raced write is
+  // simply absent, and readers fall back to entry replay.
+
+  private def ckptPath(root: String, v: Int) =
+    new Path(dirPath(root), f"c$v%08d.json")
+
+  private def readRaw(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
+    finally in.close()
+  }
+
+  /** Write the checkpoint for `version` (best-effort; never throws into
+    * the committing caller — see [[commit]]). Public so maintenance jobs
+    * can force one (e.g. right before handing a dataset to many readers).
+    */
+  def writeCheckpoint(spark: SparkSession, root: String, version: Int): Unit = {
+    val (files, _, dvs) = snapshotFullAt(spark, root, version)
+    val f = fs(spark, root)
+    val witness = readRaw(f, entryPath(root, version))
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(version),
+      "witness" -> JString(witness),
+      "files" -> JArray(files.map(JString(_)).toList),
+      "dvs" -> JArray(dvs.map(d => JObject(
+        "dir" -> JString(d.dir),
+        "files" -> JArray(d.files.map(JString(_)).toList))).toList))))
+    val p = ckptPath(root, version)
+    if (!f.exists(p)) {
+      val out = f.create(p, false) // raced twin writes identical content
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Newest checkpoint version ≤ `atMost` (one dir listing), if any. */
+  private def newestCkptVersion(spark: SparkSession, root: String,
+                                atMost: Int): Option[Int] = {
+    val f = fs(spark, root)
+    val d = dirPath(root)
+    if (!f.exists(d)) None
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("c") && n.endsWith(".json") =>
+        n.stripPrefix("c").stripSuffix(".json").toInt }
+      .filter(_ <= atMost)
+      .maxOption
+  }
+
+  /** Load the checkpoint at exactly `v`, witness-verified against the
+    * current entry bytes; None when absent, unreadable or stale.
+    */
+  private def ckptGet(spark: SparkSession, root: String, v: Int)
+      : Option[(Seq[String], Seq[DvRef])] = {
+    val f = fs(spark, root)
+    val p = ckptPath(root, v)
+    try {
+      if (!f.exists(p)) return None
+      val jv = JsonMethods.parse(readRaw(f, p))
+      val witness = (jv \ "witness") match {
+        case JString(s) => s
+        case _ => return None
+      }
+      if (witness != readRaw(f, entryPath(root, v))) return None
+      val files = (jv \ "files") match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => return None
+      }
+      val dvs = (jv \ "dvs") match {
+        case JArray(xs) => xs.map { d =>
+          DvRef((d \ "dir").asInstanceOf[JString].s,
+            (d \ "files") match {
+              case JArray(fs0) => fs0.collect { case JString(s) => s }
+              case _ => Nil
+            })
+        }
+        case _ => Nil
+      }
+      Some((files, dvs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The live file set (root-relative) + metadata at `version`: replay back
     * to the nearest overwrite, then forward-union the appends. Replay is
     * cut short at the requested version or any ancestor with a memoized
@@ -399,8 +518,22 @@ object Versions {
       case Some(hit) => return hit
       case None =>
     }
-    // walk back to the governing overwrite — or to a memoized ancestor
-    // whose live set seeds the replay
+    // newest persisted checkpoint at or below the target (ONE dir listing;
+    // un-checkpointed datasets pay nothing per walked entry). Witness
+    // verification happens inside ckptGet at use time.
+    val ckptV = newestCkptVersion(spark, root, version)
+    // a checkpoint AT the requested version answers outright (fresh
+    // processes land here instead of replaying the chain)
+    if (ckptV.contains(version)) ckptGet(spark, root, version) match {
+      case Some((files, dvs)) =>
+        val meta = DatasetMeta(atVersion.schema, atVersion.partitions)
+        if (snapshotMemo.size > 1024) snapshotMemo.clear()
+        snapshotMemo.put((qroot, version), (atVersion, files, meta, dvs))
+        return (files, meta, dvs)
+      case None =>
+    }
+    // walk back to the governing overwrite — or to a memoized or
+    // checkpointed ancestor whose live set seeds the replay
     var v = version
     var chain = List(atVersion)
     var base = Vector.empty[String]
@@ -412,8 +545,15 @@ object Versions {
         case Some((files, _, dvs)) =>
           base = files.toVector; baseDvs = dvs.toVector; seeded = true
         case None =>
-          v -= 1
-          chain = prev :: chain
+          val fromCkpt =
+            if (ckptV.contains(v - 1)) ckptGet(spark, root, v - 1) else None
+          fromCkpt match {
+            case Some((files, dvs)) =>
+              base = files.toVector; baseDvs = dvs.toVector; seeded = true
+            case None =>
+              v -= 1
+              chain = prev :: chain
+          }
       }
     }
     // forward-replay from the governing overwrite: appends union their

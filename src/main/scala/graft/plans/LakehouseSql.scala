@@ -181,17 +181,35 @@ case class GraftDeleteCommand(root: String, cond: PlanArg[Expression])
   }
 }
 
-/** `UPDATE graft.`root` SET c = e, ... WHERE cond`. */
+/** `UPDATE graft.`root` SET c = e, ... WHERE cond`. Strategy is
+  * session-selectable like DELETE's: `spark.graft.update.mode = rewrite`
+  * (default — copy-on-write of the affected files) or `dv` (one
+  * `update_dv` commit: a deletion vector removes the matched rows, only
+  * their updated copies are written — the O(matched rows) path for sparse
+  * updates over huge tables).
+  */
 case class GraftUpdateCommand(root: String, cond: PlanArg[Expression],
                               assignments: Seq[(String, PlanArg[Expression])])
     extends GraftMutationCommand {
-  override def run(spark: SparkSession): Seq[Row] =
-    asRow(Mutations.updateWhere(spark, root, shim.column(cond.value),
-      assignments.map { case (k, v) => k -> shim.column(v.value) }.toMap))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val asg = assignments.map { case (k, v) => k -> shim.column(v.value) }.toMap
+    val result = spark.conf.get("spark.graft.update.mode", "rewrite") match {
+      case "rewrite" =>
+        Mutations.updateWhere(spark, root, shim.column(cond.value), asg)
+      case "dv" =>
+        Mutations.updateWhereDv(spark, root, shim.column(cond.value), asg)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.update.mode must be rewrite|dv, got $other")
+    }
+    asRow(result)
+  }
 }
 
 /** `MERGE INTO graft.`root` t USING src s ON t.k = s.k WHEN MATCHED THEN
-  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`. Strategy is
+  * session-selectable: `spark.graft.merge.mode = rewrite` (default) or
+  * `dv` (deletion vector removes matched target rows, the source appends —
+  * O(source ∪ matched rows) instead of O(affected files)).
   */
 case class GraftMergeCommand(root: String, source: PlanArg[LogicalPlan],
                              keyCols: Seq[String]) extends GraftMutationCommand {
@@ -199,7 +217,13 @@ case class GraftMergeCommand(root: String, source: PlanArg[LogicalPlan],
     val src = shim.ofRows(spark, source.value)
     // MERGE SET * takes the source's columns; aliases (`USING x s`) ride
     // SubqueryAlias nodes inside the plan and change nothing here
-    asRow(Mutations.merge(spark, root, src, keyCols))
+    val result = spark.conf.get("spark.graft.merge.mode", "rewrite") match {
+      case "rewrite" => Mutations.merge(spark, root, src, keyCols)
+      case "dv" => Mutations.mergeDv(spark, root, src, keyCols)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.merge.mode must be rewrite|dv, got $other")
+    }
+    asRow(result)
   }
 }
 

@@ -145,6 +145,128 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(StatsIndex.statsMinMax(spark, root, "id").contains((0L, 48L)))
   }
 
+  test("dv update: only updated copies written, equals rewrite-update") {
+    def build(tag: String): String = {
+      val root = TestSpark.tmpDir(s"dv_upd_$tag")
+      Publish.publishVersioned(spark,
+        (0 until 90).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "v"),
+        root, Seq("grp"))
+      root
+    }
+    val (a, b) = (build("rw"), build("dv"))
+    val pred = col("id") % 9 === 2
+    val asg = Map("v" -> (col("v") * 100))
+    Mutations.updateWhere(spark, a, pred, asg)
+    val before = physicalFiles(b)
+    val r = Mutations.updateWhereDv(spark, b, pred, asg)
+    // every pre-existing file untouched; only the updated copies are new
+    assert(before.subsetOf(physicalFiles(b)))
+    assert(r.addedFiles.nonEmpty && r.removedFiles.isEmpty)
+    val entry = Versions.readEntry(spark, b, r.version)
+    assert(entry.action == "update_dv" && entry.added.nonEmpty
+      && entry.removed.isEmpty && entry.dvs.size == 1)
+    // identical results on both strategies; v1 time travel intact
+    val cols = Seq("id", "grp", "v").map(col)
+    assert(Fetch.fetch(spark, a).select(cols: _*).orderBy("id").collect().toSeq ==
+      Fetch.fetch(spark, b).select(cols: _*).orderBy("id").collect().toSeq)
+    assert(ids(Versions.fetchVersion(spark, b, 1)) == (0L until 90L))
+    // no-match update commits nothing
+    val r2 = Mutations.updateWhereDv(spark, b, col("id") > 1000, asg)
+    assert(r2.version == r.version && r2.addedFiles.isEmpty)
+  }
+
+  test("dv merge: matched keys replaced via DV, inserts appended, equals rewrite merge") {
+    def build(tag: String): String = {
+      val root = TestSpark.tmpDir(s"dv_mrg_$tag")
+      Publish.publishVersioned(spark,
+        (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+      root
+    }
+    val (a, b) = (build("rw"), build("dv"))
+    val source = ((0 until 60 by 6).map(i => (i.toLong, -5.0)) ++
+      Seq((200L, 1.0), (201L, 2.0))).toDF("id", "v")
+    Mutations.merge(spark, a, source, Seq("id"))
+    val before = physicalFiles(b)
+    val r = Mutations.mergeDv(spark, b, source, Seq("id"))
+    assert(before.subsetOf(physicalFiles(b)))
+    val entry = Versions.readEntry(spark, b, r.version)
+    assert(entry.action == "update_dv" && entry.added.nonEmpty && entry.dvs.size == 1)
+    assert(Fetch.fetch(spark, a).orderBy("id").collect().toSeq ==
+      Fetch.fetch(spark, b).orderBy("id").collect().toSeq)
+    // insert-only merge: no matches -> an update_dv commit with no DV
+    val r2 = Mutations.mergeDv(spark, b, Seq((300L, 3.0)).toDF("id", "v"), Seq("id"))
+    val e2 = Versions.readEntry(spark, b, r2.version)
+    assert(e2.action == "update_dv" && e2.added.nonEmpty && e2.dvs.isEmpty)
+    assert(Fetch.fetch(spark, b).where(col("id") === 300).count() == 1)
+  }
+
+  test("an empty part file gets an n_rows=0 stats row; the completeness marker holds") {
+    // regression: a write whose task loses every row (a dv-update of one
+    // row, a rewrite emptying a split) leaves a zero-row parquet file;
+    // statsFor derived rows by READING, so empty files had no sidecar row
+    // and marker coverage was unprovable forever — every metadata-only
+    // answer silently degraded to the scan path
+    val root = TestSpark.tmpDir("dv_empty_stats")
+    Publish.publishVersioned(spark,
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      root, Nil, statsCols = Seq("id"))
+    Mutations.updateWhereDv(spark, root, col("id") === 20, Map("v" -> lit(-1.0)))
+    assert(StatsIndex.manifestColumns(spark, root).contains(Seq("id")))
+    // every physical file carries a stats row, empty ones included
+    val listed = physicalFiles(root)
+    val statted = StatsIndex.read(spark, root).get
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(listed.subsetOf(statted))
+    // and once DVs are materialized away, metadata-only answers return
+    Versions.compact(spark, root)
+    assert(StatsIndex.statsCount(spark, root).contains(50L))
+  }
+
+  test("dv update composes with stacked dv deletes, compaction and metadata refusal") {
+    val root = TestSpark.tmpDir("dv_upd_compose")
+    Publish.publishVersioned(spark,
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      root, Nil, statsCols = Seq("id"))
+    Mutations.deleteWhereDv(spark, root, col("id") < 5)
+    Mutations.updateWhereDv(spark, root, col("id") === 20, Map("v" -> lit(-1.0)))
+    // dv-deleted rows are not matchable by the dv update (no resurrect)
+    Mutations.updateWhereDv(spark, root, col("id") === 2, Map("v" -> lit(-2.0)))
+    assert(ids(Fetch.fetch(spark, root)) == (5L until 50L))
+    assert(Fetch.fetch(spark, root).where(col("v") === -1.0).count() == 1)
+    assert(Fetch.fetch(spark, root).where(col("v") === -2.0).count() == 0)
+    // metadata-only count refuses while DVs cover live files
+    assert(StatsIndex.statsCount(spark, root).isEmpty)
+    Versions.compact(spark, root)
+    assert(Versions.snapshotFullAt(spark, root,
+      Versions.latestVersion(spark, root).get)._3.isEmpty)
+    assert(StatsIndex.statsCount(spark, root).contains(45L))
+  }
+
+  test("SQL UPDATE/MERGE route through DVs under spark.graft.{update,merge}.mode=dv") {
+    import graft.plans.GraftSql
+    val root = TestSpark.tmpDir("dv_sql_upd")
+    Publish.publishVersioned(spark,
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    spark.conf.set("spark.graft.update.mode", "dv")
+    spark.conf.set("spark.graft.merge.mode", "dv")
+    try {
+      GraftSql.exec(spark, s"UPDATE graft.`$root` SET v = v + 1000 WHERE id < 3")
+      assert(Versions.readEntry(spark, root, 2).action == "update_dv")
+      Seq((0L, 0.5), (99L, 9.9)).toDF("id", "v").createOrReplaceTempView("dv_sql_src")
+      GraftSql.exec(spark, s"MERGE INTO graft.`$root` t USING dv_sql_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(Versions.readEntry(spark, root, 3).action == "update_dv")
+      val got = Fetch.fetch(spark, root).orderBy("id")
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.take(3).toSeq == Seq((0L, 0.5), (1L, 1001.0), (2L, 1002.0)))
+      assert(got.last == ((99L, 9.9)))
+    } finally {
+      spark.conf.unset("spark.graft.update.mode")
+      spark.conf.unset("spark.graft.merge.mode")
+    }
+  }
+
   test("rowDiff surfaces dv-deleted rows as removals; no-op dv commits nothing") {
     val root = TestSpark.tmpDir("dv_diff")
     Publish.publishVersioned(spark,

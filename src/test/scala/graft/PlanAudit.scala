@@ -93,6 +93,13 @@ object PlanAudit {
       "broadcast anti-join DV probe" -> (p =>
         p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
       "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+    audit("version_update_dv",
+      // DV-backed UPDATE reads like the DV delete: the stacked delete+
+      // update vectors probe as one broadcast anti, the data side never
+      // shuffles for the probe
+      "broadcast anti-join DV probe" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
     audit("fetch_indexed_bloom",
       // file-level bloom skip happened driver-side before this plan
       // (BloomIndexSpec pins the candidate counts); what the plan must
