@@ -448,6 +448,22 @@ object SparkEntry {
       Mutations.mergeDv(s, root, source, Seq("o_orderkey"))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // Row-level CHANGE FEED (the Delta CDF analog): DV-backed mutations
+    // make it PRECISE — the DV pairs are exactly the deleted rows (with
+    // pre-delete values), an update surfaces as delete+insert of exactly
+    // the matched rows. Consumers replay per-commit row changes without
+    // diffing snapshots.
+    "version_change_feed" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vcf", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.deleteWhereDv(s, root, col("o_orderkey") % 97 === 0)
+      Mutations.updateWhereDv(s, root, col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+      Versions.changeFeed(s, root, 1, 3)
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    }),
     "version_apply_changes" -> ((s, dir) => {
       // the CDC-sink path: one atomic version applying a batch of
       // upserts (%10 keys re-prioritized) and delete tombstones (%7
@@ -1605,6 +1621,20 @@ object SparkEntry {
         | 'INSERTED' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "version_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | o_orderpriority, 'delete' AS _change_type, 2 AS _commit_version
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | o_orderpriority, 'delete' AS _change_type, 3 AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0 AND NOT o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'U:' || o_orderpriority AS o_orderpriority,
+        | 'insert' AS _change_type, 3 AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0 AND NOT o_orderkey % 97 = 0
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "version_apply_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'

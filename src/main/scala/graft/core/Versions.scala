@@ -735,6 +735,112 @@ object Versions {
     readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions))
   }
 
+  /** Row-level CHANGE FEED over commits `(fromVersion, toVersion]` — the
+    * Delta CDF analog: every emitted row carries `_change_type`
+    * (`insert` | `delete`) and `_commit_version`, so a downstream mirror
+    * can replay exactly what each commit did to individual rows.
+    *
+    * Precision follows the commit kind:
+    *  - `append` — added files read once, all rows `insert`. Exact.
+    *  - `delete_dv` — the DV's (file, row_index) pairs semi-join the
+    *    covered files: exactly the deleted rows, with their pre-delete
+    *    values, as `delete`. Exact, O(covered files read + deleted rows).
+    *  - `update_dv` — the DV rows as `delete` (pre-images) plus the added
+    *    files (exactly the matched rows' updated copies) as `insert` —
+    *    an UPDATE surfaces as the standard delete+insert pair. Exact.
+    *  - `rewrite` (copy-on-write DELETE/UPDATE/MERGE) — removed files'
+    *    rows (DV-applied as of the parent version) as `delete`, added
+    *    files as `insert`. CORRECT but file-granular: survivors of a
+    *    rewritten file appear as a delete+insert of equal rows (the
+    *    rewrite commit records files, not rows — run mutations in their
+    *    `dv` modes when a consumer needs a minimal feed).
+    *  - `overwrite` — the parent snapshot as `delete` + the new snapshot
+    *    as `insert` (a logical replacement has no smaller description).
+    *
+    * Rows read O(changed files + covered files) per commit, never a
+    * rescan of untouched data; output uses `toVersion`'s schema (earlier
+    * files null-fill evolved columns, like every snapshot read).
+    */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromVersion: Int, toVersion: Int): DataFrame = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
+      s"need 0 <= from < to <= $latest, got ($fromVersion, $toVersion]")
+    val minReadable = minReadableVersion(spark, root)
+    require(fromVersion + 1 >= minReadable,
+      s"version ${fromVersion + 1} of $root was vacuumed (oldest readable is $minReadable)")
+    val atTo = readEntry(spark, root, toVersion)
+    val outMeta = DatasetMeta(atTo.schema, atTo.partitions)
+    val tCol = "_change_type"
+    val vCol = "_commit_version"
+    def tagged(df: DataFrame, t: String, v: Int): DataFrame =
+      df.withColumn(tCol, lit(t)).withColumn(vCol, lit(v))
+    val parts = (fromVersion + 1 to toVersion).flatMap { v =>
+      val e = readEntry(spark, root, v)
+      val inserts =
+        if (e.added.isEmpty) Nil
+        else {
+          // an overwrite can CARRY deletion vectors (RESTORE of a
+          // DV-bearing version): rows they remove were never inserted by
+          // this commit — apply the entry's own DVs to its added files
+          val addedSet = e.added.toSet
+          val own = e.dvs.map(d => DvRef(d.dir, d.files.filter(addedSet)))
+            .filter(_.files.nonEmpty)
+          Seq(tagged(readFiles(spark, root, e.added, outMeta, dvs = own),
+            "insert", v))
+        }
+      val deletes = e.action match {
+        case "overwrite" if v - 1 >= math.max(1, minReadable) =>
+          // parent snapshot in the output schema (null-fill columns the
+          // overwrite added, like every evolved snapshot read)
+          val prev = fetchVersion(spark, root, v - 1)
+          val aligned = outMeta.schema.fields.toIndexedSeq.map { f =>
+            if (prev.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          Seq(tagged(prev.select(aligned: _*), "delete", v))
+        case "overwrite" => Nil // initial publish (or vacuumed parent): nothing to delete
+        case "rewrite" if e.removed.nonEmpty =>
+          // removed files' live rows AS OF the parent version (DVs that
+          // already deleted rows from them must not re-delete here)
+          val (_, _, parentDvs) = snapshotFullAt(spark, root, v - 1)
+          val covered = e.removed.toSet
+          val relevant = parentDvs.map(d =>
+            DvRef(d.dir, d.files.filter(covered))).filter(_.files.nonEmpty)
+          Seq(tagged(readFiles(spark, root, e.removed, outMeta, dvs = relevant),
+            "delete", v))
+        case _ if e.dvs.nonEmpty =>
+          // delete_dv / update_dv: the DV pairs ARE the deleted rows
+          e.dvs.map { d =>
+            val dvRows = spark.read.schema(DvSchema)
+              .parquet(new Path(root, d.dir).toString)
+            val fileTmp = "__cf_file"
+            val idxTmp = "__cf_idx"
+            val withMeta = readFiles(spark, root, d.files, outMeta,
+              keepPath = Some(fileTmp), keepRowIndex = Some(idxTmp))
+            val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
+            val rel = regexp_replace(StatsIndex.normPath(col(fileTmp)),
+              lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit(""))
+            tagged(withMeta.withColumn(fileTmp, rel)
+              .join(dvRows.select(col("file").as(fileTmp),
+                col("row_index").as(idxTmp)), Seq(fileTmp, idxTmp), "left_semi")
+              .drop(fileTmp, idxTmp), "delete", v)
+          }
+        case _ => Nil
+      }
+      deletes ++ inserts
+    }
+    val cols = outMeta.schema.fieldNames.toIndexedSeq.map(col) ++ Seq(col(tCol), col(vCol))
+    parts match {
+      case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(outMeta.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(tCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(vCol, org.apache.spark.sql.types.IntegerType))))
+      case ps => ps.map(_.select(cols: _*)).reduce(_.unionByName(_))
+    }
+  }
+
   /** Incremental, exactly-once CDC consumption of a versioned dataset —
     * the pull side of streaming versioned ingestion. A tiny offset file
     * under `checkpointDir` remembers the last version this consumer

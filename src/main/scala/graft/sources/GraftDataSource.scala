@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, Versions}
 
@@ -81,15 +81,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 
   // ------------------------------------------------------------- streaming
 
+  private def changeFeedOpt(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    ("graft-cdc", GraftCdcSource.schemaFor(sqlContext.sparkSession, rootOf(parameters)))
+    ("graft-cdc", GraftCdcSource.schemaFor(sqlContext.sparkSession,
+      rootOf(parameters), changeFeedOpt(parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new GraftCdcSource(sqlContext.sparkSession, rootOf(parameters))
+    new GraftCdcSource(sqlContext.sparkSession, rootOf(parameters),
+      changeFeedOpt(parameters))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -251,11 +256,13 @@ class GraftSink(spark: SparkSession, root: String, partitions: Seq[String],
   * are ignored until the stream restarts (files missing pinned columns
   * null-fill, the usual graft read rule).
   */
-class GraftCdcSource(spark: SparkSession, root: String) extends Source {
+class GraftCdcSource(spark: SparkSession, root: String,
+                     changeFeed: Boolean = false) extends Source {
 
-  override val schema: StructType = GraftCdcSource.schemaFor(spark, root)
+  override val schema: StructType = GraftCdcSource.schemaFor(spark, root, changeFeed)
 
-  private val dataSchema = StructType(schema.fields.dropRight(1))
+  private val dataSchema =
+    StructType(schema.fields.dropRight(if (changeFeed) 2 else 1))
 
   private def toVersion(o: OffsetV1): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -269,18 +276,24 @@ class GraftCdcSource(spark: SparkSession, root: String) extends Source {
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(toVersion).getOrElse(0)
     val to = toVersion(end)
+    def align(df: DataFrame, tail: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.select(dataSchema.fields.toIndexedSeq.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name)
+      } ++ tail: _*)
     val batch =
       if (to <= from) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else if (changeFeed)
+        // row-level feed: inserts AND deletes, each stamped with its
+        // change type and commit version by changeFeed itself
+        align(Versions.changeFeed(spark, root, from, to),
+          Seq(col("_change_type"), col("_commit_version")))
       else (from + 1 to to).map { v =>
         // per-version read so each row carries ITS commit's version — and
         // every frame casts to the pinned schema (an overwrite inside the
         // range may have evolved columns; pinned-missing ones null-fill)
         val added = Versions.addedBetween(spark, root, v - 1, v)
-        val aligned = dataSchema.fields.toIndexedSeq.map { f =>
-          (if (added.columns.contains(f.name)) col(f.name) else lit(null))
-            .cast(f.dataType).as(f.name)
-        }
-        added.select(aligned :+ lit(v).as("_commit_version"): _*)
+        align(added, Seq(lit(v).as("_commit_version")))
       }.reduce(_ unionByName _)
     // the engine requires a STREAMING frame; hand it the computed rows
     shim.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
@@ -291,14 +304,18 @@ class GraftCdcSource(spark: SparkSession, root: String) extends Source {
 
 object GraftCdcSource {
   /** Pinned source schema: the latest snapshot's columns + the commit
-    * version stamp.
+    * version stamp (+ the change type in changeFeed mode).
     */
-  def schemaFor(spark: SparkSession, root: String): StructType = {
+  def schemaFor(spark: SparkSession, root: String,
+                changeFeed: Boolean = false): StructType = {
     val latest = Versions.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"graft streaming source needs a VERSIONED dataset; $root has no commit log"))
     val (_, meta) = Versions.snapshotAt(spark, root, latest)
-    StructType(meta.schema.fields :+
-      StructField("_commit_version", IntegerType, nullable = false))
+    val tail =
+      if (changeFeed) Seq(StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", IntegerType, nullable = false))
+      else Seq(StructField("_commit_version", IntegerType, nullable = false))
+    StructType(meta.schema.fields ++ tail)
   }
 }

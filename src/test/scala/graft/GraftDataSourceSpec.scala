@@ -165,4 +165,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("VERSIONED") || e.getMessage.contains("commit log"))
   }
+
+  test("streaming CDC source in changeFeed mode: row-level deletes arrive") {
+    import graft.core.Mutations
+    val root = TestSpark.tmpDir("dsv_cdc_cf")
+    val ckpt = TestSpark.tmpDir("dsv_cdc_cf_ckpt")
+    Publish.publishVersioned(spark, sample.where(col("id") < 10), root, Nil)
+    val out = TestSpark.tmpDir("dsv_cdc_cf_out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("changeFeed", "true")
+        .load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    drain()
+    // new commits while the stream is down: an append + a DV delete
+    Publish.publishVersioned(spark, sample.where(col("id") >= 10 && col("id") < 13),
+      root, Nil, mode = "append")                                    // v2
+    Mutations.deleteWhereDv(spark, root, col("id") === 4)            // v3
+    Mutations.updateWhereDv(spark, root, col("id") === 11,
+      Map("v" -> lit(-11.0)))                                        // v4
+    drain()
+    val got = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got.filter(_._3 == 1).map(_._1).sorted == (0L until 10L))
+    assert(got.filter(_._3 == 1).forall(_._2 == "insert"))
+    assert(got.filter(_._3 == 2).map(_._1).sorted == (10L until 13L))
+    assert(got.filter(_._3 == 3) == Seq((4L, "delete", 3)))
+    assert(got.filter(_._3 == 4).sorted ==
+      Seq((11L, "delete", 4), (11L, "insert", 4)))
+  }
 }
