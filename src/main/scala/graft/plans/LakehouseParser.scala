@@ -53,6 +53,7 @@ object LakehouseStatements {
   private val Restore = re("RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?" +
     "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?")
+  private val Checkpoint = re("CHECKPOINT\\s+" + Target + "(?:\\s+AT\\s+VERSION\\s+(\\d+))?")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -68,7 +69,25 @@ object LakehouseStatements {
     case Restore(root, v) => Some(GraftRestoreCommand(root, v.toInt))
     case Vacuum(root, n, grace) => Some(GraftVacuumCommand(root, n.toInt,
       Option(grace).map(_.toLong * 60000).getOrElse(Versions.DefaultVacuumGraceMs)))
+    case Checkpoint(root, v) =>
+      Some(GraftCheckpointCommand(root, Option(v).map(_.toInt)))
     case _ => None
+  }
+}
+
+/** `CHECKPOINT graft.`root` [AT VERSION n]` — force a persisted commit-log
+  * checkpoint (latest version by default); readers then resolve snapshots
+  * from it instead of replaying the chain ([[Versions.writeCheckpoint]]).
+  */
+case class GraftCheckpointCommand(root: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("checkpointed_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.orElse(Versions.latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    Versions.writeCheckpoint(spark, root, v)
+    Seq(Row(v))
   }
 }
 

@@ -49,7 +49,19 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
-    new GraftRelation(sqlContext, rootOf(parameters),
+    if (changeFeedOpt(parameters)) {
+      // batch change-feed read (the Delta readChangeFeed option shape):
+      // startingVersion inclusive, endingVersion inclusive (default latest)
+      val root = rootOf(parameters)
+      val spark = sqlContext.sparkSession
+      val from = parameters.getOrElse("startingVersion", throw
+        new IllegalArgumentException(
+          "changeFeed reads need startingVersion (inclusive)")).trim.toInt
+      val to = parameters.get("endingVersion").map(_.trim.toInt)
+        .orElse(Versions.latestVersion(spark, root)).getOrElse(
+          throw new IllegalArgumentException(s"dataset $root is not versioned"))
+      new GraftChangeFeedRelation(sqlContext, root, from - 1, to)
+    } else new GraftRelation(sqlContext, rootOf(parameters),
       parameters.get("versionAsOf").map(_.trim.toInt))
 
   /** Writer path (`df.write.format("graft")` and CTAS). */
@@ -256,6 +268,21 @@ class GraftSink(spark: SparkSession, root: String, partitions: Seq[String],
   * are ignored until the stream restarts (files missing pinned columns
   * null-fill, the usual graft read rule).
   */
+/** Batch change-feed relation: `spark.read.format("graft")
+  * .option("changeFeed","true").option("startingVersion", n)
+  * [.option("endingVersion", m)].load(root)` — the batch twin of the
+  * streaming changeFeed option, row-level changes over an explicit
+  * version window ([[Versions.changeFeed]]).
+  */
+class GraftChangeFeedRelation(override val sqlContext: SQLContext,
+                              root: String, fromExclusive: Int, to: Int)
+    extends BaseRelation with TableScan {
+  private def feed: DataFrame =
+    Versions.changeFeed(sqlContext.sparkSession, root, fromExclusive, to)
+  override lazy val schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
+}
+
 class GraftCdcSource(spark: SparkSession, root: String,
                      changeFeed: Boolean = false) extends Source {
 

@@ -142,4 +142,34 @@ class LakehouseSqlSpec extends AnyFunSuite {
     // non-graft statements never match the maintenance shapes
     intercept[Exception] { spark.sql("OPTIMIZE some_table") }
   }
+
+  test("CHECKPOINT statement + batch changeFeed read options") {
+    import graft.core.Mutations
+    import org.apache.spark.sql.functions.lit
+    val root = TestSpark.tmpDir("sql_ckpt")
+    Publish.publishVersioned(spark,
+      (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Publish.publishVersioned(spark,
+      (100 until 105).map(i => (i.toLong, -1.0)).toDF("id", "v"),
+      root, Nil, mode = "append")                                    // v2
+    val ck = spark.sql(s"CHECKPOINT graft.`$root`").head()
+    assert(ck.getInt(0) == 2)
+    assert(new java.io.File(root, "_graft_versions/c00000002.json").exists)
+    val ck1 = GraftSql.exec(spark, s"CHECKPOINT graft.`$root` AT VERSION 1").head()
+    assert(ck1.getInt(0) == 1)
+    // batch change-feed read: the option shape of the streaming source
+    Mutations.deleteWhereDv(spark, root, org.apache.spark.sql.functions.col("id") === 7) // v3
+    val feed = spark.read.format("graft")
+      .option("changeFeed", "true").option("startingVersion", "2").load(root)
+    val got = feed.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(got == ((100L until 105L).map(i => (i, "insert", 2)) :+ ((7L, "delete", 3))).sorted)
+    // endingVersion bounds the window
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(root)
+      .count() == 5)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changeFeed", "true").load(root).count()
+    }
+  }
 }
