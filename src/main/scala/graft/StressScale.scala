@@ -205,6 +205,57 @@ object StressScale {
       Fetch.fetch(spark, rwRoot).count()
     }
 
+    // ---- 6. DV UPDATE vs copy-on-write UPDATE at scale: same sparse
+    // predicate spread over most files. update_dv writes the DV pairs +
+    // ONLY the matched rows' updated copies; the rewrite path re-copies
+    // every row of every affected file.
+    val updPred = col("o_orderkey") % 499 === 1
+    val updAsg = Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority")))
+    checks("update_dv_files_added") = timed("update_dv") {
+      Mutations.updateWhereDv(spark, dvRoot, updPred, updAsg).addedFiles.size
+    }
+    checks("update_rewrite_files_added") = timed("update_rewrite") {
+      Mutations.updateWhere(spark, rwRoot, updPred, updAsg).addedFiles.size
+    }
+    checks("update_dv_scan_rows") = timed("update_dv_read_scan") {
+      Fetch.fetch(spark, dvRoot).count()
+    }
+
+    // ---- 7. checkpoint-seeded snapshot resolution on a long commit
+    // chain: a 300-append dataset (auto-checkpoint every 10 commits) is
+    // resolved by a "fresh process" (memo cleared) with checkpoints
+    // present vs removed — the metadata cost a long-lived ingestion
+    // dataset pays per new driver. Entry reads tell the story the
+    // wall-clock may understate on local fs (object stores pay a round
+    // trip per read).
+    val chainRoot = s"$workDir/ckpt_chain_scale"
+    fs.delete(new Path(chainRoot), true)
+    val one = orders.limit(1)
+    timed("ckpt_chain_build_300") {
+      graft.core.Versions.clearSnapshotMemo()
+      Publish.publishVersioned(spark, one, chainRoot, Nil)
+      (2 to 300).foreach(_ =>
+        Publish.publishVersioned(spark, one, chainRoot, Nil, mode = "append"))
+    }
+    def entryReads(f: => Unit): Long = {
+      val before = graft.core.Versions.entryReads.get(); f
+      graft.core.Versions.entryReads.get() - before
+    }
+    graft.core.Versions.clearSnapshotMemo()
+    checks("ckpt_resolve_entry_reads") = entryReads {
+      timed("ckpt_resolve")(graft.core.Versions.snapshotAt(spark, chainRoot, 300))
+    }
+    // strip the checkpoints: the un-checkpointed replay a fresh process
+    // would pay on the same chain
+    fs.listStatus(new Path(chainRoot, graft.core.Versions.DirName))
+      .filter(_.getPath.getName.startsWith("c"))
+      .foreach(st => fs.delete(st.getPath, false))
+    graft.core.Versions.clearSnapshotMemo()
+    checks("ckpt_stripped_entry_reads") = entryReads {
+      timed("ckpt_stripped_resolve")(
+        graft.core.Versions.snapshotAt(spark, chainRoot, 300))
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

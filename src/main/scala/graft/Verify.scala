@@ -54,6 +54,12 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // SPARK_GRAFT_NO_LOCAL_HASH skips the diagnostic value hash below:
+        // it is a single-threaded driver loop (~20 min for a 40M-row ×100
+        // dump) that exists only to make a DRIVER-side hash_match=false
+        // reproducible locally — a local ×N gate compares values through
+        // check.py anyway. The driver never sets this.
+        if (!sys.env.contains("SPARK_GRAFT_NO_LOCAL_HASH")) {
         val back = spark.read.parquet(s"$outDir/$name")
         val cols = back.columns.sorted.map(c =>
           org.apache.spark.sql.functions.coalesce(
@@ -69,6 +75,7 @@ object Verify {
           md.update(r.mkString("\u0001").getBytes("UTF-8")); md.update(2.toByte)
         }
         localHashes(name) = md.digest().map("%02x".format(_)).mkString
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -93,6 +93,15 @@ object PlanAudit {
       "broadcast anti-join DV probe" -> (p =>
         p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
       "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+    audit("version_change_feed",
+      // the precise delete legs semi-join covered files against the tiny
+      // DV sidecars — broadcast hash probes, never a shuffle of the data
+      // side, and no cartesian anywhere in the unioned feed
+      "broadcast DV semi-join probes" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      "no sort-merge in the feed" -> (p => !p.contains("SortMergeJoin")),
+      "no cartesian in the feed" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("version_update_dv",
       // DV-backed UPDATE reads like the DV delete: the stacked delete+
       // update vectors probe as one broadcast anti, the data side never
