@@ -603,6 +603,15 @@ object SparkEntry {
       TextAnalysis.repeatedNgramStats(s.read.parquet(t(dir, "documents")))
         .orderBy("doc_id")),
 
+    // Exact-substring dedup (the Lee et al. span-removal shape): every
+    // token covered by a word 3-gram occurring >=2 times corpus-wide is
+    // stripped; only 64-bit gram hashes ride the count shuffle and the
+    // join-back build side is the duplicated head.
+    "dedup_strip_spans" -> ((s, dir) =>
+      Dedup.stripDuplicatedSpans(
+        s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
+        .orderBy("doc_id")),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // The synthetic texts carry no newlines, so derive 3-word
       // "paragraphs" first (short chunks over a ~40-word vocabulary DO
@@ -2008,6 +2017,27 @@ object SparkEntry {
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // replay of stripDuplicatedSpans: same gram convention as
+    // text_repeated_ngrams (raw gram strings stand in for the xxhash64
+    // values — equal counts barring ~1e-19 collisions); removed token
+    // positions = the union of duplicated-gram window extents; survivors
+    // string_agg back in position order
+    "dedup_strip_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 3, 0) + 2)) AS t(i)),
+        |c AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT DISTINCT g.doc_id, u.j
+        |      FROM g JOIN c USING (gram), UNNEST(range(g.i, g.i + 3)) AS u(j)),
+        |tok AS (SELECT doc_id, words[CAST(j AS INT)] AS tok, j
+        |        FROM w, UNNEST(range(1, len(words) + 1)) AS t(j))
+        |SELECT tok.doc_id,
+        |  coalesce(string_agg(tok.tok, ' ' ORDER BY tok.j)
+        |           FILTER (WHERE r.j IS NULL), '') AS text,
+        |  CAST(count(*) FILTER (WHERE r.j IS NOT NULL) AS BIGINT) AS n_removed_tokens
+        |FROM tok LEFT JOIN r ON tok.doc_id = r.doc_id AND tok.j = r.j
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     "text_repeated_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

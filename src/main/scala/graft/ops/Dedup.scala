@@ -299,6 +299,59 @@ object Dedup {
         else docs(c)).toIndexedSeq: _*)
   }
 
+  /** Exact-substring dedup (the Lee et al. "Deduplicating Training Data"
+    * span-removal shape, token-granular): every token covered by a word
+    * `l`-gram window whose gram occurs ≥ `minCount` times CORPUS-WIDE is
+    * removed from its document; surviving tokens rejoin with single
+    * spaces. Complements [[dropDuplicateParagraphs]] (whole-paragraph,
+    * keep-first) and [[graft.ops.TextAnalysis.repeatedNgramStats]] (the
+    * accounting without the removal): this strips duplicated SPANS even
+    * when the enclosing documents are otherwise unique — boilerplate
+    * headers, license blocks, templated sentences. Documents shorter than
+    * `l` tokens emit one whole-text window (the #115 gram convention), so
+    * exact short-text duplicates empty out too; emptied documents are
+    * kept with empty text, mirroring [[stripCommonParagraphs]].
+    *
+    * Scale shape: grams ride the count shuffle as 64-bit hashes only
+    * (never text); the join-back build side is the ≥minCount duplicated
+    * HEAD (orders of magnitude smaller than the open gram vocabulary on
+    * a heavy-tailed corpus — the same broadcast-able head as #115); the
+    * per-doc removal mask is an in-array projection (collect_set of the
+    * doc's duplicated window starts, O(dup windows) driver-free). Output
+    * adds `n_removed_tokens`.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, l: Int = 3, minCount: Long = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(l >= 1, s"window length must be >= 1, got $l")
+    require(minCount >= 2, s"minCount must be at least 2, got $minCount")
+    val cols = docs.columns
+    val words = split(col(textCol), " ")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(transform(sequence(lit(0), greatest(size(words) - l, lit(0))),
+          i => struct(i.as("i"),
+            xxhash64(array_join(slice(words, i + 1, lit(l)), " ")).as("g"))))
+          .as("__w"))
+      .select(col("__id"), col("__w.i").as("__i"), col("__w.g").as("__g"))
+    val dupHead = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount).select(col("__g").as("__dg"))
+    val starts = grams.join(dupHead, grams("__g") === dupHead("__dg"))
+      .groupBy(col("__id")).agg(collect_set(col("__i")).as("__starts"))
+    val toks = split(docs(textCol), " ")
+    val kept = filter(toks, (_, j) =>
+      !exists(col("__starts"), s => j >= s && j <= s + (l - 1)))
+    docs.join(starts, docs(idCol) === starts("__id"), "left")
+      .select(cols.map(c =>
+        if (c == textCol)
+          when(docs(textCol).isNull, docs(textCol))
+            .when(col("__starts").isNull, docs(textCol))
+            .otherwise(array_join(kept, " ")).as(textCol)
+        else docs(c)).toIndexedSeq :+
+        when(docs(textCol).isNull || col("__starts").isNull, lit(0L))
+          .otherwise((size(toks) - size(kept)).cast("long"))
+          .as("n_removed_tokens"): _*)
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array: per-token 64-bit hashes vote ±1 on

@@ -161,4 +161,42 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "x\n\nx\n\na"), (2L, "x\n\nb")))
   }
+
+  test("stripDuplicatedSpans removes duplicated token spans, keeps unique text verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      // the 4-token span "all rights reserved inc" is shared by docs 1+2
+      (1L, "alpha beta all rights reserved inc gamma"),
+      (2L, "all rights reserved inc delta epsilon zeta"),
+      // unique doc: kept VERBATIM (no token-rejoin normalization)
+      (3L, "eta theta iota kappa"),
+      // exact short-text twins (< l tokens): whole-text window -> emptied
+      (4L, "mu nu"),
+      (5L, "mu nu"),
+      // in-doc repeat of a 3-gram counts toward minCount too
+      (6L, "rho sigma tau X rho sigma tau")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, l = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      // windows: every 3-gram inside the shared span duplicates, so the
+      // whole span goes; neighbors covered by no duplicated window stay
+      (1L, "alpha beta gamma", 4L),
+      (2L, "delta epsilon zeta", 4L),
+      (3L, "eta theta iota kappa", 0L),
+      (4L, "", 2L),
+      (5L, "", 2L),
+      (6L, "X", 6L)), s"got $got")
+  }
+
+  test("stripDuplicatedSpans: minCount above the occurrence count keeps everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, l = 3, minCount = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b c d", 0L), (2L, "a b c e", 0L)))
+  }
 }
