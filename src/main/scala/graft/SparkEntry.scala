@@ -365,6 +365,22 @@ object SparkEntry {
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
 
+    // Selective small-file OPTIMIZE: only the under-threshold tail of a
+    // fragmented history is bin-packed (one rewrite commit); right-sized
+    // files keep their physical paths — O(small tail), not O(snapshot).
+    "version_compact_small" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vcsmall", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 50 =!= 0),
+        root, Nil)
+      Seq(0, 1, 2).foreach(r => Publish.publishVersioned(s,
+        orders.where(col("o_orderkey") % 50 === 0 && col("o_orderkey") % 3 === r),
+        root, Nil, mode = "append"))
+      Versions.compactSmall(s, root, smallBytes = 16L << 10)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
     // ---- row-level mutations (DELETE / UPDATE / MERGE), copy-on-write ----
     // each builds a fresh versioned orders dataset, mutates it, and reads
     // the latest snapshot — exercising the locate→rewrite→commit path end
@@ -1614,6 +1630,8 @@ object SparkEntry {
         | 'INSERTED' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "version_compact_small" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "version_update_dv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 7 = 0 THEN 'U:' || o_orderpriority

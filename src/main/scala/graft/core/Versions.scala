@@ -963,6 +963,57 @@ object Versions {
         zorderPartitions = zorderPartitions)
     }
 
+  /** Selective small-file OPTIMIZE: bin-pack ONLY the live files smaller
+    * than `smallBytes` into right-sized files and commit a `rewrite`
+    * (live = prev ∖ small ∪ packed) — the Delta OPTIMIZE default shape.
+    * [[compact]] rewrites the WHOLE snapshot (needed for ORDER/ZORDER
+    * re-clustering); on a 100 TB table whose ingestion left a tail of
+    * thousands of small commit fragments beside well-sized files, that is
+    * a 100 TB rewrite where this touches only the tail — O(small files).
+    * Right-sized files keep their physical paths and stats rows; deletion
+    * vectors covering a rewritten small file are applied during the
+    * re-read (those deletes materialize; DVs over untouched files stay
+    * live). No-op (returns Nil, no commit) when fewer than two small
+    * files exist — packing one file buys nothing.
+    */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallBytes: Long = 32L << 20): Seq[String] =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"dataset $root is not versioned"))
+      val (files, meta, dvs) = snapshotFullAt(spark, root, latest)
+      val f = fs(spark, root)
+      val small = files.filter { rel =>
+        val st = f.getFileStatus(new Path(root, rel))
+        st.getLen < smallBytes
+      }
+      if (small.size < 2) Nil
+      else {
+        val covered = small.toSet
+        val relevant = dvs.map(d => DvRef(d.dir, d.files.filter(covered)))
+          .filter(_.files.nonEmpty)
+        // bin-pack: the combined small bytes dictate the output file
+        // count (≈60 MB targets) — without the explicit repartition the
+        // write inherits the scan's partitioning and re-emits small files
+        val totalSmall = small.map(rel =>
+          f.getFileStatus(new Path(root, rel)).getLen).sum
+        val outParts = math.max(1L, totalSmall / (60L << 20)).toInt
+        val packed = readFiles(spark, root, small, meta, dvs = relevant)
+          .repartition(outParts)
+        // every small-file row can be DV-deleted: the commit is then
+        // removal-only (it materializes the deletes), nothing to write
+        val newFiles =
+          if (packed.isEmpty) Nil
+          else Publish.publishImpl(spark, packed, root,
+            meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+        commit(spark, root, "rewrite", newFiles, meta, removedRel = small)
+        val idxCols = StatsIndex.indexedColumns(spark, root)
+        if (idxCols.nonEmpty && newFiles.nonEmpty)
+          StatsIndex.appendFiles(spark, root, newFiles, idxCols)
+        newFiles
+      }
+    }
+
   /** RESTORE: make `version`'s content the NEW latest version — a
     * metadata-only rollback. The new commit is an `overwrite` whose file
     * list IS the old version's live list: zero bytes of data move, the

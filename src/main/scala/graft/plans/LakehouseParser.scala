@@ -48,6 +48,8 @@ object LakehouseStatements {
     ("(?is)\\A\\s*" + pattern + "\\s*;?\\s*\\z").r
 
   private val DescribeHistory = re("DESCRIBE\\s+HISTORY\\s+" + Target)
+  private val OptimizeSmall =
+    re("OPTIMIZE\\s+" + Target + "\\s+SMALL\\s+FILES(?:\\s+UNDER\\s+(\\d+)\\s*(MB|KB))?")
   private val Optimize =
     re("OPTIMIZE\\s+" + Target + "(?:\\s+(ZORDER|ORDER)\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?")
   private val Restore = re("RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
@@ -60,6 +62,10 @@ object LakehouseStatements {
     */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case DescribeHistory(root) => Some(GraftDescribeHistoryCommand(root))
+    case OptimizeSmall(root, n, unit) =>
+      val shift = if (Option(unit).exists(_.equalsIgnoreCase("KB"))) 10 else 20
+      Some(GraftOptimizeSmallCommand(root,
+        Option(n).map(_.toLong << shift).getOrElse(32L << 20)))
     case Optimize(root, kind, cols) =>
       val names = Option(cols).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       val zorder = Option(kind).exists(_.toUpperCase(Locale.ROOT) == "ZORDER")
@@ -112,6 +118,23 @@ case class GraftOptimizeCommand(root: String, sortCols: Seq[String],
     AttributeReference("n_files_written", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val files = Versions.compact(spark, root, sortCols = sortCols, zorderCols = zorderCols)
+    Seq(Row(Versions.latestVersion(spark, root).get, files.size))
+  }
+}
+
+/** `OPTIMIZE graft.`root` SMALL FILES [UNDER n MB]` — selective
+  * compaction: bin-pack only the live files under the threshold
+  * ([[Versions.compactSmall]] — the Delta OPTIMIZE default shape);
+  * right-sized files are untouched, so on a fragmented 100 TB table the
+  * rewrite is O(small-file tail), not O(snapshot).
+  */
+case class GraftOptimizeSmallCommand(root: String, smallBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files_written", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val files = Versions.compactSmall(spark, root, smallBytes)
     Seq(Row(Versions.latestVersion(spark, root).get, files.size))
   }
 }

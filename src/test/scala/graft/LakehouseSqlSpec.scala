@@ -143,6 +143,45 @@ class LakehouseSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE some_table") }
   }
 
+  test("OPTIMIZE SMALL FILES packs only the small tail; big files keep their paths") {
+    import graft.core.{Mutations, Versions => V}
+    import org.apache.spark.sql.functions.lit
+    val root = TestSpark.tmpDir("sql_optsmall")
+    // one well-sized file (300k rows ≈ several MB of plain-encoded
+    // doubles) + three tiny commit fragments
+    Publish.publishVersioned(spark,
+      spark.range(300000).select(col("id"),
+        (col("id") * 1.0).as("v")), root, Nil)
+    (0 until 3).foreach(b => Publish.publishVersioned(spark,
+      Seq((1000000L + b, -1.0)).toDF("id", "v"), root, Nil, mode = "append"))
+    // a DV delete over one tiny fragment: the pack must materialize it
+    Mutations.deleteWhereDv(spark, root, org.apache.spark.sql.functions.col("id") === 1000001L)
+    // "big" = v1's well-sized files (~600 KB here); the threshold sits
+    // between them and the tiny fragments
+    val bigFiles = V.snapshotAt(spark, root, 1)._1.toSet
+    val before = Fetch.fetch(spark, root).count()
+    val res = spark.sql(s"OPTIMIZE graft.`$root` SMALL FILES UNDER 100 KB").head()
+    assert(res.getInt(1) >= 1)
+    val latest = V.latestVersion(spark, root).get
+    val (liveAfter, _, dvsAfter) = V.snapshotFullAt(spark, root, latest)
+    // the big file(s) survived IN PLACE; the three fragments are gone
+    assert(bigFiles.subsetOf(liveAfter.toSet))
+    assert(liveAfter.size == bigFiles.size + res.getInt(1))
+    // content identical (DV materialized into the packed file)
+    assert(Fetch.fetch(spark, root).count() == before)
+    assert(Fetch.fetch(spark, root)
+      .where(org.apache.spark.sql.functions.col("id") === 1000001L).count() == 0)
+    assert(V.readEntry(spark, root, latest).action == "rewrite")
+    // DV still names only replaced files -> inert for reads of the new live set
+    assert(dvsAfter.forall(_.files.forall(f => !liveAfter.contains(f))),
+      s"dvs=${dvsAfter.map(_.files)} live=$liveAfter")
+    // idempotent-ish: nothing small left (fragments packed into one file
+    // that may still be under the threshold BUT alone -> <2 small = no-op)
+    val again = spark.sql(s"OPTIMIZE graft.`$root` SMALL FILES UNDER 100 KB").head()
+    assert(again.getInt(1) == 0)
+    assert(V.latestVersion(spark, root).get == latest, "no-op must not commit")
+  }
+
   test("CHECKPOINT statement + batch changeFeed read options") {
     import graft.core.Mutations
     import org.apache.spark.sql.functions.lit
