@@ -106,7 +106,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftCdcSource(sqlContext.sparkSession, rootOf(parameters),
-      changeFeedOpt(parameters))
+      changeFeedOpt(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -284,7 +285,11 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
 }
 
 class GraftCdcSource(spark: SparkSession, root: String,
-                     changeFeed: Boolean = false) extends Source {
+                     changeFeed: Boolean = false,
+                     maxVersionsPerTrigger: Option[Int] = None) extends Source {
+
+  maxVersionsPerTrigger.foreach(n => require(n >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $n"))
 
   override val schema: StructType = GraftCdcSource.schemaFor(spark, root, changeFeed)
 
@@ -297,12 +302,33 @@ class GraftCdcSource(spark: SparkSession, root: String,
     case other => other.json.trim.toInt
   }
 
+  // rate limiting (the Delta maxFilesPerTrigger analog): a consumer
+  // starting against a long history (or catching up after downtime)
+  // otherwise gets the WHOLE backlog as one giant first batch.
+  // getOffset advances at most maxVersionsPerTrigger commits past the
+  // last batch it handed out; the engine calls getBatch for exactly the
+  // offered range, so the cap needs no state beyond the last offer.
+  private var lastOffered: Option[Int] = None
+
   override def getOffset: Option[OffsetV1] =
-    Versions.latestVersion(spark, root).map(v => LongOffset(v.toLong))
+    Versions.latestVersion(spark, root).map { latest =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) =>
+          val floor = lastOffered.getOrElse(0)
+          math.min(latest, floor + n)
+        case None => latest
+      }
+      lastOffered = Some(math.max(capped, lastOffered.getOrElse(0)))
+      LongOffset(capped.toLong)
+    }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(toVersion).getOrElse(0)
     val to = toVersion(end)
+    // seed/advance the rate-limit floor from the engine's own range: on
+    // restart the first getBatch replays from the CHECKPOINTED offset,
+    // which may be far past anything this instance offered
+    lastOffered = Some(math.max(to, lastOffered.getOrElse(0)))
     def align(df: DataFrame, tail: Seq[org.apache.spark.sql.Column]): DataFrame =
       df.select(dataSchema.fields.toIndexedSeq.map { f =>
         (if (df.columns.contains(f.name)) col(f.name) else lit(null))
