@@ -1057,37 +1057,53 @@ object Versions {
     * mtime, so the grace window protects its write→commit gap too).
     */
   def vacuum(spark: SparkSession, root: String, keepFrom: Int,
-             graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
-    val latest = latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"dataset $root is not versioned"))
-    require(keepFrom >= 1 && keepFrom <= latest,
-      s"keepFrom $keepFrom out of range [1, $latest]")
+             graceMs: Long = DefaultVacuumGraceMs): Seq[String] =
     DatasetLock.withLock(spark, root) {
       val f = fs(spark, root)
-      val live: Set[String] =
-        (keepFrom to latest).flatMap(v => snapshotAt(spark, root, v)._1).toSet
-      val all = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
-      val horizon = System.currentTimeMillis() - graceMs
-      val dead = all.zip(relativize(spark, root, all)).collect {
-        case (a, rel) if !live.contains(rel) &&
-          (graceMs <= 0L || f.getFileStatus(new Path(a)).getModificationTime < horizon) => a
-      }
+      val (dead, deadDvs) = vacuumPlan(spark, root, keepFrom, graceMs)
       dead.foreach(d => f.delete(new Path(d), false))
-      // dead deletion-vector dirs: kept versions' refs are live, the rest
-      // go once past the horizon (dir mtime refreshes on writes into it)
-      val liveDvs = (keepFrom to latest)
-        .flatMap(v => snapshotFullAt(spark, root, v)._3).map(_.dir).toSet
-      val dvBase = new Path(root, DvDirName)
-      val deadDvs =
-        if (!f.exists(dvBase)) Nil
-        else f.listStatus(dvBase).toSeq.filter { st =>
-          !liveDvs.contains(s"$DvDirName/${st.getPath.getName}") &&
-            (graceMs <= 0L || st.getModificationTime < horizon)
-        }.map(_.getPath)
       deadDvs.foreach(d => f.delete(d, true))
       val out = f.create(new Path(dirPath(root), VacuumMarker), true)
       try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
       dead ++ deadDvs.map(_.toUri.getPath)
     }
+
+  /** What [[vacuum]] WOULD delete right now — DRY RUN: the dead data
+    * files and dead deletion-vector dirs past the grace horizon, with no
+    * deletion and no watermark advance. Safe to run anytime.
+    */
+  def vacuumDryRun(spark: SparkSession, root: String, keepFrom: Int,
+                   graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+    val (dead, deadDvs) = vacuumPlan(spark, root, keepFrom, graceMs)
+    dead ++ deadDvs.map(_.toUri.getPath)
+  }
+
+  private def vacuumPlan(spark: SparkSession, root: String, keepFrom: Int,
+                         graceMs: Long): (Seq[String], Seq[Path]) = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom out of range [1, $latest]")
+    val f = fs(spark, root)
+    val live: Set[String] =
+      (keepFrom to latest).flatMap(v => snapshotAt(spark, root, v)._1).toSet
+    val all = Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1)
+    val horizon = System.currentTimeMillis() - graceMs
+    val dead = all.zip(relativize(spark, root, all)).collect {
+      case (a, rel) if !live.contains(rel) &&
+        (graceMs <= 0L || f.getFileStatus(new Path(a)).getModificationTime < horizon) => a
+    }
+    // dead deletion-vector dirs: kept versions' refs are live, the rest
+    // go once past the horizon (dir mtime refreshes on writes into it)
+    val liveDvs = (keepFrom to latest)
+      .flatMap(v => snapshotFullAt(spark, root, v)._3).map(_.dir).toSet
+    val dvBase = new Path(root, DvDirName)
+    val deadDvs =
+      if (!f.exists(dvBase)) Nil
+      else f.listStatus(dvBase).toSeq.filter { st =>
+        !liveDvs.contains(s"$DvDirName/${st.getPath.getName}") &&
+          (graceMs <= 0L || st.getModificationTime < horizon)
+      }.map(_.getPath)
+    (dead, deadDvs)
   }
 }

@@ -48,13 +48,16 @@ object LakehouseStatements {
     ("(?is)\\A\\s*" + pattern + "\\s*;?\\s*\\z").r
 
   private val DescribeHistory = re("DESCRIBE\\s+HISTORY\\s+" + Target)
+  private val DescribeDetail = re("DESCRIBE\\s+DETAIL\\s+" + Target)
   private val OptimizeSmall =
     re("OPTIMIZE\\s+" + Target + "\\s+SMALL\\s+FILES(?:\\s+UNDER\\s+(\\d+)\\s*(MB|KB))?")
   private val Optimize =
     re("OPTIMIZE\\s+" + Target + "(?:\\s+(ZORDER|ORDER)\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?")
   private val Restore = re("RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  private val RestoreTs =
+    re("RESTORE\\s+" + Target + "\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
   private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?" +
-    "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?")
+    "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?(\\s+DRY\\s+RUN)?")
   private val Checkpoint = re("CHECKPOINT\\s+" + Target + "(?:\\s+AT\\s+VERSION\\s+(\\d+))?")
 
   /** The command plan for a graft maintenance statement, or None when the
@@ -62,6 +65,7 @@ object LakehouseStatements {
     */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case DescribeHistory(root) => Some(GraftDescribeHistoryCommand(root))
+    case DescribeDetail(root) => Some(GraftDescribeDetailCommand(root))
     case OptimizeSmall(root, n, unit) =>
       val shift = if (Option(unit).exists(_.equalsIgnoreCase("KB"))) 10 else 20
       Some(GraftOptimizeSmallCommand(root,
@@ -73,8 +77,10 @@ object LakehouseStatements {
         sortCols = if (zorder) Nil else names,
         zorderCols = if (zorder) names else Nil))
     case Restore(root, v) => Some(GraftRestoreCommand(root, v.toInt))
-    case Vacuum(root, n, grace) => Some(GraftVacuumCommand(root, n.toInt,
-      Option(grace).map(_.toLong * 60000).getOrElse(Versions.DefaultVacuumGraceMs)))
+    case RestoreTs(root, ts) => Some(GraftRestoreTimestampCommand(root, ts))
+    case Vacuum(root, n, grace, dry) => Some(GraftVacuumCommand(root, n.toInt,
+      Option(grace).map(_.toLong * 60000).getOrElse(Versions.DefaultVacuumGraceMs),
+      dryRun = dry != null))
     case Checkpoint(root, v) =>
       Some(GraftCheckpointCommand(root, Option(v).map(_.toInt)))
     case _ => None
@@ -106,6 +112,42 @@ case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand
     AttributeReference("n_removed_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Versions.history(spark, root).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL graft.`root``: one row of operational facts — live
+  * file count and bytes, partition columns, version span, readable floor.
+  */
+case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_versions", IntegerType, nullable = false)(),
+    AttributeReference("min_readable_version", IntegerType, nullable = false)(),
+    AttributeReference("num_live_dv_dirs", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val meta = graft.core.DatasetMeta.read(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"dataset $root is missing graft metadata — publish it first"))
+    val latest = Versions.latestVersion(spark, root)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (files, dvs) = latest match {
+      case Some(v) =>
+        val (fl, _, dv) = Versions.snapshotFullAt(spark, root, v)
+        (fl.map(rel => new org.apache.hadoop.fs.Path(root, rel)),
+          dv.map(_.dir).distinct.size)
+      case None =>
+        (graft.core.Publish.listDataFiles(spark, root)
+          .map(new org.apache.hadoop.fs.Path(_)), 0)
+    }
+    val bytes = files.map(fsys.getFileStatus(_).getLen).sum
+    Seq(Row("graft", files.size.toLong, bytes,
+      meta.partitions.mkString(","), latest.getOrElse(0),
+      latest.map(_ => Versions.minReadableVersion(spark, root)).getOrElse(0),
+      dvs))
+  }
 }
 
 /** `OPTIMIZE graft.`root` [ZORDER BY (…) | ORDER BY (…)]` — compaction as
@@ -148,26 +190,50 @@ case class GraftRestoreCommand(root: String, version: Int) extends LeafRunnableC
     Seq(Row(version, Versions.restore(spark, root, version)))
 }
 
-/** `VACUUM graft.`root` RETAIN n VERSIONS [GRACE m MINUTES]` — physically
-  * delete files only referenced by versions older than the newest `n`.
-  * GRACE overrides the default staging-grace horizon ([[Versions.vacuum]]):
-  * unreferenced files younger than it survive, protecting in-flight
-  * lock-free appends; `GRACE 0 MINUTES` reclaims immediately (quiesced
-  * maintenance windows only).
+/** `RESTORE graft.`root` TO TIMESTAMP AS OF 'ts'` — rollback to the
+  * version in force at a wall-clock instant ([[Versions.versionAsOf]]).
   */
-case class GraftVacuumCommand(root: String, retain: Int,
-                              graceMs: Long = Versions.DefaultVacuumGraceMs)
+case class GraftRestoreTimestampCommand(root: String, ts: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("keep_from", IntegerType, nullable = false)(),
-    AttributeReference("n_deleted_files", IntegerType, nullable = false)())
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val millis = java.sql.Timestamp.valueOf(ts).getTime
+    val v = Versions.versionAsOf(spark, root, millis)
+    Seq(Row(v, Versions.restore(spark, root, v)))
+  }
+}
+
+/** `VACUUM graft.`root` RETAIN n VERSIONS [GRACE m MINUTES] [DRY RUN]` —
+  * physically delete files only referenced by versions older than the
+  * newest `n`. GRACE overrides the default staging-grace horizon
+  * ([[Versions.vacuum]]): unreferenced files younger than it survive,
+  * protecting in-flight lock-free appends; `GRACE 0 MINUTES` reclaims
+  * immediately (quiesced maintenance windows only). DRY RUN lists what
+  * would go — one path per row — deleting nothing and advancing no
+  * watermark.
+  */
+case class GraftVacuumCommand(root: String, retain: Int,
+                              graceMs: Long = Versions.DefaultVacuumGraceMs,
+                              dryRun: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("would_delete", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("keep_from", IntegerType, nullable = false)(),
+      AttributeReference("n_deleted_files", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     require(retain >= 1, s"RETAIN $retain VERSIONS: must keep at least 1")
     val latest = Versions.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     val keepFrom = math.max(1, latest - retain + 1)
-    val dead = Versions.vacuum(spark, root, keepFrom, graceMs)
-    Seq(Row(keepFrom, dead.size))
+    if (dryRun) Versions.vacuumDryRun(spark, root, keepFrom, graceMs)
+      .sorted.map(Row(_))
+    else {
+      val dead = Versions.vacuum(spark, root, keepFrom, graceMs)
+      Seq(Row(keepFrom, dead.size))
+    }
   }
 }
 

@@ -143,6 +143,38 @@ class LakehouseSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE some_table") }
   }
 
+  test("DESCRIBE DETAIL / RESTORE TO TIMESTAMP / VACUUM DRY RUN") {
+    val root = TestSpark.tmpDir("sql_ops")
+    Publish.publishVersioned(spark,
+      (0 until 40).map(i => (i.toLong, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    val t1 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    Publish.publishVersioned(spark,
+      (100 until 110).map(i => (i.toLong, "g0", -1.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"), mode = "append")
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+    assert(d.getString(0) == "graft")
+    assert(d.getLong(1) > 0 && d.getLong(2) > 0)
+    assert(d.getString(3) == "grp")
+    assert(d.getInt(4) == 2 && d.getInt(5) == 1 && d.getInt(6) == 0)
+    // DRY RUN after a logical overwrite: lists the ghosts, deletes nothing
+    Publish.publishVersioned(spark,
+      (200 until 205).map(i => (i.toLong, "g1", 2.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))                                              // v3
+    val wouldGo = spark.sql(
+      s"VACUUM graft.`$root` RETAIN 1 VERSIONS GRACE 0 MINUTES DRY RUN")
+      .as[String].collect().toSeq
+    assert(wouldGo.nonEmpty)
+    assert(Fetch.fetch(spark, root).count() == 5)
+    assert(Versions.fetchVersion(spark, root, 1).count() == 40, "dry run must not delete")
+    assert(Versions.minReadableVersion(spark, root) == 1, "dry run must not advance the watermark")
+    // timestamp restore: back to the version in force at t1 (v1)
+    val r = GraftSql.exec(spark, s"RESTORE graft.`$root` TO TIMESTAMP AS OF '$t1'").head()
+    assert(r.getInt(0) == 1)
+    assert(Fetch.fetch(spark, root).count() == 40)
+  }
+
   test("OPTIMIZE SMALL FILES packs only the small tail; big files keep their paths") {
     import graft.core.{Mutations, Versions => V}
     import org.apache.spark.sql.functions.lit
