@@ -7,7 +7,7 @@ import graft.catalog.SpectrumDdl
 import graft.core.{ColFilter, DatasetMeta, Fetch, Mutations, Publish, Versions}
 import graft.naming.S3Naming
 import graft.functions.ProbFilters
-import graft.ops.{BloomPrune, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{BloomPrune, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where the
@@ -618,6 +618,15 @@ object SparkEntry {
     "text_repeated_ngrams" -> ((s, dir) =>
       TextAnalysis.repeatedNgramStats(s.read.parquet(t(dir, "documents")))
         .orderBy("doc_id")),
+
+    // Context-window chunking: long docs split into overlapping token
+    // windows (chunk 8, stride 5, tails < 2 tokens dropped) — the
+    // upstream complement of pack_sequences; pure projection + explode.
+    "pack_chunk_docs" -> ((s, dir) =>
+      Packing.chunkDocuments(
+        s.read.parquet(t(dir, "documents")).select("doc_id", "text"),
+        chunkTokens = 8, stride = 5, minChunkTokens = 2)
+        .orderBy("doc_id", "chunk_id")),
 
     // Exact-substring dedup (the Lee et al. span-removal shape): every
     // token covered by a word 3-gram occurring >=2 times corpus-wide is
@@ -2035,6 +2044,18 @@ object SparkEntry {
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "pack_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, st,
+        |        words[CAST(st+1 AS INT):CAST(st+8 AS INT)] AS chunk
+        |      FROM w, UNNEST(range(0, len(words), 5)) AS t(st)),
+        |k AS (SELECT doc_id, st, chunk FROM c WHERE len(chunk) >= 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id,
+        |  array_to_string(chunk, ' ') AS text,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
 
     // replay of stripDuplicatedSpans: same gram convention as
     // text_repeated_ngrams (raw gram strings stand in for the xxhash64

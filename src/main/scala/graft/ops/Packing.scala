@@ -21,6 +21,44 @@ final case class PackedSeq(seq_id: Long, doc_ids: Seq[Long],
   */
 object Packing {
 
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens`, starting every `stride` tokens (stride < chunkTokens
+    * = overlapping windows, the standard long-document training prep;
+    * stride = chunkTokens = disjoint). Emits `(…, chunk_id, text,
+    * n_tokens)` — chunk_id is the 0-based window ordinal within its doc,
+    * the tail window may be short, and windows shorter than
+    * `minChunkTokens` are dropped (a stride's worth of trailing overlap
+    * adds nothing to training). A doc shorter than one chunk passes
+    * through as its own chunk 0. This is the upstream complement of
+    * [[packSequences]] (which bins whole docs and gives oversized ones
+    * their own sequence): chunk first, pack the chunks.
+    *
+    * Pure per-row projection + explode — no shuffle, no UDF; tokens are
+    * whitespace words (the repo-wide convention; BPE-exact budgets run
+    * the chunker on pre-tokenized ids upstream of detokenization).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
+                     minChunkTokens: Int = 1,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    require(minChunkTokens >= 1 && minChunkTokens <= chunkTokens,
+      s"minChunkTokens must be in [1, chunkTokens], got $minChunkTokens")
+    val words = split(col(textCol), " ")
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
+    docs.where(col(textCol).isNotNull)
+      .select(keep :+ posexplode(filter(
+        transform(
+          sequence(lit(0), greatest(size(words) - 1, lit(0)), lit(stride)),
+          s => slice(words, s + 1, lit(chunkTokens))),
+        c => size(c) >= minChunkTokens))
+        .as(Seq("chunk_id", "__chunk")): _*)
+      .withColumn(textCol, array_join(col("__chunk"), " "))
+      .withColumn("n_tokens", size(col("__chunk")).cast("long"))
+      .drop("__chunk")
+  }
+
   def packSequences(spark: SparkSession, docs: DataFrame, tokensPerSeq: Long,
                     idCol: String = "doc_id", tokenCountCol: String = "n_tokens"): Dataset[PackedSeq] = {
     import spark.implicits._

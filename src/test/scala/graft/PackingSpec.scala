@@ -67,4 +67,29 @@ class PackingSpec extends AnyFunSuite {
     val auto = Packing.packSequencesGrouped(spark, docs, 1 << 30).collect()
     assert(auto.length == 8 && auto.map(_.n_docs).sum == 1000)
   }
+
+  test("chunkDocuments: overlapping windows, tail handling, short-doc passthrough") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, (1 to 11).map(i => s"x$i").mkString(" "))  // tail window of 1 -> dropped
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(docs, chunkTokens = 8, stride = 5, minChunkTokens = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, (1 to 8).map(i => s"w$i").mkString(" "), 8L),
+      (1L, 1, (6 to 12).map(i => s"w$i").mkString(" "), 7L),
+      (1L, 2, "w11 w12", 2L),
+      (2L, 0, "a b c", 3L),
+      (3L, 0, (1 to 8).map(i => s"x$i").mkString(" "), 8L),
+      (3L, 1, (6 to 11).map(i => s"x$i").mkString(" "), 6L)), s"got $got")
+    // disjoint windows when stride == chunkTokens
+    val disjoint = Packing.chunkDocuments(docs.where($"doc_id" === 1L),
+      chunkTokens = 4, stride = 4)
+      .orderBy("chunk_id").as[(Long, Int, String, Long)].collect().toSeq
+    assert(disjoint.map(_._4) == Seq(4L, 4L, 4L))
+    assert(disjoint.map(_._3).mkString(" ") == (1 to 12).map(i => s"w$i").mkString(" "))
+  }
 }
