@@ -982,11 +982,13 @@ object Versions {
       val latest = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"dataset $root is not versioned"))
       val (files, meta, dvs) = snapshotFullAt(spark, root, latest)
-      val f = fs(spark, root)
-      val small = files.filter { rel =>
-        val st = f.getFileStatus(new Path(root, rel))
-        st.getLen < smallBytes
+      // sizes from ONE recursive listing walk, not a per-file RPC loop
+      // (100k live files on an object store would pay 100k round trips)
+      val sizeByRel: Map[String, Long] = {
+        val listed = Publish.listPhysicalDataFilesWithSize(spark, root)
+        relativize(spark, root, listed.map(_._1)).zip(listed.map(_._2)).toMap
       }
+      val small = files.filter(rel => sizeByRel.get(rel).exists(_ < smallBytes))
       if (small.size < 2) Nil
       else {
         val covered = small.toSet
@@ -995,8 +997,7 @@ object Versions {
         // bin-pack: the combined small bytes dictate the output file
         // count (≈60 MB targets) — without the explicit repartition the
         // write inherits the scan's partitioning and re-emits small files
-        val totalSmall = small.map(rel =>
-          f.getFileStatus(new Path(root, rel)).getLen).sum
+        val totalSmall = small.map(sizeByRel(_)).sum
         val outParts = math.max(1L, totalSmall / (60L << 20)).toInt
         val packed = readFiles(spark, root, small, meta, dvs = relevant)
           .repartition(outParts)

@@ -131,18 +131,23 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
       throw new IllegalArgumentException(
         s"dataset $root is missing graft metadata — publish it first"))
     val latest = Versions.latestVersion(spark, root)
-    val fsys = new org.apache.hadoop.fs.Path(root)
+    // sizes from ONE recursive listing walk, not a per-file RPC loop
+    val listed = graft.core.Publish.listPhysicalDataFilesWithSize(spark, root)
+    val qroot = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
+      .stripSuffix("/")
+    val sizeByRel = listed.map { case (abs, len) =>
+      new org.apache.hadoop.fs.Path(abs).toUri.getPath
+        .stripPrefix(qroot).stripPrefix("/") -> len
+    }.toMap
     val (files, dvs) = latest match {
       case Some(v) =>
         val (fl, _, dv) = Versions.snapshotFullAt(spark, root, v)
-        (fl.map(rel => new org.apache.hadoop.fs.Path(root, rel)),
-          dv.map(_.dir).distinct.size)
-      case None =>
-        (graft.core.Publish.listDataFiles(spark, root)
-          .map(new org.apache.hadoop.fs.Path(_)), 0)
+        (fl, dv.map(_.dir).distinct.size)
+      case None => (sizeByRel.keys.toSeq, 0)
     }
-    val bytes = files.map(fsys.getFileStatus(_).getLen).sum
+    val bytes = files.map(sizeByRel.getOrElse(_, 0L)).sum
     Seq(Row("graft", files.size.toLong, bytes,
       meta.partitions.mkString(","), latest.getOrElse(0),
       latest.map(_ => Versions.minReadableVersion(spark, root)).getOrElse(0),
