@@ -20,8 +20,12 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 # allocator to death — but not too low: the simhash oracle's 3.2B-row
 # bit expansion needs ~80GB of working set even when spilling.
 def fresh_con():
+    # GRAFT_CHECK_MEMLIMIT: some xN oracles aggregate through operators
+    # DuckDB cannot spill (ordered string_agg over 500k docs); a roomier
+    # box can raise the cap per retry instead of editing this file.
     c = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill",
-                               "memory_limit": "80GB"})
+                               "memory_limit": os.environ.get(
+                                   "GRAFT_CHECK_MEMLIMIT", "80GB")})
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
         c.execute(f"CREATE VIEW {os.path.basename(f)[:-8]} AS "
                   f"SELECT * FROM read_parquet('{f}')")
