@@ -409,6 +409,20 @@ object SparkEntry {
       Mutations.deleteWhereDv(s, root, col("o_orderkey") % 97 === 0)
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // DV COVERED/UNCOVERED leg split: the delete predicate touches ONLY
+    // the 'F' partition, so its DV covers only that partition's files —
+    // the snapshot read must probe exactly those and stream every other
+    // file through an untouched scan leg (PlanAudit pins: one anti-join,
+    // union with a join-free leg). The sparse-mutation read-tax fix.
+    "version_dv_split_scan" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vdvsplit", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.deleteWhereDv(s, root,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 1)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
     "version_update_where" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vupdate", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1623,6 +1637,10 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 1)
         |  AND NOT (o_orderkey % 97 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_dv_split_scan" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 1)
         |ORDER BY o_orderkey""".stripMargin,
     "version_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -71,19 +71,31 @@ object Fetch {
         // ("0001" → int 1 → restored as "1") and make filters on them
         // silently match nothing. basePath keeps hive partition columns
         // and Catalyst partition pruning working on an explicit file list.
-        val raw = snapshot match {
-          case Some((relFiles, _, _)) =>
-            val files = relFiles
-              .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
-            spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
-          case None => spark.read.schema(meta.schema).parquet(root)
+        val pred = Filters.compile(meta, filters)
+        def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
+        def scanOf(relFiles: Seq[String]): DataFrame = {
+          val files = relFiles
+            .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
+          spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
         }
-        val filtered = Filters.compile(meta, filters).map(raw.where).getOrElse(raw)
-        // Deletion vectors apply AFTER the partition filter (fewer rows to
-        // probe) and BEFORE the restoring select; a snapshot without DVs
-        // pays nothing here
-        val undeleted = applyDvs(spark, root, filtered,
-          snapshot.map(_._3).getOrElse(Nil))
+        // Deletion vectors apply AFTER the partition filter (fewer rows
+        // to probe) and BEFORE the restoring select — and ONLY to the
+        // files the snapshot's DV refs actually cover: the uncovered leg
+        // scans untouched (no metadata column, no join), so a snapshot
+        // under sparse mutation reads at full speed everywhere a DV
+        // doesn't reach.
+        val undeleted = snapshot match {
+          case Some((relFiles, _, dvs)) =>
+            if (relFiles.isEmpty)
+              return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+            val covered = dvs.flatMap(_.files).toSet
+            val (cov, uncov) = relFiles.partition(covered)
+            val uncovLeg = if (uncov.isEmpty) None else Some(withPred(scanOf(uncov)))
+            val covLeg = if (cov.isEmpty) None else Some(
+              applyDvs(spark, root, withPred(scanOf(cov)), dvs))
+            (uncovLeg ++ covLeg).reduce(_.unionByName(_))
+          case None => withPred(spark.read.schema(meta.schema).parquet(root))
+        }
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
         // partition-column expression the scan can prune on.
         val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
@@ -120,23 +132,38 @@ object Fetch {
     val files = StatsIndex.candidateFiles(spark, root, meta, dataFilters)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-    val raw = spark.read.option("basePath", root).schema(meta.schema)
-      .parquet(files: _*)
     val pred = Seq(
       Filters.compile(meta, filters),
       Filters.compileOn(c => meta.schema(c).dataType, dataFilters)).flatten
       .reduceOption(_ && _)
-    val filtered = pred.map(raw.where).getOrElse(raw)
-    val undeleted = applyDvs(spark, root, filtered, full.map(_._3).getOrElse(Nil))
+    def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
+    def scanOf(abs: Seq[String]): DataFrame =
+      spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+    val dvs = full.map(_._3).getOrElse(Nil)
+    // Only files a DV ref covers pay the anti-join probe (see [[fetch]])
+    val undeleted =
+      if (dvs.isEmpty) withPred(scanOf(files))
+      else {
+        val covered = dvs.flatMap(_.files).toSet
+        val rels = Versions.relativize(spark, root, files)
+        val (cov, uncov) = files.zip(rels).partition { case (_, r) => covered(r) }
+        val uncovLeg =
+          if (uncov.isEmpty) None else Some(withPred(scanOf(uncov.map(_._1))))
+        val covLeg =
+          if (cov.isEmpty) None
+          else Some(applyDvs(spark, root, withPred(scanOf(cov.map(_._1))), dvs))
+        (uncovLeg ++ covLeg).reduce(_.unionByName(_))
+      }
     val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
     undeleted.select(restored: _*)
   }
 
-  /** Anti-join a filtered scan of a versioned root against its live
-    * deletion vectors (no-op when there are none). Metadata columns must
-    * materialize before the join, so they are added here, used as the
-    * probe key, and never escape (the caller's restoring select keeps
-    * only schema columns).
+  /** Anti-join a filtered scan of DV-COVERED files against the live
+    * deletion vectors (no-op when there are none). Callers must route
+    * only covered files here — uncovered files skip the probe entirely.
+    * Metadata columns must materialize before the join, so they are
+    * added here, used as the probe key, and never escape (the caller's
+    * restoring select keeps only schema columns).
     */
   private def applyDvs(spark: SparkSession, root: String, scan: DataFrame,
                        dvs: Seq[DvRef]): DataFrame = {

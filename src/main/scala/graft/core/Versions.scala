@@ -652,18 +652,31 @@ object Versions {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(meta.schema.fields ++ extra))
     }
-    val abs = relFiles.map(r => new Path(root, r).toString)
-    val raw0 = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
-    // metadata-derived columns materialize BEFORE any DV anti-join —
-    // `_metadata` resolves only against the scan, not a join result
     val fileTmp = "__graft_meta_file"
     val idxTmp = "__graft_meta_idx"
-    val needMeta = keepPath.isDefined || keepRowIndex.isDefined || dvs.nonEmpty
-    val withMeta =
-      if (!needMeta) raw0
+    val needMeta = keepPath.isDefined || keepRowIndex.isDefined
+    // metadata-derived columns materialize AT THE SCAN — `_metadata`
+    // resolves only against a scan, not a join result
+    def leg(fls: Seq[String], withMeta: Boolean): DataFrame = {
+      val abs = fls.map(r => new Path(root, r).toString)
+      val raw0 = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+      if (!withMeta) raw0
       else raw0.withColumn(fileTmp, col("_metadata.file_path"))
                .withColumn(idxTmp, col("_metadata.row_index"))
-    val raw = withDvApplied(spark, root, withMeta, dvs, fileTmp, idxTmp)
+    }
+    // DV refs NAME the files they cover: only those files pay the probe
+    // (metadata materialization + anti-join); every other file streams
+    // through an untouched scan leg — a snapshot under sparse mutation
+    // reads at full scan speed everywhere a DV doesn't reach.
+    val covered = dvs.flatMap(_.files).toSet
+    val (cov, uncov) = relFiles.partition(covered)
+    val uncovLeg = if (uncov.isEmpty) None else Some(leg(uncov, needMeta))
+    val covLeg = if (cov.isEmpty) None else {
+      val probed = withDvApplied(spark, root, leg(cov, withMeta = true),
+        dvs, fileTmp, idxTmp)
+      Some(if (needMeta) probed else probed.drop(fileTmp, idxTmp))
+    }
+    val raw = (uncovLeg ++ covLeg).reduce(_.unionByName(_))
     val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
     raw.select(restored ++ keepPath.map(p => col(fileTmp).as(p))
       ++ keepRowIndex.map(p => col(idxTmp).as(p)): _*)
@@ -678,31 +691,56 @@ object Versions {
     org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("row_index", org.apache.spark.sql.types.LongType)))
 
-  /** Filter a scan over `root`'s files down to its live rows: LEFT ANTI
+  /** The exact strings a scan's `_metadata.file_path` can carry for a
+    * root-relative file. Spark surfaces the FileIndex path's URI string
+    * (percent-encoded): `file:/…` with no authority on local
+    * filesystems, `scheme://auth/…` where the store has one. Emitting
+    * BOTH authority forms per file keys a join against the raw metadata
+    * column with ZERO per-row path normalization — these keys sit on the
+    * DV side of an anti/semi join, so a form the scan never produces is
+    * inert (it just matches nothing), while the matching form is exact:
+    * both derive from the same qualified `Path`, so their percent
+    * encoding is Hadoop's own, byte-identical to the scan's.
+    */
+  private[core] def dvScanKeys(spark: SparkSession, root: String,
+                               rels: Seq[String]): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    rels.flatMap { r =>
+      val u = f.makeQualified(new Path(new Path(root), r)).toUri
+      val noAuth = new java.net.URI(u.getScheme, null, u.getPath, null, null).toString
+      Seq(u.toString, noAuth).distinct.map(r -> _)
+    }
+  }
+
+  /** Filter a scan over DV-COVERED files down to its live rows: LEFT ANTI
     * join against the union of the snapshot's deletion vectors on
-    * (root-relative file, parquet row index). Rows of uncovered files
-    * match nothing and stream through; the DV side is O(deleted rows),
-    * so AQE turns the anti-join into a broadcast hash probe in the
-    * common small-delete case — covered scans pay one in-memory probe
-    * per row, never a shuffle of the data side. `scan` must already
-    * carry the materialized metadata columns (`fileTmpCol` = raw
-    * `_metadata.file_path`, `idxTmpCol` = `_metadata.row_index`).
+    * (file, parquet row index). The DV side's root-relative file names
+    * are mapped DRIVER-SIDE to the scan's raw `_metadata.file_path`
+    * strings via a broadcast [[dvScanKeys]] dictionary — the data side
+    * carries no per-row path computation at all, just the hash probe.
+    * The DV side is O(deleted rows), so AQE turns the anti-join into a
+    * broadcast hash probe in the common small-delete case — covered
+    * scans pay one in-memory probe per row, never a shuffle of the data
+    * side. Callers route ONLY covered files here ([[readFiles]] splits
+    * the snapshot's file list on `DvRef.files`); uncovered files must
+    * not pay the probe. `scan` must already carry the materialized
+    * metadata columns (`fileTmpCol` = raw `_metadata.file_path`,
+    * `idxTmpCol` = `_metadata.row_index`).
     */
   private[core] def withDvApplied(spark: SparkSession, root: String,
                                   scan: DataFrame, dvs: Seq[DvRef],
                                   fileTmpCol: String, idxTmpCol: String): DataFrame = {
     if (dvs.isEmpty) return scan
-    val relTmp = "__graft_dv_rel"
-    val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
-    val rel = regexp_replace(StatsIndex.normPath(col(fileTmpCol)),
-      lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit(""))
+    import spark.implicits._
+    val mapping = broadcast(
+      dvScanKeys(spark, root, dvs.flatMap(_.files).distinct).toDF("file", fileTmpCol))
     val dvRows = dvs.map(d => spark.read.schema(DvSchema)
         .parquet(new Path(root, d.dir).toString))
       .reduce(_.unionByName(_))
-      .select(col("file").as(relTmp), col("row_index").as(idxTmpCol))
-    scan.withColumn(relTmp, rel)
-      .join(dvRows, Seq(relTmp, idxTmpCol), "left_anti")
-      .drop(relTmp)
+      .withColumnRenamed("row_index", idxTmpCol)
+      .join(mapping, "file")
+      .select(col(fileTmpCol), col(idxTmpCol))
+    scan.join(dvRows, Seq(fileTmpCol, idxTmpCol), "left_anti")
   }
 
   /** Incremental (CDC-style) read: the rows ADDED by commits in
@@ -768,8 +806,16 @@ object Versions {
     require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
       s"need 0 <= from < to <= $latest, got ($fromVersion, $toVersion]")
     val minReadable = minReadableVersion(spark, root)
-    require(fromVersion + 1 >= minReadable,
-      s"version ${fromVersion + 1} of $root was vacuumed (oldest readable is $minReadable)")
+    // A feed's delete legs need PRE-images: an overwrite or rewrite at
+    // commit v reads state as of v-1, so version `fromVersion` itself
+    // must still be readable on a vacuumed dataset — fromVersion =
+    // minReadable-1 would either throw mid-feed or silently omit the
+    // rewrite's deletes. fromVersion = 0 on a never-vacuumed dataset is
+    // the full-history feed (commit 1 is the initial publish; its
+    // overwrite leg has no parent by construction).
+    require(fromVersion >= minReadable || (fromVersion == 0 && minReadable == 1),
+      s"change feed from version $fromVersion of $root needs that version readable " +
+        s"(oldest readable is $minReadable — it was vacuumed)")
     val atTo = readEntry(spark, root, toVersion)
     val outMeta = DatasetMeta(atTo.schema, atTo.partitions)
     val tCol = "_change_type"
@@ -811,20 +857,24 @@ object Versions {
           Seq(tagged(readFiles(spark, root, e.removed, outMeta, dvs = relevant),
             "delete", v))
         case _ if e.dvs.nonEmpty =>
-          // delete_dv / update_dv: the DV pairs ARE the deleted rows
+          // delete_dv / update_dv: the DV pairs ARE the deleted rows —
+          // semi-join the covered files' scan on the raw metadata path
+          // (DV side mapped rel→scan-string driver-side, [[dvScanKeys]])
           e.dvs.map { d =>
-            val dvRows = spark.read.schema(DvSchema)
-              .parquet(new Path(root, d.dir).toString)
+            import spark.implicits._
             val fileTmp = "__cf_file"
             val idxTmp = "__cf_idx"
+            val mapping = broadcast(
+              dvScanKeys(spark, root, d.files).toDF("file", fileTmp))
+            val dvRows = spark.read.schema(DvSchema)
+              .parquet(new Path(root, d.dir).toString)
+              .withColumnRenamed("row_index", idxTmp)
+              .join(mapping, "file")
+              .select(col(fileTmp), col(idxTmp))
             val withMeta = readFiles(spark, root, d.files, outMeta,
               keepPath = Some(fileTmp), keepRowIndex = Some(idxTmp))
-            val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
-            val rel = regexp_replace(StatsIndex.normPath(col(fileTmp)),
-              lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit(""))
-            tagged(withMeta.withColumn(fileTmp, rel)
-              .join(dvRows.select(col("file").as(fileTmp),
-                col("row_index").as(idxTmp)), Seq(fileTmp, idxTmp), "left_semi")
+            tagged(withMeta
+              .join(dvRows, Seq(fileTmp, idxTmp), "left_semi")
               .drop(fileTmp, idxTmp), "delete", v)
           }
         case _ => Nil

@@ -93,6 +93,17 @@ object PlanAudit {
       "broadcast anti-join DV probe" -> (p =>
         p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
       "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+    audit("version_dv_split_scan",
+      // the DV covers ONLY the 'F' partition's files: exactly one
+      // anti-join probe (the covered leg) may appear, joined results
+      // union with the uncovered leg — which must be a bare scan, so
+      // every other partition reads at full, join-free speed
+      "exactly one DV anti-join" -> (p =>
+        "LeftAnti".r.findAllIn(p.split("== Initial Plan ==").head).size == 1),
+      "covered/uncovered legs unioned" -> (_.contains("Union")),
+      "no per-row path normalization" -> (p =>
+        !p.contains("regexp_replace") && !p.contains("url_decode")),
+      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
     audit("version_change_feed",
       // the precise delete legs semi-join covered files against the tiny
       // DV sidecars — broadcast hash probes, never a shuffle of the data
