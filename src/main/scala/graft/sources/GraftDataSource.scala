@@ -39,13 +39,60 @@ import graft.core.{ColFilter, DatasetMeta, Fetch, Publish, Versions}
   * scan), so no custom columnar reader is on the hot path.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft data source needs a path (load(root) / OPTIONS (path '...'))"))
+
+  // ------------------------------------------------- DataSourceV2 seam
+  // TableProvider makes graft a first-class V2 connector: batch reads and
+  // writes plan through DataSourceV2Relation/AppendData (V2 pushdown, V1
+  // data path via the public V1Scan/V1Write bridges — see [[GraftTable]]),
+  // and the session catalog resolves name-based `USING graft` tables
+  // through getTable. Streaming falls back to the V1 providers above
+  // (GraftTable declares no streaming capabilities), and ErrorIfExists/
+  // Ignore saves fall back to createRelation — all V1 behavior preserved.
+
+  /** Catalog tables store their own schema; writes carry the query's. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Path-option reads carry `path`; name-registered catalog tables
+    * (managed or `LOCATION`-declared) surface the table location under
+    * the V2 `location` property instead.
+    */
+  private def v2RootOf(params: Map[String, String]): Option[String] =
+    params.get("path").orElse(params.get("location"))
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    import scala.jdk.CollectionConverters._
+    val params = options.asScala.toMap
+    val spark = SparkSession.active
+    // a not-yet-existing dataset is a legal WRITE target: hand back an
+    // empty schema (the write uses the query's); reads fail later with
+    // the precise missing-metadata error in newScanBuilder
+    v2RootOf(params).flatMap(GraftTable.resolveMeta(spark, _, params))
+      .map(m => GraftTable.readSchemaFor(m, params))
+      .getOrElse(new StructType())
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
+    val params = properties.asScala.toMap
+    val declared = partitioning.toSeq.collect {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }
+    new GraftTable(v2RootOf(params),
+      Option(schema).filter(_.fields.nonEmpty), params, declared)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
@@ -156,40 +203,6 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
     case None => Fetch.fetch(spark, root, acceptNotGraft = false)
   }
 
-  /** sources.Filter → graft ColFilter, for single-column comparisons on a
-    * PARTITION column (the shapes graft's driver-side pruning speaks).
-    */
-  private def toColFilter(f: Filter): Option[ColFilter] = f match {
-    case EqualTo(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "==", Seq(v)))
-    case In(a, vs) if meta.partitions.contains(a) && vs.nonEmpty && !vs.contains(null) =>
-      Some(ColFilter(a, "==", vs.toSeq))
-    case GreaterThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">", Seq(v)))
-    case GreaterThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">=", Seq(v)))
-    case LessThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<", Seq(v)))
-    case LessThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<=", Seq(v)))
-    case _ => None
-  }
-
-  /** sources.Filter → Column, best-effort (None ⇒ Spark re-applies it). */
-  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
-    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
-
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     // live unversioned reads route partition predicates through graft's
@@ -197,11 +210,12 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
     // Catalyst's in-memory file index, so plain column predicates suffice
     val base = versionAsOf match {
       case None if !Versions.isVersioned(spark, root) =>
-        val colFilters = filters.flatMap(toColFilter).toSeq
+        val colFilters = filters.flatMap(f =>
+          GraftSourceFilters.toColFilter(meta, f)).toSeq
         Fetch.fetch(spark, root, colFilters, acceptNotGraft = false)
       case _ => snapshot
     }
-    val filtered = filters.flatMap(toColumn)
+    val filtered = filters.flatMap(GraftSourceFilters.toColumn)
       .foldLeft(base)((df, c) => df.where(c))
     filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
@@ -278,10 +292,51 @@ class GraftSink(spark: SparkSession, root: String, partitions: Seq[String],
 class GraftChangeFeedRelation(override val sqlContext: SQLContext,
                               root: String, fromExclusive: Int, to: Int)
     extends BaseRelation with TableScan {
-  private def feed: DataFrame =
+  // one feed serves both schema and scans: building it re-resolves
+  // snapshots and re-reads commit entries, so do that once per relation
+  private lazy val feed: DataFrame =
     Versions.changeFeed(sqlContext.sparkSession, root, fromExclusive, to)
   override lazy val schema: StructType = feed.schema
   override def buildScan(): RDD[Row] = feed.rdd
+}
+
+/** `sources.Filter` → graft/Column translation shared by the V1 relation
+  * and the V2 scan ([[GraftScanBuilder]]).
+  */
+private[sources] object GraftSourceFilters {
+  /** sources.Filter → graft ColFilter, for single-column comparisons on a
+    * PARTITION column (the shapes graft's driver-side pruning speaks).
+    */
+  def toColFilter(meta: DatasetMeta, f: Filter): Option[ColFilter] = f match {
+    case EqualTo(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "==", Seq(v)))
+    case In(a, vs) if meta.partitions.contains(a) && vs.nonEmpty && !vs.contains(null) =>
+      Some(ColFilter(a, "==", vs.toSeq))
+    case GreaterThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">", Seq(v)))
+    case GreaterThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">=", Seq(v)))
+    case LessThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<", Seq(v)))
+    case LessThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<=", Seq(v)))
+    case _ => None
+  }
+
+  /** sources.Filter → Column, best-effort (None ⇒ Spark re-applies it). */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
 }
 
 class GraftCdcSource(spark: SparkSession, root: String,
@@ -310,6 +365,14 @@ class GraftCdcSource(spark: SparkSession, root: String,
   // offered range, so the cap needs no state beyond the last offer.
   private var lastOffered: Option[Int] = None
 
+  // LOAD-BEARING engine-ordering assumption: on restart, the V1
+  // micro-batch engine REPLAYS the last checkpointed batch via getBatch
+  // BEFORE asking getOffset for new work, so getBatch seeds lastOffered
+  // with the checkpointed watermark and the min(latest, floor + n) cap
+  // never lands below an already-committed offset. Defensively, the
+  // offset returned here is additionally clamped to never regress below
+  // anything this instance has seen — if the ordering ever changed, the
+  // worst case is one uncapped batch, never a re-emitted version.
   override def getOffset: Option[OffsetV1] =
     Versions.latestVersion(spark, root).map { latest =>
       val capped = maxVersionsPerTrigger match {
@@ -318,8 +381,9 @@ class GraftCdcSource(spark: SparkSession, root: String,
           math.min(latest, floor + n)
         case None => latest
       }
-      lastOffered = Some(math.max(capped, lastOffered.getOrElse(0)))
-      LongOffset(capped.toLong)
+      val out = math.max(capped, lastOffered.getOrElse(0))
+      lastOffered = Some(out)
+      LongOffset(out.toLong)
     }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

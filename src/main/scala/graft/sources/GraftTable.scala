@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{DatasetMeta, Fetch, Publish, Versions}
+
+/** DataSourceV2 table for `format("graft")` — the modern connector seam:
+  * name-based catalog tables (`CREATE TABLE t USING graft` resolved
+  * through the session catalog's V2 path, `saveAsTable`/`spark.table`),
+  * V2 filter + required-column pushdown, and the V2 write plans
+  * (AppendData / OverwriteByExpression). Scans and writes bridge to
+  * graft's proven relation logic through the PUBLIC `V1Scan` / `V1Write`
+  * connector traits (the JDBC-V2 shape): the planner drives V2 pushdown
+  * and capability resolution, the data path is graft's existing
+  * parquet-scan plans and publish pipeline — no custom columnar reader
+  * to maintain, full Catalyst pruning inside the inner scan.
+  *
+  * Capabilities deliberately EXCLUDE `MICRO_BATCH_READ`/`STREAMING_WRITE`:
+  * Spark then falls back to the V1 `StreamSourceProvider`/`StreamSinkProvider`
+  * on [[GraftDataSource]] for `readStream`/`writeStream` — the same seam
+  * Delta ships its streaming source on (a pure-V2 micro-batch reader
+  * must produce `InternalRow`s executor-side, which would mean
+  * reimplementing a parquet→InternalRow reader outside Spark's scan
+  * stack; the V1 source instead returns plans over the real parquet
+  * scan). SQL INSERTs resolve positionally against the table schema
+  * (the V2 analyzer casts + renames, arity-checked); DataFrame-API
+  * saves keep graft's own publish validation through the V1 fallback.
+  */
+class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
+                 options: Map[String, String],
+                 declaredPartitions: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  // CreateTableAsSelect calls getTable BEFORE the session catalog assigns
+  // a managed table's location — the table object must exist without a
+  // root; any actual scan/write resolves through loadTable afterwards,
+  // which does carry the location. Enforced lazily here.
+  private def root: String = rootOpt.getOrElse(
+    throw new IllegalArgumentException(
+      "graft data source needs a path (load(root) / OPTIONS (path '...') / table location)"))
+
+  // the commit log / sidecar is authoritative for scans; the catalog's
+  // stored schema (givenSchema) only answers metadata-only questions when
+  // the dataset doesn't exist yet (e.g. a CTAS target before its write)
+  private lazy val resolvedMeta: Option[DatasetMeta] =
+    rootOpt.flatMap(r => GraftTable.resolveMeta(spark, r, options))
+
+  override def name(): String = s"graft.`${rootOpt.getOrElse("(pending location)")}`"
+
+  override def schema(): StructType =
+    resolvedMeta.map(m => GraftTable.readSchemaFor(m, options))
+      .orElse(givenSchema).getOrElse(new StructType())
+
+  override def partitioning(): Array[Transform] = {
+    val parts = resolvedMeta.map(_.partitions).filter(_.nonEmpty)
+      .getOrElse(declaredPartitions)
+    parts.map(p => Expressions.identity(p)).toArray
+  }
+
+  // V1_BATCH_WRITE without BATCH_WRITE is deliberate: the V2 capability
+  // check accepts either for INSERT INTO plans (AppendData/Overwrite run
+  // through [[GraftWriteBuilder]]'s V1Write bridge), while
+  // DataFrameWriter.save only takes its V2 branch on BATCH_WRITE — so
+  // path saves keep the V1 createRelation semantics for ALL SaveModes
+  // (Append maps to append-or-create, ErrorIfExists/Ignore stay legal;
+  // the V2 save branch hard-errors on the latter two). No
+  // ACCEPT_ANY_SCHEMA either: SQL INSERTs then resolve POSITIONALLY
+  // against the table schema (cast + rename, arity-checked at analysis)
+  // — the standard SQL insert contract, same as the V1 path gave.
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.TRUNCATE)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = options ++ caseInsensitive.asScala
+    new GraftScanBuilder(root, merged,
+      resolvedMeta.getOrElse(throw new IllegalArgumentException(
+        s"dataset $root is missing graft metadata — publish it first")),
+      schema())
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = options ++ info.options().asScala
+    val partitions = merged.get("partitions")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(resolvedMeta.map(_.partitions))
+      .getOrElse(declaredPartitions)
+    new GraftWriteBuilder(root, partitions, merged)
+  }
+}
+
+object GraftTable {
+  /** Snapshot metadata honoring `versionAsOf` (commit-entry schema governs
+    * on versioned roots, sidecar otherwise); None when the dataset doesn't
+    * exist yet (a write target).
+    */
+  private[sources] def resolveMeta(spark: SparkSession, root: String,
+                                   options: Map[String, String]): Option[DatasetMeta] =
+    options.get("versionAsOf").map(_.trim.toInt) match {
+      case Some(v) => Some(Versions.snapshotAt(spark, root, v)._2)
+      case None =>
+        Versions.latestVersion(spark, root)
+          .map(v => Versions.snapshotAt(spark, root, v)._2)
+          .orElse(DatasetMeta.read(spark, root))
+    }
+
+  private def changeFeedOpt(options: Map[String, String]): Boolean =
+    options.get("changeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The read schema for the given options: the snapshot schema, or the
+    * change-feed schema (+ `_change_type`, `_commit_version`) when the
+    * `changeFeed` option is set.
+    */
+  private[sources] def readSchemaFor(meta: DatasetMeta,
+                                     options: Map[String, String]): StructType =
+    if (!changeFeedOpt(options)) meta.schema
+    else StructType(meta.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** The options-selected base frame: change-feed window, pinned version,
+    * or the live snapshot (same dispatch as the V1 relation paths).
+    */
+  private[sources] def baseFrame(spark: SparkSession, root: String,
+                                 options: Map[String, String],
+                                 colFilters: Seq[graft.core.ColFilter]): DataFrame =
+    if (changeFeedOpt(options)) {
+      val from = options.getOrElse("startingVersion", throw
+        new IllegalArgumentException(
+          "changeFeed reads need startingVersion (inclusive)")).trim.toInt
+      val to = options.get("endingVersion").map(_.trim.toInt)
+        .orElse(Versions.latestVersion(spark, root)).getOrElse(
+          throw new IllegalArgumentException(s"dataset $root is not versioned"))
+      Versions.changeFeed(spark, root, from - 1, to)
+    } else options.get("versionAsOf").map(_.trim.toInt) match {
+      case Some(v) => Versions.fetchVersion(spark, root, v)
+      case None if !Versions.isVersioned(spark, root) =>
+        // live unversioned reads route partition predicates through
+        // graft's driver-side pruner (the cheapest path); versioned
+        // snapshots get equivalent pruning from Catalyst's file index
+        Fetch.fetch(spark, root, colFilters, acceptNotGraft = false)
+      case None => Fetch.fetch(spark, root, acceptNotGraft = false)
+    }
+}
+
+/** V2 pushdown surface: filters land here as `sources.Filter`s (partition
+  * comparisons additionally compile into graft [[graft.core.ColFilter]]s
+  * for driver-side directory pruning), required columns prune the output
+  * projection. EVERY filter is returned as post-scan — Spark re-applies
+  * them above, so an untranslated predicate costs nothing in correctness
+  * (the V1 default-`unhandledFilters` contract, kept deliberately);
+  * `pushedFilters` reports the translated subset for EXPLAIN.
+  */
+class GraftScanBuilder(root: String, options: Map[String, String],
+                       meta: DatasetMeta, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftSourceFilters.toColumn(f).isDefined ||
+        GraftSourceFilters.toColFilter(meta, f).isDefined)
+    filters // all post-scan: Spark re-applies, untranslated shapes stay exact
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve graft's column order within the pruned subset
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+
+  override def build(): Scan = new GraftV1Scan(root, options, meta, pushed, required)
+}
+
+/** The scan itself: bridges to a V1 `TableScan` ([[V1Scan]], public
+  * connector API) whose frame is graft's existing fetch/time-travel/
+  * change-feed plan — filter application and column pruning identical to
+  * [[GraftRelation.buildScan]].
+  */
+class GraftV1Scan(root: String, options: Map[String, String], meta: DatasetMeta,
+                  pushed: Array[Filter], required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val colFilters = pushed.flatMap(f => GraftSourceFilters.toColFilter(meta, f)).toSeq
+        val base = GraftTable.baseFrame(spark, root, options, colFilters)
+        val filtered = pushed.flatMap(GraftSourceFilters.toColumn)
+          .foldLeft(base)((df, c) => df.where(c))
+        filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+      }
+    }.asInstanceOf[T]
+}
+
+/** V2 write bridged to graft's publish pipeline through the public
+  * [[V1Write]] trait: AppendData → publish append, OverwriteByExpression
+  * (truncate) → publish overwrite — versioned when the dataset is (or the
+  * `versioned` option asks), with graft's own sizing/validation/evolution
+  * rules governing (the table declares `ACCEPT_ANY_SCHEMA`).
+  */
+class GraftWriteBuilder(root: String, partitions: Seq[String],
+                        options: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val spark = data.sparkSession
+        val exists = DatasetMeta.read(spark, root).nonEmpty
+        val versioned = options.get("versioned").exists(_.trim.toBoolean) ||
+          Versions.isVersioned(spark, root)
+        val mode =
+          if (truncateFirst || overwrite || !exists) "overwrite" else "append"
+        if (versioned)
+          Publish.publishVersioned(spark, data, root, partitions, mode = mode)
+        else Publish.publish(spark, data, root, partitions, mode = mode)
+      }
+    }
+  }
+}

@@ -68,6 +68,63 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(vroot).count() == 800)
   }
 
+  test("V2 seam: format reads resolve through DataSourceV2Relation") {
+    val root = TestSpark.tmpDir("dsv_v2resolve")
+    Publish.publish(spark, sample, root, Seq("grp"))
+    val df = spark.read.format("graft").load(root)
+    // the analyzed plan must be the V2 relation over GraftTable — not a
+    // silent V1 fallback (which would make every assertion below vacuous)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("RelationV2"),
+      s"expected a DataSourceV2 relation, got:\n$analyzed")
+    // V2 filter pushdown reports the translated predicate on the scan
+    val pushed = df.where(col("grp") === "g1")
+    pushed.collect()
+    val optimized = pushed.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("grp"), optimized)
+  }
+
+  test("V2 seam: records-read parity with native Fetch.fetch") {
+    val root = TestSpark.tmpDir("dsv_parity")
+    Publish.publish(spark, sample, root, Seq("grp"))
+    val (nativeRows, nativeRecs) = IoMetrics.recordsReadDuring(spark) {
+      Fetch.fetch(spark, root,
+        Seq(graft.core.ColFilter("grp", "==", Seq("g2")))).collect()
+    }
+    val (v2Rows, v2Recs) = IoMetrics.recordsReadDuring(spark) {
+      spark.read.format("graft").load(root).where(col("grp") === "g2").collect()
+    }
+    assert(v2Rows.map(_.toString).sorted.toSeq ==
+      nativeRows.map(_.toString).sorted.toSeq)
+    // same partition pruning, same parquet scan underneath: identical
+    // records read — the format path may not scan a single row more
+    assert(v2Recs == nativeRecs,
+      s"format path read $v2Recs records, native fetch read $nativeRecs")
+  }
+
+  test("name-registered managed table: saveAsTable / spark.table / INSERT") {
+    spark.sql("DROP TABLE IF EXISTS graft_managed")
+    sample.write.format("graft").option("partitions", "grp")
+      .saveAsTable("graft_managed")
+    try {
+      // resolved BY NAME through the session catalog (no path option)
+      val t = spark.table("graft_managed")
+      assert(t.count() == 400)
+      assert(t.queryExecution.analyzed.toString.contains("RelationV2"))
+      assert(spark.sql("SELECT sum(v) FROM graft_managed WHERE grp = 'g3'")
+        .head().getDouble(0) == (0 until 400).filter(_ % 4 == 3).map(_ * 1.5).sum)
+      spark.sql(
+        "INSERT INTO graft_managed SELECT id + 5000, grp, v FROM graft_managed WHERE id < 20")
+      assert(spark.table("graft_managed").count() == 420)
+      // the managed location is a REAL graft dataset (sidecar intact):
+      // the native API reads it back identically
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_managed"))
+        .location.getPath
+      assert(Fetch.fetch(spark, loc).count() == 420)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_managed")
+  }
+
   test("CREATE TABLE USING graft + INSERT INTO / INSERT OVERWRITE") {
     val root = TestSpark.tmpDir("dsv_table")
     Publish.publish(spark, sample, root, Seq("grp"))

@@ -70,11 +70,15 @@ def load_bench(path):
 #    of trusting a cross-version /tmp cache (round 2's only red
 #    correctness cell was a suspected stale-cache hash mismatch); ~2 s of
 #    write per run bought determinism of the correctness gate.
+#  - text_bpe_learn: 0.34→1.13 s in r13 because the in-artifact BPE
+#    training contract (SURVEY §2 #160, bpeLearnChecked) re-verifies
+#    every learned merge against a distributed pair recount — the cell
+#    now PROVES each merge was the argmax instead of asserting it.
 # (dedup_embedding was allow-listed in r8 while it ran the saturated
 # oracle config; since r9 that config lives under its own name,
 # dedup_embedding_oracle, and dedup_embedding is back to the
 # production-shaped LSH — directly comparable to r02 again.)
-ALLOWED = {"custom_publish_roundtrip"}
+ALLOWED = {"custom_publish_roundtrip", "text_bpe_learn"}
 
 # Queries that read a publishOnce-built /tmp scratch dataset: in a COLD
 # sandbox, whichever of these ran first used to be charged the one-time
