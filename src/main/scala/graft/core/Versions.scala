@@ -35,6 +35,29 @@ final case class VersionEntry(version: Int, action: String,
   */
 final case class DvRef(dir: String, files: Seq[String])
 
+/** Atomic create-if-absent — the commit protocol's compare-and-swap seam.
+  * [[Versions.commit]] claims version v by creating its entry file through
+  * this; winning the create means no other committer holds v. The default
+  * ([[Versions.FsConditionalCreate]]) is the filesystem's own
+  * `create(path, overwrite = false)` — atomic on HDFS-like stores (HDFS,
+  * ABFS, GCS; local fs under the in-process monitor). Plain S3's create
+  * is PUT-wins-last, so there the CAS needs a CONDITIONAL PUT
+  * (`If-None-Match: *`, supported by S3 since 2024): install an
+  * SDK-backed implementation via [[Versions.installConditionalCreate]] —
+  * the rest of the commit protocol is store-agnostic.
+  */
+trait ConditionalCreate {
+  /** Create `path` holding exactly `bytes` iff it does not exist.
+    * Returns true = won the claim; false = the path already existed
+    * (lost the race — the caller re-reads the log and retries the next
+    * version). MUST be all-or-nothing: a loser may never clobber or
+    * truncate a winner's bytes, and a thrown exception must mean a real
+    * I/O failure, not contention.
+    */
+  def createIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                     path: Path, bytes: Array[Byte]): Boolean
+}
+
 /** Versioned datasets: a commit log that gives graft datasets time travel,
   * snapshot isolation, and safe logical overwrite — the lakehouse surface
   * (Delta/Iceberg-shaped) re-expressed over the same hive-layout parquet +
@@ -100,6 +123,37 @@ object Versions {
     */
   private val commitMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Default [[ConditionalCreate]]: the filesystem's own fail-on-exists
+    * create. A concurrent loser surfaces as `FileAlreadyExistsException`
+    * (or a generic IOException with the path now present) → false.
+    */
+  object FsConditionalCreate extends ConditionalCreate {
+    override def createIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                                path: Path, bytes: Array[Byte]): Boolean = {
+      if (f.exists(path)) return false
+      val out =
+        try f.create(path, false) // fail, never clobber a commit
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException => if (f.exists(path)) return false else throw e
+        }
+      try out.write(bytes) finally out.close()
+      true
+    }
+  }
+
+  @volatile private var conditionalCreate: ConditionalCreate = FsConditionalCreate
+
+  /** Install a store-specific [[ConditionalCreate]] (process-wide) — e.g.
+    * an S3 `If-None-Match` PUT. Returns the previous implementation so
+    * callers can restore it.
+    */
+  def installConditionalCreate(impl: ConditionalCreate): ConditionalCreate = {
+    val prev = conditionalCreate
+    conditionalCreate = impl
+    prev
+  }
 
   /** Absolute/URI file paths → root-relative (the commit-entry form). */
   private[core] def relativize(spark: SparkSession, root: String,
@@ -237,25 +291,23 @@ object Versions {
           "files" -> JArray(d.files.map(JString(_)).toList))).toList))
       val json = JsonMethods.compact(JsonMethods.render(
         JObject(base ++ txnFields ++ dvFields: _*)))
-      try {
-        // In-process committers must serialize the create itself: a local
-        // or checksummed filesystem's create-if-absent is CHECK-then-
-        // create, so two threads of one driver could both "win" the same
-        // version and the second would clobber the first's entry (the
-        // same reason DatasetLock pairs its file lock with a JVM mutex).
-        // The monitor covers only the tiny exists+create+write window —
-        // data writes still overlap fully. Cross-PROCESS atomicity comes
-        // from the filesystem's create-if-absent (atomic on HDFS-like
-        // stores; object stores without conditional create keep the same
-        // documented residual as DatasetLock).
-        val mon = commitMonitors.computeIfAbsent(
-          f.makeQualified(dirPath(root)).toString, _ => new Object)
-        mon.synchronized {
-          if (f.exists(entryPath(root, v)))
-            throw new java.io.IOException(s"version $v already committed")
-          val out = f.create(entryPath(root, v), false) // fail, never clobber a commit
-          try out.write(json.getBytes("UTF-8")) finally out.close()
-        }
+      // In-process committers must serialize the create itself: a local
+      // or checksummed filesystem's create-if-absent is CHECK-then-
+      // create, so two threads of one driver could both "win" the same
+      // version and the second would clobber the first's entry (the
+      // same reason DatasetLock pairs its file lock with a JVM mutex).
+      // The monitor covers only the tiny conditional-create window —
+      // data writes still overlap fully. Cross-PROCESS atomicity comes
+      // from the installed [[ConditionalCreate]] (the filesystem's own
+      // create-if-absent by default — atomic on HDFS-like stores; plain
+      // S3 plugs in an If-None-Match PUT via installConditionalCreate).
+      val mon = commitMonitors.computeIfAbsent(
+        f.makeQualified(dirPath(root)).toString, _ => new Object)
+      val won = mon.synchronized {
+        conditionalCreate.createIfAbsent(f, entryPath(root, v),
+          json.getBytes("UTF-8"))
+      }
+      if (won) {
         // auto-checkpoint every `interval` commits so fresh processes
         // seed their replay from a resolved snapshot instead of walking
         // the whole chain (see the checkpoint section below). Best-effort:
@@ -266,14 +318,10 @@ object Versions {
           try writeCheckpoint(spark, root, v)
           catch { case scala.util.control.NonFatal(_) => }
         return v
-      } catch {
-        case e: java.io.IOException =>
-          // a version collision iff the entry we raced for now exists;
-          // anything else is a real I/O failure, not contention
-          if (!f.exists(entryPath(root, v))) throw e
-          attempts += 1
-          Thread.sleep(1L + scala.util.Random.nextInt(20))
       }
+      // lost the claim: another committer holds v — re-read and retry
+      attempts += 1
+      Thread.sleep(1L + scala.util.Random.nextInt(20))
     }
     throw new IllegalStateException(
       s"gave up committing to $root after $attempts version collisions")
@@ -594,11 +642,30 @@ object Versions {
     val latest = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     val f = fs(spark, root)
+    // scan ALL entries for the max version at-or-before the instant, not
+    // a takeWhile: entry mtimes are written in commit order but can look
+    // non-monotonic to a reader (clock skew across writers, copied logs)
+    // — a takeWhile would then silently resolve too early a version
     val at = (1 to latest)
-      .takeWhile(v => f.getFileStatus(entryPath(root, v)).getModificationTime <= tsMillis)
+      .filter(v => f.getFileStatus(entryPath(root, v)).getModificationTime <= tsMillis)
       .lastOption
     at.getOrElse(throw new IllegalArgumentException(
       s"no version of $root existed at $tsMillis (first commit is later)"))
+  }
+
+  /** Tolerant wall-clock literal parsing for TIMESTAMP AS OF surfaces:
+    * accepts `yyyy-MM-dd HH:mm:ss[.fff]`, the ISO `T` separator, and
+    * date-only (midnight) forms, interpreted in the SESSION time zone
+    * (`java.sql.Timestamp.valueOf` is JVM-local and rejects both
+    * variants).
+    */
+  def parseTsLiteral(spark: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val t = s.trim
+    val ldt =
+      if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.atZone(zone).toInstant.toEpochMilli
   }
 
   /** Read the dataset as it was at wall-clock `tsMillis`. */

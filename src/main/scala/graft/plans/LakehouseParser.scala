@@ -204,7 +204,7 @@ case class GraftRestoreTimestampCommand(root: String, ts: String)
     AttributeReference("restored_to", IntegerType, nullable = false)(),
     AttributeReference("new_version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val millis = java.sql.Timestamp.valueOf(ts).getTime
+    val millis = Versions.parseTsLiteral(spark, ts)
     val v = Versions.versionAsOf(spark, root, millis)
     Seq(Row(v, Versions.restore(spark, root, v)))
   }

@@ -173,6 +173,15 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val r = GraftSql.exec(spark, s"RESTORE graft.`$root` TO TIMESTAMP AS OF '$t1'").head()
     assert(r.getInt(0) == 1)
     assert(Fetch.fetch(spark, root).count() == 40)
+    // tolerant literal forms: the ISO 'T' separator restores identically,
+    // and a date-only literal parses to session-zone midnight
+    val iso = t1.toString.replace(' ', 'T')
+    val r2 = GraftSql.exec(spark,
+      s"RESTORE graft.`$root` TO TIMESTAMP AS OF '$iso'").head()
+    assert(r2.getInt(0) == 1)
+    assert(Versions.parseTsLiteral(spark, "2001-02-03") ==
+      java.time.LocalDate.parse("2001-02-03")
+        .atStartOfDay(java.time.ZoneId.of("UTC")).toInstant.toEpochMilli)
   }
 
   test("OPTIMIZE SMALL FILES packs only the small tail; big files keep their paths") {
