@@ -494,6 +494,24 @@ object SparkEntry {
       Versions.changeFeed(s, root, 1, 3)
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     }),
+    // MINIMAL change feed over a copy-on-write rewrite: the file-granular
+    // default would emit every row of every rewritten file as a
+    // self-canceling delete+insert pair; with rowDiffKeys the removed and
+    // added files hash-join on the key and ONLY the genuinely updated
+    // rows emit — read through the format("graft") change-feed option to
+    // exercise the full connector plumbing.
+    "version_change_feed_minimal" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vcfmin", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Mutations.updateWhere(s, root, col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+      s.read.format("graft").option("changeFeed", "true")
+        .option("startingVersion", "2").option("rowDiffKeys", "o_orderkey")
+        .load(root)
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    }),
     "version_apply_changes" -> ((s, dir) => {
       // the CDC-sink path: one atomic version applying a batch of
       // upserts (%10 keys re-prioritized) and delete tombstones (%7
@@ -1688,6 +1706,16 @@ object SparkEntry {
         | 'U:' || o_orderpriority AS o_orderpriority,
         | 'insert' AS _change_type, 3 AS _commit_version
         |FROM orders WHERE o_orderkey % 7 = 0 AND NOT o_orderkey % 97 = 0
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+    "version_change_feed_minimal" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | o_orderpriority, 'delete' AS _change_type, 2 AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'U:' || o_orderpriority AS o_orderpriority,
+        | 'insert' AS _change_type, 2 AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "version_apply_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -855,10 +855,13 @@ object Versions {
     *    an UPDATE surfaces as the standard delete+insert pair. Exact.
     *  - `rewrite` (copy-on-write DELETE/UPDATE/MERGE) — removed files'
     *    rows (DV-applied as of the parent version) as `delete`, added
-    *    files as `insert`. CORRECT but file-granular: survivors of a
-    *    rewritten file appear as a delete+insert of equal rows (the
-    *    rewrite commit records files, not rows — run mutations in their
-    *    `dv` modes when a consumer needs a minimal feed).
+    *    files as `insert`. CORRECT but file-granular by default:
+    *    survivors of a rewritten file appear as a delete+insert of equal
+    *    rows (the rewrite commit records files, not rows). Pass
+    *    `rowDiffKeys` to get the MINIMAL feed instead: removed and added
+    *    files hash-join on the keys and only genuinely changed rows emit
+    *    (no self-canceling pairs) — or run mutations in their `dv` modes,
+    *    which are row-precise without any join.
     *  - `overwrite` — the parent snapshot as `delete` + the new snapshot
     *    as `insert` (a logical replacement has no smaller description).
     *
@@ -867,7 +870,8 @@ object Versions {
     * files null-fill evolved columns, like every snapshot read).
     */
   def changeFeed(spark: SparkSession, root: String,
-                 fromVersion: Int, toVersion: Int): DataFrame = {
+                 fromVersion: Int, toVersion: Int,
+                 rowDiffKeys: Seq[String] = Nil): DataFrame = {
     val latest = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
     require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
@@ -891,6 +895,43 @@ object Versions {
       df.withColumn(tCol, lit(t)).withColumn(vCol, lit(v))
     val parts = (fromVersion + 1 to toVersion).flatMap { v =>
       val e = readEntry(spark, root, v)
+      // opt-in MINIMAL feed for rewrite commits: instead of the
+      // file-granular delete+insert of every row of every rewritten file
+      // (correct but self-canceling for survivors), hash-join the removed
+      // files' live rows against the added files' rows on `rowDiffKeys`
+      // and emit ONLY rows that actually changed — deletes for keys that
+      // vanished or changed (pre-images), inserts for keys that appeared
+      // or changed (post-images). Keys must identify a row uniquely
+      // within the rewritten files (the usual CDC contract). One
+      // full-outer shuffle of O(rewritten files' rows) per rewrite commit.
+      val minimalRewrite =
+        rowDiffKeys.nonEmpty && e.action == "rewrite" && e.removed.nonEmpty
+      if (minimalRewrite) {
+        val keys = rowDiffKeys
+        val (_, _, parentDvs) = snapshotFullAt(spark, root, v - 1)
+        val covered = e.removed.toSet
+        val relevant = parentDvs.map(d =>
+          DvRef(d.dir, d.files.filter(covered))).filter(_.files.nonEmpty)
+        val oldRows = readFiles(spark, root, e.removed, outMeta, dvs = relevant)
+        val newRows = readFiles(spark, root, e.added, outMeta)
+        val all = outMeta.schema.fieldNames.toIndexedSeq
+        keys.foreach(k => require(all.contains(k),
+          s"rowDiffKeys column $k is not in the dataset schema"))
+        val others = all.filterNot(keys.contains)
+        def side(df: DataFrame, t: String) = df.select(keys.map(col) ++ Seq(
+          struct(all.map(col): _*).as(s"__row_$t"),
+          (if (others.isEmpty) lit(0) else struct(others.map(col): _*))
+            .as(s"__v_$t")): _*)
+        val changed = side(oldRows, "a")
+          .join(side(newRows, "b"), keys, "full_outer")
+          .where(!(col("__v_a") <=> col("__v_b")) ||
+            col("__row_a").isNull =!= col("__row_b").isNull)
+        Seq(
+          tagged(changed.where(col("__row_a").isNotNull).select(col("__row_a.*")),
+            "delete", v),
+          tagged(changed.where(col("__row_b").isNotNull).select(col("__row_b.*")),
+            "insert", v))
+      } else {
       val inserts =
         if (e.added.isEmpty) Nil
         else {
@@ -947,6 +988,7 @@ object Versions {
         case _ => Nil
       }
       deletes ++ inserts
+      }
     }
     val cols = outMeta.schema.fieldNames.toIndexedSeq.map(col) ++ Seq(col(tCol), col(vCol))
     parts match {

@@ -107,7 +107,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       val to = parameters.get("endingVersion").map(_.trim.toInt)
         .orElse(Versions.latestVersion(spark, root)).getOrElse(
           throw new IllegalArgumentException(s"dataset $root is not versioned"))
-      new GraftChangeFeedRelation(sqlContext, root, from - 1, to)
+      new GraftChangeFeedRelation(sqlContext, root, from - 1, to,
+        GraftDataSource.rowDiffKeysOf(parameters))
     } else new GraftRelation(sqlContext, rootOf(parameters),
       parameters.get("versionAsOf").map(_.trim.toInt))
 
@@ -290,12 +291,14 @@ class GraftSink(spark: SparkSession, root: String, partitions: Seq[String],
   * version window ([[Versions.changeFeed]]).
   */
 class GraftChangeFeedRelation(override val sqlContext: SQLContext,
-                              root: String, fromExclusive: Int, to: Int)
+                              root: String, fromExclusive: Int, to: Int,
+                              rowDiffKeys: Seq[String] = Nil)
     extends BaseRelation with TableScan {
   // one feed serves both schema and scans: building it re-resolves
   // snapshots and re-reads commit entries, so do that once per relation
   private lazy val feed: DataFrame =
-    Versions.changeFeed(sqlContext.sparkSession, root, fromExclusive, to)
+    Versions.changeFeed(sqlContext.sparkSession, root, fromExclusive, to,
+      rowDiffKeys)
   override lazy val schema: StructType = feed.schema
   override def buildScan(): RDD[Row] = feed.rdd
 }
@@ -417,6 +420,15 @@ class GraftCdcSource(spark: SparkSession, root: String,
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftDataSource {
+  /** `rowDiffKeys` option (comma list): minimal-feed keys for rewrite
+    * commits in change-feed reads ([[Versions.changeFeed]]).
+    */
+  private[sources] def rowDiffKeysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("rowDiffKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 }
 
 object GraftCdcSource {

@@ -149,7 +149,8 @@ object GraftTable {
       val to = options.get("endingVersion").map(_.trim.toInt)
         .orElse(Versions.latestVersion(spark, root)).getOrElse(
           throw new IllegalArgumentException(s"dataset $root is not versioned"))
-      Versions.changeFeed(spark, root, from - 1, to)
+      Versions.changeFeed(spark, root, from - 1, to,
+        GraftDataSource.rowDiffKeysOf(options))
     } else options.get("versionAsOf").map(_.trim.toInt) match {
       case Some(v) => Versions.fetchVersion(spark, root, v)
       case None if !Versions.isVersioned(spark, root) =>

@@ -100,6 +100,35 @@ class ChangeFeedSpec extends AnyFunSuite {
     assertReplays(root, 1, 3)
   }
 
+  test("rowDiffKeys: rewrite commits feed MINIMAL — no self-canceling pairs") {
+    val root = TestSpark.tmpDir("cf_minimal")
+    Publish.publishVersioned(spark,
+      (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), root, Nil)
+    Mutations.updateWhere(spark, root, col("id") % 6 === 0,
+      Map("v" -> lit(-1.0)))                                         // v2 rewrite
+    Mutations.deleteWhere(spark, root, col("id") === 13)             // v3 rewrite
+    val feed = Versions.changeFeed(spark, root, 1, 3, rowDiffKeys = Seq("id"))
+    val del = rows(feed.where(col("_change_type") === "delete"))
+    val ins = rows(feed.where(col("_change_type") === "insert"))
+    // only the genuinely changed rows emit: updates as delete(pre)+
+    // insert(post), the delete as a lone pre-image — survivors of the
+    // rewritten files appear NOWHERE
+    assert(del == ((0L until 60L by 6).map(i => (i, i * 1.0)) :+ ((13L, 13.0)))
+      .sorted)
+    assert(ins == (0L until 60L by 6).map(i => (i, -1.0)).sorted)
+    // no self-canceling pair: no (key, payload) appears on both sides
+    assert(del.toSet.intersect(ins.toSet).isEmpty)
+    // replay still holds with the minimal legs
+    val base = rows(Versions.fetchVersion(spark, root, 1))
+    val target = rows(Versions.fetchVersion(spark, root, 3))
+    assert((base ++ ins).diff(del).sorted == target)
+    // file-granular default on the same window DOES carry survivor pairs
+    // (the documented trade) — the option is what removes them
+    val fat = Versions.changeFeed(spark, root, 1, 3)
+    val fatDel = rows(fat.where(col("_change_type") === "delete"))
+    assert(fatDel.size > del.size)
+  }
+
   test("RESTORE of a dv-bearing version feeds its snapshot without deleted rows") {
     val root = TestSpark.tmpDir("cf_restore")
     Publish.publishVersioned(spark,
