@@ -845,7 +845,7 @@ object SparkEntry {
 
     "ann_ivf_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
-      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16, nprobe = 4)
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 8), 5, nlist = 16)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("query_id", "rnk")
     }),
@@ -899,12 +899,12 @@ object SparkEntry {
       val embs = s.read.parquet(t(dir, "embeddings"))
       val queries = embs.where(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(embs, queries, 5)
-      val ivf = Similarity.ivfTopK(embs, queries, 5, nlist = 16, nprobe = 8)
+      val ivf = Similarity.ivfTopK(embs, queries, 5, nlist = 16)
       val lsh = Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16)
       val cl = clusteredCorpus(s)
       val clQueries = cl.where(col("vec_id") < 8)
       val clBrute = Similarity.bruteForceTopK(cl, clQueries, 5)
-      val clIvf = Similarity.ivfTopK(cl, clQueries, 5, nlist = 8, nprobe = 2)
+      val clIvf = Similarity.ivfTopK(cl, clQueries, 5, nlist = 8)
       val clLsh = Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8)
       val clPq = Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
         refineFactor = 4, maxFitSample = 1000)
@@ -1032,9 +1032,14 @@ object SparkEntry {
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
     // image near-dup over PLANTED retouched PNGs: 30 seeded random 8×8
     // block patterns (pairwise aHash Hamming ~32) + one-block-toggled
-    // twins for every %3 id (Hamming 1). The pair count — exactly the 10
-    // planted twins, nothing else — is the assertion the driver row count
-    // pins (no SQL oracle can decode PNGs).
+    // twins for every %3 id. ORACLE-EXACT by construction: each block is
+    // pure 0x000000/0xffffff, so the 8×8 aHash downsample reproduces the
+    // block grid exactly and a one-block toggle moves the mean by only
+    // ±255/64 — every other block stays on its side of the threshold,
+    // hence each twin pair surfaces at Hamming EXACTLY 1 and every
+    // non-twin pair sits near ~32 (excluded). DuckDB derives the full
+    // (id_a, id_b, hamming) set from the planted construction; no PNG
+    // decoding needed.
     "multimodal_image_neardup" -> ((s, dir) => {
       import s.implicits._
       def blockPng(seed: Int, toggled: Boolean): Array[Byte] = {
@@ -2727,7 +2732,14 @@ object SparkEntry {
         | octet_length(encode(text)) % 640 + 16 AS width,
         | (octet_length(encode(text)) * 7) % 480 + 16 AS height,
         | octet_length(encode(text)) % 30 + 1 AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted construction's exact answer (see the queries comment:
+    // pure-block PNGs make the aHash grid-exact, so each retouched twin
+    // lands at Hamming exactly 1 and nothing else passes <=3)
+    "multimodal_image_neardup" ->
+      """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b,
+        | CAST(1 AS INT) AS hamming
+        |FROM range(0, 30, 3) t(i) ORDER BY id_a, id_b""".stripMargin
   ) ++ filesListRoot.map { root =>
     // DuckDB lists the same scratch directory the query listed: every
     // non-hidden *.parquet under the dataset root, root-relative. The

@@ -243,23 +243,44 @@ object Similarity {
     c.withColumn("cell", graft.functions.AnnFunctions.nearestCell(
       col("cv"), col("cn"), centroidArray(centroids)))
 
+  /** AUTO probe count (`nprobe <= 0` in the IVF surfaces): half the cells,
+    * plus one more per decade of corpus size beyond 10k rows, clamped to
+    * [2, nlist]. Recall-vs-probe is geometry-driven, but two effects scale
+    * with SIZE: a bigger corpus packs the true top-k tighter (cell-boundary
+    * neighbors matter more) and the bounded fit sample covers a smaller
+    * fraction (cells drift from the true Voronoi) — measured at ×100
+    * (STRESS_SCALE r13) the fixed half-probe config's minimum recall sat
+    * exactly on the 0.80 floor; the decade boost buys headroom exactly at
+    * the scales that need it. Corpus size comes from the free Catalyst
+    * row estimate — no counting job.
+    */
+  def autoNprobe(nlist: Int, corpusRows: Long): Int = {
+    val base = (nlist + 1) / 2
+    val boost = math.max(0.0,
+      math.log10(math.max(corpusRows, 1L).toDouble / 10000.0)).toInt
+    math.min(nlist, math.max(2, base + boost))
+  }
+
   /** IVF-style ANN against a fitted index: each query probes only its
-    * `nprobe` nearest cells and ranks that union by exact cosine —
-    * per-query work is proportional to the probed fraction
-    * (nprobe/nlist of the corpus) instead of the whole corpus, and a
-    * persisted `index.assigned` makes repeated queries refit- and
+    * `nprobe` nearest cells (`<= 0` = [[autoNprobe]]) and ranks that
+    * union by exact cosine — per-query work is proportional to the probed
+    * fraction (nprobe/nlist of the corpus) instead of the whole corpus,
+    * and a persisted `index.assigned` makes repeated queries refit- and
     * rescan-free.
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               nprobe: Int = 3): DataFrame = {
+               nprobe: Int = 0): DataFrame = {
     val centroids = index.centroids
+    val np =
+      if (nprobe > 0) nprobe
+      else autoNprobe(centroids.length, math.max(1L, estimatedRows(index.assigned)))
     // Each query's nprobe nearest cells, ranked by distance to the (tiny,
     // driver-held) centroid set — centroids ride the codegen'd
     // [[graft.functions.ProbeCellsExpr]], no join, no udf boxing.
     val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
       .withColumn("cell", explode(graft.functions.AnnFunctions.probeCells(
-        col("qv"), col("qn"), centroidArray(centroids), nprobe)))
+        col("qv"), col("qn"), centroidArray(centroids), np)))
 
     // A persisted index is cell-partitioned on disk: resolve the probed
     // cell set (≤ nlist values — one cheap pass over the query side) and
@@ -285,7 +306,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+              nlist: Int = 16, nprobe: Int = 0, seed: Long = 42L,
               maxFitSample: Int = 25000): DataFrame =
     ivfQuery(ivfFit(corpus, idCol, vecCol, nlist, seed, maxFitSample),
       queries, k, idCol, vecCol, nprobe)

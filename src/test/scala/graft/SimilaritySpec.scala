@@ -212,4 +212,22 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
+
+  test("autoNprobe: half-probe base, +1 per decade past 10k, clamped to [2, nlist]") {
+    // base: half the cells (rounded up), no boost below 10k rows
+    assert(Similarity.autoNprobe(16, 100) == 8)
+    assert(Similarity.autoNprobe(8, 100) == 4)
+    assert(Similarity.autoNprobe(16, 9999) == 8)
+    // +1 per decade beyond 10k: 200k is 1 decade, 10M is 3
+    assert(Similarity.autoNprobe(16, 200000) == 9)
+    assert(Similarity.autoNprobe(16, 10000000) == 11)
+    // clamps: never past nlist, never below 2
+    assert(Similarity.autoNprobe(4, Long.MaxValue) == 4)
+    assert(Similarity.autoNprobe(2, 1) == 2)
+    assert(Similarity.autoNprobe(3, 0) == 2)
+    // monotone in corpus size
+    val probes = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Similarity.autoNprobe(16, _))
+    assert(probes == probes.sorted)
+  }
 }
