@@ -423,6 +423,26 @@ object SparkEntry {
         col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 1)
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // RENAME COLUMN as a metadata-only commit (Delta-style name mapping):
+    // zero data bytes move; the appended batch after the rename writes
+    // under the same stable physical name, and the read restores the new
+    // logical name across BOTH epochs. DROP COLUMN then hides a column
+    // without touching a file.
+    "version_rename_column" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vrename", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Versions.renameColumn(s, root, "o_orderpriority", "priority")
+      Publish.publishVersioned(s,
+        s.read.parquet(t(dir, "orders"))
+          .withColumnRenamed("o_orderpriority", "priority")
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+          .withColumn("priority", concat(lit("N:"), col("priority"))),
+        root, Seq("o_orderstatus"), mode = "append")
+      Versions.dropColumn(s, root, "o_totalprice")
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
     "version_update_where" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vupdate", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1664,6 +1684,15 @@ object SparkEntry {
     "version_dv_split_scan" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_rename_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+        | o_orderpriority AS priority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_orderdate,
+        | 'N:' || o_orderpriority AS priority
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "version_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

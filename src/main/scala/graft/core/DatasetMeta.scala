@@ -18,15 +18,38 @@ import org.json4s.jackson.JsonMethods
   * — one object instead of one metadata stamp per data file, so reading it
   * back is O(1) regardless of dataset size.
   */
-final case class DatasetMeta(schema: StructType, partitions: Seq[String]) {
+/** `colMap`: logical→physical column-name mapping in force for this
+  * snapshot's files ([[VersionEntry.colMap]] — versioned datasets only;
+  * empty = identity). Carried here so every read path that already
+  * receives a DatasetMeta can scan under physical names and restore the
+  * logical ones. NOT serialized to the sidecar: the commit entries own
+  * it (the sidecar always records the current LOGICAL schema).
+  */
+final case class DatasetMeta(schema: StructType, partitions: Seq[String],
+                             colMap: Map[String, String] = Map.empty) {
   require(partitions.forall(schema.fieldNames.contains),
     s"partition columns ${partitions.mkString(",")} must exist in the schema")
+  require(colMap.keySet.subsetOf(schema.fieldNames.toSet),
+    s"colMap names columns not in the schema: ${colMap.keySet -- schema.fieldNames}")
+  require(schema.fieldNames.map(n => colMap.getOrElse(n, n)).distinct.length ==
+      schema.fields.length,
+    "colMap collapses two logical columns onto one physical name")
 
   def partitionType(p: String): DataType = schema(p).dataType
   def partitionTypes: Map[String, DataType] =
     partitions.map(p => p -> partitionType(p)).toMap
   def dataColumns: Seq[String] =
     schema.fieldNames.toSeq.filterNot(partitions.contains)
+
+  /** The physical (on-file) name of a logical column. */
+  def physName(logical: String): String = colMap.getOrElse(logical, logical)
+
+  /** The schema as the data files carry it (physical names, same types
+    * and order) — what a scan must be given.
+    */
+  def physSchema: StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = physName(f.name))))
 }
 
 object DatasetMeta {

@@ -73,10 +73,13 @@ object Fetch {
         // and Catalyst partition pruning working on an explicit file list.
         val pred = Filters.compile(meta, filters)
         def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
+        // versioned scans read under PHYSICAL names (rename/drop are
+        // metadata-only commits; partition columns are never mapped, so
+        // the compiled partition predicate applies unchanged)
         def scanOf(relFiles: Seq[String]): DataFrame = {
           val files = relFiles
             .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
-          spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
+          spark.read.option("basePath", root).schema(meta.physSchema).parquet(files: _*)
         }
         // Deletion vectors apply AFTER the partition filter (fewer rows
         // to probe) and BEFORE the restoring select — and ONLY to the
@@ -97,8 +100,10 @@ object Fetch {
           case None => withPred(spark.read.schema(meta.schema).parquet(root))
         }
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
-        // partition-column expression the scan can prune on.
-        val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+        // partition-column expression the scan can prune on. Physical
+        // names alias back to logical here.
+        val restored = meta.schema.fields.toIndexedSeq.map(f =>
+          col(meta.physName(f.name)).cast(f.dataType).as(f.name))
         undeleted.select(restored: _*)
     }
   }
@@ -129,16 +134,25 @@ object Fetch {
     Filters.validateDataFilters(meta, dataFilters)
     if (!hasData(spark, root))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-    val files = StatsIndex.candidateFiles(spark, root, meta, dataFilters)
+    // A name-mapped dataset's stats/bloom sidecars and data files are
+    // keyed by PHYSICAL column names: probe and scan in physical terms
+    // (filters validated against the LOGICAL schema above), restore
+    // logical names at the end. Identity when no mapping is in force.
+    val physMeta =
+      if (meta.colMap.isEmpty) meta
+      else meta.copy(schema = meta.physSchema, colMap = Map.empty)
+    val physDataFilters =
+      dataFilters.map(f => f.copy(partition = meta.physName(f.partition)))
+    val files = StatsIndex.candidateFiles(spark, root, physMeta, physDataFilters)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     val pred = Seq(
       Filters.compile(meta, filters),
-      Filters.compileOn(c => meta.schema(c).dataType, dataFilters)).flatten
+      Filters.compileOn(c => physMeta.schema(c).dataType, physDataFilters)).flatten
       .reduceOption(_ && _)
     def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
     def scanOf(abs: Seq[String]): DataFrame =
-      spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+      spark.read.option("basePath", root).schema(meta.physSchema).parquet(abs: _*)
     val dvs = full.map(_._3).getOrElse(Nil)
     // Only files a DV ref covers pay the anti-join probe (see [[fetch]])
     val undeleted =
@@ -154,7 +168,8 @@ object Fetch {
           else Some(applyDvs(spark, root, withPred(scanOf(cov.map(_._1))), dvs))
         (uncovLeg ++ covLeg).reduce(_.unionByName(_))
       }
-    val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val restored = meta.schema.fields.toIndexedSeq.map(f =>
+      col(meta.physName(f.name)).cast(f.dataType).as(f.name))
     undeleted.select(restored: _*)
   }
 

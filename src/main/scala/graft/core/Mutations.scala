@@ -73,11 +73,21 @@ object Mutations {
                             removedRel: Seq[String]): MutationResult = {
     // a delete can wipe EVERY row of the affected files — then there is
     // nothing to write and the commit is removal-only (isEmpty scans only
-    // the affected files, already the small rewritten subset)
+    // the affected files, already the small rewritten subset). A
+    // name-mapped dataset's replacement files are written under the
+    // mapping's PHYSICAL names, like every other live file.
+    val physReplacement =
+      if (meta.colMap.isEmpty) replacement
+      else replacement.select(replacement.schema.fieldNames.toIndexedSeq.map(n =>
+        col(n).as(meta.physName(n))): _*)
     val newFiles =
       if (replacement.isEmpty) Nil
-      else Publish.publishImpl(spark, replacement, root,
-        meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+      else Publish.publishImpl(spark, physReplacement, root,
+        meta.partitions, "append", Nil, Nil, 16, 0, Nil,
+        // physical names intentionally differ from the sidecar's logical
+        // schema on a mapped dataset; the logical shape was already
+        // validated by the snapshot read this replacement derives from
+        requireSchemaMatch = meta.colMap.isEmpty)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
       removedRel = removedRel)
@@ -183,10 +193,18 @@ object Mutations {
   private def updateDvCommit(spark: SparkSession, root: String,
                              meta: DatasetMeta, rows: DataFrame,
                              dv: Option[DvRef]): MutationResult = {
+    // mapped datasets write the replacement copies under PHYSICAL names
+    // (see rewriteCommit — the mapping pins one physical name per column
+    // across every live file)
+    val physRows =
+      if (meta.colMap.isEmpty) rows
+      else rows.select(rows.schema.fieldNames.toIndexedSeq.map(n =>
+        col(n).as(meta.physName(n))): _*)
     val newFiles =
       if (rows.isEmpty) Nil
-      else Publish.publishImpl(spark, rows, root,
-        meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+      else Publish.publishImpl(spark, physRows, root,
+        meta.partitions, "append", Nil, Nil, 16, 0, Nil,
+        requireSchemaMatch = meta.colMap.isEmpty)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "update_dv", newFiles, meta,
       dvs = dv.toSeq)

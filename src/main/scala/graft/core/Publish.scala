@@ -277,9 +277,22 @@ object Publish {
     require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       "append schema does not match the dataset's recorded schema")
+    // A name-mapped dataset (RENAME/DROP COLUMN history) writes every
+    // data file under the PHYSICAL names the mapping pins — one stable
+    // physical name per logical column across ALL live files, which is
+    // what lets one map serve the whole snapshot. The commit entry (and
+    // the logical schema check above) stay in logical terms.
+    val logicalSchema = df.schema
+    val colMap = Versions.latestVersion(spark, root)
+      .map(v => Versions.readEntry(spark, root, v).colMap).getOrElse(Map.empty)
+    val physDf =
+      if (colMap.isEmpty) df
+      else df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
+        col(n).as(colMap.getOrElse(n, n))): _*)
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (out, recordsPerFile) = prepareForWrite(spark, df, partitions,
-      sortCols, zorderCols, zorderBits, zorderPartitions)
+    val (out, recordsPerFile) = prepareForWrite(spark, physDf, partitions,
+      sortCols.map(n => colMap.getOrElse(n, n)),
+      zorderCols.map(n => colMap.getOrElse(n, n)), zorderBits, zorderPartitions)
     val moved = directWrite(spark, out, root, partitions, recordsPerFile)
     // restamp to "now": vacuum's grace horizon must measure from HERE —
     // the end of the batch write, the start of the uncommitted-but-live
@@ -292,8 +305,9 @@ object Publish {
       catch { case _: Exception => () }
     }
     postWriteHook()
-    val cols = (statsCols ++ StatsIndex.indexedColumns(spark, root))
-      .distinct.filter(df.columns.contains)
+    val cols = (statsCols.map(n => colMap.getOrElse(n, n))
+        ++ StatsIndex.indexedColumns(spark, root))
+      .distinct.filter(physDf.columns.contains)
     // sidecar maintenance doesn't commute (read-modify-write of shared
     // index state) — the ONE short serialized step of the append. The
     // bloom sidecar self-maintains like any append (no-op when no bloom
@@ -306,8 +320,8 @@ object Publish {
       if (cols.nonEmpty) StatsIndex.appendFiles(spark, root, moved, cols)
       if (hasBloom) BloomIndex.appendFiles(spark, root, moved)
     }
-    Versions.commit(spark, root, "append", moved, DatasetMeta(df.schema, partitions),
-      txn = txn)
+    Versions.commit(spark, root, "append", moved,
+      DatasetMeta(logicalSchema, partitions), txn = txn)
     moved
   }
 

@@ -171,7 +171,7 @@ object StatsIndex {
       sinkLatestBatchId(spark, root) match {
         case None => () // no commits yet (or not a sink root): nothing to claim
         case Some(v) =>
-          val meta = requireMeta(spark, root)
+          val meta = physRequireMeta(spark, root)
           val target = validTarget(meta, cols)
           val committed = Publish.listDataFiles(spark, root) // log-authoritative
           if (committed.isEmpty) return
@@ -301,6 +301,22 @@ object StatsIndex {
     catch { case _: java.net.URISyntaxException => new Path(s).toUri.getPath }
   }
 
+  /** The dataset's metadata in PHYSICAL column terms: identical to the
+    * sidecar unless the latest commit carries a name mapping (stats
+    * sidecars, like the data files they describe, are keyed by PHYSICAL
+    * names — a RENAME COLUMN must not orphan or re-key them).
+    */
+  private def physRequireMeta(spark: SparkSession, root: String): DatasetMeta = {
+    val m = requireMeta(spark, root)
+    val cm = Versions.latestVersion(spark, root)
+      .map(v => Versions.readEntry(spark, root, v).colMap)
+      .getOrElse(Map.empty[String, String])
+    if (cm.isEmpty) m
+    else DatasetMeta(org.apache.spark.sql.types.StructType(
+      m.schema.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name)))),
+      m.partitions)
+  }
+
   private def requireMeta(spark: SparkSession, root: String): DatasetMeta =
     DatasetMeta.read(spark, root).getOrElse(
       throw new MissingGraftMetadata(s"Dataset at $root is missing graft metadata."))
@@ -393,7 +409,7 @@ object StatsIndex {
     // path must error with zero filesystem mutation, as it always did
     requireMeta(spark, root)
     DatasetLock.withLock(spark, root) {
-      val meta = requireMeta(spark, root) // re-read under the lock
+      val meta = physRequireMeta(spark, root) // re-read under the lock
       buildFor(spark, root, meta, Publish.listDataFiles(spark, root), cols)
     }
   }
@@ -441,7 +457,7 @@ object StatsIndex {
       if (newFiles.isEmpty) {
         if (markComplete) restoreMarker(cols)
       } else {
-        val meta = requireMeta(spark, root)
+        val meta = physRequireMeta(spark, root)
         val target = validTarget(meta, cols)
         read(spark, root) match {
           case Some(existing) if coveredColumns(existing) == target.toSet =>

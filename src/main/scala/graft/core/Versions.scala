@@ -20,11 +20,21 @@ import org.json4s.jackson.JsonMethods
   * the updated/merged row copies, `dvs` removes their originals — the
   * O(matched rows) UPDATE/MERGE commit).
   */
+/** `colMap`: LOGICAL column name → PHYSICAL parquet column name, the
+  * Delta-style name-mapping that makes RENAME/DROP COLUMN metadata-only
+  * commits ([[Versions.renameColumn]]/[[Versions.dropColumn]]). Empty =
+  * identity (no mapping in force). Physical names are STABLE across a
+  * mapped dataset's life: every data file — original, appended, or
+  * mutation-rewritten — carries the same physical name for a logical
+  * column, so one map serves all live files; a logical OVERWRITE resets
+  * the map (its fresh files are written under the then-logical names).
+  */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String],
                               txn: Option[(String, Long)] = None,
-                              dvs: Seq[DvRef] = Nil)
+                              dvs: Seq[DvRef] = Nil,
+                              colMap: Map[String, String] = Map.empty)
 
 /** One deletion-vector sidecar: `dir` (root-relative, under `_graft_dv/`)
   * holds a parquet dataset of `(file, row_index)` — the exact rows a
@@ -237,14 +247,24 @@ object Versions {
     * marker can check [[lastTxnBatch]] on restart and skip the replayed
     * batch, because the stamp and the data commit are one atomic write.
     */
+  /** `colMap`: the logical→physical name mapping to record (see
+    * [[VersionEntry.colMap]]). None = the default: an overwrite resets to
+    * identity (its files carry logical names); every other action
+    * INHERITS the parent entry's map (file bytes are untouched, so the
+    * binding can't have changed). [[renameColumn]]/[[dropColumn]] (and
+    * [[restore]], which revives the target version's map) pass Some.
+    */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
              removedRel: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
-             dvs: Seq[DvRef] = Nil): Int = {
+             dvs: Seq[DvRef] = Nil,
+             colMap: Option[Map[String, String]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
-        || action == "delete_dv" || action == "update_dv",
+        || action == "delete_dv" || action == "update_dv" || action == "alter",
       s"unknown action $action")
+    require(action != "alter" || (addedAbs.isEmpty && removedRel.isEmpty && dvs.isEmpty),
+      "an alter commit is metadata-only: it adds/removes no files")
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
     require(dvs.isEmpty || action == "delete_dv" || action == "update_dv"
@@ -275,13 +295,27 @@ object Versions {
               "match the dataset — re-run the append against the new schema")
       }
       val v = latest.getOrElse(0) + 1
+      val entryColMap = colMap.getOrElse(
+        if (action == "overwrite") Map.empty[String, String]
+        else latest.map(lv => readEntry(spark, root, lv).colMap)
+          .getOrElse(Map.empty[String, String]))
+      require(entryColMap.keySet.subsetOf(meta.schema.fieldNames.toSet),
+        s"colMap names columns not in the schema: " +
+          s"${entryColMap.keySet -- meta.schema.fieldNames}")
+      require(entryColMap.values.toSeq.distinct.size == entryColMap.size,
+        "colMap physical names must be distinct")
+      require(meta.partitions.forall(p => entryColMap.getOrElse(p, p) == p),
+        "partition columns cannot be name-mapped")
       val base = List(
         "version" -> JInt(v),
         "action" -> JString(action),
         "added" -> JArray(rel.map(JString(_)).toList),
         "removed" -> JArray(removedRel.map(JString(_)).toList),
         "partitions" -> JArray(meta.partitions.map(JString(_)).toList),
-        "schema" -> JsonMethods.parse(meta.schema.json))
+        "schema" -> JsonMethods.parse(meta.schema.json)) ++
+        (if (entryColMap.isEmpty) Nil
+         else List("colMap" -> JObject(
+           entryColMap.toList.sortBy(_._1).map { case (k, p) => k -> JString(p) })))
       val txnFields = txn.toList.flatMap { case (app, b) =>
         List("txnApp" -> JString(app), "txnBatch" -> JInt(b)) }
       val dvFields =
@@ -389,8 +423,12 @@ object Versions {
       }
       case _ => Nil
     }
+    val colMap = (jv \ "colMap") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn, dvs)
+      schema, strings("partitions"), txn, dvs, colMap)
   }
 
   /** Highest batchId committed under `appId`, or None — the restart probe
@@ -574,7 +612,8 @@ object Versions {
     // processes land here instead of replaying the chain)
     if (ckptV.contains(version)) ckptGet(spark, root, version) match {
       case Some((files, dvs)) =>
-        val meta = DatasetMeta(atVersion.schema, atVersion.partitions)
+        val meta = DatasetMeta(atVersion.schema, atVersion.partitions,
+          atVersion.colMap)
         if (snapshotMemo.size > 1024) snapshotMemo.clear()
         snapshotMemo.put((qroot, version), (atVersion, files, meta, dvs))
         return (files, meta, dvs)
@@ -614,7 +653,8 @@ object Versions {
       (nextLive, nextDvs)
     }
     val at = chain.last // the entry AT `version` carries the current schema
-    val result = (files: Seq[String], DatasetMeta(at.schema, at.partitions), dvs: Seq[DvRef])
+    val result = (files: Seq[String],
+      DatasetMeta(at.schema, at.partitions, at.colMap), dvs: Seq[DvRef])
     if (snapshotMemo.size > 1024) snapshotMemo.clear() // bound driver state
     snapshotMemo.put((qroot, version), (atVersion, result._1, result._2, result._3))
     result
@@ -724,9 +764,12 @@ object Versions {
     val needMeta = keepPath.isDefined || keepRowIndex.isDefined
     // metadata-derived columns materialize AT THE SCAN — `_metadata`
     // resolves only against a scan, not a join result
+    // scans read under PHYSICAL column names (identical to meta.schema
+    // unless a rename/drop mapped them); the restoring select below
+    // aliases each back to its logical name
     def leg(fls: Seq[String], withMeta: Boolean): DataFrame = {
       val abs = fls.map(r => new Path(root, r).toString)
-      val raw0 = spark.read.option("basePath", root).schema(meta.schema).parquet(abs: _*)
+      val raw0 = spark.read.option("basePath", root).schema(meta.physSchema).parquet(abs: _*)
       if (!withMeta) raw0
       else raw0.withColumn(fileTmp, col("_metadata.file_path"))
                .withColumn(idxTmp, col("_metadata.row_index"))
@@ -744,7 +787,8 @@ object Versions {
       Some(if (needMeta) probed else probed.drop(fileTmp, idxTmp))
     }
     val raw = (uncovLeg ++ covLeg).reduce(_.unionByName(_))
-    val restored = meta.schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val restored = meta.schema.fields.toIndexedSeq.map(f =>
+      col(meta.physName(f.name)).cast(f.dataType).as(f.name))
     raw.select(restored ++ keepPath.map(p => col(fileTmp).as(p))
       ++ keepRowIndex.map(p => col(idxTmp).as(p)): _*)
   }
@@ -837,7 +881,7 @@ object Versions {
     val entries = (fromVersion + 1 to toVersion).map(readEntry(spark, root, _))
     val files = entries.flatMap(_.added)
     val at = entries.last
-    readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions))
+    readFiles(spark, root, files, DatasetMeta(at.schema, at.partitions, at.colMap))
   }
 
   /** Row-level CHANGE FEED over commits `(fromVersion, toVersion]` — the
@@ -888,7 +932,7 @@ object Versions {
       s"change feed from version $fromVersion of $root needs that version readable " +
         s"(oldest readable is $minReadable — it was vacuumed)")
     val atTo = readEntry(spark, root, toVersion)
-    val outMeta = DatasetMeta(atTo.schema, atTo.partitions)
+    val outMeta = DatasetMeta(atTo.schema, atTo.partitions, atTo.colMap)
     val tCol = "_change_type"
     val vCol = "_commit_version"
     def tagged(df: DataFrame, t: String, v: Int): DataFrame =
@@ -1160,18 +1204,94 @@ object Versions {
         val outParts = math.max(1L, totalSmall / (60L << 20)).toInt
         val packed = readFiles(spark, root, small, meta, dvs = relevant)
           .repartition(outParts)
+        // mapped datasets pack under PHYSICAL names like every live file
+        val physPacked =
+          if (meta.colMap.isEmpty) packed
+          else packed.select(packed.schema.fieldNames.toIndexedSeq.map(n =>
+            col(n).as(meta.physName(n))): _*)
         // every small-file row can be DV-deleted: the commit is then
         // removal-only (it materializes the deletes), nothing to write
         val newFiles =
           if (packed.isEmpty) Nil
-          else Publish.publishImpl(spark, packed, root,
-            meta.partitions, "append", Nil, Nil, 16, 0, Nil)
+          else Publish.publishImpl(spark, physPacked, root,
+            meta.partitions, "append", Nil, Nil, 16, 0, Nil,
+            requireSchemaMatch = meta.colMap.isEmpty)
         commit(spark, root, "rewrite", newFiles, meta, removedRel = small)
         val idxCols = StatsIndex.indexedColumns(spark, root)
         if (idxCols.nonEmpty && newFiles.nonEmpty)
           StatsIndex.appendFiles(spark, root, newFiles, idxCols)
         newFiles
       }
+    }
+
+  /** RENAME COLUMN — a METADATA-ONLY commit (the Delta name-mapping
+    * design): no data file is touched; the new `alter` entry carries the
+    * renamed logical schema plus a logical→physical [[VersionEntry.colMap]]
+    * binding the new name to the on-file (physical) column. Every read
+    * path scans under physical names and aliases back, so the rename is
+    * O(1) regardless of dataset size; appends/mutations after it write
+    * their files under the SAME physical name (one stable binding serves
+    * all live files), and a later logical overwrite/OPTIMIZE resets the
+    * map (fresh files carry logical names). Time travel works naturally:
+    * each version reads with its own entry's schema and map.
+    *
+    * Partition columns cannot be renamed — hive directory names carry
+    * them physically.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String): Int =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"RENAME COLUMN needs a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      require(meta.schema.fieldNames.contains(oldName),
+        s"no column $oldName in ${meta.schema.fieldNames.mkString(", ")}")
+      require(!meta.schema.fieldNames.contains(newName),
+        s"column $newName already exists")
+      require(newName.nonEmpty && newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"invalid column name '$newName'")
+      require(!meta.partitions.contains(oldName),
+        s"partition column $oldName cannot be renamed (hive directories carry it)")
+      val phys = meta.physName(oldName)
+      val newSchema = StructType(meta.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      // identity bindings are pruned: rename a→b→a round-trips to an
+      // empty map, and physSchema stays minimal
+      val newMap = ((meta.colMap - oldName) + (newName -> phys))
+        .filter { case (l, p) => l != p }
+      val v = commit(spark, root, "alter", Nil,
+        DatasetMeta(newSchema, meta.partitions), colMap = Some(newMap))
+      // the sidecar mirrors the CURRENT logical schema (commit entries are
+      // the source of truth for versioned reads; the sidecar serves schema
+      // validation and foreign readers)
+      DatasetMeta.write(spark, root, DatasetMeta(newSchema, meta.partitions))
+      v
+    }
+
+  /** DROP COLUMN — a METADATA-ONLY commit (see [[renameColumn]]): the
+    * column leaves the logical schema and the name map; its physical
+    * bytes stay in existing files (invisible — reads project the logical
+    * schema) until an OPTIMIZE/overwrite rewrites them. Time travel to a
+    * pre-drop version still sees it. Partition columns cannot be dropped.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"DROP COLUMN needs a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      require(meta.schema.fieldNames.contains(name),
+        s"no column $name in ${meta.schema.fieldNames.mkString(", ")}")
+      require(!meta.partitions.contains(name),
+        s"partition column $name cannot be dropped")
+      require(meta.schema.fields.length > 1, "cannot drop the only column")
+      val newSchema = StructType(meta.schema.fields.filterNot(_.name == name))
+      val newMap = (meta.colMap - name).filter { case (l, p) => l != p }
+      val v = commit(spark, root, "alter", Nil,
+        DatasetMeta(newSchema, meta.partitions), colMap = Some(newMap))
+      DatasetMeta.write(spark, root, DatasetMeta(newSchema, meta.partitions))
+      v
     }
 
   /** RESTORE: make `version`'s content the NEW latest version — a
@@ -1188,8 +1308,12 @@ object Versions {
       val abs = files.map(r => new Path(root, r).toString)
       // the restored snapshot's deletion vectors ride the overwrite entry:
       // rolling back to a DV-bearing version must not resurrect its
-      // deleted rows
-      commit(spark, root, "overwrite", abs, meta, dvs = dvs)
+      // deleted rows. Its column MAPPING rides along too — the restored
+      // files carry the TARGET version's physical names (an ordinary
+      // overwrite resets the map because it writes fresh files; a restore
+      // revives old ones).
+      commit(spark, root, "overwrite", abs, meta, dvs = dvs,
+        colMap = Some(meta.colMap))
     }
 
   /** Physically delete files no version ≥ `keepFrom` references, then

@@ -59,6 +59,10 @@ object LakehouseStatements {
   private val Vacuum = re("VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?" +
     "(?:\\s+GRACE\\s+(\\d+)\\s+MINUTES?)?(\\s+DRY\\s+RUN)?")
   private val Checkpoint = re("CHECKPOINT\\s+" + Target + "(?:\\s+AT\\s+VERSION\\s+(\\d+))?")
+  private val RenameColumn =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)")
+  private val DropColumn =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+DROP\\s+COLUMN\\s+(\\w+)")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -83,8 +87,33 @@ object LakehouseStatements {
       dryRun = dry != null))
     case Checkpoint(root, v) =>
       Some(GraftCheckpointCommand(root, Option(v).map(_.toInt)))
+    case RenameColumn(root, from, to) => Some(GraftRenameColumnCommand(root, from, to))
+    case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
     case _ => None
   }
+}
+
+/** `ALTER TABLE graft.`root` RENAME COLUMN a TO b` — metadata-only
+  * ([[Versions.renameColumn]]: one `alter` commit carrying the name
+  * mapping; zero data bytes move).
+  */
+case class GraftRenameColumnCommand(root: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.renameColumn(spark, root, from, to)))
+}
+
+/** `ALTER TABLE graft.`root` DROP COLUMN c` — metadata-only
+  * ([[Versions.dropColumn]]).
+  */
+case class GraftDropColumnCommand(root: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.dropColumn(spark, root, column)))
 }
 
 /** `CHECKPOINT graft.`root` [AT VERSION n]` — force a persisted commit-log
