@@ -1101,6 +1101,29 @@ object SparkEntry {
         orderKey = Some(col("doc_id")))
         .orderBy("doc_id")),
 
+    // URL-keyed dedup, the first stage of a web-crawl pipeline: synthetic
+    // URLs planted so each 5-doc bucket carries one page in five noisy
+    // spellings (scheme, www., trailing slash, tracking params, shuffled
+    // query order, fragment, default port). canonicalizeUrl must collapse
+    // them to two keys per bucket (plain page + queried page) and keep the
+    // lowest doc_id of each — the oracle REPLAYS the full canonicalization
+    // in DuckDB, so every normalization step is value-checked cross-engine.
+    "dedup_url" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bucket = (col("doc_id") / 5).cast("long")
+      val base = concat(lit("site"), pmod(bucket, lit(7)).cast("string"),
+        lit(".com/p/"), bucket.cast("string"))
+      val url = when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
+        .when(col("doc_id") % 5 === 1, concat(lit("http://www."), base, lit("/")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://"), base, lit("?utm_source=x&b=2&a=1")))
+        .when(col("doc_id") % 5 === 3, concat(lit("https://"), base, lit("#frag")))
+        .otherwise(concat(lit("HTTP://site"), pmod(bucket, lit(7)).cast("string"),
+          lit(".com:80/p/"), bucket.cast("string"), lit("?a=1&b=2")))
+      graft.ops.Domains.dedupByUrl(docs.withColumn("url", url))
+        .orderBy("doc_id")
+    }),
+
     "sample_mixture" -> ((s, dir) => {
       val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
       graft.ops.Sampling.mixture(s.read.parquet(t(dir, "documents")), slot,
@@ -2589,6 +2612,57 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // the oracle REPLAYS the full canonicalization pipeline step by step
+    // (fragment, scheme, userinfo, host case + www + default port,
+    // trailing slash, tracking-param filter, query sort) — cross-engine
+    // value check of every normalization rule, then the same min-per-key
+    // survivor election
+    "dedup_url" ->
+      """WITH withurl AS (
+        | SELECT *,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |   WHEN 0 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |     || '.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+        |   WHEN 1 THEN 'http://www.site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |     || '.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+        |   WHEN 2 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |     || '.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+        |   WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |     || '.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+        |   ELSE 'HTTP://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |     || '.com:80/p/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+        |  END AS url
+        | FROM documents),
+        |steps AS (
+        | SELECT *,
+        |  regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/@?]*@', '') AS nouser
+        | FROM withurl),
+        |parts AS (
+        | SELECT *,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nouser, '^([^/?]*)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_replace(
+        |    regexp_extract(regexp_extract(nouser, '^[^/?]*(.*)$', 1),
+        |      '^([^?]*)', 1), '/+$', '') AS path,
+        |  coalesce(array_to_string(list_sort(list_filter(
+        |    string_split(coalesce(regexp_extract(
+        |      regexp_extract(nouser, '^[^/?]*(.*)$', 1),
+        |      '\?(.*)$', 1), ''), '&'),
+        |    p -> NOT regexp_matches(p,
+        |      '^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)=')
+        |      AND p <> '')), '&'), '') AS kept
+        | FROM steps),
+        |canon AS (
+        | SELECT *, host || path ||
+        |  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS k
+        | FROM parts),
+        |keep AS (SELECT k, min(doc_id) AS doc_id FROM canon GROUP BY k)
+        |SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars, c.url
+        |FROM canon c JOIN keep USING (k, doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT source, doc_id FROM (

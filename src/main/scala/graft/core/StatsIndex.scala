@@ -724,18 +724,22 @@ object StatsIndex {
     * versioned guard. Marker coverage claims all PHYSICAL files ⊇ live
     * files, so completeness-gated exactness still holds. None = no sidecar.
     */
-  private def liveStats(spark: SparkSession, root: String): Option[DataFrame] = {
+  private def liveStats(spark: SparkSession, root: String,
+                        allowDvCovered: Boolean = false): Option[DataFrame] = {
     val all = read(spark, root).getOrElse(return None)
     Some(Versions.latestVersion(spark, root) match {
       case None => all
       case Some(latest) =>
         val (liveRel, _, dvs) = Versions.snapshotFullAt(spark, root, latest)
-        // deletion vectors poison every metadata-only AGGREGATE: a covered
+        // deletion vectors poison most metadata-only AGGREGATES: a covered
         // file's sidecar row still counts (and may min/max) its DELETED
-        // rows. Refuse — callers fall back to the (DV-aware) scan path.
+        // rows. Refuse — callers fall back to the (DV-aware) scan path —
+        // EXCEPT where the caller can correct exactly (COUNT(*) subtracts
+        // the DV cardinality: statsCount passes allowDvCovered).
         // File-level PRUNING stays sound (DVs only remove rows, so stats
         // ranges remain conservative) and does not come through here.
-        if (dvs.flatMap(_.files).toSet.intersect(liveRel.toSet).nonEmpty)
+        if (!allowDvCovered &&
+            dvs.flatMap(_.files).toSet.intersect(liveRel.toSet).nonEmpty)
           return None
         // shared path contract (Versions.absolutize): the sidecar's `file`
         // column stores decoded absolute paths, the log stores decoded
@@ -753,8 +757,9 @@ object StatsIndex {
     * Exactness additionally needs the completeness marker, which the
     * public entry points check first.
     */
-  private def perFileRowCounts(spark: SparkSession, root: String): Option[DataFrame] = {
-    val stats = liveStats(spark, root).getOrElse(return None)
+  private def perFileRowCounts(spark: SparkSession, root: String,
+                               allowDvCovered: Boolean = false): Option[DataFrame] = {
+    val stats = liveStats(spark, root, allowDvCovered).getOrElse(return None)
     val perFile = stats.groupBy("file").agg(max("n_rows").as("n_rows"))
     val gauge = perFile.agg(count(lit(1)).as("files"),
       count(col("n_rows")).as("counted")).head()
@@ -771,9 +776,28 @@ object StatsIndex {
   def statsCount(spark: SparkSession, root: String): Option[Long] = {
     if (DatasetMeta.read(spark, root).isEmpty) return None
     if (manifestColumns(spark, root).isEmpty) return None
-    val perFile = perFileRowCounts(spark, root).getOrElse(return None)
-    Some(Option(perFile.agg(sum("n_rows")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L))
+    // DV-covered files DON'T force a scan here: every live DV row names a
+    // live row of a live file exactly once (delete/update-DV hits are
+    // computed from the DV-APPLIED snapshot, so stacked DVs can never
+    // re-delete a row), hence COUNT(*) = sum(per-file n_rows) - live DV
+    // cardinality — still zero data rows read, one tiny pass over the
+    // O(deleted rows) sidecars.
+    val perFile = perFileRowCounts(spark, root, allowDvCovered = true)
+      .getOrElse(return None)
+    val total = Option(perFile.agg(sum("n_rows")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deleted = Versions.latestVersion(spark, root) match {
+      case None => 0L
+      case Some(latest) =>
+        val (liveRel, _, dvs) = Versions.snapshotFullAt(spark, root, latest)
+        val coveredLive = dvs.flatMap(_.files).toSet.intersect(liveRel.toSet)
+        if (coveredLive.isEmpty) 0L
+        else dvs.map(d => Versions.readDvRows(spark, root, d))
+          .reduce(_.unionByName(_))
+          .where(col("file").isInCollection(coveredLive))
+          .count()
+    }
+    Some(total - deleted)
   }
 
   /** Metadata-only COUNT(column) — the NON-NULL count, SQL semantics —

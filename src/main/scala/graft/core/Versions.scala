@@ -823,35 +823,100 @@ object Versions {
     }
   }
 
-  /** Filter a scan over DV-COVERED files down to its live rows: LEFT ANTI
-    * join against the union of the snapshot's deletion vectors on
-    * (file, parquet row index). The DV side's root-relative file names
-    * are mapped DRIVER-SIDE to the scan's raw `_metadata.file_path`
-    * strings via a broadcast [[dvScanKeys]] dictionary — the data side
-    * carries no per-row path computation at all, just the hash probe.
-    * The DV side is O(deleted rows), so AQE turns the anti-join into a
-    * broadcast hash probe in the common small-delete case — covered
-    * scans pay one in-memory probe per row, never a shuffle of the data
-    * side. Callers route ONLY covered files here ([[readFiles]] splits
-    * the snapshot's file list on `DvRef.files`); uncovered files must
-    * not pay the probe. `scan` must already carry the materialized
-    * metadata columns (`fileTmpCol` = raw `_metadata.file_path`,
-    * `idxTmpCol` = `_metadata.row_index`).
+  /** One DV sidecar as its (root-relative file, row_index) rows. */
+  private[core] def readDvRows(spark: SparkSession, root: String,
+                               d: DvRef): DataFrame =
+    spark.read.schema(DvSchema).parquet(new Path(root, d.dir).toString)
+
+  /** Memoized inline DV lookups: a snapshot's DV sidecars are immutable
+    * once written (new deletes add NEW dirs), so the driver-built table
+    * is cached per (root, dv-dir set) for the JVM's life. Bounded.
+    */
+  private val dvLookupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]),
+      Option[graft.functions.DvLookup]]()
+
+  /** How many total DV rows may inline as a scan-stage filter table
+    * (driver + task-binary resident); bigger DV sets use the anti-join.
+    */
+  private def dvInlineMax(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.dv.inlineThreshold", "4000000").toLong
+
+  /** The snapshot's deleted-row predicate compiled as a SCAN-STAGE filter
+    * (the Delta DV-as-row-filter shape), or None when the DVs are too big
+    * to inline. The lookup maps the scan's raw `_metadata.file_path`
+    * string ([[dvScanKeys]] forms) to a sorted array of deleted row
+    * indexes — one hash probe + binary search per covered row, evaluated
+    * INSIDE WholeStageCodegen: no join, no exchange, no second frame.
+    * Built from one tiny pass over the O(deleted rows) sidecars, memoized
+    * per immutable DV-dir set.
+    */
+  private[core] def dvInlinePredicate(spark: SparkSession, root: String,
+                                      dvs: Seq[DvRef], fileTmpCol: String,
+                                      idxTmpCol: String): Option[org.apache.spark.sql.Column] = {
+    val key = (qualifiedRootUri(spark, root), dvs.map(_.dir).sorted)
+    val lookup = dvLookupMemo.computeIfAbsent(key, _ => {
+      val dvRows = dvs.map(d => spark.read.schema(DvSchema)
+          .parquet(new Path(root, d.dir).toString))
+        .reduce(_.unionByName(_))
+      if (dvRows.limit(dvInlineMax(spark).toInt + 1).count() > dvInlineMax(spark)) None
+      else {
+        val grouped = dvRows.groupBy("file")
+          .agg(sort_array(collect_list("row_index")).as("idxs")).collect()
+        val relArr = grouped.map(r =>
+          r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+        val entries = dvScanKeys(spark, root, relArr.keys.toSeq)
+          .flatMap { case (rel, k) => relArr.get(rel).map(k -> _) }.toArray
+        Some(new graft.functions.DvLookup(entries))
+      }
+    })
+    if (dvLookupMemo.size > 64) dvLookupMemo.clear() // bound driver state
+    lookup.map(l => shimColumn(graft.functions.DvDeletedExpr(
+      shimExpr(col(fileTmpCol)), shimExpr(col(idxTmpCol)), l)))
+  }
+
+  private def shimColumn(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.shim.column(e)
+  private def shimExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.shim.expression(c)
+
+  /** Filter a scan over DV-COVERED files down to its live rows. Two
+    * strategies, chosen by DV size:
+    *
+    *  - INLINE (the common sparse-delete case): the deleted-row set rides
+    *    the plan as a [[graft.functions.DvLookup]] table and each row
+    *    pays one codegen'd hash probe + binary search — no join at all
+    *    ([[dvInlinePredicate]]).
+    *  - LEFT ANTI join on (raw `_metadata.file_path`, row index) for DV
+    *    sets past the inline threshold: the DV side's root-relative
+    *    names map DRIVER-SIDE to the scan's path strings via a broadcast
+    *    [[dvScanKeys]] dictionary — the data side still carries no
+    *    per-row path computation; AQE keeps the probe a broadcast hash.
+    *
+    * Callers route ONLY covered files here ([[readFiles]] splits the
+    * snapshot's file list on `DvRef.files`); uncovered files must not
+    * pay anything. `scan` must already carry the materialized metadata
+    * columns (`fileTmpCol` = raw `_metadata.file_path`, `idxTmpCol` =
+    * `_metadata.row_index`).
     */
   private[core] def withDvApplied(spark: SparkSession, root: String,
                                   scan: DataFrame, dvs: Seq[DvRef],
                                   fileTmpCol: String, idxTmpCol: String): DataFrame = {
     if (dvs.isEmpty) return scan
-    import spark.implicits._
-    val mapping = broadcast(
-      dvScanKeys(spark, root, dvs.flatMap(_.files).distinct).toDF("file", fileTmpCol))
-    val dvRows = dvs.map(d => spark.read.schema(DvSchema)
-        .parquet(new Path(root, d.dir).toString))
-      .reduce(_.unionByName(_))
-      .withColumnRenamed("row_index", idxTmpCol)
-      .join(mapping, "file")
-      .select(col(fileTmpCol), col(idxTmpCol))
-    scan.join(dvRows, Seq(fileTmpCol, idxTmpCol), "left_anti")
+    dvInlinePredicate(spark, root, dvs, fileTmpCol, idxTmpCol) match {
+      case Some(deleted) => scan.where(!deleted)
+      case None =>
+        import spark.implicits._
+        val mapping = broadcast(
+          dvScanKeys(spark, root, dvs.flatMap(_.files).distinct).toDF("file", fileTmpCol))
+        val dvRows = dvs.map(d => spark.read.schema(DvSchema)
+            .parquet(new Path(root, d.dir).toString))
+          .reduce(_.unionByName(_))
+          .withColumnRenamed("row_index", idxTmpCol)
+          .join(mapping, "file")
+          .select(col(fileTmpCol), col(idxTmpCol))
+        scan.join(dvRows, Seq(fileTmpCol, idxTmpCol), "left_anti")
+    }
   }
 
   /** Incremental (CDC-style) read: the rows ADDED by commits in
@@ -1010,24 +1075,29 @@ object Versions {
             "delete", v))
         case _ if e.dvs.nonEmpty =>
           // delete_dv / update_dv: the DV pairs ARE the deleted rows —
-          // semi-join the covered files' scan on the raw metadata path
-          // (DV side mapped rel→scan-string driver-side, [[dvScanKeys]])
+          // select them from the covered files via the inline lookup
+          // filter when the DV is small (no join), the mapped semi-join
+          // otherwise (see [[withDvApplied]] for the strategy split)
           e.dvs.map { d =>
             import spark.implicits._
             val fileTmp = "__cf_file"
             val idxTmp = "__cf_idx"
-            val mapping = broadcast(
-              dvScanKeys(spark, root, d.files).toDF("file", fileTmp))
-            val dvRows = spark.read.schema(DvSchema)
-              .parquet(new Path(root, d.dir).toString)
-              .withColumnRenamed("row_index", idxTmp)
-              .join(mapping, "file")
-              .select(col(fileTmp), col(idxTmp))
             val withMeta = readFiles(spark, root, d.files, outMeta,
               keepPath = Some(fileTmp), keepRowIndex = Some(idxTmp))
-            tagged(withMeta
-              .join(dvRows, Seq(fileTmp, idxTmp), "left_semi")
-              .drop(fileTmp, idxTmp), "delete", v)
+            val selected = dvInlinePredicate(spark, root, Seq(d),
+                fileTmp, idxTmp) match {
+              case Some(deleted) => withMeta.where(deleted)
+              case None =>
+                val mapping = broadcast(
+                  dvScanKeys(spark, root, d.files).toDF("file", fileTmp))
+                val dvRows = spark.read.schema(DvSchema)
+                  .parquet(new Path(root, d.dir).toString)
+                  .withColumnRenamed("row_index", idxTmp)
+                  .join(mapping, "file")
+                  .select(col(fileTmp), col(idxTmp))
+                withMeta.join(dvRows, Seq(fileTmp, idxTmp), "left_semi")
+            }
+            tagged(selected.drop(fileTmp, idxTmp), "delete", v)
           }
         case _ => Nil
       }

@@ -36,6 +36,59 @@ object Domains {
   def hostOf(url: Column): Column =
     regexp_replace(rawHostOf(url), "^www\\.", "")
 
+  /** Query parameters that never change the document a URL denotes —
+    * campaign attribution and click IDs, the standard strip set of
+    * web-crawl canonicalization.
+    */
+  private[ops] val TrackingParamPattern =
+    "^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+
+  /** CANONICAL form of a URL — the dedup key a web-scale ingestion
+    * pipeline groups on (the same page arrives via http/https, with/
+    * without `www.`, with tracking junk, shuffled query order, trailing
+    * slashes and fragments; all of those must collapse):
+    *
+    *   - scheme and fragment dropped; userinfo dropped
+    *   - host lowercased, leading `www.` and default ports (:80/:443)
+    *     stripped
+    *   - trailing `/`s of the path stripped
+    *   - tracking params removed ([[TrackingParamPattern]]), remaining
+    *     query params SORTED and rejoined; an emptied query drops its `?`
+    *
+    * Pure built-in string/array expressions (regexp, split, filter,
+    * array_sort, array_join) — whole-stage codegen, no UDF, and every
+    * step has an exact DuckDB equivalent so the oracle replays it.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noUser = regexp_replace(noScheme, "^[^/@?]*@", "")
+    val hostPort = lower(regexp_extract(noUser, "^([^/?]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostPort, ":(80|443)$", ""), "^www\\.", "")
+    val rest = regexp_extract(noUser, "^[^/?]*(.*)$", 1) // path [+ ?query]
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !p.rlike(TrackingParamPattern) && p =!= lit(""))), "&")
+    concat(host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** URL-keyed exact dedup: one survivor (lowest `idCol`) per
+    * [[canonicalizeUrl]] key — the first dedup stage of a web-crawl
+    * pipeline, upstream of content-level near-dup. One map-side-combined
+    * hash aggregate ([[Dedup.exact]]); rows with a NULL/empty URL are
+    * kept verbatim (no key to collapse on).
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.where(col(urlCol).isNotNull && col(urlCol) =!= "")
+    val keyless = docs.where(col(urlCol).isNull || col(urlCol) === "")
+    Dedup.exact(keyed, Seq(canonicalizeUrl(col(urlCol))), col(idCol))
+      .unionByName(keyless)
+  }
+
   /** [[hostOf]] WITHOUT the `www.` strip — PSL matching needs the raw
     * host (the real list has rules like `!www.ck`; and suffix+1 picks
     * `example.com` out of `www.example.com` without any stripping).

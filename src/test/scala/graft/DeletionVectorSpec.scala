@@ -124,7 +124,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(Fetch.fetch(spark, root)) == (0L until 30L))
   }
 
-  test("metadata-only answers refuse under live DVs; scans stay exact") {
+  test("metadata-only COUNT subtracts DV cardinality; MIN/MAX refuses") {
     val root = TestSpark.tmpDir("dv_stats")
     Publish.publishVersioned(spark,
       (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
@@ -132,8 +132,11 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(StatsIndex.statsCount(spark, root).contains(50L))
     assert(StatsIndex.statsMinMax(spark, root, "id").contains((0L, 49L)))
     Mutations.deleteWhereDv(spark, root, col("id") === 49)
-    // the sidecar still counts (and maxes) the deleted row — refuse
-    assert(StatsIndex.statsCount(spark, root).isEmpty)
+    // COUNT(*) stays metadata-only: every live DV row names a live row of
+    // a live file exactly once, so the sidecar total minus the DV
+    // cardinality is exact. MIN/MAX can't correct (the deleted row may BE
+    // the extreme — here it is) — it refuses.
+    assert(StatsIndex.statsCount(spark, root).contains(49L))
     assert(StatsIndex.statsMinMax(spark, root, "id").isEmpty)
     // the scan path (incl. index-pruned) returns the truth
     assert(Fetch.fetch(spark, root).count() == 49)
@@ -234,8 +237,10 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(Fetch.fetch(spark, root)) == (5L until 50L))
     assert(Fetch.fetch(spark, root).where(col("v") === -1.0).count() == 1)
     assert(Fetch.fetch(spark, root).where(col("v") === -2.0).count() == 0)
-    // metadata-only count refuses while DVs cover live files
-    assert(StatsIndex.statsCount(spark, root).isEmpty)
+    // metadata-only count subtracts the live DV cardinality exactly
+    // (5 dv-deleted rows + the dv-updated original's tombstone = 50-5,
+    // with the updated COPY appended back: 45 live rows)
+    assert(StatsIndex.statsCount(spark, root).contains(45L))
     Versions.compact(spark, root)
     assert(Versions.snapshotFullAt(spark, root,
       Versions.latestVersion(spark, root).get)._3.isEmpty)

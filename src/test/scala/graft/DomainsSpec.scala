@@ -124,4 +124,39 @@ class DomainsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(2L), s"expected id 2 (smallest long key), got $kept")
   }
+
+  test("canonicalizeUrl: scheme/www/port/slash/fragment/tracking/query-order collapse") {
+    import graft.ops.Domains
+    val cases = Seq(
+      "https://example.com/a" -> "example.com/a",
+      "HTTP://WWW.Example.COM/a/" -> "example.com/a",
+      "https://example.com:443/a" -> "example.com/a",
+      "http://example.com:80/a#sec2" -> "example.com/a",
+      "https://example.com/a?utm_source=tw&utm_medium=x" -> "example.com/a",
+      "https://example.com/a?b=2&a=1" -> "example.com/a?a=1&b=2",
+      "https://example.com/a?fbclid=XYZ&a=1" -> "example.com/a?a=1",
+      "https://user:pw@example.com/a" -> "example.com/a",
+      // non-default port and real params survive
+      "https://example.com:8443/a?page=2" -> "example.com:8443/a?page=2",
+      // root URL collapses to the bare host
+      "https://www.example.com/" -> "example.com",
+      // ref is a tracking param; a path named ref is not
+      "https://example.com/ref?ref=abc" -> "example.com/ref")
+    val out = cases.map(_._1).toDF("url")
+      .select(Domains.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("dedupByUrl: one survivor per canonical key, keyless rows pass through") {
+    import graft.ops.Domains
+    val docs = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "http://www.a.com/x/"),        // same page as 1
+      (3L, "https://a.com/x?b=2&a=1"),
+      (4L, "https://a.com/x?a=1&b=2&utm_source=z"), // same as 3
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("doc_id", "url")
+    val kept = Domains.dedupByUrl(docs).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L, 6L))
+  }
 }

@@ -87,39 +87,43 @@ object PlanAudit {
       "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
       "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
     audit("version_delete_dv",
-      // the DV probe is a LEFT ANTI against the tiny (file,row_index)
-      // sidecar — broadcast hash, never a shuffle of the data side; the
-      // partitioned scan itself stays intact underneath
-      "broadcast anti-join DV probe" -> (p =>
-        p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
-      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+      // small DVs compile to an INLINE scan-stage filter (the Delta
+      // DV-as-row-filter shape): the lookup table rides the plan, each
+      // covered row pays one codegen'd probe — NO join at all
+      "inline DV filter, no join" -> (p =>
+        p.contains("graft_dv_deleted") && !p.contains("Join")),
+      "filter inside whole-stage codegen" -> (_.contains("*(")))
     audit("version_dv_split_scan",
-      // the DV covers ONLY the 'F' partition's files: exactly one
-      // anti-join probe (the covered leg) may appear, joined results
-      // union with the uncovered leg — which must be a bare scan, so
-      // every other partition reads at full, join-free speed
-      "exactly one DV anti-join" -> (p =>
-        "LeftAnti".r.findAllIn(p.split("== Initial Plan ==").head).size == 1),
+      // the DV covers ONLY the 'F' partition's files: the covered leg
+      // carries the inline lookup filter, the uncovered leg is a BARE
+      // scan (no filter, no join), and the two union — every other
+      // partition reads at full speed
+      "inline DV filter on the covered leg" -> (p =>
+        "Filter NOT graft_dv_deleted".r
+          .findAllIn(p.split("== Initial Plan ==").head).size == 1),
       "covered/uncovered legs unioned" -> (_.contains("Union")),
+      "no join anywhere" -> (p => !p.contains("Join")),
       "no per-row path normalization" -> (p =>
-        !p.contains("regexp_replace") && !p.contains("url_decode")),
-      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+        !p.contains("regexp_replace") && !p.contains("url_decode")))
+    audit("version_rename_column",
+      // a mapped read is still a plain scan: physical-name projection +
+      // logical aliases, never a join or per-row path work
+      "no join in a mapped read" -> (p => !p.contains("Join")),
+      "whole-stage codegen" -> (_.contains("*(")))
     audit("version_change_feed",
-      // the precise delete legs semi-join covered files against the tiny
-      // DV sidecars — broadcast hash probes, never a shuffle of the data
-      // side, and no cartesian anywhere in the unioned feed
-      "broadcast DV semi-join probes" -> (p =>
-        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
-      "no sort-merge in the feed" -> (p => !p.contains("SortMergeJoin")),
+      // the precise delete legs SELECT the DV rows via the inline lookup
+      // filter (small DVs) — no join, no shuffle of the data side, and no
+      // cartesian anywhere in the unioned feed
+      "inline DV filters in the delete legs" -> (_.contains("graft_dv_deleted")),
+      "no join in the feed" -> (p => !p.contains("Join")),
       "no cartesian in the feed" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("version_update_dv",
       // DV-backed UPDATE reads like the DV delete: the stacked delete+
-      // update vectors probe as one broadcast anti, the data side never
-      // shuffles for the probe
-      "broadcast anti-join DV probe" -> (p =>
-        p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
-      "no sort-merge on the data side" -> (p => !p.contains("SortMergeJoin")))
+      // update vectors evaluate as inline scan-stage filters, zero joins
+      "inline DV filter, no join" -> (p =>
+        p.contains("graft_dv_deleted") && !p.contains("Join")),
+      "filter inside whole-stage codegen" -> (_.contains("*(")))
     audit("fetch_indexed_bloom",
       // file-level bloom skip happened driver-side before this plan
       // (BloomIndexSpec pins the candidate counts); what the plan must
