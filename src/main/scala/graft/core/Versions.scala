@@ -29,12 +29,22 @@ import org.json4s.jackson.JsonMethods
   * column, so one map serves all live files; a logical OVERWRITE resets
   * the map (its fresh files are written under the then-logical names).
   */
+/** `nonce`: makes FILELESS entries globally unique. The snapshot memo and
+  * checkpoint loader witness cached state against entry CONTENT, on the
+  * argument that part-file names are UUID-unique so a deleted-and-
+  * re-created dataset can never reproduce an old entry — which holds for
+  * every file-adding/removing/DV entry but NOT for metadata-only commits
+  * (an `alter` carrying the same schema twice is byte-identical, and a
+  * stale memo would then serve the old dataset's file list). Fileless
+  * entries therefore carry an explicit UUID.
+  */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String],
                               txn: Option[(String, Long)] = None,
                               dvs: Seq[DvRef] = Nil,
-                              colMap: Map[String, String] = Map.empty)
+                              colMap: Map[String, String] = Map.empty,
+                              nonce: Option[String] = None)
 
 /** One deletion-vector sidecar: `dir` (root-relative, under `_graft_dv/`)
   * holds a parquet dataset of `(file, row_index)` — the exact rows a
@@ -323,8 +333,14 @@ object Versions {
         else List("dvs" -> JArray(dvs.map(d => JObject(
           "dir" -> JString(d.dir),
           "files" -> JArray(d.files.map(JString(_)).toList))).toList))
+      // fileless entries (alter, empty appends) get an explicit UUID so
+      // their bytes stay globally unique — the memo/checkpoint witness
+      // contract every other entry gets from its UUID part names
+      val nonceFields =
+        if (rel.nonEmpty || removedRel.nonEmpty || dvs.nonEmpty) Nil
+        else List("nonce" -> JString(java.util.UUID.randomUUID().toString))
       val json = JsonMethods.compact(JsonMethods.render(
-        JObject(base ++ txnFields ++ dvFields: _*)))
+        JObject(base ++ txnFields ++ dvFields ++ nonceFields: _*)))
       // In-process committers must serialize the create itself: a local
       // or checksummed filesystem's create-if-absent is CHECK-then-
       // create, so two threads of one driver could both "win" the same
@@ -427,8 +443,12 @@ object Versions {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
+    val nonce = (jv \ "nonce") match {
+      case JString(x) => Some(x)
+      case _ => None
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn, dvs, colMap)
+      schema, strings("partitions"), txn, dvs, colMap, nonce)
   }
 
   /** Highest batchId committed under `appId`, or None — the restart probe

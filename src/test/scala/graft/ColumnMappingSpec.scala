@@ -149,6 +149,28 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).columns.toSeq == Seq("id", "grp"))
   }
 
+  test("alter entries stay memo-safe across delete-and-recreate at one path") {
+    // REGRESSION (r14 bench): metadata-only alter entries used to be
+    // byte-identical across a dataset deleted and re-created at the same
+    // path in one JVM — the snapshot memo's content witness then HIT and
+    // served the OLD dataset's file list (PATH_NOT_FOUND at scan). The
+    // nonce makes every fileless entry globally unique.
+    val root = TestSpark.tmpDir("cm_recreate") + "/ds"
+    def roundTrip(tag: String): Seq[String] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(spark,
+        (0 until 20).map(i => (i.toLong, s"$tag$i")).toDF("id", "s"), root, Nil)
+      Versions.renameColumn(spark, root, "s", "name")        // v2: alter
+      Fetch.fetch(spark, root).orderBy("id")
+        .select("name").as[String].collect().toSeq
+    }
+    assert(roundTrip("a") == (0 until 20).map(i => s"a$i"))
+    assert(roundTrip("b") == (0 until 20).map(i => s"b$i"),
+      "second incarnation must not serve the first's memoized snapshot")
+    // the two incarnations' alter entries differ (the nonce)
+    assert(Versions.readEntry(spark, root, 2).nonce.isDefined)
+  }
+
   test("guard rails: partition columns, duplicates, unversioned datasets") {
     val root = TestSpark.tmpDir("cm_guards")
     Publish.publishVersioned(spark, sample, root, Seq("grp"))
