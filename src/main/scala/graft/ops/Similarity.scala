@@ -244,7 +244,7 @@ object Similarity {
       col("cv"), col("cn"), centroidArray(centroids)))
 
   /** AUTO probe count (`nprobe <= 0` in the IVF surfaces): half the cells,
-    * plus one more per decade of corpus size beyond 10k rows, clamped to
+    * plus ceil(2·log10(rows/10k)) more per decade of corpus size beyond 10k rows, clamped to
     * [2, nlist]. Recall-vs-probe is geometry-driven, but two effects scale
     * with SIZE: a bigger corpus packs the true top-k tighter (cell-boundary
     * neighbors matter more) and the bounded fit sample covers a smaller
@@ -256,8 +256,8 @@ object Similarity {
     */
   def autoNprobe(nlist: Int, corpusRows: Long): Int = {
     val base = (nlist + 1) / 2
-    val boost = math.max(0.0,
-      math.log10(math.max(corpusRows, 1L).toDouble / 10000.0)).toInt
+    val boost = math.ceil(math.max(0.0,
+      math.log10(math.max(corpusRows, 1L).toDouble / 10000.0)) * 2).toInt
     math.min(nlist, math.max(2, base + boost))
   }
 

@@ -213,14 +213,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
-  test("autoNprobe: half-probe base, +1 per decade past 10k, clamped to [2, nlist]") {
+  test("autoNprobe: half-probe base, +2·log10 decade boost, clamped to [2, nlist]") {
     // base: half the cells (rounded up), no boost below 10k rows
     assert(Similarity.autoNprobe(16, 100) == 8)
     assert(Similarity.autoNprobe(8, 100) == 4)
     assert(Similarity.autoNprobe(16, 9999) == 8)
-    // +1 per decade beyond 10k: 200k is 1 decade, 10M is 3
-    assert(Similarity.autoNprobe(16, 200000) == 9)
-    assert(Similarity.autoNprobe(16, 10000000) == 11)
+    // boost = ceil(2·log10(rows/10k)): 200k → +3, 10M → +6
+    assert(Similarity.autoNprobe(16, 200000) == 11)
+    assert(Similarity.autoNprobe(16, 10000000) == 14)
     // clamps: never past nlist, never below 2
     assert(Similarity.autoNprobe(4, Long.MaxValue) == 4)
     assert(Similarity.autoNprobe(2, 1) == 2)
