@@ -1124,6 +1124,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance similarity self-join (PassJoin segment blocking) over
+    // the distinct composite part descriptions — every unordered pair
+    // within levenshtein distance 1, verified exactly. The oracle is the
+    // quadratic all-pairs form (fine for DuckDB at oracle scale); the
+    // Spark side must EQUAL it while shipping only segment hashes.
+    "fuzzy_join_editdist" -> ((s, dir) => {
+      val strings = s.read.parquet(t(dir, "part"))
+        .select(col("p_partkey").as("pid"),
+          concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+            col("p_type")).as("str"))
+        .groupBy("str").agg(min("pid").as("id"))
+      graft.ops.FuzzyJoin.editDistanceSelfJoin(strings, "id", "str", 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Directed fuzzy lookup: typo'd queries (one substitution planted at
+    // char 4) against the distinct-description corpus at k=1 — the
+    // entity-resolution shape (small probe batch, huge indexed corpus).
+    "fuzzy_join_lookup" -> ((s, dir) => {
+      val strings = s.read.parquet(t(dir, "part"))
+        .select(col("p_partkey").as("pid"),
+          concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+            col("p_type")).as("str"))
+        .groupBy("str").agg(min("pid").as("id"))
+      val queries = strings.where(col("id") % 97 === 0)
+        .select((col("id") + 10000000L).as("qid"),
+          concat(substring(col("str"), 1, 3), lit("q"),
+            expr("substring(str, 5)")).as("str"))
+      graft.ops.FuzzyJoin.editDistanceLookup(queries, strings,
+          "qid", "id", "str", 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     "sample_mixture" -> ((s, dir) => {
       val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
       graft.ops.Sampling.mixture(s.read.parquet(t(dir, "documents")), slot,
@@ -2589,6 +2622,34 @@ object SparkEntry {
         |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens
         |FROM walk w JOIN d ON d.g = w.g AND d.rn = w.rn
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quadratic all-pairs levenshtein with a length prefilter — exact by
+    // definition; the Spark side's segment blocking must reproduce it
+    "fuzzy_join_editdist" ->
+      """WITH strs AS (
+        | SELECT min(p_partkey) AS id, str FROM (
+        |  SELECT p_partkey, concat(p_name, ' ', p_brand, ' ', p_type) AS str
+        |  FROM part) GROUP BY str)
+        |SELECT id_a, id_b, dist FROM (
+        | SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.str, b.str) AS dist
+        | FROM strs a JOIN strs b
+        |   ON a.id < b.id AND abs(length(a.str) - length(b.str)) <= 1)
+        |WHERE dist <= 1 ORDER BY id_a, id_b""".stripMargin,
+
+    "fuzzy_join_lookup" ->
+      """WITH strs AS (
+        | SELECT min(p_partkey) AS id, str FROM (
+        |  SELECT p_partkey, concat(p_name, ' ', p_brand, ' ', p_type) AS str
+        |  FROM part) GROUP BY str),
+        |queries AS (
+        | SELECT id + 10000000 AS qid,
+        |        concat(substr(str, 1, 3), 'q', substr(str, 5)) AS str
+        | FROM strs WHERE id % 97 = 0)
+        |SELECT id_a, id_b, dist FROM (
+        | SELECT q.qid AS id_a, c.id AS id_b, levenshtein(q.str, c.str) AS dist
+        | FROM queries q JOIN strs c
+        |   ON abs(length(q.str) - length(c.str)) <= 1)
+        |WHERE dist <= 1 ORDER BY id_a, id_b""".stripMargin,
 
     "sample_split" ->
       """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (

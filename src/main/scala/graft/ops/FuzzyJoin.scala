@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity joins via segment blocking (the PassJoin
+  * family: Li/Deng/Feng, "PASS-JOIN: a partition-based method for
+  * similarity joins", PVLDB 2011 — public literature, re-expressed as
+  * declarative Spark plans).
+  *
+  * Problem shape: find all string pairs within Levenshtein distance `k`
+  * WITHOUT the O(n²) all-pairs scan. The blocking invariant is the
+  * pigeonhole: split each string into `k+1` contiguous segments — any `k`
+  * edits touch at most `k` of them, so two strings within distance `k`
+  * share at least one segment VERBATIM, and (because an edit shifts
+  * positions by at most one each) that shared segment occurs in the other
+  * string within ±`k` of its home position. Candidate generation is
+  * therefore an equi-join on `(segment hash, segment index, source
+  * length)`; a bounded `levenshtein(…, threshold = k)` verify removes the
+  * false positives (including any 64-bit hash collisions, which only ever
+  * ADD candidates — never lose a true pair).
+  *
+  * Scale design (100 TB discipline):
+  *  - the blocking shuffle carries ONLY scalars — a 64-bit `xxhash64` of
+  *    each segment plus two small ints; full strings never ride it;
+  *  - index side emits `k+1` keys per string, probe side O(k²) keys
+  *    (`(2k+1)` candidate lengths × `(k+1)` segments × ≤`(2k+1)` starts)
+  *    — constant per row for the practical k ∈ {1, 2, 3};
+  *  - the verify re-joins candidate id pairs back to the strings (two
+  *    shuffle joins keyed by id), then runs Spark's codegen'd
+  *    `levenshtein` with an explicit threshold, which early-exits in
+  *    O(k·min(len)) instead of O(len²) — every stage is
+  *    whole-stage-codegen eligible, no UDFs;
+  *  - skew: the join key includes segment index AND string length, so a
+  *    globally common substring only collides within one (i, L) stratum;
+  *    residual hot keys are AQE skew-join territory.
+  *
+  * The reference engine has no fuzzy matching (s3parq is publish/fetch
+  * only); this is part of graft's beyond-the-reference surface for
+  * training-data curation — near-duplicate titles/keys, OCR noise,
+  * typo'd join keys.
+  */
+object FuzzyJoin {
+
+  /** Floor division for non-negative int columns. */
+  private def idiv(a: Column, b: Int): Column = floor(a / b).cast("int")
+
+  /** Length of segment `i` (0-based) of a string of length `n` split into
+    * `parts` even segments: the first `n % parts` segments get the extra
+    * character.
+    */
+  private def segLen(n: Column, i: Column, parts: Int): Column =
+    idiv(n, parts) + when(i < n % parts, 1).otherwise(0)
+
+  /** 0-based start of segment `i` of a string of length `n`. */
+  private def segStart(n: Column, i: Column, parts: Int): Column =
+    (i * idiv(n, parts) + least(i, n % parts)).cast("int")
+
+  /** Normalized input: (fj_id, fj_s, fj_n). Null strings can never satisfy
+    * a distance predicate and are dropped here (the SQL convention:
+    * `levenshtein(NULL, x)` is NULL, which fails `<= k`).
+    */
+  private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
+      .where(col("fj_s").isNotNull)
+      .withColumn("fj_n", length(col("fj_s")).cast("int"))
+
+  /** Index-side blocking keys: one row per (string, segment). */
+  private def segmentKeys(base: DataFrame, k: Int): DataFrame = {
+    val parts = k + 1
+    base
+      .select(col("fj_id").as("sid"), col("fj_n").as("sn"),
+        explode(sequence(lit(0), lit(k))).as("i"), col("fj_s"))
+      .withColumn("sl", segLen(col("sn"), col("i"), parts))
+      .withColumn("sp", segStart(col("sn"), col("i"), parts))
+      .select(col("sid"), col("sn"), col("i"),
+        xxhash64(col("fj_s").substr(col("sp") + 1, col("sl"))).as("h"))
+  }
+
+  /** Probe-side keys: for every candidate other-side length `m` within ±k
+    * of this string's length, every segment index, and every start within
+    * ±k of the segment's home position, the substring hash the index side
+    * would have emitted.
+    */
+  private def probeKeys(base: DataFrame, k: Int): DataFrame = {
+    val parts = k + 1
+    base
+      .withColumn("m",
+        explode(sequence(greatest(col("fj_n") - k, lit(0)), col("fj_n") + lit(k))))
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("sl", segLen(col("m"), col("i"), parts))
+      .withColumn("sp", segStart(col("m"), col("i"), parts))
+      .withColumn("lo", greatest(col("sp") - k, lit(0)))
+      .withColumn("hi", least(col("sp") + lit(k), col("fj_n") - col("sl")))
+      .where(col("hi") >= col("lo"))
+      .withColumn("st", explode(sequence(col("lo"), col("hi"))))
+      .select(col("fj_id").as("pid"), col("m"), col("i"),
+        xxhash64(col("fj_s").substr(col("st") + 1, col("sl"))).as("h"))
+  }
+
+  /** Threshold-bounded exact verify of candidate id pairs. */
+  private def verify(cand: DataFrame, base: DataFrame, k: Int,
+                     leftBase: DataFrame = null): DataFrame = {
+    val lb = Option(leftBase).getOrElse(base)
+    cand
+      .join(lb.select(col("fj_id").as("id_a"), col("fj_s").as("s_a")), "id_a")
+      .join(base.select(col("fj_id").as("id_b"), col("fj_s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** All unordered pairs `(id_a < id_b, dist)` of rows whose `strCol`
+    * values are within Levenshtein distance `k`. Exact: the segment
+    * blocking is lossless (see object doc) and every candidate is
+    * re-verified. Ids must be distinct per row (the usual primary key).
+    */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    val base = prep(df, idCol, strCol)
+    val cand = segmentKeys(base, k)
+      .join(probeKeys(base, k), Seq("h", "i"))
+      .where(col("sn") === col("m") && col("sid") =!= col("pid"))
+      .select(least(col("sid"), col("pid")).as("id_a"),
+        greatest(col("sid"), col("pid")).as("id_b"))
+      .distinct()
+    verify(cand, base, k)
+  }
+
+  /** Directed fuzzy lookup: for every row of `queries`, the rows of
+    * `corpus` within Levenshtein distance `k`. Output:
+    * `(id_a = query id, id_b = corpus id, dist)`. The corpus is the
+    * segmented (indexed) side — `k+1` keys per corpus string — and the
+    * query side probes, so a small query batch against a huge corpus
+    * ships O(|queries|·k²) probe keys, never rescans the corpus blocking.
+    */
+  def editDistanceLookup(queries: DataFrame, corpus: DataFrame,
+                         queryIdCol: String, corpusIdCol: String,
+                         strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    val qBase = prep(queries, queryIdCol, strCol)
+    val cBase = prep(corpus, corpusIdCol, strCol)
+    val cand = segmentKeys(cBase, k)
+      .join(probeKeys(qBase, k), Seq("h", "i"))
+      .where(col("sn") === col("m"))
+      .select(col("pid").as("id_a"), col("sid").as("id_b"))
+      .distinct()
+    verify(cand, cBase, k, leftBase = qBase)
+  }
+}
