@@ -247,6 +247,29 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Daily resample per event type: one hash aggregate onto the fixed
+    // grid. min/max are order-independent (exact doubles); the sum uses
+    // the windowedAgg round-4 convention.
+    "ts_resample" -> ((s, dir) => {
+      graft.ops.TimeSeries.resample(readEvents(s, dir), "ts", "day",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+            min("value").as("min_value"), max("value").as("max_value")))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Sparse hourly series (one user cohort) densified with LOCF: the
+    // oracle rebuilds the same grid via generate_series and the same
+    // IGNORE NULLS carry-forward window.
+    "ts_gapfill_locf" -> ((s, dir) => {
+      val sparse = graft.ops.TimeSeries.resample(
+        readEvents(s, dir).where(col("user_id") % 25 === 0), "ts", "hour",
+        Seq("event_type"), Seq(round(sum("value"), 4).as("v")))
+      graft.ops.TimeSeries.gapFillLocf(sparse, Seq("event_type"), "bucket",
+          "1 hour", Seq("v"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ------------------------------------------------ publish/fetch core
     "publish_fetch_roundtrip" -> ((s, dir) => {
       Fetch.fetch(s, ordersDataset(s, dir)).orderBy("o_orderkey")
@@ -1704,6 +1727,32 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "ts_resample" ->
+      """SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
+        | round(sum(value),4) AS sum_value,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "ts_gapfill_locf" ->
+      """WITH obs AS (
+        | SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |        round(sum(value), 4) AS v
+        | FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |           FROM obs GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |         FROM bounds),
+        |joined AS (
+        | SELECT g.event_type, g.bucket, o.v, o.v IS NULL AS filled
+        | FROM grid g LEFT JOIN obs o
+        |   ON o.event_type = g.event_type AND o.bucket = g.bucket)
+        |SELECT event_type, bucket,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        | filled
+        |FROM joined ORDER BY event_type, bucket""".stripMargin,
 
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
