@@ -879,6 +879,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup production config: k-means clusters + within-cluster
+    // keep-first election. k-means isn't SQL-expressible → rows-only;
+    // the saturated config below carries the exact oracle, and the spec
+    // pins twin-drop behavior.
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(embeddingNearDupInput(s, dir), nclusters = 8)
+        .orderBy("id")
+    }),
+
+    // ORACLE config: ONE uncapped cluster makes the within-cluster
+    // election provably equal the global all-pairs keep-first election —
+    // exact DuckDB oracle (the dedup_embedding_oracle construction).
+    "dedup_semantic_oracle" -> ((s, dir) => {
+      Dedup.semanticDedup(embeddingNearDupInput(s, dir), nclusters = 1,
+          maxCluster = 1 << 20)
+        .orderBy("id")
+    }),
+
     "ann_brute_topk" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 8), 5)
@@ -1038,6 +1056,23 @@ object SparkEntry {
       TextAnalysis.bpeTokenCounts(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents"))).orderBy("doc_id")),
+
+    // HTML wrapped around every document deterministically in BOTH
+    // engines (script with a bare '<' in its body, style, comment,
+    // entities, nesting), then extracted back: each strip/decode rule is
+    // value-checked cross-engine (the dedup_url construction).
+    "text_html_extract" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>p {margin:0}</style></head><body>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<h1>Doc &amp; &#39;"), col("lang"),
+        lit("&#39;</h1><!-- hidden --><p>"), col("text"),
+        lit("</p>&nbsp;<br/></body></html>"))
+      TextAnalysis.extractHtml(docs.withColumn("html", html))
+        .orderBy("doc_id")
+    }),
 
     "text_redact" -> ((s, dir) => {
       // synthesize deterministic PII so the scrub pass is actually
@@ -2320,6 +2355,32 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // the oracle replays the extraction chain rule by rule: script/style
+    // elements (content included), comments, tags, the six entity
+    // decodes in the same order (&amp; last), whitespace collapse
+    "text_html_extract" ->
+      """WITH withhtml AS (
+        | SELECT doc_id, '<html><head><title>' || source ||
+        |   '</title><style>p {margin:0}</style></head><body>' ||
+        |   '<script type="text/javascript">var x = 1 < 2;</script>' ||
+        |   '<h1>Doc &amp; &#39;' || lang || '&#39;</h1><!-- hidden --><p>' ||
+        |   text || '</p>&nbsp;<br/></body></html>' AS html
+        | FROM documents),
+        |stripped AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g') AS t
+        | FROM withhtml)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS text
+        |FROM stripped ORDER BY doc_id""".stripMargin,
+
     // Fingerprint64 is h := 31·h + signed_byte (mod 2^64) over the UTF-8
     // bytes, seeded 1125899906842597 — recomputed here byte-for-byte from
     // hex(encode(text)) with HUGEINT arithmetic and an explicit mod (Java
@@ -2436,6 +2497,27 @@ object SparkEntry {
         |           JOIN sigs sb ON id_b = sb.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup saturated config: one uncapped cluster == the global
+    // all-pairs keep-first election — drop(x) iff some smaller-id vector
+    // has cosine ≥ 0.95 to x. Cluster id is the single k-means cell 0.
+    "dedup_semantic_oracle" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 1000000000 AS vec_id, list_prepend(-v[1], v[2:]) AS v
+        | FROM base WHERE vec_id < 8
+        | UNION ALL
+        | SELECT vec_id + 2000000000, list_concat([v[1], -v[2]], v[3:])
+        | FROM base WHERE vec_id < 8),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |drops AS (
+        | SELECT DISTINCT b.vec_id FROM allv a JOIN allv b
+        |   ON a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.95)
+        |SELECT a.vec_id AS id, CAST(0 AS INT) AS cluster,
+        |       (d.vec_id IS NULL) AS keep
+        |FROM allv a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        |ORDER BY id""".stripMargin,
 
     // Exact all-pairs cosine ≥ 0.95 over corpus ∪ planted (all-pairs is
     // fine for the ORACLE at test scale — it's DuckDB, not Spark); the

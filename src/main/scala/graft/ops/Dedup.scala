@@ -419,4 +419,48 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv 2303.09540 — public literature): k-means-cluster the embedding
+    * corpus, then within each cluster drop every vector that has a
+    * HIGHER-PRIORITY semantic twin (cosine ≥ `threshold`, smaller id —
+    * graft's deterministic keep-first convention). Output: one row per
+    * input vector, `(id, cluster, keep)`.
+    *
+    * Scale shape: the cluster assignment is [[Clustering.kmeansAssign]]
+    * (sample-bounded driver fit + one distributed argmax pass); candidate
+    * generation is within-cluster only, via the same slim-keys self-join
+    * as [[embeddingNearDup]] — (id, cluster) scalars ride the bucket
+    * shuffle, vectors join back only for surviving candidate pairs. Size
+    * `nclusters` so corpus/nclusters stays near `maxCluster`: clusters
+    * past the cap are SKIPPED (all their members keep — the conservative
+    * direction for a dedup) rather than joined quadratically; pair
+    * `nclusters` growth with corpus growth to keep within-cluster work
+    * linear overall.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", threshold: Double = 0.95,
+                    nclusters: Int = 64, maxCluster: Int = 2000,
+                    seed: Long = 42L): DataFrame = {
+    val assigned = Clustering.kmeansAssign(embs, nclusters, idCol, vecCol, seed)
+      .select(col("vec_id").as("id"), col("cluster"))
+    val base = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2Norm(col("v")))
+      .where(col("norm") > 0)
+      .join(assigned, "id")
+    val pairs = selfJoinBuckets(base.select(col("id"), col("cluster")),
+      Seq("cluster"), maxCluster)
+    val drops = pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
+      .where(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+        >= threshold)
+      .select(col("id_b").as("id"))   // a smaller-id twin exists → drop
+      .distinct()
+      .withColumn("__dup", lit(true))
+    base.select(col("id"), col("cluster"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__dup").isNull.as("keep"))
+  }
 }

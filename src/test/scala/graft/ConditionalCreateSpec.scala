@@ -104,9 +104,14 @@ class ConditionalCreateSpec extends AnyFunSuite {
     // plain-S3 commit without a conditional PUT risks, and why
     // installConditionalCreate exists.
     assert(wonA && wonB)
-    val in = fs.open(target)
-    val bytes = new Array[Byte](1); in.readFully(bytes); in.close()
-    assert(bytes(0) == 'A' || bytes(0) == 'B')
+    // read RAW bytes, not through the checksummed fs: the two concurrent
+    // overwriting creates also raced the .crc sidecar, so the checksum
+    // file can pair with the OTHER writer's data (a second facet of the
+    // same split-brain) — a checksummed open then throws instead of
+    // showing the surviving bytes
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target.toUri.getPath))
+    assert(bytes.nonEmpty && (bytes(0) == 'A' || bytes(0) == 'B'))
 
     // the SAME interleave through a conforming impl: exactly one winner,
     // the winner's bytes survive

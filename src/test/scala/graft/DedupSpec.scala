@@ -199,4 +199,53 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(got == Seq((1L, "a b c d", 0L), (2L, "a b c e", 0L)))
   }
+
+  /** 10 mutually-orthogonal basis vectors (cosine 0 across ids) plus
+    * scaled twins of three of them (cosine exactly 1 to their base): the
+    * keep-first election must drop exactly the larger-id twins, wherever
+    * k-means puts the cluster boundaries (identical vectors always share
+    * a cluster).
+    */
+  private def semBase = {
+    import spark.implicits._
+    val basis = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(16)(j => if (j == i) 1.0f else 0.0f))
+    }
+    val twins = Seq(0, 3, 7).map { i =>
+      (100L + i, Array.tabulate(16)(j => if (j == i) 2.0f else 0.0f))
+    }
+    (basis ++ twins).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup drops exactly the larger-id semantic twins") {
+    import spark.implicits._
+    val out = Dedup.semanticDedup(semBase, threshold = 0.99, nclusters = 4,
+        maxCluster = 100)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 13)
+    assert(out.filterNot(_._2).keySet === Set(100L, 103L, 107L))
+    // twins and their bases share a cluster (identical direction)
+    val clusters = Dedup.semanticDedup(semBase, threshold = 0.99, nclusters = 4,
+        maxCluster = 100)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    Seq(0, 3, 7).foreach(i =>
+      assert(clusters(100L + i) === clusters(i.toLong), s"twin $i cluster"))
+  }
+
+  test("semanticDedup: clusters over maxCluster are skipped conservatively") {
+    import spark.implicits._
+    // nclusters=1 puts all 13 vectors in one cluster; cap of 5 skips it
+    val out = Dedup.semanticDedup(semBase, threshold = 0.99, nclusters = 1,
+        maxCluster = 5)
+      .select("id", "keep").as[(Long, Boolean)].collect()
+    assert(out.length === 13 && out.forall(_._2), "all keep when cluster skipped")
+  }
+
+  test("semanticDedup with one uncapped cluster equals the all-pairs election") {
+    import spark.implicits._
+    val out = Dedup.semanticDedup(semBase, threshold = 0.99, nclusters = 1,
+        maxCluster = 1 << 20)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.filterNot(_._2).keySet === Set(100L, 103L, 107L))
+  }
 }

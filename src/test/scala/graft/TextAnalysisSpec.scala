@@ -309,4 +309,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "banana", 1L), (2L, "common", 2L),
       (3L, "cherry", 1L), (3L, "common", 2L)))
   }
+
+  test("extractHtmlText strips markup, scripts, comments; decodes entities") {
+    val cases = Seq(
+      // script/style content is invisible text and must vanish entirely,
+      // including the '<' inside the script body
+      (1L, "<html><script type=\"a\">var x = 1 < 2;</script>" +
+        "<style>p{}</style><p>Hello</p></html>", "Hello"),
+      (2L, "a<!-- no --><b>b</b>\n\n  c", "a b c"),
+      (3L, "&lt;tag&gt; &amp;amp; Tom&#39;s &quot;x&quot;&nbsp;y",
+        "<tag> &amp; Tom's \"x\" y"), // one decode level only
+      (4L, "plain text, no markup", "plain text, no markup"),
+      (5L, "<p>unclosed <b>nested<i>deep</p>", "unclosed nested deep"),
+      (6L, "<SCRIPT>upper</SCRIPT><P>Case</P>", "Case"))
+    val out = TextAnalysis.extractHtml(
+        cases.toDF("doc_id", "html", "want"), "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) => assert(out(id) === want, s"doc $id") }
+  }
 }
