@@ -475,6 +475,20 @@ object SparkEntry {
         Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // SHALLOW CLONE: metadata-only copy of the versioned dataset at v2
+    // (= full orders), then a copy-on-write DELETE on the CLONE — the
+    // mutation rewrites inherited refs into clone-local files while the
+    // source bytes never move (CloneSpec pins source intactness; this
+    // cell pins the read path over mixed inherited+local refs).
+    "version_clone" -> ((s, dir) => {
+      val src = versionedOrdersDataset(s, dir)
+      val dst = tmpRoot("ds_orders_clone", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      Versions.clone(s, src, dst, Some(2))
+      Mutations.deleteWhere(s, dst, col("o_orderkey") % 2 === 0)
+      Fetch.fetch(s, dst).orderBy("o_orderkey")
+    }),
+
     "version_merge_upsert" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vmerge", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1799,6 +1813,11 @@ object SparkEntry {
 
     "version_travel_v1" ->
       "SELECT * FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey",
+
+    // clone of v2 (= full orders) minus the even keys the clone-side
+    // copy-on-write DELETE removed
+    "version_clone" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
     "version_travel_v2" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "version_travel_latest" ->
       "SELECT * FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey",

@@ -64,7 +64,10 @@ object Fetch {
           .map(v => Versions.snapshotFullAt(spark, root, v))
         val meta = snapshot.map(_._2).getOrElse(sidecarMeta)
         Filters.validateAgainst(meta, filters)
-        if (!hasData(spark, root))
+        // versioned roots answer from the snapshot (a shallow clone has
+        // NO physical data of its own — only inherited refs); the
+        // physical-listing emptiness check only gates unversioned reads
+        if (snapshot.isEmpty && !hasData(spark, root))
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
         // Read with the recorded schema: partition-type inference would
         // otherwise corrupt string partition values that look numeric
@@ -76,11 +79,18 @@ object Fetch {
         // versioned scans read under PHYSICAL names (rename/drop are
         // metadata-only commits; partition columns are never mapped, so
         // the compiled partition predicate applies unchanged)
-        def scanOf(relFiles: Seq[String]): DataFrame = {
-          val files = relFiles
-            .map(r => new org.apache.hadoop.fs.Path(root, r).toString)
-          spark.read.option("basePath", root).schema(meta.physSchema).parquet(files: _*)
-        }
+        // one read per basePath group (the root itself, plus each external
+        // source base for shallow-clone-inherited refs); metadata columns
+        // for the DV probe materialize per group — they resolve only
+        // against a scan, never across a union
+        def scanOf(relFiles: Seq[String], withMeta: Boolean = false): DataFrame =
+          Versions.scanGroups(root, relFiles).map { case (base, abs) =>
+            val raw = spark.read.option("basePath", base)
+              .schema(meta.physSchema).parquet(abs: _*)
+            if (!withMeta) raw
+            else raw.withColumn(FileTmp, col("_metadata.file_path"))
+                    .withColumn(IdxTmp, col("_metadata.row_index"))
+          }.reduce(_.unionByName(_))
         // Deletion vectors apply AFTER the partition filter (fewer rows
         // to probe) and BEFORE the restoring select — and ONLY to the
         // files the snapshot's DV refs actually cover: the uncovered leg
@@ -95,7 +105,7 @@ object Fetch {
             val (cov, uncov) = relFiles.partition(covered)
             val uncovLeg = if (uncov.isEmpty) None else Some(withPred(scanOf(uncov)))
             val covLeg = if (cov.isEmpty) None else Some(
-              applyDvs(spark, root, withPred(scanOf(cov)), dvs))
+              applyDvs(spark, root, withPred(scanOf(cov, withMeta = true)), dvs))
             (uncovLeg ++ covLeg).reduce(_.unionByName(_))
           case None => withPred(spark.read.schema(meta.schema).parquet(root))
         }
@@ -132,7 +142,8 @@ object Fetch {
     val meta = full.map(_._2).getOrElse(requireMeta(spark, root))
     Filters.validateAgainst(meta, filters)
     Filters.validateDataFilters(meta, dataFilters)
-    if (!hasData(spark, root))
+    // see fetch: a shallow clone's data is inherited refs, not a listing
+    if (full.isEmpty && !hasData(spark, root))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     // A name-mapped dataset's stats/bloom sidecars and data files are
     // keyed by PHYSICAL column names: probe and scan in physical terms
@@ -151,21 +162,30 @@ object Fetch {
       Filters.compileOn(c => physMeta.schema(c).dataType, physDataFilters)).flatten
       .reduceOption(_ && _)
     def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
-    def scanOf(abs: Seq[String]): DataFrame =
-      spark.read.option("basePath", root).schema(meta.physSchema).parquet(abs: _*)
+    // candidateFiles returns absolute paths; back to the ref form so
+    // scanGroups can split clone-inherited external files onto their own
+    // basePath legs (see [[fetch]]'s scanOf)
+    val refs = Versions.relativizeOrExternal(spark, root, files)
+    def scanOf(rs: Seq[String], withMeta: Boolean = false): DataFrame =
+      Versions.scanGroups(root, rs).map { case (base, abs) =>
+        val raw = spark.read.option("basePath", base)
+          .schema(meta.physSchema).parquet(abs: _*)
+        if (!withMeta) raw
+        else raw.withColumn(FileTmp, col("_metadata.file_path"))
+                .withColumn(IdxTmp, col("_metadata.row_index"))
+      }.reduce(_.unionByName(_))
     val dvs = full.map(_._3).getOrElse(Nil)
     // Only files a DV ref covers pay the anti-join probe (see [[fetch]])
     val undeleted =
-      if (dvs.isEmpty) withPred(scanOf(files))
+      if (dvs.isEmpty) withPred(scanOf(refs))
       else {
         val covered = dvs.flatMap(_.files).toSet
-        val rels = Versions.relativize(spark, root, files)
-        val (cov, uncov) = files.zip(rels).partition { case (_, r) => covered(r) }
+        val (cov, uncov) = refs.partition(covered)
         val uncovLeg =
-          if (uncov.isEmpty) None else Some(withPred(scanOf(uncov.map(_._1))))
+          if (uncov.isEmpty) None else Some(withPred(scanOf(uncov)))
         val covLeg =
           if (cov.isEmpty) None
-          else Some(applyDvs(spark, root, withPred(scanOf(cov.map(_._1))), dvs))
+          else Some(applyDvs(spark, root, withPred(scanOf(cov, withMeta = true)), dvs))
         (uncovLeg ++ covLeg).reduce(_.unionByName(_))
       }
     val restored = meta.schema.fields.toIndexedSeq.map(f =>
@@ -173,22 +193,23 @@ object Fetch {
     undeleted.select(restored: _*)
   }
 
+  private val FileTmp = "__graft_meta_file"
+  private val IdxTmp = "__graft_meta_idx"
+
   /** Anti-join a filtered scan of DV-COVERED files against the live
     * deletion vectors (no-op when there are none). Callers must route
-    * only covered files here — uncovered files skip the probe entirely.
-    * Metadata columns must materialize before the join, so they are
-    * added here, used as the probe key, and never escape (the caller's
-    * restoring select keeps only schema columns).
+    * only covered files here — uncovered files skip the probe entirely —
+    * and must pass the scan with [[FileTmp]]/[[IdxTmp]] metadata columns
+    * ALREADY materialized (per scan leg: `_metadata` resolves only
+    * against a scan, and a clone snapshot's scan can be a union of
+    * basePath legs). The columns are the probe key and never escape (the
+    * caller's restoring select keeps only schema columns).
     */
-  private def applyDvs(spark: SparkSession, root: String, scan: DataFrame,
+  private def applyDvs(spark: SparkSession, root: String, scanWithMeta: DataFrame,
                        dvs: Seq[DvRef]): DataFrame = {
-    if (dvs.isEmpty) return scan
-    val fTmp = "__graft_meta_file"
-    val iTmp = "__graft_meta_idx"
-    Versions.withDvApplied(spark, root,
-      scan.withColumn(fTmp, col("_metadata.file_path"))
-          .withColumn(iTmp, col("_metadata.row_index")),
-      dvs, fTmp, iTmp).drop(fTmp, iTmp)
+    if (dvs.isEmpty) return scanWithMeta
+    Versions.withDvApplied(spark, root, scanWithMeta,
+      dvs, FileTmp, IdxTmp).drop(FileTmp, IdxTmp)
   }
 
   /** Rows of `inputRoot` whose `partition` value does not occur in

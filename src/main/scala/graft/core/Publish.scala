@@ -887,16 +887,23 @@ object Publish {
     // introspection op. (The write path and vacuum use the PHYSICAL
     // listing below — new files are uncommitted while publish runs, and
     // vacuum's whole job is finding dead ones.)
-    val liveFilter: Option[Set[String]] =
+    val snapshotRefs: Option[Seq[String]] =
       if (!fs.exists(new Path(p, Versions.DirName))) None
-      else Versions.latestVersion(spark, root).map { v =>
-        val qualified = fs.makeQualified(p).toUri.getPath
-        Versions.snapshotAt(spark, root, v)._1
-          .map(r => s"$qualified/$r").toSet
-      }
+      else Versions.latestVersion(spark, root)
+        .map(v => Versions.snapshotAt(spark, root, v)._1)
     val all = listPhysicalDataFilesWithSize(spark, root)
-    liveFilter match {
-      case Some(live) => all.filter { case (f, _) => live.contains(f) }
+    snapshotRefs match {
+      case Some(refs) =>
+        val qualified = fs.makeQualified(p).toUri.getPath
+        val (ext, local) = refs.partition(Versions.isExternalRef)
+        val live = local.map(r => s"$qualified/$r").toSet
+        // clone-inherited external files never appear in the physical
+        // listing of this root; stat them directly (O(inherited files),
+        // only ever paid by shallow clones)
+        val extSized = ext.sorted.map { a =>
+          a -> fs.getFileStatus(new Path(a)).getLen
+        }
+        all.filter { case (f, _) => live.contains(f) } ++ extSized
       case None => all
     }
   }

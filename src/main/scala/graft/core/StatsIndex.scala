@@ -596,7 +596,16 @@ object StatsIndex {
         case None => () // marker without sidecar: fall through to listing
       }
     }
-    val all = Publish.listDataFiles(spark, root)
+    // versioned roots plan from the snapshot itself (absolutized; clone-
+    // inherited external refs pass through) — a physical listing of the
+    // root can't see a shallow clone's inherited files, and the snapshot
+    // is the authority anyway. Stats rows only ever name files the clone
+    // wrote itself, so unknown (inherited) files always survive to scan.
+    val all: Seq[String] = Versions.latestVersion(spark, root) match {
+      case Some(v) if Versions.isVersioned(spark, root) =>
+        Versions.absolutize(spark, root, Versions.snapshotAt(spark, root, v)._1)
+      case _ => Publish.listDataFiles(spark, root)
+    }
     val rangePruned: Option[DataFrame] =
       if (relevant.isEmpty) None
       else read(spark, root).map { stats =>

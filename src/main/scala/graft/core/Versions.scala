@@ -187,11 +187,64 @@ object Versions {
     }
   }
 
-  /** Root-relative → absolute decoded paths (the stats-sidecar form). */
+  /** Root-relative → absolute decoded paths (the stats-sidecar form).
+    * External refs (see [[isExternalRef]]) pass through unchanged — they
+    * already ARE absolute decoded paths.
+    */
   private[core] def absolutize(spark: SparkSession, root: String,
                                rel: Seq[String]): Seq[String] = {
     val rootUri = qualifiedRootUri(spark, root).stripSuffix("/")
-    rel.map(r => s"$rootUri/$r")
+    rel.map(r => if (isExternalRef(r)) r else s"$rootUri/$r")
+  }
+
+  /** Whether a commit-entry file ref points OUTSIDE this dataset's root:
+    * an absolute decoded path, as written by [[clone]] for the source
+    * snapshot's files. Every other ref in the log is root-relative, so
+    * the leading slash is an unambiguous discriminator (relativize strips
+    * it from everything under the root).
+    */
+  private[core] def isExternalRef(r: String): Boolean = r.startsWith("/")
+
+  /** Absolute paths → the commit-entry ref form: root-relative when under
+    * the root, the absolute decoded path itself otherwise (files a
+    * shallow [[clone]] inherited from its source). Write paths keep the
+    * strict [[relativize]] — a freshly-written file escaping its root
+    * there is a bug, not a clone ref.
+    */
+  private[core] def relativizeOrExternal(spark: SparkSession, root: String,
+                                         abs: Seq[String]): Seq[String] = {
+    val rootUri = qualifiedRootUri(spark, root)
+    abs.map { a =>
+      val p = new Path(a).toUri.getPath
+      if (p.startsWith(rootUri)) p.stripPrefix(rootUri).stripPrefix("/") else p
+    }
+  }
+
+  /** basePath for an EXTERNAL data file: walk up past hive `col=value`
+    * directory segments to the dataset root that owns the file, so Spark
+    * derives its partition columns exactly as a scan of the source
+    * dataset would. Unpartitioned files resolve to their parent dir —
+    * harmless, nothing to derive.
+    */
+  private[core] def hiveBaseOf(abs: String): String = {
+    var p = new Path(abs).getParent
+    while (p != null && p.getParent != null && p.getName.contains("=")) p = p.getParent
+    p.toString
+  }
+
+  /** Group a snapshot's file refs by the basePath their scan needs — the
+    * dataset's own root for relative refs, each external hive base for
+    * clone-inherited absolute refs. Values are absolute path strings;
+    * deterministic group order (relative refs first, then external bases
+    * sorted) so unions are stable.
+    */
+  private[core] def scanGroups(root: String,
+                               refs: Seq[String]): Seq[(String, Seq[String])] = {
+    val (ext, local) = refs.partition(isExternalRef)
+    val localGroup =
+      if (local.isEmpty) Nil
+      else Seq(root -> local.map(r => new Path(root, r).toString))
+    localGroup ++ ext.groupBy(hiveBaseOf).toSeq.sortBy(_._1)
   }
 
   /** Whether `root` carries a version log (≥1 committed version). */
@@ -271,20 +324,27 @@ object Versions {
              dvs: Seq[DvRef] = Nil,
              colMap: Option[Map[String, String]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
-        || action == "delete_dv" || action == "update_dv" || action == "alter",
+        || action == "delete_dv" || action == "update_dv" || action == "alter"
+        || action == "clone",
       s"unknown action $action")
     require(action != "alter" || (addedAbs.isEmpty && removedRel.isEmpty && dvs.isEmpty),
       "an alter commit is metadata-only: it adds/removes no files")
     require(removedRel.isEmpty || action == "rewrite",
       s"only rewrite commits remove files, got $action with ${removedRel.size} removals")
     require(dvs.isEmpty || action == "delete_dv" || action == "update_dv"
-        || action == "overwrite",
-      "deletion vectors ride delete_dv/update_dv commits (or an overwrite " +
-        "carrying a restored snapshot)")
+        || action == "overwrite" || action == "clone",
+      "deletion vectors ride delete_dv/update_dv commits (or an overwrite/" +
+        "clone carrying a snapshot)")
     require(action != "delete_dv" || addedAbs.isEmpty,
       "a delete_dv commit adds no data files")
     val f = fs(spark, root)
-    val rel = relativize(spark, root, addedAbs)
+    // clone and restore commits may reference files OUTSIDE the root
+    // (shallow-clone inheritance); those stay absolute in the entry.
+    // Every other action writes its own files, which must be under root.
+    val rel =
+      if (action == "clone" || action == "overwrite")
+        relativizeOrExternal(spark, root, addedAbs)
+      else relativize(spark, root, addedAbs)
     var attempts = 0
     while (attempts < 10000) {
       val latest = latestVersion(spark, root)
@@ -646,7 +706,8 @@ object Versions {
     var base = Vector.empty[String]
     var baseDvs = Vector.empty[DvRef]
     var seeded = false
-    while (!seeded && chain.head.action != "overwrite" && v > 1) {
+    while (!seeded && chain.head.action != "overwrite" &&
+           chain.head.action != "clone" && v > 1) {
       val prev = readEntry(spark, root, v - 1)
       memoGet(qroot, v - 1, prev) match {
         case Some((files, _, dvs)) =>
@@ -669,7 +730,8 @@ object Versions {
     val (files, dvs) = chain.foldLeft((base, baseDvs)) { case ((live, dv), e) =>
       val dropped = e.removed.toSet
       val nextLive = (if (dropped.isEmpty) live else live.filterNot(dropped)) ++ e.added
-      val nextDvs = (if (e.action == "overwrite") Vector.empty[DvRef] else dv) ++ e.dvs
+      val nextDvs = (if (e.action == "overwrite" || e.action == "clone")
+        Vector.empty[DvRef] else dv) ++ e.dvs
       (nextLive, nextDvs)
     }
     val at = chain.last // the entry AT `version` carries the current schema
@@ -787,13 +849,19 @@ object Versions {
     // scans read under PHYSICAL column names (identical to meta.schema
     // unless a rename/drop mapped them); the restoring select below
     // aliases each back to its logical name
-    def leg(fls: Seq[String], withMeta: Boolean): DataFrame = {
-      val abs = fls.map(r => new Path(root, r).toString)
-      val raw0 = spark.read.option("basePath", root).schema(meta.physSchema).parquet(abs: _*)
-      if (!withMeta) raw0
-      else raw0.withColumn(fileTmp, col("_metadata.file_path"))
-               .withColumn(idxTmp, col("_metadata.row_index"))
-    }
+    // one read per basePath group: the dataset's own root, plus (for
+    // shallow clones) each external source base, so inherited files
+    // derive their hive partition columns against the root that owns
+    // them. Metadata columns materialize per group — they resolve only
+    // against a scan, never across a union.
+    def leg(fls: Seq[String], withMeta: Boolean): DataFrame =
+      scanGroups(root, fls).map { case (base, abs) =>
+        val raw0 = spark.read.option("basePath", base)
+          .schema(meta.physSchema).parquet(abs: _*)
+        if (!withMeta) raw0
+        else raw0.withColumn(fileTmp, col("_metadata.file_path"))
+                 .withColumn(idxTmp, col("_metadata.row_index"))
+      }.reduce(_.unionByName(_))
     // DV refs NAME the files they cover: only those files pay the probe
     // (metadata materialization + anti-join); every other file streams
     // through an untouched scan leg — a snapshot under sparse mutation
@@ -1392,6 +1460,66 @@ object Versions {
     * restored files alive however old they are (reference counting by
     * replay, not by age).
     */
+  /** SHALLOW CLONE (the Delta CLONE design, public docs): create `dstRoot`
+    * as a new versioned dataset whose v1 references `srcRoot`'s snapshot
+    * files IN PLACE — a metadata-only commit of O(files) entry bytes,
+    * zero data bytes copied, any snapshot age. The clone is a fully
+    * independent dataset from then on: appends, DELETE/UPDATE/MERGE,
+    * OPTIMIZE, RESTORE and time travel all work; mutations copy-on-write
+    * NEW files under the clone's root and the source is never modified.
+    * A full-snapshot OPTIMIZE ([[compact]]) materializes the clone
+    * (rewrites every inherited ref into local files).
+    *
+    * Mechanics: inherited refs are stored as ABSOLUTE decoded paths
+    * (every native ref in a commit log is root-relative, so the leading
+    * slash discriminates — [[isExternalRef]]); scans group them by their
+    * source hive base so partition columns derive correctly
+    * ([[scanGroups]]); the source's live deletion vectors are copied into
+    * the clone's own `_graft_dv` with their file keys rewritten to the
+    * absolute form (DV matching is string-keyed), so row-level deletes
+    * travel with the clone; the source's column mapping travels on the
+    * entry. [[vacuum]] on the clone only ever deletes from the clone's
+    * own physical listing, so inherited files are structurally safe from
+    * it; vacuuming the SOURCE can break clones that still reference the
+    * removed snapshot — the documented Delta-identical caveat (OPTIMIZE
+    * the clone first to materialize it).
+    *
+    * Clone-inherited files carry no stats/bloom sidecar rows in the
+    * clone, so data-skipping treats them as must-scan (exactness is
+    * unconditional); freshly-written clone files index as usual.
+    */
+  def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
+            version: Option[Int] = None): Int = {
+    val srcLatest = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"clone source $srcRoot is not versioned"))
+    val v = version.getOrElse(srcLatest)
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has a commit log")
+    require(Publish.listPhysicalDataFilesWithSize(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already contains data files")
+    require(qualifiedRootUri(spark, srcRoot) != qualifiedRootUri(spark, dstRoot),
+      "clone source and target are the same path")
+    val (files, meta, dvs) = snapshotFullAt(spark, srcRoot, v)
+    val srcUri = qualifiedRootUri(spark, srcRoot).stripSuffix("/")
+    def toAbs(r: String): String = if (isExternalRef(r)) r else s"$srcUri/$r"
+    val absFiles = files.map(toAbs)
+    val newDvs = dvs.map { d =>
+      val rows = readDvRows(spark, srcRoot, d)
+        .withColumn("file", when(col("file").startsWith("/"), col("file"))
+          .otherwise(concat(lit(srcUri + "/"), col("file"))))
+      val dvDir = s"$DvDirName/${java.util.UUID.randomUUID().toString}"
+      rows.coalesce(1).write.mode("errorifexists")
+        .parquet(new Path(dstRoot, dvDir).toString)
+      DvRef(dvDir, d.files.map(toAbs))
+    }
+    // sidecar mirrors the LOGICAL schema (the commit entry is the source
+    // of truth for versioned reads; the sidecar serves schema validation)
+    DatasetMeta.write(spark, dstRoot, DatasetMeta(meta.schema, meta.partitions))
+    commit(spark, dstRoot, "clone", absFiles, meta, dvs = newDvs,
+      colMap = Some(meta.colMap))
+  }
+
   def restore(spark: SparkSession, root: String, version: Int): Int =
     DatasetLock.withLock(spark, root) {
       val (files, meta, dvs) = snapshotFullAt(spark, root, version)

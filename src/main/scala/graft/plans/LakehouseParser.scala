@@ -63,6 +63,9 @@ object LakehouseStatements {
     re("ALTER\\s+TABLE\\s+" + Target + "\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)")
   private val DropColumn =
     re("ALTER\\s+TABLE\\s+" + Target + "\\s+DROP\\s+COLUMN\\s+(\\w+)")
+  private val Clone =
+    re("CREATE\\s+TABLE\\s+" + Target + "\\s+SHALLOW\\s+CLONE\\s+" + Target +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -89,7 +92,27 @@ object LakehouseStatements {
       Some(GraftCheckpointCommand(root, Option(v).map(_.toInt)))
     case RenameColumn(root, from, to) => Some(GraftRenameColumnCommand(root, from, to))
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
+    case Clone(dst, src, v) =>
+      Some(GraftCloneCommand(dst, src, Option(v).map(_.toInt)))
     case _ => None
+  }
+}
+
+/** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` [VERSION AS OF n]`
+  * — the Delta CLONE shape: a metadata-only commit referencing the source
+  * snapshot's files in place ([[Versions.clone]]).
+  */
+case class GraftCloneCommand(dst: String, src: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("source_version", IntegerType, nullable = false)(),
+    AttributeReference("target", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.getOrElse(Versions.latestVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"clone source $src is not versioned")))
+    Versions.clone(spark, src, dst, Some(v))
+    Seq(Row(src, v, dst))
   }
 }
 

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColFilter, Fetch, Mutations, Publish, Versions}
+import graft.plans.GraftSql
+
+/** Shallow clone: a metadata-only commit referencing the source snapshot's
+  * files in place. The clone reads identically to the cloned snapshot,
+  * evolves independently (append/mutate/OPTIMIZE never touch the source),
+  * carries the source's deletion vectors and column mapping, and its
+  * vacuum can only ever delete its own files.
+  */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  private def physicalFiles(root: String): Set[String] =
+    Publish.listPhysicalDataFilesWithSize(spark, root).map(_._1).toSet
+
+  private def freshSrc(name: String, n: Int = 100): String = {
+    val root = TestSpark.tmpDir(name)
+    Publish.publishVersioned(spark,
+      (0 until n).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("id", "grp", "v"),
+      root, Seq("grp"))
+    root
+  }
+
+  test("clone reads the source snapshot exactly; zero data files copied") {
+    val src = freshSrc("clone_src_basic")
+    Publish.publishVersioned(spark,
+      (100 until 150).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("id", "grp", "v"),
+      src, Seq("grp"), mode = "append")
+    val dst = TestSpark.tmpDir("clone_dst_basic")
+    val v = Versions.clone(spark, src, dst)
+    assert(v == 1)
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 150L))
+    // metadata-only: the clone root holds no data parquet of its own
+    assert(physicalFiles(dst).isEmpty)
+    val entry = Versions.readEntry(spark, dst, 1)
+    assert(entry.action == "clone")
+    assert(entry.added.nonEmpty && entry.added.forall(_.startsWith("/")),
+      "inherited refs are absolute external paths")
+    // partition filters prune & match on inherited files
+    assert(ids(Fetch.fetch(spark, dst, Seq(ColFilter("grp", "==", Seq("g1")))))
+      == (0L until 150L).filter(_ % 4 == 1))
+    // data-column skipping path stays exact (inherited files must-scan)
+    assert(ids(Fetch.fetchIndexed(spark, dst,
+      dataFilters = Seq(ColFilter("id", "<", Seq(10L))))) == (0L until 10L))
+  }
+
+  test("clone at an older version pins that snapshot") {
+    val src = freshSrc("clone_src_ver")
+    Publish.publishVersioned(spark,
+      Seq((999L, "g0", 9.9)).toDF("id", "grp", "v"), src, Seq("grp"), mode = "append")
+    val dst = TestSpark.tmpDir("clone_dst_ver")
+    Versions.clone(spark, src, dst, Some(1))
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L))
+  }
+
+  test("clone evolves independently: append, DELETE, UPDATE leave the source intact") {
+    val src = freshSrc("clone_src_mut")
+    val dst = TestSpark.tmpDir("clone_dst_mut")
+    Versions.clone(spark, src, dst)
+    val srcFilesBefore = physicalFiles(src)
+
+    Publish.publishVersioned(spark,
+      Seq((1000L, "g0", 1.0)).toDF("id", "grp", "v"), dst, Seq("grp"), mode = "append")
+    assert(ids(Fetch.fetch(spark, dst)) == ((0L until 100L) :+ 1000L))
+
+    // copy-on-write DELETE rewrites the affected INHERITED file into a
+    // local file; the source bytes never move
+    val r = Mutations.deleteWhere(spark, dst, col("id") % 4 === 1 && col("id") < 50)
+    assert(r.removedFiles.forall(_.startsWith("/")), "removed refs are the inherited form")
+    assert(ids(Fetch.fetch(spark, dst)) ==
+      ((0L until 100L).filterNot(i => i % 4 == 1 && i < 50) :+ 1000L))
+    Mutations.updateWhere(spark, dst, col("id") === 0L, Map("v" -> lit(-1.0)))
+    assert(Fetch.fetch(spark, dst).where(col("id") === 0L)
+      .select("v").as[Double].head() == -1.0)
+
+    assert(physicalFiles(src) == srcFilesBefore, "source files untouched")
+    assert(ids(Fetch.fetch(spark, src)) == (0L until 100L), "source rows untouched")
+    // the clone's own time travel still reads its v1 (the cloned snapshot)
+    assert(ids(Versions.fetchVersion(spark, dst, 1)) == (0L until 100L))
+  }
+
+  test("live deletion vectors travel with the clone") {
+    val src = freshSrc("clone_src_dv")
+    Mutations.deleteWhereDv(spark, src, col("id") % 10 === 3)
+    val dst = TestSpark.tmpDir("clone_dst_dv")
+    Versions.clone(spark, src, dst)
+    val expect = (0L until 100L).filterNot(_ % 10 == 3)
+    assert(ids(Fetch.fetch(spark, dst)) == expect)
+    // the clone's DV sidecar is its OWN copy: vacuuming the clone's DV
+    // state never reaches into the source's _graft_dv
+    val entry = Versions.readEntry(spark, dst, 1)
+    assert(entry.dvs.nonEmpty && entry.dvs.forall(_.dir.startsWith("_graft_dv/")))
+    // further DV deletes stack on the clone only
+    Mutations.deleteWhereDv(spark, dst, col("id") === 0L)
+    assert(ids(Fetch.fetch(spark, dst)) == expect.filterNot(_ == 0L))
+    assert(ids(Fetch.fetch(spark, src)) == expect, "source DV state unchanged")
+  }
+
+  test("OPTIMIZE materializes the clone; vacuum then cannot touch source files") {
+    val src = freshSrc("clone_src_opt")
+    val dst = TestSpark.tmpDir("clone_dst_opt")
+    Versions.clone(spark, src, dst)
+    Versions.compact(spark, dst)
+    val entry = Versions.readEntry(spark, dst, 2)
+    assert(entry.action == "overwrite" && entry.added.forall(!_.startsWith("/")),
+      "materialized refs are local")
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L))
+    // vacuum the clone down to the materialized version: only clone-local
+    // bytes are candidates, and the source remains fully readable
+    val deleted = Versions.vacuum(spark, dst, keepFrom = 2, graceMs = 0L)
+    assert(deleted.forall(!_.contains(new org.apache.hadoop.fs.Path(src).getName)),
+      s"vacuum must not name source files: $deleted")
+    assert(ids(Fetch.fetch(spark, src)) == (0L until 100L))
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L))
+  }
+
+  test("column mapping travels: clone of a renamed dataset reads renamed") {
+    val src = freshSrc("clone_src_map")
+    Versions.renameColumn(spark, src, "v", "value")
+    val dst = TestSpark.tmpDir("clone_dst_map")
+    Versions.clone(spark, src, dst)
+    val df = Fetch.fetch(spark, dst)
+    assert(df.columns.toSeq == Seq("id", "grp", "value"))
+    assert(df.where(col("id") === 1L).select("value").as[Double].head() == 1.0)
+  }
+
+  test("SQL verb: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF") {
+    val src = freshSrc("clone_src_sql")
+    Publish.publishVersioned(spark,
+      Seq((500L, "g0", 5.0)).toDF("id", "grp", "v"), src, Seq("grp"), mode = "append")
+    val dst = TestSpark.tmpDir("clone_dst_sql")
+    val out = GraftSql.exec(spark,
+      s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src` VERSION AS OF 1")
+    assert(out.collect().head.getString(2) == dst)
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L))
+    val hist = GraftSql.exec(spark, s"DESCRIBE HISTORY graft.`$dst`")
+      .select("action").as[String].collect()
+    assert(hist.toSeq == Seq("clone"))
+  }
+
+  test("guard rails: occupied target, unversioned source, self-clone") {
+    val src = freshSrc("clone_src_guard")
+    intercept[IllegalArgumentException] {
+      Versions.clone(spark, src, src)
+    }
+    val occupied = freshSrc("clone_dst_occupied")
+    intercept[IllegalArgumentException] {
+      Versions.clone(spark, src, occupied)
+    }
+    val unversioned = TestSpark.tmpDir("clone_src_unv")
+    Publish.publish(spark, Seq((1L, "a")).toDF("id", "g"), unversioned, Seq("g"))
+    intercept[IllegalArgumentException] {
+      Versions.clone(spark, unversioned, TestSpark.tmpDir("clone_dst_unv"))
+    }
+  }
+}
