@@ -475,6 +475,28 @@ object SparkEntry {
         Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // CHECK constraint lifecycle, value-checked end to end: constrained
+    // appends land, the violating batch is rejected ATOMICALLY (caught —
+    // no version commits), and the final content equals base + valid
+    // slice exactly. ConstraintSpec pins the full lifecycle.
+    "version_constraints" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_constraints", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 3 =!= 0),
+        root, Seq("o_orderstatus"))
+      Versions.addConstraint(s, root, "price_positive", "o_totalprice > 0")
+      Publish.publishVersioned(s, orders.where(col("o_orderkey") % 3 === 0),
+        root, Seq("o_orderstatus"), mode = "append")
+      try {
+        Publish.publishVersioned(s,
+          orders.where(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", -col("o_totalprice")),
+          root, Seq("o_orderstatus"), mode = "append")
+      } catch { case _: graft.core.ConstraintViolationException => }
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
     // SHALLOW CLONE: metadata-only copy of the versioned dataset at v2
     // (= full orders), then a copy-on-write DELETE on the CLONE — the
     // mutation rewrites inherited refs into clone-local files while the
@@ -1818,6 +1840,11 @@ object SparkEntry {
     // copy-on-write DELETE removed
     "version_clone" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
+
+    // base (non-%3) + valid append (%3) = full orders; the negated-price
+    // batch must have been rejected without committing anything
+    "version_constraints" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "version_travel_v2" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "version_travel_latest" ->
       "SELECT * FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey",

@@ -71,6 +71,10 @@ object Mutations {
   private def rewriteCommit(spark: SparkSession, root: String,
                             meta: DatasetMeta, replacement: DataFrame,
                             removedRel: Seq[String]): MutationResult = {
+    // UPDATE/MERGE-produced rows must honor the table's CHECK constraints
+    // (survivor rows re-validate too — they were valid, and the combined
+    // pass only scans the affected-file subset being rewritten)
+    Versions.enforceConstraints(spark, root, replacement)
     // a delete can wipe EVERY row of the affected files — then there is
     // nothing to write and the commit is removal-only (isEmpty scans only
     // the affected files, already the small rewritten subset). A
@@ -193,6 +197,7 @@ object Mutations {
   private def updateDvCommit(spark: SparkSession, root: String,
                              meta: DatasetMeta, rows: DataFrame,
                              dv: Option[DvRef]): MutationResult = {
+    Versions.enforceConstraints(spark, root, rows)
     // mapped datasets write the replacement copies under PHYSICAL names
     // (see rewriteCommit — the mapping pins one physical name per column
     // across every live file)

@@ -197,6 +197,8 @@ object Publish {
           s"versioned publish partitions $partitions do not match dataset " +
             s"partitions ${meta.partitions}")
       }
+      // CHECK constraints gate every versioned write (overwrite included)
+      if (existing.nonEmpty) Versions.enforceConstraints(spark, root, df)
       // Physical writes NEVER delete: an initial publish writes fresh, and
       // every later commit (logical overwrite included) appends files.
       val newFiles =
@@ -277,6 +279,9 @@ object Publish {
     require(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       "append schema does not match the dataset's recorded schema")
+    // gate the batch BEFORE any bytes land (the constraint read + check is
+    // a tiny pre-pass; the optimistic data write only starts if it holds)
+    Versions.enforceConstraints(spark, root, df)
     // A name-mapped dataset (RENAME/DROP COLUMN history) writes every
     // data file under the PHYSICAL names the mapping pins — one stable
     // physical name per logical column across ALL live files, which is

@@ -44,7 +44,15 @@ final case class VersionEntry(version: Int, action: String,
                               txn: Option[(String, Long)] = None,
                               dvs: Seq[DvRef] = Nil,
                               colMap: Map[String, String] = Map.empty,
-                              nonce: Option[String] = None)
+                              nonce: Option[String] = None,
+                              constraints: Map[String, String] = Map.empty)
+
+/** A write violated a table CHECK constraint ([[Versions.addConstraint]]).
+  * Carries the constraint's name and expression plus one offending row's
+  * rendering, so the failed batch is diagnosable without a re-run.
+  */
+final class ConstraintViolationException(message: String)
+    extends RuntimeException(message)
 
 /** One deletion-vector sidecar: `dir` (root-relative, under `_graft_dv/`)
   * holds a parquet dataset of `(file, row_index)` — the exact rows a
@@ -322,7 +330,8 @@ object Versions {
              removedRel: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
              dvs: Seq[DvRef] = Nil,
-             colMap: Option[Map[String, String]] = None): Int = {
+             colMap: Option[Map[String, String]] = None,
+             constraints: Option[Map[String, String]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -348,8 +357,8 @@ object Versions {
     var attempts = 0
     while (attempts < 10000) {
       val latest = latestVersion(spark, root)
-      if (action == "append") latest.foreach { lv =>
-        val entry = readEntry(spark, root, lv)
+      val latestEntry = latest.map(lv => readEntry(spark, root, lv))
+      if (action == "append") latestEntry.foreach { entry =>
         val same = entry.schema.fields.map(x => (x.name, x.dataType)).toSet ==
           meta.schema.fields.map(x => (x.name, x.dataType)).toSet
         // Checked against the latest entry UNCONDITIONALLY, not just when
@@ -361,14 +370,18 @@ object Versions {
         if (!same)
           throw new java.util.ConcurrentModificationException(
             s"append to $root lost a race with a schema-changing overwrite " +
-              s"(schema in force at v$lv differs); the staged files no longer " +
+              s"(schema in force at v${entry.version} differs); the staged files no longer " +
               "match the dataset — re-run the append against the new schema")
       }
       val v = latest.getOrElse(0) + 1
       val entryColMap = colMap.getOrElse(
         if (action == "overwrite") Map.empty[String, String]
-        else latest.map(lv => readEntry(spark, root, lv).colMap)
-          .getOrElse(Map.empty[String, String]))
+        else latestEntry.map(_.colMap).getOrElse(Map.empty[String, String]))
+      // CHECK constraints persist across EVERY commit — logical overwrites
+      // included (they are table properties, not data layout) — until an
+      // explicit alter changes the set
+      val entryConstraints = constraints.getOrElse(
+        latestEntry.map(_.constraints).getOrElse(Map.empty[String, String]))
       require(entryColMap.keySet.subsetOf(meta.schema.fieldNames.toSet),
         s"colMap names columns not in the schema: " +
           s"${entryColMap.keySet -- meta.schema.fieldNames}")
@@ -385,7 +398,10 @@ object Versions {
         "schema" -> JsonMethods.parse(meta.schema.json)) ++
         (if (entryColMap.isEmpty) Nil
          else List("colMap" -> JObject(
-           entryColMap.toList.sortBy(_._1).map { case (k, p) => k -> JString(p) })))
+           entryColMap.toList.sortBy(_._1).map { case (k, p) => k -> JString(p) }))) ++
+        (if (entryConstraints.isEmpty) Nil
+         else List("constraints" -> JObject(
+           entryConstraints.toList.sortBy(_._1).map { case (k, e) => k -> JString(e) })))
       val txnFields = txn.toList.flatMap { case (app, b) =>
         List("txnApp" -> JString(app), "txnBatch" -> JInt(b)) }
       val dvFields =
@@ -507,8 +523,12 @@ object Versions {
       case JString(x) => Some(x)
       case _ => None
     }
+    val constraints = (jv \ "constraints") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn, dvs, colMap, nonce)
+      schema, strings("partitions"), txn, dvs, colMap, nonce, constraints)
   }
 
   /** Highest batchId committed under `appId`, or None — the restart probe
@@ -1381,6 +1401,82 @@ object Versions {
         newFiles
       }
     }
+
+  /** The CHECK constraints in force at the latest version (empty for
+    * unversioned or unconstrained datasets).
+    */
+  def constraintsOf(spark: SparkSession, root: String): Map[String, String] =
+    latestVersion(spark, root)
+      .map(v => readEntry(spark, root, v).constraints)
+      .getOrElse(Map.empty)
+
+  /** ADD CONSTRAINT name CHECK (expr) — the Delta table-constraint shape:
+    * a metadata-only `alter` commit carrying the constraint set; every
+    * subsequent write (versioned append/overwrite, UPDATE/MERGE
+    * replacement rows) is validated against it and rejected atomically on
+    * violation (the batch never commits). SQL CHECK semantics: a row
+    * violates only when the expression is FALSE — NULL (unknown) passes,
+    * so `col IS NOT NULL` expresses NOT NULL explicitly.
+    *
+    * EXISTING data is validated first (one scan, short-circuited at the
+    * first violation) — a constraint that the current snapshot already
+    * breaks is rejected outright, so a green ADD means the invariant
+    * holds for the whole table from that commit on.
+    */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, exprText: String): Int =
+    DatasetLock.withLock(spark, root) {
+      require(latestVersion(spark, root).isDefined,
+        s"constraints need a versioned dataset; $root has no commit log")
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"invalid constraint name '$name'")
+      val existing = constraintsOf(spark, root)
+      require(!existing.contains(name), s"constraint $name already exists")
+      val (_, meta, _) = snapshotFullAt(spark, root,
+        latestVersion(spark, root).get)
+      val offending = fetchSnapshot(spark, root)
+        .where(expr(exprText) <=> lit(false)).limit(1).collect()
+      if (offending.nonEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add constraint $name CHECK ($exprText) to $root: existing " +
+            s"row violates it: ${offending.head}")
+      commit(spark, root, "alter", Nil, meta, colMap = Some(meta.colMap),
+        constraints = Some(existing + (name -> exprText)))
+    }
+
+  /** DROP CONSTRAINT name — a metadata-only `alter` commit. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Int =
+    DatasetLock.withLock(spark, root) {
+      val existing = constraintsOf(spark, root)
+      require(existing.contains(name),
+        s"no constraint $name on $root (have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+      val (_, meta, _) = snapshotFullAt(spark, root,
+        latestVersion(spark, root).get)
+      commit(spark, root, "alter", Nil, meta, colMap = Some(meta.colMap),
+        constraints = Some(existing - name))
+    }
+
+  /** Validate a write batch against the dataset's CHECK constraints —
+    * called by every df-bearing versioned write seam (publish, mutation
+    * replacements). ONE combined-predicate pass over the batch for the
+    * happy path; only a failing batch pays per-constraint passes to name
+    * the violated constraint. No-op when the dataset has none.
+    */
+  private[graft] def enforceConstraints(spark: SparkSession, root: String,
+                                        df: DataFrame): Unit = {
+    val cs = constraintsOf(spark, root)
+    if (cs.isEmpty) return
+    val anyViolated = cs.values.map(e => expr(e) <=> lit(false))
+      .reduce(_ || _)
+    if (df.where(anyViolated).limit(1).collect().nonEmpty) {
+      val (name, e) = cs.toSeq.sortBy(_._1).find { case (_, e) =>
+        df.where(expr(e) <=> lit(false)).limit(1).collect().nonEmpty
+      }.get
+      val row = df.where(expr(e) <=> lit(false)).limit(1).collect().head
+      throw new ConstraintViolationException(
+        s"write to $root violates constraint $name CHECK ($e): $row")
+    }
+  }
 
   /** RENAME COLUMN — a METADATA-ONLY commit (the Delta name-mapping
     * design): no data file is touched; the new `alter` entry carries the

@@ -66,6 +66,11 @@ object LakehouseStatements {
   private val Clone =
     re("CREATE\\s+TABLE\\s+" + Target + "\\s+SHALLOW\\s+CLONE\\s+" + Target +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
+  private val AddConstraint =
+    re("ALTER\\s+TABLE\\s+" + Target +
+      "\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)")
+  private val DropConstraint =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+DROP\\s+CONSTRAINT\\s+(\\w+)")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -94,8 +99,36 @@ object LakehouseStatements {
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
     case Clone(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toInt)))
+    case AddConstraint(root, name, check) =>
+      Some(GraftAddConstraintCommand(root, name, check.trim))
+    case DropConstraint(root, name) =>
+      Some(GraftDropConstraintCommand(root, name))
     case _ => None
   }
+}
+
+/** `ALTER TABLE graft.`root` ADD CONSTRAINT name CHECK (expr)` — the
+  * Delta table-constraint shape ([[Versions.addConstraint]]: existing
+  * data validated, then a metadata-only commit; every later write is
+  * gated on the expression not being FALSE).
+  */
+case class GraftAddConstraintCommand(root: String, name: String, check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.addConstraint(spark, root, name, check), name))
+}
+
+/** `ALTER TABLE graft.`root` DROP CONSTRAINT name`. */
+case class GraftDropConstraintCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.dropConstraint(spark, root, name), name))
 }
 
 /** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` [VERSION AS OF n]`
