@@ -302,6 +302,41 @@ object PlanAudit {
       // the residual data predicate evaluates in one stage
       "no join in a plain format read" -> (p => !p.contains("Join")),
       "whole-stage codegen filter" -> (_.contains("*(")))
+    audit("fuzzy_join_editdist",
+      // PassJoin blocking: candidates from an equi-join on (segment hash,
+      // index, length) scalars — never all-pairs; the verify is Spark's
+      // codegen'd threshold-bounded levenshtein
+      "no cartesian / nested loop" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")),
+      "hash-keyed blocking join" -> (_.contains("xxhash64")),
+      "threshold-bounded verify" -> (_.contains("levenshtein")))
+    audit("fuzzy_join_lookup",
+      "no cartesian / nested loop" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")))
+    audit("ts_gapfill_locf",
+      // the dense grid explodes from each key's own bounds row — no
+      // global-calendar cross join; LOCF is exactly one window pass
+      "no cartesian grid" -> (p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop")),
+      "single LOCF window pass" -> (p =>
+        "Window ".r.findAllIn(p.split("== Initial Plan ==").head).size == 1))
+    audit("ts_resample",
+      "partial aggregate onto the grid" -> (_.contains("partial_count")))
+    audit("text_html_extract",
+      // the whole strip/decode chain is one codegen'd projection over the
+      // scan — no UDF, no extra exchange beyond the presentation sort
+      "whole-stage codegen" -> (_.contains("*(")),
+      "no join" -> (p => !p.contains("Join")))
+    audit("version_clone",
+      // a clone snapshot (inherited refs + the DELETE's local rewrites,
+      // no DVs) reads as bare unioned scan legs — zero joins, zero
+      // per-row path work
+      "no join in the snapshot read" -> (p => !p.contains("Join")))
+    audit("dedup_semantic",
+      // within-cluster candidates only (bucket self-join on the cluster
+      // id); the one nested-loop is the broadcast of the tiny centroid
+      // frame in the assignment pass
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
