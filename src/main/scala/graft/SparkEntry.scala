@@ -1110,6 +1110,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode cleaning value-checked cross-engine: every doc gets a
+    // planted decomposed-e+acute / NBSP / ZWSP / BEL suffix; the native
+    // NFC codegen expression and each strip rule must match DuckDB's
+    // nfc_normalize + RE2 chain byte-for-byte.
+    "text_normalize" -> ((s, dir) => {
+      val aug = s.read.parquet(t(dir, "documents")).withColumn("text",
+        concat(col("text"),
+        lit(" Cafe\u0301\u00A0[\u200B]\u0007 end")))
+      TextAnalysis.cleanText(aug).orderBy("doc_id")
+    }),
+
     "text_redact" -> ((s, dir) => {
       // synthesize deterministic PII so the scrub pass is actually
       // exercised (the corpus itself contains none)
@@ -1633,6 +1644,25 @@ object SparkEntry {
         .toDF("min_price", "max_price", "min_qty", "max_qty")
     }),
 
+    // V2 aggregate pushdown: COUNT(*)/COUNT(col)/MIN/MAX through the
+    // standard DataFrame agg over format("graft") answer from the stats
+    // manifest alone — the plan carries no parquet scan of the data
+    // (GraftDataSourceSpec pins the records-read bound and fallbacks).
+    "fetch_agg_pushdown" -> ((s, dir) => {
+      val root = publishOnce(s, "ds_lineitem_zstats", dir, Nil,
+        zorderCols = Seq("l_extendedprice", "l_quantity"),
+        statsCols = Seq("l_extendedprice", "l_quantity")) {
+        s.read.parquet(t(dir, "lineitem"))
+      }
+      s.read.format("graft").load(root).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    }),
+
     "fetch_stats_count" -> ((s, dir) => {
       // metadata-only COUNT(*) and COUNT(col): answered from the sidecar's
       // n_rows/n_nulls embedding (zero data rows read — input-metrics spec
@@ -1989,6 +2019,12 @@ object SparkEntry {
 
     "fetch_stats_count" ->
       "SELECT count(*) AS n_rows, count(l_quantity) AS n_qty FROM lineitem",
+
+    "fetch_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, count(l_quantity) AS n_qty,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
 
     "fetch_stats_count_by_partition" ->
       """SELECT o_orderstatus, count(*) AS n_rows FROM orders
@@ -2400,6 +2436,19 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_ngrams
         |FROM g JOIN b USING (gram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the planted suffix is built from chr() codepoints (NOT \u escapes —
+    // the Scala lexer would expand those even inside raw strings); rules
+    // replayed: NFC composition, line-control+Zs to space, Cc/Cf strip,
+    // space collapse, trim
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || ' Cafe' || chr(769) || chr(160) || '[' ||
+        |    chr(8203) || ']' || chr(7) || ' end'),
+        |  '[\n\t\r\p{Zs}]', ' ', 'g'),
+        |  '[\p{Cc}\p{Cf}]', '', 'g'),
+        |  ' +', ' ', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the oracle replays the extraction chain rule by rule: script/style
     // elements (content included), comments, tags, the six entity

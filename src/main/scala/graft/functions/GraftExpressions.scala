@@ -56,9 +56,58 @@ object Fingerprint64 {
   }
 }
 
+/** Unicode NFC normalization of a string — canonical composition (e +
+  * U+0301 → é), the text-cleaning primitive Spark's function library
+  * lacks. A native Catalyst expression: the generated code calls
+  * `java.text.Normalizer` directly (with a fast-path skip for strings
+  * already in NFC, which `Normalizer.isNormalized` answers without
+  * allocating), so it rides whole-stage codegen like any built-in — no
+  * UDF boundary. NFC (not NFKC) by design: canonical equivalence only,
+  * no compatibility folding that changes visible text (ﬁ → fi).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** UTF8String → NFC UTF8String; returns the input object unchanged
+    * when already normalized (the overwhelmingly common case — one
+    * isNormalized scan, zero allocation).
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column wrappers for graft's native expressions. */
 object GraftFunctions {
   /** 64-bit rolling-hash fingerprint of a string column. */
   def fingerprint64(c: Column): Column =
     shim.column(Fingerprint64(shim.expression(c)))
+
+  /** Unicode NFC normalization of a string column. */
+  def nfcNormalize(c: Column): Column =
+    shim.column(NfcNormalize(shim.expression(c)))
 }

@@ -28,6 +28,7 @@ object GraftSqlFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_fingerprint64" -> (args => Fingerprint64(one(args, "graft_fingerprint64"))),
+    "graft_nfc_normalize" -> (args => NfcNormalize(one(args, "graft_nfc_normalize"))),
     "graft_simhash64" -> (args => SimHash64Expr(one(args, "graft_simhash64"))),
     "graft_shingles" -> (args => {
       require(args.length == 2, "graft_shingles(text, n)")

@@ -485,4 +485,29 @@ object TextAnalysis {
   def extractHtml(docs: DataFrame, idCol: String = "doc_id",
                   htmlCol: String = "html"): DataFrame =
     docs.select(col(idCol), extractHtmlText(col(htmlCol)).as("text"))
+
+  /** Unicode text cleaning for a crawled corpus — the normalization pass
+    * that runs before any hashing/dedup (two visually-identical strings
+    * in different canonical forms would otherwise fingerprint apart):
+    *  1. NFC canonical composition ([[GraftFunctions.nfcNormalize]] — a
+    *     native codegen expression; NFC not NFKC, so visible text never
+    *     changes);
+    *  2. line/tab controls and Unicode space separators (`\p{Zs}`, NBSP
+    *     included — Java and RE2 `\s` are ASCII-only and MISS them) → ' ';
+    *  3. remaining control/format chars stripped (`\p{Cc}\p{Cf}`:
+    *     zero-widths, BOM, bidi marks — the classic dedup poison);
+    *  4. space runs collapsed, ends trimmed.
+    * A pure codegen projection: scan-speed, zero shuffle.
+    */
+  def cleanTextCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(GraftFunctions.nfcNormalize(c), "[\\n\\t\\r\\p{Zs}]", " "),
+        "[\\p{Cc}\\p{Cf}]", ""),
+      " +", " "))
+
+  /** [[cleanTextCol]] as a table op: `(id, text)`. */
+  def cleanText(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), cleanTextCol(col(textCol)).as("text"))
 }

@@ -7,15 +7,16 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.core.{DatasetMeta, Fetch, Publish, Versions}
+import graft.core.{DatasetMeta, Fetch, Publish, StatsIndex, Versions}
 
 /** DataSourceV2 table for `format("graft")` — the modern connector seam:
   * name-based catalog tables (`CREATE TABLE t USING graft` resolved
@@ -173,10 +174,11 @@ object GraftTable {
 class GraftScanBuilder(root: String, options: Map[String, String],
                        meta: DatasetMeta, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
@@ -193,7 +195,89 @@ class GraftScanBuilder(root: String, options: Map[String, String],
     required = StructType(fullSchema.fields.filter(f => keep(f.name)))
   }
 
-  override def build(): Scan = new GraftV1Scan(root, options, meta, pushed, required)
+  // ---- aggregate pushdown: COUNT(*)/COUNT(col)/MIN/MAX answered from the
+  // stats manifest alone — ZERO data files read (the SELECT-count-goes-to-
+  // metadata optimization, V2-native). COMPLETE pushdown only: either the
+  // sidecar answers every aggregate exactly (the StatsIndex exactness
+  // gates: completeness marker, n_rows/n_nulls embedding, DV cardinality
+  // subtraction, 2^53 long-range guard), or the whole aggregation falls
+  // back to the ordinary scan — never a partial answer.
+
+  // Spark consults supportCompletePushDown FIRST (before pushAggregation),
+  // so the answer is computed here and stashed; pushAggregation then just
+  // confirms. Returning false would demote to PARTIAL pushdown — still
+  // correct for count/min/max (sum-of-one-count, min-of-one-min) but it
+  // wraps the one-row scan in a pointless shuffle + final aggregate.
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    aggAnswer = tryAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def tryAnswer(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    // only the plain live snapshot: pinned versions / change feeds carry
+    // their own file sets the live manifest doesn't describe, and any
+    // pushed filter means the count is of a SUBSET
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (options.contains("versionAsOf") || options.contains("changeFeed")) return None
+    val spark = SparkSession.active
+    val answered = agg.aggregateExpressions().toSeq.map { f: AggregateFunc =>
+      f match {
+        case _: CountStar =>
+          StatsIndex.statsCount(spark, root)
+            .map(v => (StructField("count_star", LongType, nullable = false), v: Any))
+        case c: Count if !c.isDistinct =>
+          colNameOf(c.column).flatMap(n => StatsIndex.statsCountCol(spark, root, n))
+            .map(v => (StructField("count", LongType, nullable = false), v: Any))
+        case m: Min =>
+          colNameOf(m.column).flatMap { n =>
+            StatsIndex.statsMinMax(spark, root, n).map(r =>
+              (StructField(s"min_$n", meta.schema(n).dataType), r._1))
+          }
+        case m: Max =>
+          colNameOf(m.column).flatMap { n =>
+            StatsIndex.statsMinMax(spark, root, n).map(r =>
+              (StructField(s"max_$n", meta.schema(n).dataType), r._2))
+          }
+        case _ => None
+      }
+    }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val cells = answered.map(_.get)
+      Some((StructType(cells.map(_._1)), cells.map(_._2)))
+    }
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => new GraftAggScan(schema, values)
+    case None => new GraftV1Scan(root, options, meta, pushed, required)
+  }
+}
+
+/** A completely-pushed aggregation's result: one driver-computed row of
+  * final values, served through the V1 bridge — the plan carries no
+  * parquet scan at all (the values came from the stats manifest).
+  */
+class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(Row(values: _*)), 1)
+    }.asInstanceOf[T]
 }
 
 /** The scan itself: bridges to a V1 `TableScan` ([[V1Scan]], public

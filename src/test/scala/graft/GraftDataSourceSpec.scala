@@ -289,4 +289,50 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.filter(_._3 == 4).sorted ==
       Seq((11L, "delete", 4), (11L, "insert", 4)))
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered metadata-only, zero records read") {
+    val root = TestSpark.tmpDir("dsv_aggpush")
+    // stats manifest via statsCols publish (the completeness marker)
+    Publish.publish(spark, sample, root, Nil, statsCols = Seq("id", "v"))
+    val df = spark.read.format("graft").load(root)
+    val (rows, recs) = IoMetrics.recordsReadDuring(spark) {
+      df.agg(count(lit(1)), count(col("v")), min(col("id")), max(col("id")),
+        min(col("v")), max(col("v"))).collect()
+    }
+    // the records metric counts the MANIFEST sidecar rows the answer is
+    // computed from (files x columns, here a few dozen) — the point is the
+    // 400-row data table itself is never scanned
+    assert(recs < 100L, s"aggregate pushdown must read only the manifest, read $recs")
+    val r = rows.head
+    assert(r.getLong(0) == 400L && r.getLong(1) == 400L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 399L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 399 * 1.5)
+    // plan carries no parquet scan for the pushed aggregation
+    val plan = df.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Parquet"), s"pushed-agg plan still scans parquet:\n$plan")
+  }
+
+  test("aggregate pushdown: DV-covered snapshots subtract, filters fall back exact") {
+    val root = TestSpark.tmpDir("dsv_aggpush_dv")
+    Publish.publishVersioned(spark, sample, root, Nil, statsCols = Seq("id"))
+    graft.core.Mutations.deleteWhereDv(spark, root, col("id") % 10 === 0)
+    val df = spark.read.format("graft").load(root)
+    val (rows, recs) = IoMetrics.recordsReadDuring(spark) {
+      df.agg(count(lit(1))).collect()
+    }
+    assert(rows.head.getLong(0) == 360L, "count subtracts live DV cardinality")
+    // manifest rows + the O(deleted rows) DV sidecar — never the data
+    assert(recs < 100L, s"DV-covered count still metadata-only, read $recs")
+    // a WHERE makes the count a subset question: falls back to the scan,
+    // stays exact
+    // deleted ids are multiples of 10 — all even, split between g0
+    // (i%20==0, 20 ids) and g2 (i%20==10, 20 ids); g1 keeps all 100
+    assert(df.where(col("grp") === "g1").agg(count(lit(1)))
+      .collect().head.getLong(0) == 100L)
+    assert(df.where(col("grp") === "g0").agg(count(lit(1)))
+      .collect().head.getLong(0) == 80L)
+    // unsupported shapes (grouping, avg, distinct) fall back too
+    assert(df.groupBy("grp").count().collect().map(_.getLong(1)).sum == 360L)
+    assert(df.agg(countDistinct(col("grp"))).collect().head.getLong(0) == 4L)
+  }
 }

@@ -337,6 +337,13 @@ object PlanAudit {
       // id); the one nested-loop is the broadcast of the tiny centroid
       // frame in the assignment pass
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("fetch_agg_pushdown",
+      // the completely-pushed aggregation's plan must carry NO parquet
+      // scan of the data — the answer came from the stats manifest at
+      // planning time and the scan is a one-row parallelize
+      "no parquet data scan" -> (p => !p.toLowerCase.contains("parquet")),
+      "no aggregate re-computation" -> (p =>
+        !p.split("== Initial Plan ==").head.contains("HashAggregate")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }

@@ -327,4 +327,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.foreach { case (id, _, want) => assert(out(id) === want, s"doc $id") }
   }
+
+  test("cleanText: NFC composition, unicode spaces, zero-widths, controls") {
+    val rows = Seq(
+      (1L, "Cafe\u0301"),              // e + combining acute composes
+      (2L, "a\u00A0b\u2003c"),          // NBSP + em-space (\\s misses both)
+      (3L, "x\u200B\uFEFFy\u0007z"),    // ZWSP, BOM, BEL stripped
+      (4L, "a\n\tb  c"),                // line controls -> space, collapse
+      (5L, "already clean")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanText(rows)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Caf\u00E9")
+    assert(out(2L) == "a b c")
+    assert(out(3L) == "xyz")
+    assert(out(4L) == "a b c")
+    assert(out(5L) == "already clean")
+  }
+
+  test("graft_nfc_normalize is SQL-registered and codegen-evaluable") {
+    graft.functions.GraftSqlFunctions.register(spark)
+    val got = spark.sql("SELECT graft_nfc_normalize('Cafe\u0301') AS s")
+      .collect().head.getString(0)
+    assert(got == "Caf\u00E9")
+    assert(spark.sql("SELECT graft_nfc_normalize(CAST(NULL AS STRING)) AS s")
+      .collect().head.isNullAt(0))
+  }
 }
