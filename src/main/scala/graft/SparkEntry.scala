@@ -511,6 +511,18 @@ object SparkEntry {
       Fetch.fetch(s, dst).orderBy("o_orderkey")
     }),
 
+    // SYMLINK MANIFEST interop: export the live snapshot's manifest, then
+    // read EXACTLY what an external engine would (the manifest's file
+    // URIs + hive partition derivation) — must equal v3's logical content
+    // even though v1/v2 ghost files sit in the same directories.
+    "version_manifest_read" -> ((s, dir) => {
+      val src = versionedOrdersDataset(s, dir)
+      Versions.writeSymlinkManifest(s, src)
+      val files = Versions.readSymlinkManifest(s, src)
+      s.read.option("basePath", src).parquet(files: _*)
+        .orderBy("o_orderkey")
+    }),
+
     "version_merge_upsert" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vmerge", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1875,6 +1887,10 @@ object SparkEntry {
     // batch must have been rejected without committing anything
     "version_constraints" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+
+    // the manifest names exactly v3's live files (ghosts invisible)
+    "version_manifest_read" ->
+      "SELECT * FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey",
     "version_travel_v2" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "version_travel_latest" ->
       "SELECT * FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey",

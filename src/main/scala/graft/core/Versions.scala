@@ -1616,6 +1616,87 @@ object Versions {
       colMap = Some(meta.colMap))
   }
 
+  /** Name of the symlink-manifest dir (underscore-hidden, like Delta's). */
+  val SymlinkManifestDir = "_symlink_format_manifest"
+
+  /** Export the snapshot as a SYMLINK FORMAT MANIFEST (the public
+    * Delta/Presto interop shape): under `root/_symlink_format_manifest/`,
+    * one text file per partition directory (`manifest` at the top level
+    * for unpartitioned data), each line the fully-qualified URI of a live
+    * data file. External engines (Trino/Presto/Athena/Hive) then read the
+    * EXACT snapshot — logically-overwritten ghost files kept for time
+    * travel are invisible to them, which a plain directory-pointed
+    * external table gets wrong.
+    *
+    * Refuses when live deletion vectors exist: a manifest can only
+    * express file-level membership, and silently resurrecting DV-deleted
+    * rows in the external engine is the one wrong answer this export
+    * must never give — OPTIMIZE first to materialize the deletes.
+    * Clone-inherited external refs export naturally (their absolute URIs
+    * go in the manifest like any other). Regeneration is full-replace:
+    * stale per-partition manifests from a previous snapshot are removed.
+    * O(files) driver work, zero data bytes read.
+    */
+  def writeSymlinkManifest(spark: SparkSession, root: String,
+                           version: Option[Int] = None): Seq[String] = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    val v = version.getOrElse(latest)
+    val (files, _, dvs) = snapshotFullAt(spark, root, v)
+    require(dvs.isEmpty,
+      s"version $v of $root carries live deletion vectors; a symlink " +
+        "manifest cannot express row-level deletes (the external engine " +
+        "would resurrect them) — run OPTIMIZE to materialize, then export")
+    val f = fs(spark, root)
+    val base = new Path(root, SymlinkManifestDir)
+    if (f.exists(base)) f.delete(base, true)
+    // partition path = the hive `col=value` segments of the file's parent
+    // dir, read from the path tail (works for root-relative and
+    // clone-inherited absolute refs alike)
+    def partitionPathOf(ref: String): String = {
+      var p = new Path(ref).getParent
+      var segs = List.empty[String]
+      while (p != null && p.getName.contains("=")) {
+        segs = p.getName :: segs
+        p = p.getParent
+      }
+      segs.mkString("/")
+    }
+    val qualified = files.map { r =>
+      val abs = if (isExternalRef(r)) new Path(r) else new Path(root, r)
+      (partitionPathOf(r), f.makeQualified(abs).toUri.toString)
+    }
+    qualified.groupBy(_._1).toSeq.sortBy(_._1).map { case (part, uris) =>
+      val dir = if (part.isEmpty) base else new Path(base, part)
+      val out = f.create(new Path(dir, "manifest"), true)
+      try out.write((uris.map(_._2).sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      new Path(dir, "manifest").toUri.getPath
+    }
+  }
+
+  /** All file URIs a previously-written symlink manifest names — the
+    * consumer side of [[writeSymlinkManifest]] (what an external engine's
+    * manifest-aware table does), useful for verifying an export.
+    */
+  def readSymlinkManifest(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val base = new Path(root, SymlinkManifestDir)
+    require(f.exists(base), s"no symlink manifest under $root — generate it first")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path): Unit = f.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName == "manifest") {
+        val in = f.open(st.getPath)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        try in.readFully(bytes) finally in.close()
+        buf ++= new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+      }
+    }
+    walk(base)
+    buf.toSeq.sorted
+  }
+
   def restore(spark: SparkSession, root: String, version: Int): Int =
     DatasetLock.withLock(spark, root) {
       val (files, meta, dvs) = snapshotFullAt(spark, root, version)

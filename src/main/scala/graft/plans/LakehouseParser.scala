@@ -71,6 +71,9 @@ object LakehouseStatements {
       "\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)")
   private val DropConstraint =
     re("ALTER\\s+TABLE\\s+" + Target + "\\s+DROP\\s+CONSTRAINT\\s+(\\w+)")
+  private val Generate =
+    re("GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" + Target +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -103,8 +106,23 @@ object LakehouseStatements {
       Some(GraftAddConstraintCommand(root, name, check.trim))
     case DropConstraint(root, name) =>
       Some(GraftDropConstraintCommand(root, name))
+    case Generate(root, v) =>
+      Some(GraftGenerateManifestCommand(root, Option(v).map(_.toInt)))
     case _ => None
   }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE graft.`root` [VERSION AS OF
+  * n]` — the Delta interop shape ([[Versions.writeSymlinkManifest]]):
+  * per-partition text manifests of the snapshot's live file URIs, so
+  * external engines read the exact snapshot.
+  */
+case class GraftGenerateManifestCommand(root: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Versions.writeSymlinkManifest(spark, root, version).map(Row(_))
 }
 
 /** `ALTER TABLE graft.`root` ADD CONSTRAINT name CHECK (expr)` — the
