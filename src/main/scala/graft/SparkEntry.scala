@@ -932,7 +932,9 @@ object SparkEntry {
     // the saturated config below carries the exact oracle, and the spec
     // pins twin-drop behavior.
     "dedup_semantic" -> ((s, dir) => {
-      Dedup.semanticDedup(embeddingNearDupInput(s, dir), nclusters = 8)
+      // auto nclusters: sized from the corpus estimate so within-cluster
+      // work stays linear at any scale (~8 clusters here, ~1000 at x100)
+      Dedup.semanticDedup(embeddingNearDupInput(s, dir))
         .orderBy("id")
     }),
 

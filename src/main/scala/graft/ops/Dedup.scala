@@ -441,9 +441,16 @@ object Dedup {
     */
   def semanticDedup(embs: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", threshold: Double = 0.95,
-                    nclusters: Int = 64, maxCluster: Int = 2000,
+                    nclusters: Int = 0, maxCluster: Int = 2000,
                     seed: Long = 42L): DataFrame = {
-    val assigned = Clustering.kmeansAssign(embs, nclusters, idCol, vecCol, seed)
+    // nclusters <= 0 selects AUTO: size clusters to ~maxCluster/4 members
+    // from the free Catalyst row estimate (no counting job), clamped —
+    // the SemDeDup contract that within-cluster work stays linear overall
+    // holds only when nclusters grows with the corpus
+    val k = if (nclusters > 0) nclusters
+      else math.min(4096L, math.max(8L,
+        Similarity.estimatedRows(embs) / math.max(1, maxCluster / 4))).toInt
+    val assigned = Clustering.kmeansAssign(embs, k, idCol, vecCol, seed)
       .select(col("vec_id").as("id"), col("cluster"))
     val base = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))

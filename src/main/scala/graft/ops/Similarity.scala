@@ -147,7 +147,7 @@ object Similarity {
     * down-samples driver-side, so an off estimate costs a slightly larger
     * collected sample, never a biased or undersized one.
     */
-  private def estimatedRows(df: DataFrame): Long = {
+  private[ops] def estimatedRows(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse(
       (stats.sizeInBytes / math.max(1, df.schema.defaultSize)).toLong)
