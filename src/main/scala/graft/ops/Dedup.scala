@@ -443,24 +443,61 @@ object Dedup {
                     vecCol: String = "embedding", threshold: Double = 0.95,
                     nclusters: Int = 0, maxCluster: Int = 2000,
                     seed: Long = 42L): DataFrame = {
-    // nclusters <= 0 selects AUTO: size clusters to ~maxCluster/4 members
-    // from the free Catalyst row estimate (no counting job), clamped —
-    // the SemDeDup contract that within-cluster work stays linear overall
-    // holds only when nclusters grows with the corpus
-    val k = if (nclusters > 0) nclusters
-      else math.min(4096L, math.max(8L,
-        Similarity.estimatedRows(embs) / math.max(1, maxCluster / 4))).toInt
-    val assigned = Clustering.kmeansAssign(embs, k, idCol, vecCol, seed)
-      .select(col("vec_id").as("id"), col("cluster"))
-    val base = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val prepped = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
       .where(col("norm") > 0)
-      .join(assigned, "id")
-    val pairs = selfJoinBuckets(base.select(col("id"), col("cluster")),
-      Seq("cluster"), maxCluster)
+    // EXACT corpus count, one cheap two-column pass: sizes auto-k AND the
+    // broadcast-vs-shuffle attach decision below. (The free Catalyst size
+    // estimate was tried first for auto-k and over a union+transform
+    // input it overestimated rows ~10×, pushing k to the clamp and making
+    // the O(n·k) assignment pass the bottleneck — unstable 46→373 s at a
+    // 200k-vector ×100 corpus. An exact count is noise next to the
+    // pairwise work this operator exists to do.)
+    val n = prepped.count()
+    // nclusters <= 0 selects AUTO: clusters of ~maxCluster/4 members so
+    // within-cluster work stays linear overall. The assignment itself is
+    // O(n·k) — for corpora where that product explodes (n ≳ 10M), pass
+    // nclusters explicitly and assign hierarchically (an IVF coarse
+    // pass) instead of relying on auto.
+    val k = if (nclusters > 0) nclusters
+      else math.min(4096L, math.max(8L, n / math.max(1, maxCluster / 4))).toInt
+    val assigned = Clustering.kmeansAssign(embs, k, idCol, vecCol, seed)
+      .select(col("vec_id").as("id"), col("cluster"))
+    val base = prepped.join(assigned, "id")
+    // Election plan shape, chosen by MEASUREMENT at a 200k-vector ×100
+    // corpus (50M within-cluster candidate pairs):
+    //  - a typed per-cluster flatMapGroups triangle (the "GPU matmul"
+    //    analog): 128 s — Catalyst→JVM array decoding of member vectors
+    //    dominates;
+    //  - shuffle-joining vectors onto the pair stream: 310 s — each
+    //    candidate re-ships two 0.5 KB vectors through an exchange,
+    //    ~25 GB of shuffled doubles;
+    //  - this form: pairs enumerate in-stage from the cluster equi-join
+    //    (each id lives in exactly ONE cluster, so every unordered pair
+    //    appears exactly once — no dedup pass) and the vectors attach
+    //    via BROADCAST hash joins when the corpus is small enough
+    //    (`spark.graft.semdedup.broadcastMaxRows`, default 500k ≈ 250 MB
+    //    at 64 dims): zero vector bytes through any exchange, the dot
+    //    runs inside the enumeration stage. Past the cap it falls back
+    //    to the shuffle attach (correct at any size, the honest
+    //    trade — or pass a larger cap on a bigger-memory cluster).
+    val spark = embs.sparkSession
+    val members = base.select(col("cluster"), col("id"))
+    val over = members.groupBy("cluster").count()
+      .where(col("count") > maxCluster).select("cluster")
+    val ok = members.join(broadcast(over), Seq("cluster"), "left_anti")
+    val pairs = ok.select(col("cluster"), col("id").as("id_a"))
+      .join(ok.select(col("cluster"), col("id").as("id_b")), "cluster")
+      .where(col("id_a") < col("id_b"))
+    val bcastMax = spark.conf
+      .get("spark.graft.semdedup.broadcastMaxRows", "500000").toLong
+    def attach(df: DataFrame): DataFrame =
+      if (n <= bcastMax) broadcast(df) else df
     val drops = pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
+      .join(attach(base.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("norm").as("n_a"))), "id_a")
+      .join(attach(base.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("norm").as("n_b"))), "id_b")
       .where(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
         >= threshold)
       .select(col("id_b").as("id"))   // a smaller-id twin exists → drop
