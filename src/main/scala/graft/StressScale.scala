@@ -256,6 +256,32 @@ object StressScale {
         graft.core.Versions.snapshotAt(spark, chainRoot, 300))
     }
 
+    // ---- 8. round-15 lakehouse additions at scale: a SHALLOW CLONE of
+    // the 15M-row DV dataset must be metadata-only (O(files) entry bytes,
+    // zero data copied) and read at the source's own scan cost; the
+    // symlink-manifest export is O(files) driver work; ADD CONSTRAINT
+    // pays one short-circuit validation scan, and a constrained append
+    // pays one predicate pass over the BATCH (not the dataset).
+    val cloneRoot = s"$workDir/orders_clone_scale"
+    fs.delete(new Path(cloneRoot), true)
+    timed("clone_commit")(graft.core.Versions.clone(spark, rwRoot, cloneRoot))
+    checks("clone_read_rows") = timed("clone_read_scan") {
+      Fetch.fetch(spark, cloneRoot).count()
+    }
+    checks("clone_data_files_copied") =
+      Publish.listPhysicalDataFilesWithSize(spark, cloneRoot).size
+    checks("manifest_files") = timed("manifest_write") {
+      graft.core.Versions.writeSymlinkManifest(spark, rwRoot).size
+    }
+    timed("constraint_add") {
+      graft.core.Versions.addConstraint(spark, rwRoot, "price_pos",
+        "o_totalprice > 0")
+    }
+    val batch = orders.where(col("o_orderkey") % 1000 === 7)
+    checks("constrained_append_files") = timed("constrained_append") {
+      Publish.publishVersioned(spark, batch, rwRoot, Nil, mode = "append").size
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +
