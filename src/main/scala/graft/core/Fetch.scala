@@ -63,18 +63,32 @@ object Fetch {
         val snapshot = Versions.latestVersion(spark, root)
           .map(v => Versions.snapshotFullAt(spark, root, v))
         val meta = snapshot.map(_._2).getOrElse(sidecarMeta)
-        Filters.validateAgainst(meta, filters)
+        // Hidden partitioning ([[Transforms]]): filters on a transform's
+        // SOURCE column split off here — they compile to a conservative
+        // derived-partition predicate (pruning) plus the exact row-level
+        // predicate, and the derived columns are dropped from the result.
+        val transforms = Transforms.read(spark, root)
+        val hidden: Set[String] = transforms.map(_.name).toSet
+        val outSchema =
+          if (hidden.isEmpty) meta.schema
+          else StructType(meta.schema.fields.filterNot(f => hidden(f.name)))
+        val (pFilters, rawFilters) =
+          if (transforms.isEmpty) (filters, Seq.empty[ColFilter])
+          else filters.partition(f => meta.partitions.contains(f.partition))
+        Filters.validateAgainst(meta, pFilters)
+        Transforms.validateRaw(meta, transforms, rawFilters)
         // versioned roots answer from the snapshot (a shallow clone has
         // NO physical data of its own — only inherited refs); the
         // physical-listing emptiness check only gates unversioned reads
         if (snapshot.isEmpty && !hasData(spark, root))
-          return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+          return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
         // Read with the recorded schema: partition-type inference would
         // otherwise corrupt string partition values that look numeric
         // ("0001" → int 1 → restored as "1") and make filters on them
         // silently match nothing. basePath keeps hive partition columns
         // and Catalyst partition pruning working on an explicit file list.
-        val pred = Filters.compile(meta, filters)
+        val pred = (Filters.compile(meta, pFilters) ++
+          Transforms.compileRaw(meta, transforms, rawFilters)).reduceOption(_ && _)
         def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
         // versioned scans read under PHYSICAL names (rename/drop are
         // metadata-only commits; partition columns are never mapped, so
@@ -100,7 +114,7 @@ object Fetch {
         val undeleted = snapshot match {
           case Some((relFiles, _, dvs)) =>
             if (relFiles.isEmpty)
-              return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+              return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
             val covered = dvs.flatMap(_.files).toSet
             val (cov, uncov) = relFiles.partition(covered)
             val uncovLeg = if (uncov.isEmpty) None else Some(withPred(scanOf(uncov)))
@@ -111,8 +125,9 @@ object Fetch {
         }
         // Cast-and-reorder AFTER the filter: the predicate stays a pure
         // partition-column expression the scan can prune on. Physical
-        // names alias back to logical here.
-        val restored = meta.schema.fields.toIndexedSeq.map(f =>
+        // names alias back to logical here. Transform-derived partition
+        // columns are layout, not data — they stay hidden.
+        val restored = outSchema.fields.toIndexedSeq.map(f =>
           col(meta.physName(f.name)).cast(f.dataType).as(f.name))
         undeleted.select(restored: _*)
     }
@@ -140,11 +155,22 @@ object Fetch {
     val full = Versions.latestVersion(spark, root)
       .map(v => Versions.snapshotFullAt(spark, root, v))
     val meta = full.map(_._2).getOrElse(requireMeta(spark, root))
-    Filters.validateAgainst(meta, filters)
+    // Hidden partitioning: source-column filters prune via the derived
+    // partition columns and re-apply row-level, exactly as in [[fetch]]
+    val transforms = Transforms.read(spark, root)
+    val hidden: Set[String] = transforms.map(_.name).toSet
+    val outSchema =
+      if (hidden.isEmpty) meta.schema
+      else StructType(meta.schema.fields.filterNot(f => hidden(f.name)))
+    val (pFilters, rawFilters) =
+      if (transforms.isEmpty) (filters, Seq.empty[ColFilter])
+      else filters.partition(f => meta.partitions.contains(f.partition))
+    Filters.validateAgainst(meta, pFilters)
+    Transforms.validateRaw(meta, transforms, rawFilters)
     Filters.validateDataFilters(meta, dataFilters)
     // see fetch: a shallow clone's data is inherited refs, not a listing
     if (full.isEmpty && !hasData(spark, root))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     // A name-mapped dataset's stats/bloom sidecars and data files are
     // keyed by PHYSICAL column names: probe and scan in physical terms
     // (filters validated against the LOGICAL schema above), restore
@@ -156,9 +182,10 @@ object Fetch {
       dataFilters.map(f => f.copy(partition = meta.physName(f.partition)))
     val files = StatsIndex.candidateFiles(spark, root, physMeta, physDataFilters)
     if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val pred = Seq(
-      Filters.compile(meta, filters),
+      Filters.compile(meta, pFilters),
+      Transforms.compileRaw(meta, transforms, rawFilters),
       Filters.compileOn(c => physMeta.schema(c).dataType, physDataFilters)).flatten
       .reduceOption(_ && _)
     def withPred(df: DataFrame): DataFrame = pred.map(df.where).getOrElse(df)
@@ -188,7 +215,7 @@ object Fetch {
           else Some(applyDvs(spark, root, withPred(scanOf(cov, withMeta = true)), dvs))
         (uncovLeg ++ covLeg).reduce(_.unionByName(_))
       }
-    val restored = meta.schema.fields.toIndexedSeq.map(f =>
+    val restored = outSchema.fields.toIndexedSeq.map(f =>
       col(meta.physName(f.name)).cast(f.dataType).as(f.name))
     undeleted.select(restored: _*)
   }

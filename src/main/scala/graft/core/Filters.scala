@@ -66,7 +66,7 @@ object Filters {
       validateTyped(f, meta.schema(f.partition).dataType)
     }
 
-  private def validateTyped(f: ColFilter, dt: DataType): Unit = {
+  private[core] def validateTyped(f: ColFilter, dt: DataType): Unit = {
       if (SingleValueOps.contains(f.comparison))
         require(!isNonNumeric(dt),
           s"Comparison ${f.comparison} cannot be used on partition types of $dt")

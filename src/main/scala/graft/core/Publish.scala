@@ -150,6 +150,48 @@ object Publish {
     else publishImpl(spark, df, root, partitions, mode, sortCols, zorderCols,
       zorderBits, zorderPartitions, statsCols)
 
+  /** [[publish]] under HIDDEN partitioning ([[Transforms]], the Iceberg
+    * partition-transform design): the dataset hive-partitions by derived
+    * columns — `days(ts)`, `bucket(n, key)`, `truncate(w, col)`, … —
+    * computed here (and re-computed at every later write seam) from the
+    * raw source columns, and the transform spec is recorded in a root
+    * sidecar. Reads keep the user's schema (the derived columns stay
+    * hidden) and [[Fetch.fetch]] filters on the RAW columns prune
+    * partitions automatically. `versioned = true` routes through
+    * [[publishVersioned]] for the full lakehouse surface on top.
+    */
+  def publishTransformed(spark: SparkSession, df: DataFrame, root: String,
+                         transforms: Seq[PartitionTransform],
+                         mode: String = "overwrite",
+                         versioned: Boolean = false,
+                         sortCols: Seq[String] = Nil,
+                         statsCols: Seq[String] = Nil): Seq[String] = {
+    require(transforms.nonEmpty, "publishTransformed requires at least one transform")
+    require(transforms.map(_.name).distinct.length == transforms.length,
+      s"duplicate partition transforms: ${transforms.map(_.name).mkString(", ")}")
+    transforms.foreach { t =>
+      require(df.columns.contains(t.source),
+        s"transform source ${t.source} is not a column of the dataframe")
+      require(!df.columns.contains(t.name),
+        s"derived partition name ${t.name} collides with an existing column")
+    }
+    if (mode == "append") {
+      val recorded = Transforms.read(spark, root)
+      require(recorded.isEmpty || recorded == transforms,
+        s"append transforms $transforms do not match the dataset's recorded " +
+          s"transforms $recorded (partition layout is fixed at publish)")
+    }
+    val derived = Transforms.applyTo(df, transforms)
+    val parts = transforms.map(_.name)
+    val files =
+      if (versioned) publishVersioned(spark, derived, root, parts, mode,
+        sortCols = sortCols, statsCols = statsCols)
+      else publish(spark, derived, root, parts, mode,
+        sortCols = sortCols, statsCols = statsCols)
+    Transforms.write(spark, root, transforms)
+    files
+  }
+
   /** [[publish]] into a VERSIONED dataset: every call commits a new entry
     * to the [[Versions]] log, giving the dataset time travel and snapshot
     * isolation.
@@ -265,7 +307,7 @@ object Publish {
     * schema-changing overwrite are REJECTED at the commit, not silently
     * mixed — see [[Versions.commit]].
     */
-  private def appendVersionedOptimistic(spark: SparkSession, df: DataFrame,
+  private def appendVersionedOptimistic(spark: SparkSession, df0: DataFrame,
                                         root: String, partitions: Seq[String],
                                         sortCols: Seq[String], zorderCols: Seq[String],
                                         zorderBits: Int, zorderPartitions: Int,
@@ -273,6 +315,13 @@ object Publish {
                                         txn: Option[(String, Long)] = None): Seq[String] = {
     val meta = DatasetMeta.read(spark, root).getOrElse(throw new IllegalArgumentException(
       s"dataset $root is versioned but has no metadata sidecar"))
+    // hidden partitioning: derive the transform partition columns from the
+    // raw batch before the schema check (see [[publishImpl]]'s hook)
+    val df = Transforms.read(spark, root) match {
+      case ts if ts.nonEmpty && meta.partitions == ts.map(_.name) =>
+        Transforms.applyTo(df0, ts)
+      case _ => df0
+    }
     require(meta.partitions == partitions,
       s"versioned publish partitions $partitions do not match dataset " +
         s"partitions ${meta.partitions}")
@@ -449,7 +498,7 @@ object Publish {
     (out, recordsPerFile)
   }
 
-  private[core] def publishImpl(spark: SparkSession, df: DataFrame, root: String,
+  private[core] def publishImpl(spark: SparkSession, df0: DataFrame, root: String,
                           partitions: Seq[String], mode: String,
                           sortCols: Seq[String], zorderCols: Seq[String],
                           zorderBits: Int, zorderPartitions: Int,
@@ -458,6 +507,17 @@ object Publish {
                           metaSchemaOverride: Option[StructType] = None,
                           directCommit: Boolean = false): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    // Hidden partitioning ([[Transforms]]): every write into a
+    // transform-partitioned dataset re-derives the partition columns from
+    // the raw values — appends take raw user frames, and mutation rewrites
+    // that change a source column move rows to their correct partitions.
+    // Idempotent; a no-op for ordinary datasets (and the initial
+    // publishTransformed, whose sidecar lands after this write succeeds).
+    val recordedTs = Transforms.read(spark, root)
+    val df =
+      if (recordedTs.nonEmpty && partitions == recordedTs.map(_.name))
+        Transforms.applyTo(df0, recordedTs)
+      else df0
     require(!directCommit || mode == "append",
       "direct commit is an append-files protocol (versioned roots only)")
     if (mode == "append") {
@@ -515,6 +575,14 @@ object Publish {
 
     DatasetMeta.write(spark, root,
       DatasetMeta(metaSchemaOverride.getOrElse(df.schema), partitions))
+    // an overwrite that re-partitions AWAY from the recorded transforms
+    // redefines the layout — the stale transform spec must not survive it
+    if (mode == "overwrite" && recordedTs.nonEmpty &&
+        partitions != recordedTs.map(_.name)) {
+      val tp = new Path(root, Transforms.FileName)
+      val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (tfs.exists(tp)) tfs.delete(tp, false)
+    }
     lazy val allAfter = listPhysicalDataFilesWithSize(spark, root).map(_._1)
     val newFiles = if (directCommit) directFiles else allAfter.filterNot(preExisting)
     // Index maintenance is O(this batch), never O(dataset): an append

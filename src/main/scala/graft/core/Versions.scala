@@ -45,7 +45,8 @@ final case class VersionEntry(version: Int, action: String,
                               dvs: Seq[DvRef] = Nil,
                               colMap: Map[String, String] = Map.empty,
                               nonce: Option[String] = None,
-                              constraints: Map[String, String] = Map.empty)
+                              constraints: Map[String, String] = Map.empty,
+                              ts: Option[Long] = None)
 
 /** A write violated a table CHECK constraint ([[Versions.addConstraint]]).
   * Carries the constraint's name and expression plus one offending row's
@@ -415,8 +416,17 @@ object Versions {
       val nonceFields =
         if (rel.nonEmpty || removedRel.nonEmpty || dvs.nonEmpty) Nil
         else List("nonce" -> JString(java.util.UUID.randomUUID().toString))
+      // IN-COMMIT timestamp (the Delta ICT design): the commit instant
+      // rides the entry bytes, clamped to parent+1ms so the sequence is
+      // monotonic BY CONSTRUCTION — TIMESTAMP AS OF then never depends on
+      // file mtimes, which clock-skewed writers, copied logs, or
+      // object-store migrations can scramble (mtime stays the documented
+      // fallback for pre-ICT entries).
+      val tsMillis = math.max(System.currentTimeMillis(),
+        latest.map(lv => entryTimestamp(spark, root, lv) + 1L).getOrElse(0L))
+      val tsFields = List("ts" -> JInt(tsMillis))
       val json = JsonMethods.compact(JsonMethods.render(
-        JObject(base ++ txnFields ++ dvFields ++ nonceFields: _*)))
+        JObject(base ++ txnFields ++ dvFields ++ nonceFields ++ tsFields: _*)))
       // In-process committers must serialize the create itself: a local
       // or checksummed filesystem's create-if-absent is CHECK-then-
       // create, so two threads of one driver could both "win" the same
@@ -527,9 +537,22 @@ object Versions {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
+    val ts = (jv \ "ts") match {
+      case JInt(x) => Some(x.toLong)
+      case _ => None
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn, dvs, colMap, nonce, constraints)
+      schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts)
   }
+
+  /** The commit instant of version `v`: the entry's IN-COMMIT timestamp
+    * when present (monotonic by construction — see [[commit]]), else the
+    * entry file's modification time (pre-ICT entries; the entry write IS
+    * the commit point, so its mtime is the commit instant there).
+    */
+  def entryTimestamp(spark: SparkSession, root: String, v: Int): Long =
+    readEntry(spark, root, v).ts.getOrElse(
+      fs(spark, root).getFileStatus(entryPath(root, v)).getModificationTime)
 
   /** Highest batchId committed under `appId`, or None — the restart probe
     * of a transactional streaming sink. O(history) tiny-entry reads, paid
@@ -783,13 +806,13 @@ object Versions {
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
     val latest = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"dataset $root is not versioned"))
-    val f = fs(spark, root)
     // scan ALL entries for the max version at-or-before the instant, not
-    // a takeWhile: entry mtimes are written in commit order but can look
-    // non-monotonic to a reader (clock skew across writers, copied logs)
-    // — a takeWhile would then silently resolve too early a version
+    // a takeWhile: IN-COMMIT timestamps ([[entryTimestamp]]) are monotonic
+    // by construction, but pre-ICT entries fall back to mtimes, which can
+    // look non-monotonic to a reader (clock skew across writers, copied
+    // logs) — a takeWhile would then silently resolve too early a version
     val at = (1 to latest)
-      .filter(v => f.getFileStatus(entryPath(root, v)).getModificationTime <= tsMillis)
+      .filter(v => entryTimestamp(spark, root, v) <= tsMillis)
       .lastOption
     at.getOrElse(throw new IllegalArgumentException(
       s"no version of $root existed at $tsMillis (first commit is later)"))
@@ -1304,15 +1327,19 @@ object Versions {
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
-  /** Version history as a small DataFrame (one row per commit). */
+  /** Version history as a small DataFrame (one row per commit).
+    * `ts_millis` is the commit instant ([[entryTimestamp]]: in-commit
+    * timestamp, mtime fallback for pre-ICT entries).
+    */
   def history(spark: SparkSession, root: String): DataFrame = {
     val latest = latestVersion(spark, root).getOrElse(0)
     val rows = (1 to latest).map { v =>
       val e = readEntry(spark, root, v)
-      (e.version, e.action, e.added.size.toLong, e.removed.size.toLong)
+      (e.version, e.action, e.added.size.toLong, e.removed.size.toLong,
+        e.ts.getOrElse(entryTimestamp(spark, root, v)))
     }
     spark.createDataFrame(rows)
-      .toDF("version", "action", "n_added_files", "n_removed_files")
+      .toDF("version", "action", "n_added_files", "n_removed_files", "ts_millis")
   }
 
   /** Compact the live snapshot into fresh right-sized files as a NEW
@@ -1507,6 +1534,9 @@ object Versions {
         s"invalid column name '$newName'")
       require(!meta.partitions.contains(oldName),
         s"partition column $oldName cannot be renamed (hive directories carry it)")
+      require(!Transforms.read(spark, root).exists(_.source == oldName),
+        s"column $oldName is a partition-transform source and cannot be " +
+          "renamed (the recorded transform spec derives partitions from it)")
       val phys = meta.physName(oldName)
       val newSchema = StructType(meta.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -1539,6 +1569,8 @@ object Versions {
         s"no column $name in ${meta.schema.fieldNames.mkString(", ")}")
       require(!meta.partitions.contains(name),
         s"partition column $name cannot be dropped")
+      require(!Transforms.read(spark, root).exists(_.source == name),
+        s"column $name is a partition-transform source and cannot be dropped")
       require(meta.schema.fields.length > 1, "cannot drop the only column")
       val newSchema = StructType(meta.schema.fields.filterNot(_.name == name))
       val newMap = (meta.colMap - name).filter { case (l, p) => l != p }

@@ -212,7 +212,8 @@ case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("n_added_files", LongType, nullable = false)(),
-    AttributeReference("n_removed_files", LongType, nullable = false)())
+    AttributeReference("n_removed_files", LongType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Versions.history(spark, root).collect().toSeq
 }

@@ -226,13 +226,9 @@ class VersionsSpec extends AnyFunSuite {
   test("versionAsOf resolves by commit time; fetchAsOf reads that snapshot") {
     val root = freshVersioned()
     // pin distinct, ordered commit instants (same-ms commits are legal but
-    // untestable; monotonicity is guaranteed by the writer lock)
+    // untestable) — commit times live IN the entries since ICT landed
     val base = 1700000000000L
-    (1 to 3).foreach { v =>
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(root, "_graft_versions", f"v$v%08d.json"),
-        java.nio.file.attribute.FileTime.fromMillis(base + v * 1000L))
-    }
+    (1 to 3).foreach(v => EntryEdit.setTs(root, v, base + v * 1000L))
     assert(Versions.versionAsOf(spark, root, base + 1500) == 1)
     assert(Versions.versionAsOf(spark, root, base + 2000) == 2)
     assert(Versions.versionAsOf(spark, root, base + 999999) == 3)
