@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SpectrumDdl
-import graft.core.{ColFilter, DatasetMeta, Fetch, Mutations, Publish, Versions}
+import graft.core.{BucketOf, ColFilter, DatasetMeta, Fetch, MonthsOf, Mutations, Publish, Versions}
 import graft.naming.S3Naming
 import graft.functions.ProbFilters
 import graft.ops.{BloomPrune, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
@@ -113,6 +113,20 @@ object SparkEntry {
     publishOnce(s, "ds_orders_onlyf", dir, Seq("o_orderstatus")) {
       s.read.parquet(t(dir, "orders")).where(col("o_orderstatus") === "F")
     }
+
+  /** orders under HIDDEN partitioning: months(o_orderdate) +
+    * bucket(8, o_custkey) — raw-column filters prune the derived dirs.
+    */
+  private def transformedOrdersDataset(s: SparkSession, dir: String): String = {
+    val root = tmpRoot("ds_orders_transformed", dir)
+    if (!cacheIsCurrent(s, root)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishTransformed(s, s.read.parquet(t(dir, "orders")), root,
+        Seq(MonthsOf("o_orderdate"), BucketOf(8, "o_custkey")))
+      java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+    }
+    root
+  }
 
   /** Versioned orders dataset (time travel): v1 = overwrite with
     * o_orderkey%3≠0, v2 = append the %3=0 remainder (full orders), v3 =
@@ -536,6 +550,24 @@ object SparkEntry {
           .withColumn("o_orderkey", -col("o_orderkey") - 1)
           .withColumn("o_orderpriority", lit("INSERTED")))
       Mutations.merge(s, root, source, Seq("o_orderkey"))
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+    // MERGE with SCHEMA EVOLUTION (the Delta autoMerge behavior): the
+    // source carries a NEW column; ONE rewrite commit both upserts and
+    // evolves the schema additively — untouched files never rewrite (they
+    // null-fill on read), matched/inserted rows carry the new values.
+    "version_merge_evolve" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vmergeevo", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      Publish.publishVersioned(s, orders, root, Seq("o_orderstatus"))
+      val tenth = orders.where(col("o_orderkey") % 10 === 0)
+      val source = tenth.withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(tenth
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_orderpriority", lit("INSERTED")))
+        .withColumn("m_note", lit("EXTRA"))
+      Mutations.merge(s, root, source, Seq("o_orderkey"), evolveSchema = true)
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
     // UPDATE via DELETION VECTOR, stacked on a DV delete: the update
@@ -1781,6 +1813,21 @@ object SparkEntry {
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
     }),
 
+    "publish_transform_prune" -> ((s, dir) => {
+      // hidden partitioning: the dataset is hive-partitioned by
+      // months(o_orderdate) + bucket(8, o_custkey); the query filters the
+      // RAW timestamp and the engine derives the pruning month range —
+      // exactness comes from the row-level re-application, layout/pruning
+      // proof lives in TransformSpec + PlanAudit
+      val root = transformedOrdersDataset(s, dir)
+      Fetch.fetch(s, root, Seq(
+        ColFilter("o_orderdate", ">=",
+          Seq(java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))),
+        ColFilter("o_orderdate", "<",
+          Seq(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))))
+        .orderBy("o_orderkey")
+    }),
+
     "zorder_publish_roundtrip" -> ((s, dir) => {
       // z-order-clustered publish (range-partitioned + sorted by the
       // Morton interleave of custkey x totalprice) must round-trip the
@@ -1945,6 +1992,18 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "version_compact_small" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "version_merge_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'EXTRA'
+        |      ELSE CAST(NULL AS VARCHAR) END AS m_note
+        |FROM orders
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'INSERTED' AS o_orderpriority, 'EXTRA' AS m_note
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "version_update_dv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 7 = 0 THEN 'U:' || o_orderpriority
@@ -2013,6 +2072,9 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "publish_transform_prune" ->
+      ("SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' ORDER BY o_orderkey"),
 
     "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
 

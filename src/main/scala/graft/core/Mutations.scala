@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Result of a row-level mutation: the committed version, plus the
   * root-relative files it logically removed and physically added. A
@@ -70,7 +71,8 @@ object Mutations {
 
   private def rewriteCommit(spark: SparkSession, root: String,
                             meta: DatasetMeta, replacement: DataFrame,
-                            removedRel: Seq[String]): MutationResult = {
+                            removedRel: Seq[String],
+                            schemaEvolved: Boolean = false): MutationResult = {
     // UPDATE/MERGE-produced rows must honor the table's CHECK constraints
     // (survivor rows re-validate too — they were valid, and the combined
     // pass only scans the affected-file subset being rewritten)
@@ -89,9 +91,10 @@ object Mutations {
       else Publish.publishImpl(spark, physReplacement, root,
         meta.partitions, "append", Nil, Nil, 16, 0, Nil,
         // physical names intentionally differ from the sidecar's logical
-        // schema on a mapped dataset; the logical shape was already
-        // validated by the snapshot read this replacement derives from
-        requireSchemaMatch = meta.colMap.isEmpty)
+        // schema on a mapped dataset (and an evolving merge's replacement
+        // carries MORE columns than the sidecar); the logical shape was
+        // already validated by the snapshot read this derives from
+        requireSchemaMatch = meta.colMap.isEmpty && !schemaEvolved)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
       removedRel = removedRel)
@@ -421,21 +424,41 @@ object Mutations {
     * join itself runs over affected rows ∪ source, never the full
     * dataset.
     */
+  /** `evolveSchema = true` is the Delta `autoMerge` behavior: the source
+    * may carry NEW columns, which join the dataset schema additively in
+    * the SAME rewrite commit — existing files simply lack them (reads
+    * null-fill, as in [[Publish.appendEvolved]]), matched rows take the
+    * source's values, unmatched target rows read back null. Zero bytes of
+    * untouched data move for the schema change at any scale. Columns
+    * missing from the source are still rejected either way, and the
+    * DV-mode merge ([[mergeDv]]) keeps the exact-schema contract.
+    */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-            keyCols: Seq[String]): MutationResult = {
+            keyCols: Seq[String], evolveSchema: Boolean = false): MutationResult = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
-      val tgtCols = meta.schema.fieldNames.toSeq
+      val (latest, meta0, dvs, snap) = snapshotWithPath(spark, root)
+      val tgtCols = meta0.schema.fieldNames.toSeq
       keyCols.foreach { k =>
         require(tgtCols.contains(k), s"key column $k is not a dataset column")
         require(source.columns.contains(k), s"key column $k missing from source")
       }
       val missing = tgtCols.filterNot(source.columns.contains)
-      val extra = source.columns.filterNot(tgtCols.contains)
-      require(missing.isEmpty && extra.isEmpty,
-        s"merge source columns must equal dataset columns; missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-      // normalize source to target order + types, once
+      val extraF = source.schema.fields.filterNot(f => tgtCols.contains(f.name)).toSeq
+      require(missing.isEmpty,
+        s"merge source is missing dataset columns: ${missing.mkString(",")}")
+      require(extraF.isEmpty || evolveSchema,
+        s"merge source carries new columns ${extraF.map(_.name).mkString(",")}; " +
+          "pass evolveSchema=true to add them to the dataset additively")
+      extraF.foreach(f => require(!f.name.startsWith("_") && !f.name.startsWith("."),
+        s"evolved column ${f.name} would be hidden from parquet readers"))
+      // the evolved logical schema: existing fields, new ones appended (a
+      // name-mapped dataset's new columns bind identity — no map change)
+      val meta =
+        if (extraF.isEmpty) meta0
+        else meta0.copy(schema = StructType(
+          meta0.schema.fields ++ extraF.map(_.copy(nullable = true))))
+      // normalize source to (evolved) target order + types, once
       val src = source.select(meta.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*).persist()
       try {
@@ -446,23 +469,28 @@ object Mutations {
 
         val affected = affectedFiles(
           snap.join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))
-        val payload = tgtCols.filterNot(keyCols.contains)
+        val payload = meta.schema.fieldNames.toSeq.filterNot(keyCols.contains)
+        // affected target rows under the OLD schema, null-extended to the
+        // evolved one (their files predate the new columns)
+        def targetRows = extraF.foldLeft(
+          Versions.readFiles(spark, root, affected, meta0, dvs = dvs))(
+          (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
         val merged =
           if (payload.isEmpty) {
             // keys-only dataset: upsert degenerates to set union
-            Versions.readFiles(spark, root, affected, meta, dvs = dvs)
-              .unionByName(src).distinct()
+            targetRows.unionByName(src).distinct()
           } else {
             def packed(df: DataFrame, tag: String) =
               df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-            packed(Versions.readFiles(spark, root, affected, meta, dvs = dvs), "_t")
+            packed(targetRows, "_t")
               .join(packed(src, "_s"), keyCols, "full_outer")
               .withColumn("_m", coalesce(col("_s"), col("_t")))
               .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
                 if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)): _*)
           }
         if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
-        else rewriteCommit(spark, root, meta, merged, affected)
+        else rewriteCommit(spark, root, meta, merged, affected,
+          schemaEvolved = extraF.nonEmpty)
       } finally src.unpersist()
     }
   }

@@ -117,7 +117,7 @@ class MutationsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       Mutations.merge(spark, root, Seq((1L, "g1")).toDF("id", "grp"), Seq("id"))
     }
-    assert(e2.getMessage.contains("missing=v"))
+    assert(e2.getMessage.contains("missing dataset columns: v"))
   }
 
   test("mutations require a versioned dataset") {

@@ -86,6 +86,13 @@ object PlanAudit {
       // the plan — asserted by StatsIndexSpec on candidate counts)
       "partition filter prunes dirs" -> (p => raw"PartitionFilters: \[[^\]]".r.findFirstIn(p).isDefined),
       "data predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_extendedprice")))
+    audit("publish_transform_prune",
+      // hidden partitioning: the RAW timestamp filter must surface as a
+      // constant-folded predicate on the DERIVED month partition column
+      // (directory pruning) AND as a pushed raw-column parquet filter
+      "derived-partition pruning" -> (p =>
+        raw"PartitionFilters: \[[^\]]*tp_months_o_orderdate".r.findFirstIn(p).isDefined),
+      "raw predicate pushed to parquet" -> (_.contains("GreaterThanOrEqual(o_orderdate")))
     audit("version_delete_dv",
       // small DVs compile to an INLINE scan-stage filter (the Delta
       // DV-as-row-filter shape): the lookup table rides the plan, each

@@ -66,4 +66,39 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       dataFilters = Seq(graft.core.ColFilter("score", ">=", Seq(49.0))))
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(49L, 50L))
   }
+
+  test("MERGE evolveSchema adds source-only columns in the same rewrite commit") {
+    val root = TestSpark.tmpDir("evolve_merge")
+    // two partitions so one file stays UNTOUCHED by the merge
+    Publish.publishVersioned(spark,
+      Seq((1L, "old1", "a"), (2L, "old2", "a"), (10L, "old10", "b"))
+        .toDF("id", "v", "grp"), root, Seq("grp"))
+    val before = Publish.listDataFiles(spark, root).toSet
+    val source = Seq((2L, "upd2", "a", 0.9), (3L, "ins3", "a", 0.3))
+      .toDF("id", "v", "grp", "score")
+    // without the flag: rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Mutations.merge(spark, root, source, Seq("id"))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    graft.core.Mutations.merge(spark, root, source, Seq("id"), evolveSchema = true)
+    val out = Fetch.fetch(spark, root).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "v", "grp", "score"))
+    assert(out.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "old1", None), (2L, "upd2", Some(0.9)),
+        (3L, "ins3", Some(0.3)), (10L, "old10", None)))
+    // the untouched partition's file was NOT rewritten (additive = zero
+    // bytes moved for unaffected data)
+    val after = Publish.listDataFiles(spark, root).toSet
+    assert(before.exists(f => f.contains("grp=b") && after.contains(f)))
+    // time travel: v1 still reads with the OLD schema
+    assert(graft.core.Versions.fetchVersion(spark, root, 1).columns.toSeq ==
+      Seq("id", "v", "grp"))
+    // a later plain append must carry the evolved schema
+    Publish.publishVersioned(spark,
+      Seq((4L, "app4", "b", 0.1)).toDF("id", "v", "grp", "score"),
+      root, Seq("grp"), mode = "append")
+    assert(Fetch.fetch(spark, root).count() == 5)
+  }
 }
