@@ -1316,6 +1316,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-α source rebalancing: surviving composition ∝ n_s^0.5,
+      // smallest source kept whole, deterministic modulo slot so DuckDB
+      // replays the exact survivor set
+      val slot = pmod(col("doc_id") * 997, lit(graft.ops.Sampling.Slots))
+      graft.ops.Sampling.temperatureMixture(
+        s.read.parquet(t(dir, "documents")), slot, "source", 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
+    "events_path_transitions" -> ((s, dir) => {
+      // user-journey transition matrix: adjacent event pairs per user
+      // ordered by (ts, event_id), counted + outgoing share
+      graft.ops.Funnel.pathTransitions(readEvents(s, dir))
+        .orderBy("from_step", "to_step")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // exactly 5 docs per source, chosen by the deterministic modulo
       // slot (cross-engine reproducible; production default is the
@@ -3030,6 +3048,25 @@ object SparkEntry {
         |SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars, c.url
         |FROM canon c JOIN keep USING (k, doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        | m AS (SELECT min(n) AS nmin FROM c),
+        | r AS (SELECT source, round(pow(n / nmin, -0.5) * 10000) AS thr FROM c, m)
+        |SELECT d.source, count(*) AS n
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (d.doc_id * 997) % 10000 < r.thr
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "events_path_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS from_step,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_step
+        | FROM events)
+        |SELECT from_step, to_step, count(*) AS n,
+        | round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY from_step), 4) AS share
+        |FROM seq WHERE to_step IS NOT NULL
+        |GROUP BY from_step, to_step ORDER BY from_step, to_step""".stripMargin,
 
     "sample_stratified" ->
       """SELECT source, doc_id FROM (

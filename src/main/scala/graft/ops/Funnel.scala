@@ -73,6 +73,42 @@ object Funnel {
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"), col("r.conversion"))
   }
 
+  /** Event path analysis: the user-journey transition matrix. Each user's
+    * events, ordered by (ts, event id), contribute their adjacent pairs;
+    * the output is one row per `(from_step, to_step)` with the transition
+    * count and its share of the from-step's outgoing edges — the data
+    * behind sankey/next-action views.
+    *
+    * Scale design: ONE shuffle (group by user), per-user state bounded by
+    * that user's event count; the pair enumeration is an in-array
+    * projection (`array_sort` + `zip_with` of the sequence with its own
+    * tail — no window sort over the event log, no self-join). The window
+    * computing `share` runs over the AGGREGATED transition matrix, which
+    * is |event types|² — driver-sized — rows.
+    */
+  def pathTransitions(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts", typeCol: String = "event_type",
+                      idCol: String = "event_id"): DataFrame = {
+    val seq = events
+      .select(col(userCol).as("u"),
+        struct(col(tsCol).as("ts"), col(idCol).as("eid"),
+          col(typeCol).as("step")).as("e"))
+      .groupBy("u").agg(array_sort(collect_list(col("e"))).as("seq"))
+    val pairs = seq
+      .where(size(col("seq")) >= 2)
+      .select(explode(zip_with(
+        slice(col("seq"), lit(1), size(col("seq")) - 1),
+        slice(col("seq"), lit(2), size(col("seq")) - 1),
+        (a, b) => struct(a.getField("step").as("from_step"),
+          b.getField("step").as("to_step")))).as("p"))
+    val counts = pairs.groupBy(col("p.from_step").as("from_step"),
+        col("p.to_step").as("to_step"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_step")
+    counts.withColumn("share",
+      round(col("n").cast("double") / sum("n").over(byFrom), 4))
+  }
+
   /** Cohort retention: users grouped by FIRST-activity day (the cohort),
     * counted per day-offset of later activity — the classic retention
     * triangle. Two hash aggregates (per-user first day over user-day

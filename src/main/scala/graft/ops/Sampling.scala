@@ -71,6 +71,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-based source rebalancing (the multilingual-LM sampling-α
+    * rule, XLM-R eq. 1: sample sources ∝ n_s^α): downsample-only rates
+    * `rate_s = (n_s / n_min)^(α-1)` — the smallest source keeps 100 %,
+    * bigger sources keep proportionally less, and the surviving corpus
+    * composition is ∝ n_s^α. α = 1 keeps everything (natural mix); α → 0
+    * approaches uniform-per-source. ONE count aggregate (per-source counts
+    * are driver-sized by contract), then the same slot-threshold filter as
+    * [[mixture]]: deterministic, shuffle-free, rerun-stable.
+    */
+  def temperatureMixture(df: DataFrame, slot: Column, sourceCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "temperatureMixture over an empty corpus")
+    val nMin = counts.map(_._2).min.toDouble
+    val rates = counts.map { case (src, n) =>
+      src -> math.pow(n / nMin, alpha - 1.0)
+    }.toMap
+    mixture(df, slot, sourceCol, rates, defaultRate = 1.0)
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
     * proportional to `weight` — Efraimidis–Spirakis A-RES: each row draws
     * a deterministic uniform u from an md5 of its key (+ seed) and ranks

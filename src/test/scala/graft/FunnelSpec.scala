@@ -91,6 +91,25 @@ class FunnelSpec extends AnyFunSuite {
       ("2024-01-02", 2L, 1L, 1.0)))
   }
 
+  test("pathTransitions: adjacent pairs per user, (ts, id) order, outgoing share") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1: view -> click -> buy
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "buy"),
+      // user 2: view -> click, plus a TIE at 10:05 broken by event_id
+      (2L, ts(4), 4L, "view"), (2L, ts(5), 5L, "click"), (2L, ts(5), 6L, "view"),
+      // user 3: single event — no transitions
+      (3L, ts(9), 7L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Funnel.pathTransitions(events)
+      .orderBy("from_step", "to_step")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", "buy", 1L, 0.5),
+      ("click", "view", 1L, 0.5),   // the tie resolved view AFTER click (id 6 > 5)
+      ("view", "click", 2L, 1.0)))
+  }
+
   test("histogram: clamping, empty buckets, null drop") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),

@@ -74,6 +74,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == 196)
   }
 
+  test("temperatureMixture: composition tilts to n^alpha, smallest source kept whole") {
+    import spark.implicits._
+    // sources of 1000 / 250 rows; alpha=0.5 → big keeps (1000/250)^-0.5 = 50%
+    val df = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1250).map(i => (i.toLong, "small"))).toDF("id", "source")
+    val slot = org.apache.spark.sql.functions.pmod(
+      col("id") * 997, org.apache.spark.sql.functions.lit(Sampling.Slots))
+    val kept = Sampling.temperatureMixture(df, slot, "source", 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 250, "smallest source must survive whole")
+    // modulo slot is uniform-ish; expected 500 from `big`
+    assert(kept("big") > 400 && kept("big") < 600, s"big kept ${kept("big")}")
+    // alpha = 1 keeps the natural mix untouched
+    val natural = Sampling.temperatureMixture(df, slot, "source", 1.0).count()
+    assert(natural == 1250)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, slot, "source", 0.0)
+    }
+  }
+
   test("weightedSample: a dominating weight is effectively always included") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (i.toLong, 1.0)) :+ (999L, 1e9))
