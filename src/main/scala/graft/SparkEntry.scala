@@ -1544,6 +1544,34 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("sq"), col("n"))
         .orderBy("rf", "ls")),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // link-centrality ranking (the CommonCrawl domain-rank shape) over
+      // the part co-purchase graph: edge A→B when A and B share an order
+      // with A's line number first. Fixed 3 iterations → exactly
+      // SQL-replayable (the oracle unrolls them); per-iteration work is
+      // one src-join + one dst-aggregate, the minimal PageRank shape.
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(s, e, iterations = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      // CUBE: all 2^k grouping-set combinations in one pass (Spark expands
+      // to a single Expand + hash aggregate — no k-pass union)
+      s.read.parquet(t(dir, "lineitem"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 4).as("sp"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("sp"), col("n"))
+        .orderBy("rf", "ls")),
+
     "events_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       readEvents(s, dir)
@@ -2398,6 +2426,44 @@ object SparkEntry {
       """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
         | round(sum(l_quantity),4) AS sq, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        |edges AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_linenumber < b.l_linenumber),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+        |d0 AS (SELECT coalesce(sum(r.rank),0) AS mass FROM r0 r
+        |       LEFT JOIN deg g ON r.node=g.src WHERE g.src IS NULL),
+        |c0 AS (SELECT e.dst, sum(r.rank/g.deg) AS c FROM edges e
+        |       JOIN r0 r ON e.src=r.node JOIN deg g ON e.src=g.src GROUP BY e.dst),
+        |r1 AS (SELECT nd.node, (1-0.85)/(SELECT n FROM nn)
+        |        + 0.85*(coalesce(c.c,0)+(SELECT mass FROM d0)/(SELECT n FROM nn)) AS rank
+        |       FROM nodes nd LEFT JOIN c0 c ON nd.node=c.dst),
+        |d1 AS (SELECT coalesce(sum(r.rank),0) AS mass FROM r1 r
+        |       LEFT JOIN deg g ON r.node=g.src WHERE g.src IS NULL),
+        |c1 AS (SELECT e.dst, sum(r.rank/g.deg) AS c FROM edges e
+        |       JOIN r1 r ON e.src=r.node JOIN deg g ON e.src=g.src GROUP BY e.dst),
+        |r2 AS (SELECT nd.node, (1-0.85)/(SELECT n FROM nn)
+        |        + 0.85*(coalesce(c.c,0)+(SELECT mass FROM d1)/(SELECT n FROM nn)) AS rank
+        |       FROM nodes nd LEFT JOIN c1 c ON nd.node=c.dst),
+        |d2 AS (SELECT coalesce(sum(r.rank),0) AS mass FROM r2 r
+        |       LEFT JOIN deg g ON r.node=g.src WHERE g.src IS NULL),
+        |c2 AS (SELECT e.dst, sum(r.rank/g.deg) AS c FROM edges e
+        |       JOIN r2 r ON e.src=r.node JOIN deg g ON e.src=g.src GROUP BY e.dst),
+        |r3 AS (SELECT nd.node, (1-0.85)/(SELECT n FROM nn)
+        |        + 0.85*(coalesce(c.c,0)+(SELECT mass FROM d2)/(SELECT n FROM nn)) AS rank
+        |       FROM nodes nd LEFT JOIN c2 c ON nd.node=c.dst)
+        |SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_extendedprice),4) AS sp, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
 
     "events_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
