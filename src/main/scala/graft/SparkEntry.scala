@@ -1198,6 +1198,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      // NEAR-dup decontamination at saturated bands (rows-per-band = 1 →
+      // at-threshold miss ≤ (1-0.8)^64 ≈ 2e-45, so the LSH output equals
+      // the exhaustive Jaccard join the oracle computes); benchmark =
+      // every %7 doc, self-pairs excluded
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bench = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.ops.Decontaminate.fuzzyOverlap(docs, bench,
+          numHashes = 64, bands = 64, threshold = 0.8)
+        .where(col("doc_id") =!= col("bench_id"))
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.attachPayload(s.read.parquet(t(dir, "documents")))).orderBy("doc_id")),
@@ -2572,6 +2588,21 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE c / (sa.n + sb.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "decontaminate_fuzzy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, greatest(len(words) - 3, 0) + 2)) AS t(i)),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id, b.bench_id, count(*) AS c
+        |          FROM g a JOIN b ON a.gram = b.gram AND a.doc_id != b.bench_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_id, i.bench_id, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM inter i JOIN sz sa ON i.doc_id = sa.doc_id
+        | JOIN sz sb ON i.bench_id = sb.doc_id
+        |WHERE c / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY i.doc_id, i.bench_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

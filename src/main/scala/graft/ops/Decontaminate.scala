@@ -49,4 +49,59 @@ object Decontaminate {
       .select(col("doc_id").as(idCol))
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** NEAR-duplicate decontamination: training docs whose word-shingle set
+    * sits at n-gram Jaccard ≥ `threshold` against ANY benchmark item —
+    * the fuzzy complement of [[overlap]]'s exact n-gram hit (a lightly
+    * paraphrased eval item shares few exact 8-grams but keeps a high
+    * 3-shingle Jaccard).
+    *
+    * Cross-frame LSH, never a corpus self-join: both sides band their
+    * MinHash signatures, the benchmark's banded form (tiny by contract)
+    * BROADCASTS against the corpus bands — candidate generation is
+    * map-side, only the surviving (doc, bench) candidate pairs shuffle —
+    * and exact Jaccard verifies each candidate (benchmark shingles
+    * broadcast back for the verify too). With `bands == numHashes`
+    * (saturated, rows-per-band = 1) a true pair at Jaccard j is missed
+    * with probability (1-j)^numHashes — ≤ 2e-45 at j ≥ 0.8, numHashes 64
+    * — which is what lets the oracle replay the output exactly.
+    *
+    * Returns `(doc_id, bench_id, jaccard)` for every qualifying pair.
+    */
+  def fuzzyOverlap(docs: DataFrame, benchmark: DataFrame,
+                   idCol: String = "doc_id", benchIdCol: String = "bench_id",
+                   textCol: String = "text", numHashes: Int = 64,
+                   bands: Int = 16, shingleSize: Int = 3,
+                   threshold: Double = 0.8): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      Dedup.shingles(col(textCol), shingleSize).as("sh_d"))
+    val bSh = benchmark.select(col(benchIdCol).as("bench_id"),
+      Dedup.shingles(col(textCol), shingleSize).as("sh_b"))
+    def banded(df: DataFrame, id: String, sh: String) = df.select(col(id),
+      posexplode(graft.functions.SketchFunctions.minHashBands(
+        col(sh), numHashes, bands)).as(Seq("band", "bhash")))
+    val cands = banded(dSh, "doc_id", "sh_d")
+      .join(broadcast(banded(bSh, "bench_id", "sh_b")), Seq("band", "bhash"))
+      .select("doc_id", "bench_id").distinct()
+    cands.join(dSh, "doc_id").join(broadcast(bSh), "bench_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_d"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
+
+  /** Drop every training doc near-duplicating any benchmark item (see
+    * [[fuzzyOverlap]]).
+    */
+  def decontaminateFuzzy(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", benchIdCol: String = "bench_id",
+                         textCol: String = "text", numHashes: Int = 64,
+                         bands: Int = 16, shingleSize: Int = 3,
+                         threshold: Double = 0.8): DataFrame = {
+    val bad = fuzzyOverlap(docs, benchmark, idCol, benchIdCol, textCol,
+      numHashes, bands, shingleSize, threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -157,6 +157,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(clean == Seq(2L))
   }
 
+  test("fuzzy decontamination catches paraphrased near-dups exact overlap misses") {
+    val benchText = (1 to 40).map(i => s"bench$i").mkString(" ")
+    // paraphrase: one word in 40 changed — kills every exact 8-gram
+    // through that position but keeps 3-shingle Jaccard ≈ 36/42 ≈ 0.857
+    val paraphrased = benchText.replace("bench20", "EDITED")
+    val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, paraphrased),
+      (2L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val fuzzy = graft.ops.Decontaminate.fuzzyOverlap(docs, bench,
+      numHashes = 64, bands = 64, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(fuzzy.map(t => (t._1, t._2)).toSeq == Seq((1L, 100L)))
+    assert(fuzzy.head._3 > 0.8 && fuzzy.head._3 < 1.0)
+    val clean = graft.ops.Decontaminate.decontaminateFuzzy(docs, bench,
+      numHashes = 64, bands = 64, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+    // the unrelated doc is not even a candidate at a loose threshold
+    assert(graft.ops.Decontaminate.fuzzyOverlap(docs, bench,
+      threshold = 0.3).where("doc_id = 2").isEmpty)
+  }
+
   test("fingerprint expression matches the reference loop and is injective on samples") {
     val docs = Seq((1L, "hello world"), (2L, "hello worle"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprint(docs).select("doc_id", "fingerprint")
