@@ -272,6 +272,26 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    "ts_anomalies" -> ((s, dir) => {
+      // z-score outliers of each event type's daily volume: one stats
+      // aggregate + one join back, no window over the series
+      val daily = graft.ops.TimeSeries.resample(readEvents(s, dir), "ts",
+        "day", Seq("event_type"), Seq(sum("value").as("v")))
+      graft.ops.TimeSeries.anomalies(daily, Seq("event_type"), "v",
+          zThreshold = 2.0)
+        .select(col("event_type"), col("bucket"), round(col("v"), 4).as("v"),
+          round(col("zscore"), 4).as("zscore"), col("is_anomaly"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "sample_quality_top" -> ((s, dir) => {
+      // quality-threshold curation: keep the top 25% of docs by length
+      // score via ONE exact-percentile cutoff + a pure filter (ties kept)
+      graft.ops.Sampling.keepTopQuantile(
+          s.read.parquet(t(dir, "documents")), "n_chars", 0.25, exact = true)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // Sparse hourly series (one user cohort) densified with LOCF: the
     // oracle rebuilds the same grid via generate_series and the same
     // IGNORE NULLS carry-forward window.
@@ -1957,6 +1977,23 @@ object SparkEntry {
         | round(sum(value),4) AS sum_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "ts_anomalies" ->
+      """WITH s AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+        |            sum(value) AS v FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+        |       FROM s GROUP BY 1)
+        |SELECT s.event_type, bucket, round(v, 4) AS v,
+        | round(CASE WHEN sd > 0 THEN (v - mu) / sd END, 4) AS zscore,
+        | coalesce(abs(CASE WHEN sd > 0 THEN (v - mu) / sd END) >= 2.0, false)
+        |  AS is_anomaly
+        |FROM s JOIN st ON s.event_type = st.event_type
+        |ORDER BY s.event_type, bucket""".stripMargin,
+
+    "sample_quality_top" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "ts_gapfill_locf" ->
       """WITH obs AS (

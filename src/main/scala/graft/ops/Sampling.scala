@@ -71,6 +71,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Keep the top `keepFraction` of rows by `scoreCol` — the
+    * quality-threshold curation step ("train on the best 25 % by quality
+    * score"): ONE percentile aggregate finds the value cutoff, then a
+    * pure filter keeps `score >= cutoff`. Ties at the cutoff are all
+    * kept (value semantics, deterministic — never a row-count quota that
+    * would need a global sort). `exact = false` (default) uses
+    * `approx_percentile` — bounded-memory sketch, the 100 TB path;
+    * `exact = true` uses the exact percentile aggregate (buffers the
+    * column per partition — fine to a few hundred million rows, and
+    * cross-engine reproducible for auditing).
+    */
+  def keepTopQuantile(df: DataFrame, scoreCol: String, keepFraction: Double,
+                      exact: Boolean = false): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    if (keepFraction == 1.0) return df
+    val p = 1.0 - keepFraction
+    val v = col(scoreCol).cast("double")
+    val cutoff = (
+      if (exact) df.agg(expr(s"percentile($scoreCol, $p)"))
+      else df.agg(approx_percentile(v, lit(p), lit(10000)))
+    ).head().getDouble(0)
+    df.where(v >= cutoff)
+  }
+
   /** Temperature-based source rebalancing (the multilingual-LM sampling-α
     * rule, XLM-R eq. 1: sample sources ∝ n_s^α): downsample-only rates
     * `rate_s = (n_s / n_min)^(α-1)` — the smallest source keeps 100 %,

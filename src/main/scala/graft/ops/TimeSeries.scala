@@ -40,6 +40,35 @@ object TimeSeries {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Z-score anomaly flags over a bucketed series: per key, each value's
+    * deviation from the key's own mean in sample-stddev units;
+    * `is_anomaly` when |z| ≥ `zThreshold`. A key with fewer than two
+    * points (stddev undefined) or zero variance yields null z and FALSE —
+    * a constant series has no outliers.
+    *
+    * Scale: one hash aggregate for the per-key stats (map-side partial)
+    * and one equi-join back — no window sort over the series; with no
+    * keys the single stats row broadcasts.
+    */
+  def anomalies(series: DataFrame, keys: Seq[String], valueCol: String,
+                zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0.0, s"zThreshold must be positive, got $zThreshold")
+    val v = col(valueCol).cast("double")
+    val stats =
+      if (keys.isEmpty) series.agg(avg(v).as("__mu"), stddev_samp(v).as("__sd"))
+      else series.groupBy(keys.map(col): _*)
+        .agg(avg(v).as("__mu"), stddev_samp(v).as("__sd"))
+    val joined =
+      if (keys.isEmpty) series.crossJoin(broadcast(stats))
+      else series.join(stats, keys)
+    joined
+      .withColumn("zscore",
+        when(col("__sd") > 0.0, (v - col("__mu")) / col("__sd")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) >= zThreshold, lit(false)))
+      .drop("__mu", "__sd")
+  }
+
   /** Densify a (keys, bucket) series onto a regular grid and carry the
     * last observation forward into the gaps.
     *

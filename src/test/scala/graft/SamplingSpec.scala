@@ -74,6 +74,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == 196)
   }
 
+  test("keepTopQuantile: value-cutoff filter, ties kept, approx close to exact") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val exact = Sampling.keepTopQuantile(df, "score", 0.25, exact = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    // p75 of 1..100 (linear interpolation) = 75.25 → keep 76..100
+    assert(exact == (76L to 100L))
+    val approx = Sampling.keepTopQuantile(df, "score", 0.25)
+      .count()
+    assert(math.abs(approx - 25L) <= 2, s"approx kept $approx")
+    // keepFraction 1.0 is the identity
+    assert(Sampling.keepTopQuantile(df, "score", 1.0).count() == 100)
+    // ties at the cutoff all survive
+    val tied = ((1 to 8).map(i => (i.toLong, 1.0)) ++
+      (9 to 10).map(i => (i.toLong, 5.0))).toDF("id", "score")
+    val kept = Sampling.keepTopQuantile(tied, "score", 0.2, exact = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(9L, 10L))
+    intercept[IllegalArgumentException] {
+      Sampling.keepTopQuantile(df, "score", 0.0)
+    }
+  }
+
   test("temperatureMixture: composition tilts to n^alpha, smallest source kept whole") {
     import spark.implicits._
     // sources of 1000 / 250 rows; alpha=0.5 → big keeps (1000/250)^-0.5 = 50%

@@ -75,4 +75,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       (Some(1.0), Some(5.0), true),
       (Some(3.0), Some(7.0), false)))
   }
+
+  test("anomalies: per-key z-scores, constant series flags nothing") {
+    import spark.implicits._
+    // key a: 9 points at 10 + one spike at 100; key b: constant
+    val rows = ((1 to 9).map(i => ("a", i, 10.0)) :+ ("a", 10, 100.0)) ++
+      (1 to 5).map(i => ("b", i, 7.0))
+    val df = rows.toDF("k", "bucket", "v")
+    val out = graft.ops.TimeSeries.anomalies(df, Seq("k"), "v", zThreshold = 2.0)
+    val flagged = out.where("is_anomaly").select("k", "bucket")
+      .as[(String, Int)].collect().toSeq
+    assert(flagged == Seq(("a", 10)))
+    // constant key: zscore null, never anomalous
+    val b = out.where("k = 'b'").select("zscore", "is_anomaly")
+      .as[(Option[Double], Boolean)].collect()
+    assert(b.forall { case (z, f) => z.isEmpty && !f })
+    // z matches the hand formula for the spike
+    val mu = (9 * 10.0 + 100.0) / 10
+    val sd = math.sqrt(rows.filter(_._1 == "a").map(r =>
+      math.pow(r._3 - mu, 2)).sum / 9)
+    val z = out.where("k = 'a' AND bucket = 10").select("zscore")
+      .as[Double].head()
+    assert(math.abs(z - (100.0 - mu) / sd) < 1e-12)
+  }
 }
