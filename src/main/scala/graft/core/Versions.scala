@@ -425,8 +425,24 @@ object Versions {
       val tsMillis = math.max(System.currentTimeMillis(),
         latest.map(lv => entryTimestamp(spark, root, lv) + 1L).getOrElse(0L))
       val tsFields = List("ts" -> JInt(tsMillis))
+      // PROTOCOL feature stamps (the Delta reader-version design, per
+      // feature instead of a monotone integer): an entry names every
+      // log feature its correct interpretation DEPENDS on; a reader that
+      // doesn't know one REFUSES loudly instead of silently misreading
+      // (e.g. ignoring an unknown deletion-vector flavor would resurrect
+      // deleted rows). Plain fields added for convenience (ts, nonce)
+      // are NOT features — old readers ignoring them stay correct.
+      val feats = List(
+        if (dvs.nonEmpty) Some("dv") else None,
+        if (entryColMap.nonEmpty) Some("colMap") else None,
+        if (entryConstraints.nonEmpty) Some("constraints") else None,
+        if (action == "clone") Some("clone") else None).flatten
+      val featFields =
+        if (feats.isEmpty) Nil
+        else List("features" -> JArray(feats.map(JString(_))))
       val json = JsonMethods.compact(JsonMethods.render(
-        JObject(base ++ txnFields ++ dvFields ++ nonceFields ++ tsFields: _*)))
+        JObject(base ++ txnFields ++ dvFields ++ nonceFields ++ tsFields ++
+          featFields: _*)))
       // In-process committers must serialize the create itself: a local
       // or checksummed filesystem's create-if-absent is CHECK-then-
       // create, so two threads of one driver could both "win" the same
@@ -492,7 +508,12 @@ object Versions {
       raw = try new String(readAll(in, f.getFileStatus(p).getLen.toInt), "UTF-8")
             finally in.close()
       try return parseEntry(raw)
-      catch { case e: Exception => lastErr = e; Thread.sleep(20) }
+      catch {
+        // the protocol gate is a DEFINITIVE answer, not an in-flight
+        // commit — retrying can't make the feature supported
+        case e: UnsupportedOperationException => throw e
+        case e: Exception => lastErr = e; Thread.sleep(20)
+      }
     }
     throw new IllegalStateException(
       s"commit entry $p is unreadable (${raw.length} bytes) — a committer " +
@@ -541,9 +562,23 @@ object Versions {
       case JInt(x) => Some(x.toLong)
       case _ => None
     }
+    // protocol gate: refuse entries depending on a feature this reader
+    // doesn't implement — see the feature-stamp comment in [[commit]]
+    val unknownFeats = strings("features").filterNot(SupportedFeatures)
+    if (unknownFeats.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"version $ver was written with log features " +
+          s"${unknownFeats.mkString(", ")} this reader does not support " +
+          s"(supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}); " +
+          "upgrade the library to read this dataset")
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
       schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts)
   }
+
+  /** Log features this reader implements (see the protocol gate in
+    * [[parseEntry]] / the stamps in [[commit]]).
+    */
+  val SupportedFeatures: Set[String] = Set("dv", "colMap", "constraints", "clone")
 
   /** The commit instant of version `v`: the entry's IN-COMMIT timestamp
     * when present (monotonic by construction — see [[commit]]), else the

@@ -124,8 +124,6 @@ object LakehouseSql {
           named.map { case (k, v) => (k, PlanArg(v)) })
 
       case m: MergeIntoTable if targetRoot(m.targetTable).isDefined =>
-        require(!m.withSchemaEvolution,
-          "graft MERGE does not support WITH SCHEMA EVOLUTION")
         require(m.notMatchedBySourceActions.isEmpty,
           "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
         (m.matchedActions, m.notMatchedActions) match {
@@ -137,8 +135,11 @@ object LakehouseSql {
         // nested graft relations inside the source resolve through the
         // same conversion (transformDown stops at the command leaf)
         val source = m.sourceTable.transformDown(pf)
+        // WITH SCHEMA EVOLUTION routes to the evolving rewrite merge
+        // (Mutations.merge(evolveSchema=true)); the DV mode keeps the
+        // exact-schema contract and rejects it at run
         GraftMergeCommand(targetRoot(m.targetTable).get, PlanArg(source),
-          mergeKeys(m.mergeCondition))
+          mergeKeys(m.mergeCondition), evolveSchema = m.withSchemaEvolution)
     }
     pf
   }
@@ -212,14 +213,20 @@ case class GraftUpdateCommand(root: String, cond: PlanArg[Expression],
   * O(source ∪ matched rows) instead of O(affected files)).
   */
 case class GraftMergeCommand(root: String, source: PlanArg[LogicalPlan],
-                             keyCols: Seq[String]) extends GraftMutationCommand {
+                             keyCols: Seq[String],
+                             evolveSchema: Boolean = false)
+    extends GraftMutationCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = shim.ofRows(spark, source.value)
     // MERGE SET * takes the source's columns; aliases (`USING x s`) ride
     // SubqueryAlias nodes inside the plan and change nothing here
     val result = spark.conf.get("spark.graft.merge.mode", "rewrite") match {
-      case "rewrite" => Mutations.merge(spark, root, src, keyCols)
-      case "dv" => Mutations.mergeDv(spark, root, src, keyCols)
+      case "rewrite" => Mutations.merge(spark, root, src, keyCols,
+        evolveSchema = evolveSchema)
+      case "dv" =>
+        require(!evolveSchema, "graft MERGE WITH SCHEMA EVOLUTION needs " +
+          "spark.graft.merge.mode=rewrite (the DV merge keeps the exact-schema contract)")
+        Mutations.mergeDv(spark, root, src, keyCols)
       case other => throw new IllegalArgumentException(
         s"spark.graft.merge.mode must be rewrite|dv, got $other")
     }

@@ -92,6 +92,28 @@ class InCommitTsSpec extends AnyFunSuite {
     assert(Versions.fetchAsOf(spark, root, ts(1)).count() == 2)
   }
 
+  test("protocol gate: entries stamping unknown log features refuse loudly") {
+    val root = threeCommits()
+    // a feature-bearing entry from a current writer reads fine
+    graft.core.Mutations.deleteWhereDv(spark,
+      root, org.apache.spark.sql.functions.col("id") === 1L)
+    val e4 = Versions.readEntry(spark, root, 4)
+    assert(e4.dvs.nonEmpty)
+    // plant a FUTURE feature on the newest entry: every read surface
+    // must refuse with upgrade guidance, not misread
+    EntryEdit.rewrite(root, 4,
+      _.replace(""""features":["dv"]""", """"features":["dv","v9_row_ids"]"""))
+    val e = intercept[UnsupportedOperationException] {
+      Versions.readEntry(spark, root, 4)
+    }
+    assert(e.getMessage.contains("v9_row_ids") && e.getMessage.contains("upgrade"))
+    intercept[UnsupportedOperationException] {
+      graft.core.Fetch.fetch(spark, root).collect()
+    }
+    // versions BEFORE the futuristic entry stay readable
+    assert(Versions.fetchVersion(spark, root, 3).count() == 3)
+  }
+
   test("pre-ICT entries (no ts field) fall back to entry mtime") {
     val root = threeCommits()
     (1 to 3).foreach { v =>

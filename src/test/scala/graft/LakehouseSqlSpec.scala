@@ -67,6 +67,31 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(Versions.fetchVersion(spark, root, 1).count() == 60)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns via SQL") {
+    val root = freshTarget()
+    Seq((0L, "g0", -1.0, "tagged"), (2000L, "g1", 9.0, "new"))
+      .toDF("id", "grp", "v", "tag")
+      .createOrReplaceTempView("lakehouse_sql_evo_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t " +
+      "USING lakehouse_sql_evo_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val out = Fetch.fetch(spark, root)
+    assert(out.columns.toSeq == Seq("id", "grp", "v", "tag"))
+    val tags = out.select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(tags(0L).contains("tagged") && tags(2000L).contains("new"))
+    assert(tags(1L).isEmpty)
+    // DV mode rejects evolution instead of silently dropping the column
+    spark.conf.set("spark.graft.merge.mode", "dv")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t " +
+          "USING lakehouse_sql_evo_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    } finally spark.conf.unset("spark.graft.merge.mode")
+  }
+
   test("GraftSql.exec runs the identical conversion without the extension") {
     val root = freshTarget()
     assert(GraftSql.exec(spark, s"SELECT * FROM graft.`$root`").count() == 60)
