@@ -114,6 +114,11 @@ object Filters {
             FloatType | DoubleType | _: DecimalType) => ()
       case (_: java.sql.Timestamp, TimestampType | TimestampNTZType) => ()
       case (_: java.sql.Date, DateType) => ()
+      // java.time flavors: V2 pushed filters carry LocalDateTime for NTZ
+      // columns (and Instant/LocalDate under the java8 datetime API)
+      case (_: java.time.LocalDateTime, TimestampNTZType) => ()
+      case (_: java.time.Instant, TimestampType) => ()
+      case (_: java.time.LocalDate, DateType) => ()
       case _ => throw new IllegalArgumentException(
         s"Filter value $v (${v.getClass.getSimpleName}) does not match partition type $dt")
     }

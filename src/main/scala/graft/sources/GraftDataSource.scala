@@ -118,15 +118,22 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
                               data: DataFrame): BaseRelation = {
     val root = rootOf(parameters)
     val spark = data.sparkSession
-    val partitions = parameters.get("partitions")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val exists = DatasetMeta.read(spark, root).nonEmpty
+    val recorded = DatasetMeta.read(spark, root)
+    val exists = recorded.nonEmpty
     val versioned = parameters.get("versioned").exists(_.trim.toBoolean) ||
       Versions.isVersioned(spark, root)
-    def write(publishMode: String): Unit =
+    def write(publishMode: String): Unit = {
+      // appends with no explicit partitions option inherit the dataset's
+      // recorded layout (incl. transform-derived partition columns — the
+      // write seams re-derive those from the raw frame)
+      val partitions = parameters.get("partitions")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(if (publishMode == "append")
+          recorded.map(_.partitions).getOrElse(Nil) else Nil)
       if (versioned)
         Publish.publishVersioned(spark, data, root, partitions, mode = publishMode)
       else Publish.publish(spark, data, root, partitions, mode = publishMode)
+    }
     mode match {
       case SaveMode.Overwrite => write("overwrite")
       case SaveMode.Append => write(if (exists) "append" else "overwrite")
@@ -197,22 +204,30 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
         s"dataset $root is missing graft metadata — publish it first"))
   }
 
-  override lazy val schema: StructType = meta.schema
+  private lazy val hidden: Set[String] =
+    GraftSourceFilters.hiddenCols(spark, root)
+  private lazy val prunable: Set[String] =
+    GraftSourceFilters.prunableCols(spark, root, meta)
+
+  override lazy val schema: StructType =
+    StructType(meta.schema.fields.filterNot(f => hidden(f.name)))
 
   private def snapshot: DataFrame = versionAsOf match {
     case Some(v) => Versions.fetchVersion(spark, root, v)
+      .drop(hidden.toSeq: _*)
     case None => Fetch.fetch(spark, root, acceptNotGraft = false)
   }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    // live unversioned reads route partition predicates through graft's
-    // driver-side pruner; versioned snapshots get the same pruning from
-    // Catalyst's in-memory file index, so plain column predicates suffice
+    // live reads route partition (and transform-source) predicates
+    // through graft's driver-side pruner — fetch plans versioned roots
+    // from the commit log and handles hidden partitioning itself; pinned
+    // versions scan the snapshot, with raw predicates re-applied below
     val base = versionAsOf match {
-      case None if !Versions.isVersioned(spark, root) =>
+      case None =>
         val colFilters = filters.flatMap(f =>
-          GraftSourceFilters.toColFilter(meta, f)).toSeq
+          GraftSourceFilters.toColFilter(prunable, f)).toSeq
         Fetch.fetch(spark, root, colFilters, acceptNotGraft = false)
       case _ => snapshot
     }
@@ -221,13 +236,16 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
     filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
-  /** `INSERT INTO t` (append) / `INSERT OVERWRITE t`. */
+  /** `INSERT INTO t` (append) / `INSERT OVERWRITE t`. A transform-
+    * partitioned dataset takes the USER schema (derived columns are
+    * layout — the write seams re-derive them).
+    */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(versionAsOf.isEmpty, "cannot insert into a time-travel relation")
     require(data.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        meta.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"insert schema ${data.schema.simpleString} does not match dataset " +
-        s"schema ${meta.schema.simpleString}")
+        s"schema ${schema.simpleString}")
     val mode = if (overwrite) "overwrite" else "append"
     if (Versions.isVersioned(spark, root))
       Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode)
@@ -307,17 +325,33 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
   * and the V2 scan ([[GraftScanBuilder]]).
   */
 private[sources] object GraftSourceFilters {
-  /** sources.Filter → graft ColFilter, for single-column comparisons on a
-    * PARTITION column (the shapes graft's driver-side pruning speaks).
+  /** Columns graft's driver-side pruner can act on: hive partition
+    * columns plus hidden-partitioning TRANSFORM SOURCE columns (a raw
+    * `days(ts)` filter prunes the derived directories — see
+    * [[graft.core.Transforms]]).
     */
-  def toColFilter(meta: DatasetMeta, f: Filter): Option[ColFilter] = f match {
-    case EqualTo(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "==", Seq(v)))
-    case In(a, vs) if meta.partitions.contains(a) && vs.nonEmpty && !vs.contains(null) =>
+  def prunableCols(spark: SparkSession, root: String,
+                   meta: DatasetMeta): Set[String] =
+    meta.partitions.toSet ++
+      graft.core.Transforms.read(spark, root).map(_.source)
+
+  /** Transform-derived partition columns — physical layout, hidden from
+    * every read schema the connector reports.
+    */
+  def hiddenCols(spark: SparkSession, root: String): Set[String] =
+    graft.core.Transforms.read(spark, root).map(_.name).toSet
+
+  /** sources.Filter → graft ColFilter, for single-column comparisons on a
+    * prunable column (the shapes graft's driver-side pruning speaks).
+    */
+  def toColFilter(prunable: Set[String], f: Filter): Option[ColFilter] = f match {
+    case EqualTo(a, v) if prunable(a) => Some(ColFilter(a, "==", Seq(v)))
+    case In(a, vs) if prunable(a) && vs.nonEmpty && !vs.contains(null) =>
       Some(ColFilter(a, "==", vs.toSeq))
-    case GreaterThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">", Seq(v)))
-    case GreaterThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, ">=", Seq(v)))
-    case LessThan(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<", Seq(v)))
-    case LessThanOrEqual(a, v) if meta.partitions.contains(a) => Some(ColFilter(a, "<=", Seq(v)))
+    case GreaterThan(a, v) if prunable(a) => Some(ColFilter(a, ">", Seq(v)))
+    case GreaterThanOrEqual(a, v) if prunable(a) => Some(ColFilter(a, ">=", Seq(v)))
+    case LessThan(a, v) if prunable(a) => Some(ColFilter(a, "<", Seq(v)))
+    case LessThanOrEqual(a, v) if prunable(a) => Some(ColFilter(a, "<=", Seq(v)))
     case _ => None
   }
 

@@ -63,8 +63,14 @@ class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
 
   override def name(): String = s"graft.`${rootOpt.getOrElse("(pending location)")}`"
 
+  // transform-derived partition columns are layout, not data: hidden
+  // from the reported schema (the scan frames drop them too)
+  private lazy val hiddenSet: Set[String] = rootOpt
+    .map(r => GraftSourceFilters.hiddenCols(spark, r)).getOrElse(Set.empty)
+
   override def schema(): StructType =
-    resolvedMeta.map(m => GraftTable.readSchemaFor(m, options))
+    resolvedMeta.map(m => StructType(
+        GraftTable.readSchemaFor(m, options).fields.filterNot(f => hiddenSet(f.name))))
       .orElse(givenSchema).getOrElse(new StructType())
 
   override def partitioning(): Array[Transform] = {
@@ -142,7 +148,8 @@ object GraftTable {
     */
   private[sources] def baseFrame(spark: SparkSession, root: String,
                                  options: Map[String, String],
-                                 colFilters: Seq[graft.core.ColFilter]): DataFrame =
+                                 colFilters: Seq[graft.core.ColFilter]): DataFrame = {
+    val hidden = GraftSourceFilters.hiddenCols(spark, root)
     if (changeFeedOpt(options)) {
       val from = options.getOrElse("startingVersion", throw
         new IllegalArgumentException(
@@ -151,16 +158,17 @@ object GraftTable {
         .orElse(Versions.latestVersion(spark, root)).getOrElse(
           throw new IllegalArgumentException(s"dataset $root is not versioned"))
       Versions.changeFeed(spark, root, from - 1, to,
-        GraftDataSource.rowDiffKeysOf(options))
+        GraftDataSource.rowDiffKeysOf(options)).drop(hidden.toSeq: _*)
     } else options.get("versionAsOf").map(_.trim.toInt) match {
       case Some(v) => Versions.fetchVersion(spark, root, v)
-      case None if !Versions.isVersioned(spark, root) =>
-        // live unversioned reads route partition predicates through
-        // graft's driver-side pruner (the cheapest path); versioned
-        // snapshots get equivalent pruning from Catalyst's file index
+        .drop(hidden.toSeq: _*)
+      case None =>
+        // live reads route partition (and transform-source) predicates
+        // through graft's driver-side pruner; fetch plans versioned
+        // roots from the commit log and hides derived columns itself
         Fetch.fetch(spark, root, colFilters, acceptNotGraft = false)
-      case None => Fetch.fetch(spark, root, acceptNotGraft = false)
     }
+  }
 }
 
 /** V2 pushdown surface: filters land here as `sources.Filter`s (partition
@@ -180,10 +188,13 @@ class GraftScanBuilder(root: String, options: Map[String, String],
   private var required: StructType = fullSchema
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
+  private lazy val prunable: Set[String] = GraftSourceFilters.prunableCols(
+    SparkSession.active, root, meta)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
       GraftSourceFilters.toColumn(f).isDefined ||
-        GraftSourceFilters.toColFilter(meta, f).isDefined)
+        GraftSourceFilters.toColFilter(prunable, f).isDefined)
     filters // all post-scan: Spark re-applies, untranslated shapes stay exact
   }
 
@@ -296,7 +307,9 @@ class GraftV1Scan(root: String, options: Map[String, String], meta: DatasetMeta,
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
-        val colFilters = pushed.flatMap(f => GraftSourceFilters.toColFilter(meta, f)).toSeq
+        val prunable = GraftSourceFilters.prunableCols(spark, root, meta)
+        val colFilters = pushed.flatMap(f =>
+          GraftSourceFilters.toColFilter(prunable, f)).toSeq
         val base = GraftTable.baseFrame(spark, root, options, colFilters)
         val filtered = pushed.flatMap(GraftSourceFilters.toColumn)
           .foldLeft(base)((df, c) => df.where(c))

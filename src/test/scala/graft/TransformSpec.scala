@@ -152,6 +152,30 @@ class TransformSpec extends AnyFunSuite {
     assert(e.getMessage.contains("transform source"))
   }
 
+  test("format(\"graft\") on a transform dataset: hidden schema, pruned reads, raw inserts") {
+    val root = freshRoot("format")
+    val src = orders
+    Publish.publishTransformed(spark, src, root,
+      Seq(MonthsOf("o_orderdate"), BucketOf(4, "o_custkey")))
+    val df = spark.read.format("graft").load(root)
+    assert(df.columns.toSeq == src.columns.toSeq, "derived columns leaked")
+    assert(df.count() == src.count())
+    // a raw-column predicate through the format path prunes partitions
+    val cut = Timestamp.valueOf("1996-06-01 00:00:00")
+    val (got, read) = IoMetrics.recordsReadDuring(spark) {
+      spark.read.format("graft").load(root)
+        .where(col("o_orderdate") >= lit(cut)).collect()
+    }
+    assert(got.length.toLong == src.where(col("o_orderdate") >= lit(cut)).count())
+    assert(read < src.count(),
+      s"format read $read of ${src.count()} rows — transform pruning missing")
+    // INSERT with the USER schema re-derives partitions
+    val one = src.limit(1)
+      .withColumn("o_orderkey", lit(-999L))
+    one.write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).where("o_orderkey = -999").count() == 1)
+  }
+
   test("guard rails: bad specs are rejected, sidecar survives re-overwrite") {
     val root = freshRoot("guards")
     val df = Seq((1L, "x")).toDF("id", "v")
