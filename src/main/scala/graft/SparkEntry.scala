@@ -292,6 +292,14 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "sample_quality_top_group" -> ((s, dir) => {
+      // per-source thresholds: each source keeps ITS best half
+      graft.ops.Sampling.keepTopQuantileByGroup(
+          s.read.parquet(t(dir, "documents")), "source", "n_chars", 0.5,
+          exact = true)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
+
     // Sparse hourly series (one user cohort) densified with LOCF: the
     // oracle rebuilds the same grid via generate_series and the same
     // IGNORE NULLS carry-forward window.
@@ -1994,6 +2002,13 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_quality_top_group" ->
+      """WITH c AS (SELECT source, quantile_cont(n_chars, 0.5) AS cut
+        |           FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars
+        |FROM documents d JOIN c ON d.source = c.source
+        |WHERE n_chars >= cut ORDER BY doc_id""".stripMargin,
 
     "ts_gapfill_locf" ->
       """WITH obs AS (

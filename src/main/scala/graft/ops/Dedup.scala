@@ -221,6 +221,33 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] electing the BEST-scored member of each
+    * duplicate cluster instead of the lowest id — the curation form:
+    * when near-dups differ (one copy truncated, one boilerplate-wrapped),
+    * keep the highest-quality one. Ties break on lowest id, so the
+    * election is total and rerun-stable.
+    *
+    * Scale shape: clusters resolve as before (pair graph only); the
+    * election joins the tiny (id, cluster) membership to the docs'
+    * scores and takes one `max_by(struct(score, -id))` hash aggregate
+    * per cluster — the corpus never shuffles, only cluster members do.
+    */
+  def dropNearDuplicatesKeepBest(docs: DataFrame, pairs: DataFrame,
+                                 scoreCol: String,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val members = duplicateClusters(pairs) // (id, cluster)
+    val scored = members.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s")), "id")
+    val winners = scored.groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("__win"))
+      .select(col("__win"))
+    // losers = members minus winners; everything outside any cluster stays
+    val losers = members.join(winners, members("id") === winners("__win"),
+        "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** PARAGRAPH-level exact dedup (the CCNet/RefinedWeb shape): drop every
     * repeated paragraph across the WHOLE corpus, keeping only its first
     * occurrence (lowest `(id, position)`), then reassemble each document

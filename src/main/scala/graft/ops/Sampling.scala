@@ -96,6 +96,30 @@ object Sampling {
     df.where(v >= cutoff)
   }
 
+  /** [[keepTopQuantile]] PER GROUP — the per-language/per-source form
+    * ("keep each language's best 25 %"): one grouped percentile
+    * aggregate (group count = driver-sized by contract) finds each
+    * group's own cutoff, broadcast-joined back, then the pure filter.
+    * Groups too small for the percentile to split (a single row) keep
+    * everything at or above their cutoff — same value semantics as the
+    * global form.
+    */
+  def keepTopQuantileByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                             keepFraction: Double,
+                             exact: Boolean = false): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    if (keepFraction == 1.0) return df
+    val p = 1.0 - keepFraction
+    val v = col(scoreCol).cast("double")
+    val cutoffs = df.groupBy(col(groupCol))
+      .agg((if (exact) expr(s"percentile($scoreCol, $p)")
+            else approx_percentile(v, lit(p), lit(10000))).as("__cut"))
+    df.join(broadcast(cutoffs), Seq(groupCol))
+      .where(v >= col("__cut"))
+      .drop("__cut")
+  }
+
   /** Temperature-based source rebalancing (the multilingual-LM sampling-α
     * rule, XLM-R eq. 1: sample sources ∝ n_s^α): downsample-only rates
     * `rate_s = (n_s / n_min)^(α-1)` — the smallest source keeps 100 %,

@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite {
     assert((0L until 40L).forall(kept.contains))
   }
 
+  test("dropNearDuplicatesKeepBest elects the highest score, ties to lowest id") {
+    val scored = Seq(
+      (1L, "dup", 5.0), (2L, "dup", 9.0), (3L, "dup", 9.0),
+      (10L, "solo", 1.0)).toDF("doc_id", "text", "score")
+    // transitive chain 1~2~3 from adjacent pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesKeepBest(scored, pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    // best score 9.0 tied between 2 and 3 → lowest id 2; non-members stay
+    assert(kept == Set(2L, 10L))
+    // contrast: keep-first would have kept id 1, the WORST copy
+    assert(Dedup.dropNearDuplicates(scored, pairs)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+  }
+
   test("duplicateClusters collapses transitive chains to the component min") {
     // chain 1~2~3~4~5 with only adjacent pairs present (the LSH stage never
     // emitted (1,5)) + an unrelated pair — one call must collapse both

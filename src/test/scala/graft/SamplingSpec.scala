@@ -97,6 +97,18 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("keepTopQuantileByGroup: each group filters by its OWN cutoff") {
+    import spark.implicits._
+    // group a: scores 1..10 (median 5.5 → keep 6..10); group b: 100..104
+    // (median 102 → keep 102..104) — a global cutoff would keep all of b
+    // and none of a
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (100 to 104).map(i => ("b", i.toLong, i.toDouble))).toDF("g", "id", "score")
+    val kept = Sampling.keepTopQuantileByGroup(df, "g", "score", 0.5, exact = true)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(kept == ((6L to 10L).map("a" -> _) ++ (102L to 104L).map("b" -> _)).toSet)
+  }
+
   test("temperatureMixture: composition tilts to n^alpha, smallest source kept whole") {
     import spark.implicits._
     // sources of 1000 / 250 rows; alpha=0.5 → big keeps (1000/250)^-0.5 = 50%
