@@ -161,6 +161,31 @@ object Transforms {
         s"unknown partition transform $kind(param=$param)")
     }
 
+  /** Parse a transform-spec string — `"days(ts), bucket(4, id),
+    * truncate(3, word)"` — the `transforms` OPTION of the `graft` data
+    * source (Spark's session catalog cannot store non-identity partition
+    * transforms for a TableProvider, so the spec rides a provider-owned
+    * option instead of `PARTITIONED BY`).
+    */
+  def parseSpec(spec: String): Seq[PartitionTransform] = {
+    val one = """\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*""".r
+    spec.split(",(?![^(]*\\))").toSeq.filter(_.trim.nonEmpty).map {
+      case one(kind, args) =>
+        val parts = args.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (kind.toLowerCase, parts) match {
+          case (k @ ("years" | "months" | "days" | "hours"), Seq(src)) =>
+            of(k, src, None)
+          case (k @ ("bucket" | "truncate"), Seq(n, src)) if n.matches("\\d+") =>
+            of(k, src, Some(n.toInt))
+          case _ => throw new IllegalArgumentException(
+            s"cannot parse partition transform '$kind($args)' — expected " +
+              "years/months/days/hours(col), bucket(n, col) or truncate(n, col)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"cannot parse partition transform '$other'")
+    }
+  }
+
   private def fsPath(root: String) = new Path(root, FileName)
 
   def write(spark: SparkSession, root: String, ts: Seq[PartitionTransform]): Unit = {

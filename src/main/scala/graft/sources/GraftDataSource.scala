@@ -90,8 +90,15 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
     }
+    // non-identity V2 transforms (`PARTITIONED BY (days(ts), bucket(8,
+    // k))` in DDL) map onto graft's hidden partitioning — the CREATE
+    // routes through publishTransformed
+    val declaredTs = partitioning.toSeq.flatMap(GraftDataSource.v2ToGraft)
+    require(declaredTs.length == partitioning.count(_.name != "identity"),
+      s"unsupported partition transform among ${partitioning.mkString(", ")} " +
+        "(supported: years/months/days/hours(col), bucket(n, col), truncate(n, col))")
     new GraftTable(v2RootOf(params),
-      Option(schema).filter(_.fields.nonEmpty), params, declared)
+      Option(schema).filter(_.fields.nonEmpty), params, declared, declaredTs)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -130,7 +137,15 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(if (publishMode == "append")
           recorded.map(_.partitions).getOrElse(Nil) else Nil)
-      if (versioned)
+      // `transforms` option: hidden partitioning on the DataFrame-writer
+      // path (existing transform datasets take the re-deriving path)
+      val declaredTs = parameters.get("transforms")
+        .map(graft.core.Transforms.parseSpec).getOrElse(Nil)
+      if (declaredTs.nonEmpty &&
+          graft.core.Transforms.read(spark, root).isEmpty)
+        Publish.publishTransformed(spark, data, root, declaredTs,
+          mode = publishMode, versioned = versioned)
+      else if (versioned)
         Publish.publishVersioned(spark, data, root, partitions, mode = publishMode)
       else Publish.publish(spark, data, root, partitions, mode = publishMode)
     }
@@ -463,6 +478,32 @@ object GraftDataSource {
   private[sources] def rowDiffKeysOf(parameters: Map[String, String]): Seq[String] =
     parameters.get("rowDiffKeys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** V2 DDL partition transform → graft hidden-partitioning transform
+    * (`PARTITIONED BY (days(ts), bucket(8, k), truncate(4, s))`).
+    * Argument order is tolerant — Spark's bucket puts the count first;
+    * users write truncate either way.
+    */
+  private[sources] def v2ToGraft(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : Option[graft.core.PartitionTransform] = {
+    if (t.references.length != 1) return None
+    val field = t.references.head.fieldNames.mkString(".")
+    def intArg: Option[Int] = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+        if l.value != null && l.value.toString.matches("-?\\d+") =>
+        l.value.toString.toInt
+    }
+    t.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "years"  => Some(graft.core.YearsOf(field))
+      case "months" => Some(graft.core.MonthsOf(field))
+      case "days"   => Some(graft.core.DaysOf(field))
+      case "hours"  => Some(graft.core.HoursOf(field))
+      case "bucket" => intArg.map(n => graft.core.BucketOf(n, field))
+      case "truncate" => intArg.map(w => graft.core.TruncateOf(w, field))
+      case _ => None
+    }
+  }
 }
 
 object GraftCdcSource {

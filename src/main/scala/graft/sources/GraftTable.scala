@@ -42,8 +42,9 @@ import graft.core.{DatasetMeta, Fetch, Publish, StatsIndex, Versions}
   */
 class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
                  options: Map[String, String],
-                 declaredPartitions: Seq[String]) extends Table
-    with SupportsRead with SupportsWrite {
+                 declaredPartitions: Seq[String],
+                 declaredTransforms: Seq[graft.core.PartitionTransform] = Nil)
+    extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -108,7 +109,12 @@ class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .orElse(resolvedMeta.map(_.partitions))
       .getOrElse(declaredPartitions)
-    new GraftWriteBuilder(root, partitions, merged)
+    // the `transforms` OPTION declares hidden partitioning for the write
+    // (the session catalog cannot carry non-identity PARTITIONED BY for a
+    // TableProvider); a V2 catalog that can passes declaredTransforms
+    val ts = merged.get("transforms")
+      .map(graft.core.Transforms.parseSpec).getOrElse(declaredTransforms)
+    new GraftWriteBuilder(root, partitions, merged, ts)
   }
 }
 
@@ -325,7 +331,8 @@ class GraftV1Scan(root: String, options: Map[String, String], meta: DatasetMeta,
   * rules governing (the table declares `ACCEPT_ANY_SCHEMA`).
   */
 class GraftWriteBuilder(root: String, partitions: Seq[String],
-                        options: Map[String, String])
+                        options: Map[String, String],
+                        declaredTransforms: Seq[graft.core.PartitionTransform] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -341,7 +348,14 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
           Versions.isVersioned(spark, root)
         val mode =
           if (truncateFirst || overwrite || !exists) "overwrite" else "append"
-        if (versioned)
+        // DDL-declared partition transforms (`PARTITIONED BY (days(ts))`)
+        // route the CREATE through hidden partitioning; later writes see
+        // the recorded spec and take the ordinary re-deriving path
+        if (declaredTransforms.nonEmpty &&
+            graft.core.Transforms.read(spark, root).isEmpty)
+          Publish.publishTransformed(spark, data, root, declaredTransforms,
+            mode = mode, versioned = versioned)
+        else if (versioned)
           Publish.publishVersioned(spark, data, root, partitions, mode = mode)
         else Publish.publish(spark, data, root, partitions, mode = mode)
       }

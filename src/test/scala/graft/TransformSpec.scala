@@ -176,6 +176,35 @@ class TransformSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).where("o_orderkey = -999").count() == 1)
   }
 
+  test("SQL DDL: CREATE TABLE ... USING graft OPTIONS (transforms 'days(ts), bucket(4, id)')") {
+    val root = freshRoot("ddl")
+    spark.sql("DROP TABLE IF EXISTS graft_tp_ddl")
+    // the session catalog cannot store non-identity PARTITIONED BY for a
+    // TableProvider — the transform spec rides a provider-owned OPTION
+    spark.sql(
+      s"""CREATE TABLE graft_tp_ddl (id BIGINT, ts TIMESTAMP, v STRING)
+         |USING graft OPTIONS (transforms 'days(ts), bucket(4, id)')
+         |LOCATION '$root'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_tp_ddl VALUES
+        | (1, TIMESTAMP '2024-01-15 10:00:00', 'a'),
+        | (2, TIMESTAMP '2024-02-20 11:00:00', 'b')""".stripMargin)
+    // the transform spec landed and the layout derived
+    assert(Transforms.read(spark, root).map(_.name) ==
+      Seq("tp_days_ts", "tp_bucket4_id"))
+    assert(new java.io.File(root, "tp_days_ts=2024-01-15").exists())
+    // reads through the table name: user schema, raw-filter correctness
+    val out = spark.sql(
+      "SELECT id FROM graft_tp_ddl WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+    assert(out.as[Long].collect().toSeq == Seq(2L))
+    assert(spark.table("graft_tp_ddl").columns.toSeq == Seq("id", "ts", "v"))
+    // further INSERTs re-derive through the recorded spec
+    spark.sql("INSERT INTO graft_tp_ddl VALUES (3, TIMESTAMP '2024-03-25 09:00:00', 'c')")
+    assert(spark.table("graft_tp_ddl").count() == 3)
+    assert(new java.io.File(root, "tp_days_ts=2024-03-25").exists())
+    spark.sql("DROP TABLE graft_tp_ddl")
+  }
+
   test("guard rails: bad specs are rejected, sidecar survives re-overwrite") {
     val root = freshRoot("guards")
     val df = Seq((1L, "x")).toDF("id", "v")
