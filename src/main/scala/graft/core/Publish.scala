@@ -376,6 +376,9 @@ object Publish {
     }
     Versions.commit(spark, root, "append", moved,
       DatasetMeta(logicalSchema, partitions), txn = txn)
+    // opt-in auto-compaction: bounded file counts under steady ingestion
+    // (no-op unless the graft.autoCompact.minSmallFiles property is set)
+    Versions.maybeAutoCompact(spark, root)
     moved
   }
 

@@ -46,7 +46,8 @@ final case class VersionEntry(version: Int, action: String,
                               colMap: Map[String, String] = Map.empty,
                               nonce: Option[String] = None,
                               constraints: Map[String, String] = Map.empty,
-                              ts: Option[Long] = None)
+                              ts: Option[Long] = None,
+                              properties: Map[String, String] = Map.empty)
 
 /** A write violated a table CHECK constraint ([[Versions.addConstraint]]).
   * Carries the constraint's name and expression plus one offending row's
@@ -332,7 +333,8 @@ object Versions {
              txn: Option[(String, Long)] = None,
              dvs: Seq[DvRef] = Nil,
              colMap: Option[Map[String, String]] = None,
-             constraints: Option[Map[String, String]] = None): Int = {
+             constraints: Option[Map[String, String]] = None,
+             properties: Option[Map[String, String]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -383,6 +385,10 @@ object Versions {
       // explicit alter changes the set
       val entryConstraints = constraints.getOrElse(
         latestEntry.map(_.constraints).getOrElse(Map.empty[String, String]))
+      // table properties persist across EVERY commit like constraints
+      // (they are table metadata, not data layout) until an alter resets
+      val entryProperties = properties.getOrElse(
+        latestEntry.map(_.properties).getOrElse(Map.empty[String, String]))
       require(entryColMap.keySet.subsetOf(meta.schema.fieldNames.toSet),
         s"colMap names columns not in the schema: " +
           s"${entryColMap.keySet -- meta.schema.fieldNames}")
@@ -402,7 +408,10 @@ object Versions {
            entryColMap.toList.sortBy(_._1).map { case (k, p) => k -> JString(p) }))) ++
         (if (entryConstraints.isEmpty) Nil
          else List("constraints" -> JObject(
-           entryConstraints.toList.sortBy(_._1).map { case (k, e) => k -> JString(e) })))
+           entryConstraints.toList.sortBy(_._1).map { case (k, e) => k -> JString(e) }))) ++
+        (if (entryProperties.isEmpty) Nil
+         else List("properties" -> JObject(
+           entryProperties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })))
       val txnFields = txn.toList.flatMap { case (app, b) =>
         List("txnApp" -> JString(app), "txnBatch" -> JInt(b)) }
       val dvFields =
@@ -571,8 +580,13 @@ object Versions {
           s"${unknownFeats.mkString(", ")} this reader does not support " +
           s"(supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}); " +
           "upgrade the library to read this dataset")
+    val properties = (jv \ "properties") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
-      schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts)
+      schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts,
+      properties)
   }
 
   /** Log features this reader implements (see the protocol gate in
@@ -1471,6 +1485,78 @@ object Versions {
     latestVersion(spark, root)
       .map(v => readEntry(spark, root, v).constraints)
       .getOrElse(Map.empty)
+
+  /** The table-property map in force (TBLPROPERTIES — advisory metadata
+    * carried by every commit; empty on unversioned/absent datasets).
+    */
+  def tablePropertiesOf(spark: SparkSession, root: String): Map[String, String] =
+    latestVersion(spark, root)
+      .map(v => readEntry(spark, root, v).properties)
+      .getOrElse(Map.empty)
+
+  /** SET TBLPROPERTIES — a metadata-only `alter` commit merging `kvs`
+    * into the property map (the Delta table-properties shape). Properties
+    * are advisory key/values (maintenance policies, owner tags); graft
+    * itself reads `graft.autoCompact.minSmallFiles` /
+    * `graft.autoCompact.smallBytes` (see [[maybeAutoCompact]]).
+    */
+  def setTableProperties(spark: SparkSession, root: String,
+                         kvs: Map[String, String]): Int =
+    DatasetLock.withLock(spark, root) {
+      require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+      kvs.keys.foreach(k => require(k.nonEmpty && !k.exists(_.isWhitespace),
+        s"invalid property key '$k'"))
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"table properties need a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      commit(spark, root, "alter", Nil, meta, colMap = Some(meta.colMap),
+        properties = Some(tablePropertiesOf(spark, root) ++ kvs))
+    }
+
+  /** UNSET TBLPROPERTIES — a metadata-only `alter` commit removing keys
+    * (absent keys are ignored, the SQL IF EXISTS semantics).
+    */
+  def unsetTableProperties(spark: SparkSession, root: String,
+                           keys: Seq[String]): Int =
+    DatasetLock.withLock(spark, root) {
+      require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"table properties need a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      commit(spark, root, "alter", Nil, meta, colMap = Some(meta.colMap),
+        properties = Some(tablePropertiesOf(spark, root) -- keys))
+    }
+
+  /** Opt-in AUTO-COMPACTION (the Delta autoCompact shape): when the table
+    * property `graft.autoCompact.minSmallFiles` is set, every versioned
+    * APPEND checks the live snapshot's small-file count (files under
+    * `graft.autoCompact.smallBytes`, default 32 MB) after its commit and
+    * runs [[compactSmall]] once the threshold is crossed — ingestion keeps
+    * its own file count bounded without an external maintenance job.
+    * Returns the compaction's new files when one ran. Cost when the
+    * property is unset: one tiny entry read (already cached by the commit
+    * that just happened). Racing appenders may both see the threshold;
+    * the second [[compactSmall]] finds <2 small files and no-ops.
+    */
+  private[core] def maybeAutoCompact(spark: SparkSession, root: String): Seq[String] = {
+    val props = tablePropertiesOf(spark, root)
+    props.get("graft.autoCompact.minSmallFiles").map(_.trim.toInt) match {
+      case Some(minN) if minN > 0 =>
+        val smallBytes = props.get("graft.autoCompact.smallBytes")
+          .map(_.trim.toLong).getOrElse(32L << 20)
+        val latest = latestVersion(spark, root).getOrElse(return Nil)
+        val (files, _, _) = snapshotFullAt(spark, root, latest)
+        val sizeByRel: Map[String, Long] = {
+          val listed = Publish.listPhysicalDataFilesWithSize(spark, root)
+          relativize(spark, root, listed.map(_._1)).zip(listed.map(_._2)).toMap
+        }
+        val nSmall = files.count(rel => sizeByRel.get(rel).exists(_ < smallBytes))
+        if (nSmall >= minN) compactSmall(spark, root, smallBytes) else Nil
+      case _ => Nil
+    }
+  }
 
   /** ADD CONSTRAINT name CHECK (expr) — the Delta table-constraint shape:
     * a metadata-only `alter` commit carrying the constraint set; every

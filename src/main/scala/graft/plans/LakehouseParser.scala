@@ -74,6 +74,12 @@ object LakehouseStatements {
   private val Generate =
     re("GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" + Target +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
+  private val SetProps =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
+  private val UnsetProps =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
+  private val ShowProps =
+    re("SHOW\\s+TBLPROPERTIES\\s+" + Target)
 
   /** The command plan for a graft maintenance statement, or None when the
     * text is not one (→ caller hands it to Spark's parser).
@@ -108,8 +114,51 @@ object LakehouseStatements {
       Some(GraftDropConstraintCommand(root, name))
     case Generate(root, v) =>
       Some(GraftGenerateManifestCommand(root, Option(v).map(_.toInt)))
+    case SetProps(root, kvs) =>
+      val pair = "'([^']*)'\\s*=\\s*'([^']*)'".r
+      val parsed = pair.findAllMatchIn(kvs).map(m => m.group(1) -> m.group(2)).toMap
+      require(parsed.nonEmpty, s"cannot parse TBLPROPERTIES list: $kvs " +
+        "(expected 'key'='value', ...)")
+      Some(GraftSetPropertiesCommand(root, parsed))
+    case UnsetProps(root, ks) =>
+      val key = "'([^']*)'".r
+      val parsed = key.findAllMatchIn(ks).map(_.group(1)).toSeq
+      require(parsed.nonEmpty, s"cannot parse TBLPROPERTIES key list: $ks")
+      Some(GraftUnsetPropertiesCommand(root, parsed))
+    case ShowProps(root) => Some(GraftShowPropertiesCommand(root))
     case _ => None
   }
+}
+
+/** `ALTER TABLE graft.`root` SET TBLPROPERTIES ('k'='v', …)` — a
+  * metadata-only `alter` commit merging the map; properties persist
+  * across every later commit ([[Versions.setTableProperties]]).
+  */
+case class GraftSetPropertiesCommand(root: String, kvs: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.setTableProperties(spark, root, kvs)))
+}
+
+/** `ALTER TABLE graft.`root` UNSET TBLPROPERTIES ('k', …)`. */
+case class GraftUnsetPropertiesCommand(root: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.unsetTableProperties(spark, root, keys)))
+}
+
+/** `SHOW TBLPROPERTIES graft.`root``. */
+case class GraftShowPropertiesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Versions.tablePropertiesOf(spark, root).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE graft.`root` [VERSION AS OF
