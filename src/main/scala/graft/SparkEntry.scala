@@ -1209,6 +1209,44 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(t(dir, "documents")), 3)
         .orderBy("doc_id")),
 
+    // Gopher rule battery over a deterministically line-structured copy
+    // of the corpus (the flat generator text has no newlines/punctuation,
+    // so the same replace-chain runs in BOTH engines — the
+    // text_html_extract construction): '.'-terminated lines, '...'
+    // ellipsis line ends, '- ' bullet starts, planted stop words.
+    "text_gopher_quality" -> ((s, dir) => {
+      val aug = s.read.parquet(t(dir, "documents")).withColumn("text",
+        replace(
+          replace(col("text"), lit(" batch "), lit(".\nthe batch of ")),
+          lit(" merge "), lit("...\n- merge with ")))
+      TextAnalysis.gopherSignals(aug).orderBy("doc_id")
+    }),
+
+    // C4 line-level cleanup: the same structuring pass plus planted
+    // drop-worthy content — 'javascript {' lines and a per-37th-doc
+    // 'lorem ipsum' suffix — so every rule fires on a known subset.
+    "text_c4_clean" -> ((s, dir) => {
+      val aug = s.read.parquet(t(dir, "documents")).withColumn("text",
+        concat(
+          replace(
+            replace(col("text"), lit(" batch "), lit(".\nthe batch of ")),
+            lit(" hash "), lit(" javascript {\nhash ")),
+          when(col("doc_id") % 37 === 0, lit("\nlorem ipsum dolor sit."))
+            .otherwise(lit(""))))
+      TextAnalysis.c4Clean(aug).orderBy("doc_id")
+    }),
+
+    // Within-doc duplicate-line stats: ' batch ' splits create repeated
+    // 'batch line' rows wherever the word recurs, and every third doc
+    // gets an exact planted footer pair.
+    "text_dup_lines" -> ((s, dir) => {
+      val aug = s.read.parquet(t(dir, "documents")).withColumn("text",
+        concat(replace(col("text"), lit(" batch "), lit("\nbatch line\n")),
+          when(col("doc_id") % 3 === 0, lit("\nfooter nav\nfooter nav"))
+            .otherwise(lit(""))))
+      TextAnalysis.duplicateLineStats(aug).orderBy("doc_id")
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // the deterministic grouped variant: output is a pure function of the
       // corpus, so an independent engine can replay the greedy walk exactly
@@ -3381,6 +3419,88 @@ object SparkEntry {
         |           i -> array_to_string(words[i:i+2], ' ')))) END AS DOUBLE)
         |   / greatest(nw-2,1), 4) AS rep_ratio
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules replayed rule-for-rule on the same structured copy:
+    // every signal and the composite keep threshold recomputed from
+    // DuckDB's own string/list kernels.
+    "text_gopher_quality" ->
+      """WITH aug AS (SELECT doc_id,
+        |  replace(replace(text, ' batch ', '.' || chr(10) || 'the batch of '),
+        |          ' merge ', '...' || chr(10) || '- merge with ') AS text
+        | FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  string_split(text, ' ') AS ws,
+        |  string_split(text, chr(10)) AS ls,
+        |  len(string_split(text, ' ')) AS nw,
+        |  len(string_split(text, chr(10))) AS nl FROM aug),
+        |g AS (SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)/nw, 4) AS mean_word_len,
+        |  round(CAST((length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '...', '')))/3 AS DOUBLE)/nw, 4)
+        |    AS symbol_ratio,
+        |  round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+        |    AS DOUBLE)/nl, 4) AS bullet_frac,
+        |  round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |    AS DOUBLE)/nl, 4) AS ellipsis_frac,
+        |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |    AS DOUBLE)/nw, 4) AS alpha_frac,
+        |  CAST(len(list_filter(ws, w -> w IN
+        |    ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+        | FROM s)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        | ellipsis_frac, alpha_frac, n_stop,
+        | (n_words >= 50 AND n_words <= 100000 AND
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |  symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+        |  ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_c4_clean" ->
+      """WITH aug AS (SELECT doc_id,
+        |  replace(replace(text, ' batch ', '.' || chr(10) || 'the batch of '),
+        |          ' hash ', ' javascript {' || chr(10) || 'hash ') ||
+        |  CASE WHEN doc_id % 37 = 0
+        |       THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END AS text
+        | FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS ls,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(l, '{')) AS kept
+        | FROM aug),
+        |c AS (SELECT doc_id, text, ls, kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM s)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | CAST(length(clean_text) -
+        |   length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT)
+        |   AS n_sentences,
+        | clean_text,
+        | (length(clean_text) -
+        |    length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+        |  AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_dup_lines" ->
+      """WITH aug AS (SELECT doc_id,
+        |  replace(text, ' batch ', chr(10) || 'batch line' || chr(10)) ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN chr(10) || 'footer nav' || chr(10) || 'footer nav'
+        |       ELSE '' END AS text
+        | FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS ls FROM aug),
+        |d AS (SELECT doc_id, text, ls,
+        |  list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1) AS dl
+        | FROM s)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(dl) AS BIGINT) AS n_dup_lines,
+        | round(CAST(len(dl) AS DOUBLE)/len(ls), 4) AS dup_line_frac,
+        | round(CAST(coalesce(list_sum(list_transform(dl, l -> length(l))), 0)
+        |   AS DOUBLE)/length(text), 4) AS dup_char_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

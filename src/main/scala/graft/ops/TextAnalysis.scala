@@ -510,4 +510,130 @@ object TextAnalysis {
   def cleanText(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame =
     docs.select(col(idCol), cleanTextCol(col(textCol)).as("text"))
+
+  /** Gopher stop words (Rae et al. 2021 §A1.1): a document must contain
+    * at least two of these to survive the quality rules.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 — the public web-corpus filter battery): per-document
+    * structural signals plus the composite `keep` decision. Signals:
+    * word count, mean word length, symbol-to-word ratio (`#` chars and
+    * `...` runs), bullet-led and ellipsis-terminated line fractions,
+    * fraction of words containing an alphabetic character, and the
+    * stop-word count over [[GopherStops]]. `keep` applies the paper's
+    * thresholds (50 ≤ words ≤ 100 000, 3 ≤ mean word length ≤ 10,
+    * symbol ratio ≤ 0.1, bullet fraction ≤ 0.9, ellipsis fraction
+    * ≤ 0.3, alpha-word fraction ≥ 0.8, ≥ 2 stop words).
+    *
+    * Scale shape: a single narrow projection inside whole-stage codegen
+    * — array ops over the row's own words/lines, no shuffle, no UDF.
+    * Ratios round to 4 decimals so an independent engine hash-matches.
+    */
+  def gopherSignals(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    stopwords: Seq[String] = GopherStops): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val lines = split(t, "\n")
+    val nWords = size(ws)
+    val nLines = size(lines)
+    val meanWordLen = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEllipsis = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nWords, 4)
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") / nLines, 4)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines, 4)
+    val alphaFrac = round(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 4)
+    val nStop = size(filter(ws, w => w.isin(stopwords.map(lit): _*))).cast("long")
+    docs.select(col(idCol),
+      nWords.cast("long").as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nStop >= 2).as("keep"))
+  }
+
+  /** [[gopherSignals]] filtered to the survivors, original columns intact
+    * — the composable pipeline stage.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val keep = gopherSignals(docs, idCol, textCol)
+      .where(col("keep")).select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** C4-style line-level cleanup (Raffel et al. 2020 §2.2, the public
+    * Common-Crawl recipe): keep only lines that end in terminal
+    * punctuation (`.` `!` `?` `"`) AND carry at least `minLineWords`
+    * words AND mention neither `javascript` (any case) nor a curly
+    * brace; re-join survivors with newlines. The document-level `keep`
+    * requires ≥ `minSentences` terminal-punctuation marks among the
+    * retained lines and no `lorem ipsum` anywhere in the original.
+    * Emits per-doc accounting (`n_lines`, `n_kept`, `n_sentences`) plus
+    * the cleaned text, so callers can filter, audit, or both.
+    *
+    * Scale shape: pure projection — per-row array filter + join, inside
+    * whole-stage codegen, zero shuffle at any corpus size.
+    */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              minLineWords: Int = 3, minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minLineWords &&
+        !lower(l).contains("javascript") && !l.contains("{"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences = length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      nSentences.cast("long").as("n_sentences"),
+      cleaned.as("clean_text"),
+      (nSentences >= minSentences && !lower(t).contains("lorem ipsum"))
+        .as("keep"))
+  }
+
+  /** Within-document duplicate-line statistics — the Gopher repetition
+    * battery's line rung (`dup_line_frac`, `dup_line_char_frac`):
+    * the fraction of a document's lines whose exact text occurs more
+    * than once IN THAT DOCUMENT, and the fraction of its characters
+    * those lines carry. High values flag template/boilerplate pages
+    * (nav bars, cookie banners repeated per section) that n-gram
+    * signals under-weight.
+    *
+    * Scale shape: per-row array expressions — the within-doc duplicate
+    * test is a nested `filter` over the row's own lines (O(L²) per doc
+    * on L lines, compute-local, never a shuffle; web documents carry
+    * tens-to-hundreds of lines, so the quadratic term is bounded and
+    * beats exploding N·L rows into a (doc, line) shuffle by orders of
+    * magnitude at corpus scale). Corpus-WIDE duplicate lines are a
+    * different op — [[Dedup.dedupParagraphs]].
+    */
+  def duplicateLineStats(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val dupLines = filter(lines, l =>
+      size(filter(lines, x => x === l)) > lit(1))
+    val nChars = length(t)
+    val dupChars = aggregate(dupLines, lit(0L), (acc, l) => acc + length(l))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(dupLines).cast("long").as("n_dup_lines"),
+      round(size(dupLines).cast("double") / size(lines), 4).as("dup_line_frac"),
+      round(dupChars.cast("double") / nChars, 4).as("dup_char_frac"))
+  }
 }

@@ -334,6 +334,14 @@ object PlanAudit {
       // scan — no UDF, no extra exchange beyond the presentation sort
       "whole-stage codegen" -> (_.contains("*(")),
       "no join" -> (p => !p.contains("Join")))
+    // the curation rule batteries are per-row array math over the doc's
+    // own words/lines — one codegen projection, never a join or agg
+    Seq("text_gopher_quality", "text_c4_clean", "text_dup_lines").foreach { q =>
+      audit(q,
+        "whole-stage codegen" -> (_.contains("*(")),
+        "no join" -> (p => !p.contains("Join")),
+        "no aggregate" -> (p => !p.contains("HashAggregate")))
+    }
     audit("version_clone",
       // a clone snapshot (inherited refs + the DELETE's local rewrites,
       // no DVs) reads as bare unioned scan legs — zero joins, zero

@@ -368,6 +368,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == "already clean")
   }
 
+  test("gopherSignals: each rule fires on its planted violation") {
+    val good = (1L, ("the data and results " * 13).trim + " be of that have with")
+    val short = (2L, "too short to keep the and of")              // < 50 words
+    val symbols = (3L, (("the of ### " * 30).trim))               // symbol ratio
+    val bullets = (4L, Seq.fill(60)("- the item of list").mkString("\n"))
+    val nonAlpha = (5L, ("the of " + "123 456 789 " * 30).trim)   // alpha frac
+    val noStops = (6L, ("alpha beta gamma delta " * 15).trim)     // < 2 stops
+    val df = Seq(good, short, symbols, bullets, nonAlpha, noStops)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherSignals(df, minWords = 50)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "clean doc must survive")
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L) && !got(6L),
+      s"every planted violation must fail its rule: $got")
+  }
+
+  test("c4Clean keeps punctuated >=3-word lines, drops js/brace/lorem docs") {
+    val df = Seq(
+      (1L, "this line stays here.\nshort.\nno terminal punct\n" +
+        "var x = javascript thing.\nbad brace { line.\nanother good line!"),
+      (2L, "only one good sentence here.\nlorem ipsum dolor."),
+      (3L, "first good sentence here.\nsecond good sentence too!\n" +
+        "third keeps the doc alive?")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(df).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getString(4), r.getBoolean(5))).toMap
+    // doc 1: 'short.' (<3 words), bare line, javascript and { lines die
+    assert(got(1L)._2 == "this line stays here.\nanother good line!")
+    assert(got(1L)._1 == 2)
+    // doc 2 mentions lorem ipsum -> dropped regardless of sentences
+    assert(!got(2L)._3)
+    // doc 3 has 3 retained sentences -> kept
+    assert(got(3L)._3 && got(3L)._1 == 3)
+  }
+
+  test("duplicateLineStats counts within-doc exact line twins and their chars") {
+    val df = Seq(
+      (1L, "nav bar\nunique one\nnav bar\nunique two"),
+      (2L, "all\ndistinct\nlines")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateLineStats(df).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L)._1 == 4 && got(1L)._2 == 2)           // both twin copies count
+    assert(got(1L)._3 == 0.5)
+    // 14 duplicate chars ('nav bar' x2) over 37 total chars (incl. 3 \n)
+    assert(math.abs(got(1L)._4 - math.rint(14.0 / 37 * 10000) / 10000) < 1e-9)
+    assert(got(2L)._2 == 0 && got(2L)._3 == 0.0 && got(2L)._4 == 0.0)
+  }
+
   test("graft_nfc_normalize is SQL-registered and codegen-evaluable") {
     graft.functions.GraftSqlFunctions.register(spark)
     val got = spark.sql("SELECT graft_nfc_normalize('Cafe\u0301') AS s")
