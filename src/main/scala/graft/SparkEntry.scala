@@ -517,6 +517,36 @@ object SparkEntry {
         Map("o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+
+    // ROW TRACKING, stability proven BY the oracle: the backfill version
+    // and the final snapshot (after an UPDATE, a DELETE, and an OPTIMIZE
+    // ZORDER re-layout) join on the stable _graft_row_id — if ANY row
+    // were renumbered anywhere in the chain, the join would pair
+    // different orderkeys / prices and the value hash could not match
+    // the key-identity answer DuckDB computes from business data alone.
+    "version_row_tracking" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_rowtrack", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      Versions.enableRowTracking(s, root)
+      Versions.compact(s, root) // the documented backfill
+      val backfill = Versions.latestVersion(s, root).get
+      Mutations.updateWhere(s, root, col("o_orderkey") % 7 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 1000)))
+      Mutations.deleteWhere(s, root, col("o_orderkey") % 11 === 0)
+      Versions.compact(s, root, zorderCols = Seq("o_orderkey", "o_custkey"))
+      val rid = graft.core.Versions.RowIdCol
+      val before = Versions.fetchVersionWithRowIds(s, root, backfill)
+        .select(col(rid).as("__rid"), col("o_orderkey").as("k_before"),
+          col("o_totalprice").as("price_before"))
+      val after = Versions.fetchSnapshotWithRowIds(s, root)
+        .select(col(rid).as("__rid"), col("o_orderkey").as("k_after"),
+          col("o_totalprice").as("price_after"))
+      before.join(after, Seq("__rid"))
+        .select("k_before", "k_after", "price_before", "price_after")
+        .orderBy("k_before")
+    }),
     // CHECK constraint lifecycle, value-checked end to end: constrained
     // appends land, the violating batch is rejected ATOMICALLY (caught —
     // no version commits), and the final content equals base + valid
@@ -2132,6 +2162,15 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 7 = 0 THEN 'U:' || o_orderpriority
         |      ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // row tracking: stable ids mean the rid-join pairs each surviving row
+    // with ITSELF — the oracle is the pure business-data answer
+    "version_row_tracking" ->
+      """SELECT o_orderkey AS k_before, o_orderkey AS k_after,
+        | o_totalprice AS price_before,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS price_after
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |ORDER BY k_before""".stripMargin,
     "version_merge_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'

@@ -50,15 +50,22 @@ object Mutations {
     * live DV refs so rewrite legs re-reading affected files apply them
     * too.
     */
+  /** `rowIdBases`: when set, the snapshot carries each row's stable id as
+    * [[Versions.RowIdCol]] (row tracking — DV-mode mutations thread the
+    * ids into their replacement copies).
+    */
   private def snapshotWithPath(spark: SparkSession, root: String,
-                               withRowIndex: Boolean = false)
+                               withRowIndex: Boolean = false,
+                               rowIdBases: Option[Map[String, Long]] = None)
       : (Int, DatasetMeta, Seq[DvRef], DataFrame) = {
     val latest = Versions.latestVersion(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"row-level mutations need a versioned dataset; $root has no version log"))
     val (files, meta, dvs) = Versions.snapshotFullAt(spark, root, latest)
     val df = Versions.readFilesWithPath(spark, root, files, meta, FileCol,
-      dvs = dvs, rowIndexCol = if (withRowIndex) Some(RowIdxCol) else None)
+      dvs = dvs, rowIndexCol = if (withRowIndex) Some(RowIdxCol) else None,
+      keepRowId = rowIdBases.map(_ => RowIdCol),
+      rowIdBases = rowIdBases.getOrElse(Map.empty))
     (latest, meta, dvs, df)
   }
 
@@ -68,6 +75,23 @@ object Mutations {
     */
   private def affectedFiles(affected: DataFrame): Seq[String] =
     affected.select(FileCol).distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Row tracking's mutation contract: when the dataset is tracked AND
+    * every live file carries a base (post-backfill), mutations MATERIALIZE
+    * surviving/updated rows' ids into their rewritten files — Some(bases)
+    * then; None = mutate without ids (untracked, or pre-backfill where
+    * there are no ids to preserve yet).
+    */
+  private def liveBases(spark: SparkSession, root: String,
+                        latest: Int): Option[Map[String, Long]] =
+    if (!Versions.isRowTracked(spark, root)) None
+    else {
+      val (files, _, _) = Versions.snapshotFullAt(spark, root, latest)
+      val bases = Versions.rowIdBasesAt(spark, root, latest)._1
+      if (files.forall(bases.contains)) Some(bases) else None
+    }
+
+  private val RowIdCol = Versions.RowIdCol
 
   private def rewriteCommit(spark: SparkSession, root: String,
                             meta: DatasetMeta, replacement: DataFrame,
@@ -119,8 +143,13 @@ object Mutations {
       val affected = affectedFiles(snap.where(predicate))
       if (affected.isEmpty) MutationResult(latest, Nil, Nil)
       else {
+        // row tracking: survivors keep their ids (materialized into the
+        // rewritten files); deleted ids simply never reappear
+        val bases = liveBases(spark, root, latest)
         val survivors = Versions
-          .readFiles(spark, root, affected, meta, dvs = dvs)
+          .readFiles(spark, root, affected, meta, dvs = dvs,
+            keepRowId = bases.map(_ => RowIdCol),
+            rowIdBases = bases.getOrElse(Map.empty))
           .where(not(predicate <=> lit(true)))
         rewriteCommit(spark, root, meta, survivors, affected)
       }
@@ -240,7 +269,12 @@ object Mutations {
                     assignments: Map[String, Column]): MutationResult = {
     require(assignments.nonEmpty, "updateWhereDv needs at least one assignment")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
+      // row tracking: the updated COPIES carry their originals' ids
+      // (materialized — an update preserves row identity)
+      val bases = Versions.latestVersion(spark, root)
+        .flatMap(v => liveBases(spark, root, v))
+      val (latest, meta, _, snap) =
+        snapshotWithPath(spark, root, withRowIndex = true, rowIdBases = bases)
       val bad = assignments.keySet.filterNot(meta.schema.fieldNames.contains)
       require(bad.isEmpty, s"assignment to unknown columns: ${bad.mkString(",")}")
       val part = assignments.keySet.filter(meta.partitions.contains)
@@ -258,7 +292,7 @@ object Mutations {
                 case Some(e) => e.cast(f.dataType).as(f.name)
                 case None => col(f.name)
               }
-            }: _*)
+            } ++ bases.map(_ => col(RowIdCol)): _*)
             updateDvCommit(spark, root, meta, updated, Some(dv))
         }
       } finally matched.unpersist()
@@ -283,7 +317,10 @@ object Mutations {
               keyCols: Seq[String]): MutationResult = {
     require(keyCols.nonEmpty, "mergeDv needs at least one key column")
     DatasetLock.withLock(spark, root) {
-      val (latest, meta, _, snap) = snapshotWithPath(spark, root, withRowIndex = true)
+      val bases = Versions.latestVersion(spark, root)
+        .flatMap(v => liveBases(spark, root, v))
+      val (latest, meta, _, snap) =
+        snapshotWithPath(spark, root, withRowIndex = true, rowIdBases = bases)
       val tgtCols = meta.schema.fieldNames.toSeq
       keyCols.foreach { k =>
         require(tgtCols.contains(k), s"key column $k is not a dataset column")
@@ -305,7 +342,18 @@ object Mutations {
           val matched = snap.join(src.select(keyCols.map(col): _*),
             keyCols, "left_semi")
           val dv = writeDv(spark, root, dvHits(spark, root, matched))
-          updateDvCommit(spark, root, meta, src, dv)
+          // row tracking: a matched source row is an UPDATE — it inherits
+          // the matched target row's id (min over a key-duplicated target,
+          // which this path collapses by design); unmatched rows insert
+          // with fresh ids (null here → base + row_index at read)
+          val srcOut = bases match {
+            case None => src
+            case Some(_) =>
+              val idsByKey = matched.groupBy(keyCols.map(col): _*)
+                .agg(min(RowIdCol).as(RowIdCol))
+              src.join(idsByKey, keyCols, "left")
+          }
+          updateDvCommit(spark, root, meta, srcOut, dv)
         }
       } finally src.unpersist()
     }
@@ -339,9 +387,13 @@ object Mutations {
             case None => col(f.name)
           }
         }
+        // row tracking: updated AND untouched-neighbor rows keep their ids
+        val bases = liveBases(spark, root, latest)
         val rewritten = Versions
-          .readFiles(spark, root, affected, meta, dvs = dvs)
-          .select(updatedCols: _*)
+          .readFiles(spark, root, affected, meta, dvs = dvs,
+            keepRowId = bases.map(_ => RowIdCol),
+            rowIdBases = bases.getOrElse(Map.empty))
+          .select(updatedCols ++ bases.map(_ => col(RowIdCol)): _*)
         rewriteCommit(spark, root, meta, rewritten, affected)
       }
     }
@@ -390,18 +442,32 @@ object Mutations {
         val delKeys = normalized.where(col(opCol) === "delete")
           .select(keyCols.map(col): _*)
         val payload = tgtCols.filterNot(keyCols.contains)
+        // row tracking: upserts of existing keys keep the target row's id
+        // (same struct threading as merge); inserts get fresh computed ids
+        val bases = liveBases(spark, root, latest)
+        def targetRows = Versions.readFiles(spark, root, affected, meta,
+          dvs = dvs, keepRowId = bases.map(_ => RowIdCol),
+          rowIdBases = bases.getOrElse(Map.empty))
         val upserted =
-          if (payload.isEmpty)
-            Versions.readFiles(spark, root, affected, meta, dvs = dvs)
-              .unionByName(ups).distinct()
-          else {
-            def packed(df: DataFrame, tag: String) =
-              df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-            packed(Versions.readFiles(spark, root, affected, meta, dvs = dvs), "_t")
-              .join(packed(ups, "_s"), keyCols, "full_outer")
+          if (payload.isEmpty) bases match {
+            case None => targetRows.unionByName(ups).distinct()
+            case Some(_) =>
+              targetRows.unionByName(
+                ups.join(targetRows.select(keyCols.map(col): _*),
+                    keyCols, "left_anti")
+                  .withColumn(RowIdCol, lit(null).cast("long")))
+          } else {
+            val idInT = bases.map(_ => col(RowIdCol)).toSeq
+            val idInS = bases.map(_ => lit(null).cast("long").as(RowIdCol)).toSeq
+            def packed(df: DataFrame, tag: String, id: Seq[Column]) =
+              df.select(keyCols.map(col) :+
+                struct(payload.map(col) ++ id: _*).as(tag): _*)
+            packed(targetRows, "_t", idInT)
+              .join(packed(ups, "_s", idInS), keyCols, "full_outer")
               .withColumn("_m", coalesce(col("_s"), col("_t")))
               .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
-                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)): _*)
+                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)) ++
+                bases.map(_ => col("_t")(RowIdCol).as(RowIdCol)): _*)
           }
         val merged = upserted.join(delKeys, keyCols, "left_anti")
         if (affected.isEmpty && ups.isEmpty) MutationResult(latest, Nil, Nil)
@@ -470,23 +536,41 @@ object Mutations {
         val affected = affectedFiles(
           snap.join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))
         val payload = meta.schema.fieldNames.toSeq.filterNot(keyCols.contains)
+        // row tracking: matched rows are UPDATES — they keep the target
+        // row's id (threaded through the join as a struct field taken
+        // from the TARGET side); inserts carry null → fresh computed ids
+        val bases = liveBases(spark, root, latest)
         // affected target rows under the OLD schema, null-extended to the
         // evolved one (their files predate the new columns)
         def targetRows = extraF.foldLeft(
-          Versions.readFiles(spark, root, affected, meta0, dvs = dvs))(
+          Versions.readFiles(spark, root, affected, meta0, dvs = dvs,
+            keepRowId = bases.map(_ => RowIdCol),
+            rowIdBases = bases.getOrElse(Map.empty)))(
           (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
         val merged =
-          if (payload.isEmpty) {
-            // keys-only dataset: upsert degenerates to set union
-            targetRows.unionByName(src).distinct()
+          if (payload.isEmpty) bases match {
+            case None =>
+              // keys-only dataset: upsert degenerates to set union
+              targetRows.unionByName(src).distinct()
+            case Some(_) =>
+              // id-bearing rows are pairwise distinct by construction:
+              // keep the target side whole, insert only unmatched keys
+              targetRows.unionByName(
+                src.join(targetRows.select(keyCols.map(col): _*),
+                    keyCols, "left_anti")
+                  .withColumn(RowIdCol, lit(null).cast("long")))
           } else {
-            def packed(df: DataFrame, tag: String) =
-              df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-            packed(targetRows, "_t")
-              .join(packed(src, "_s"), keyCols, "full_outer")
+            val idInT = bases.map(_ => col(RowIdCol)).toSeq
+            val idInS = bases.map(_ => lit(null).cast("long").as(RowIdCol)).toSeq
+            def packed(df: DataFrame, tag: String, id: Seq[Column]) =
+              df.select(keyCols.map(col) :+
+                struct(payload.map(col) ++ id: _*).as(tag): _*)
+            packed(targetRows, "_t", idInT)
+              .join(packed(src, "_s", idInS), keyCols, "full_outer")
               .withColumn("_m", coalesce(col("_s"), col("_t")))
               .select(meta.schema.fieldNames.toIndexedSeq.map(n =>
-                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)): _*)
+                if (keyCols.contains(n)) col(n) else col("_m")(n).as(n)) ++
+                bases.map(_ => col("_t")(RowIdCol).as(RowIdCol)): _*)
           }
         if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
         else rewriteCommit(spark, root, meta, merged, affected,

@@ -255,7 +255,8 @@ object Publish {
             zorderCols, zorderBits, zorderPartitions, statsCols,
             requireSchemaMatch = mode == "append", directCommit = true)
       Versions.commit(spark, root, mode, newFiles,
-        DatasetMeta(df.schema, partitions), txn = txn)
+        DatasetMeta(StructType(df.schema.fields.filterNot(
+          _.name == Versions.RowIdCol)), partitions), txn = txn)
       newFiles
     }
   }
@@ -521,6 +522,13 @@ object Publish {
       if (recordedTs.nonEmpty && partitions == recordedTs.map(_.name))
         Transforms.applyTo(df0, recordedTs)
       else df0
+    // Row tracking's materialized id column is INTERNAL: mutation
+    // rewrites / OPTIMIZE write it physically so ids survive re-layout,
+    // but it is never part of the dataset's LOGICAL schema — strip it
+    // from the recorded metadata and from schema-match checks (reads
+    // surface it only through fetchVersionWithRowIds).
+    val userSchema = StructType(
+      df.schema.fields.filterNot(_.name == Versions.RowIdCol))
     require(!directCommit || mode == "append",
       "direct commit is an append-files protocol (versioned roots only)")
     if (mode == "append") {
@@ -536,7 +544,7 @@ object Publish {
             s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
           require(!requireSchemaMatch ||
             meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-              df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+              userSchema.fields.map(f => (f.name, f.dataType)).toSeq,
             "append schema does not match the dataset's recorded schema")
         case None =>
           require(!Fetch.hasData(spark, root),
@@ -577,7 +585,7 @@ object Publish {
       }
 
     DatasetMeta.write(spark, root,
-      DatasetMeta(metaSchemaOverride.getOrElse(df.schema), partitions))
+      DatasetMeta(metaSchemaOverride.getOrElse(userSchema), partitions))
     // an overwrite that re-partitions AWAY from the recorded transforms
     // redefines the layout — the stale transform spec must not survive it
     if (mode == "overwrite" && recordedTs.nonEmpty &&
@@ -603,7 +611,7 @@ object Publish {
       if (mode == "append")
         StatsIndex.appendFiles(spark, root, newFiles, statsCols,
           markComplete = priorManifestCols.isDefined, verifyFiles = Some(allAfter))
-      else StatsIndex.buildFor(spark, root, DatasetMeta(df.schema, partitions), allAfter, statsCols)
+      else StatsIndex.buildFor(spark, root, DatasetMeta(userSchema, partitions), allAfter, statsCols)
     } else priorManifestCols.foreach { cols =>
       // An EVOLVED append may lack a recorded index column entirely; the
       // new files then have no stats to record for it, so the completeness

@@ -38,6 +38,17 @@ import org.json4s.jackson.JsonMethods
   * stale memo would then serve the old dataset's file list). Fileless
   * entries therefore carry an explicit UUID.
   */
+/** `rowIds`/`rowIdHigh`: ROW TRACKING (the Delta row-ID design). When the
+  * table property `graft.rowTracking` is `true`, every file-adding commit
+  * records a fresh base row id per added file (`rowIds`: rel path → base)
+  * and advances the never-reused watermark (`rowIdHigh`). A row's stable
+  * id is `coalesce(materialized _graft_row_id column, base + row_index)`:
+  * fresh files get COMPUTED ids (no storage cost), mutation rewrites and
+  * OPTIMIZE MATERIALIZE the ids of surviving rows as a physical column so
+  * they survive any re-layout. Ids are unique within the dataset's life
+  * and never reused — the no-user-keys handle for CDC mirrors and
+  * incremental consumers.
+  */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String],
@@ -47,7 +58,9 @@ final case class VersionEntry(version: Int, action: String,
                               nonce: Option[String] = None,
                               constraints: Map[String, String] = Map.empty,
                               ts: Option[Long] = None,
-                              properties: Map[String, String] = Map.empty)
+                              properties: Map[String, String] = Map.empty,
+                              rowIds: Map[String, Long] = Map.empty,
+                              rowIdHigh: Option[Long] = None)
 
 /** A write violated a table CHECK constraint ([[Versions.addConstraint]]).
   * Carries the constraint's name and expression plus one offending row's
@@ -125,6 +138,17 @@ object Versions {
 
   val DirName = "_graft_versions"
   private val VacuumMarker = "_vacuum_watermark"
+
+  /** The materialized row-id column's physical name (row tracking). An
+    * INTERNAL column: written into mutation-rewrite/OPTIMIZE output files,
+    * never part of a dataset's logical schema (publish strips it from
+    * sidecar metadata and schema-match checks), surfaced to readers only
+    * through [[fetchVersionWithRowIds]].
+    */
+  val RowIdCol = "_graft_row_id"
+
+  /** Table property switching row tracking on ([[enableRowTracking]]). */
+  val RowTrackingProp = "graft.rowTracking"
 
   /** Default [[vacuum]] staging-grace horizon (see its doc). */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
@@ -327,6 +351,11 @@ object Versions {
     * binding can't have changed). [[renameColumn]]/[[dropColumn]] (and
     * [[restore]], which revives the target version's map) pass Some.
     */
+  /** `rowIdsOverride`: pre-resolved row-id bases for the added files —
+    * passed by [[restore]] (a restored snapshot's computed-id files must
+    * keep their ORIGINAL bases; fresh assignment would renumber them).
+    * None = assign fresh bases when row tracking is on.
+    */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
              removedRel: Seq[String] = Nil,
@@ -334,7 +363,8 @@ object Versions {
              dvs: Seq[DvRef] = Nil,
              colMap: Option[Map[String, String]] = None,
              constraints: Option[Map[String, String]] = None,
-             properties: Option[Map[String, String]] = None): Int = {
+             properties: Option[Map[String, String]] = None,
+             rowIdsOverride: Option[Map[String, Long]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -357,6 +387,17 @@ object Versions {
       if (action == "clone" || action == "overwrite")
         relativizeOrExternal(spark, root, addedAbs)
       else relativize(spark, root, addedAbs)
+    // Row tracking: per-file row counts for fresh base assignment — read
+    // ONCE from parquet footers (O(added files), metadata-only, no data
+    // rows), reused across CAS retries (file contents are immutable).
+    lazy val addedRowCounts: Seq[Long] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      addedAbs.map { a =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(a), conf))
+        try rdr.getRecordCount finally rdr.close()
+      }
+    }
     var attempts = 0
     while (attempts < 10000) {
       val latest = latestVersion(spark, root)
@@ -389,6 +430,36 @@ object Versions {
       // (they are table metadata, not data layout) until an alter resets
       val entryProperties = properties.getOrElse(
         latestEntry.map(_.properties).getOrElse(Map.empty[String, String]))
+      // ROW TRACKING (see the VersionEntry scaladoc): on once the property
+      // is set or any ancestor carries a watermark (ids, once assigned,
+      // stay meaningful even if the property is later unset). A CLONE
+      // deliberately drops tracking: its inherited source files mix
+      // materialized-id and computed-id regimes under bases this log
+      // never assigned — the clone starts a fresh identity (enable +
+      // OPTIMIZE to re-number under its own log).
+      val parentHigh = latestEntry.flatMap(_.rowIdHigh)
+      val trackingOn = action != "clone" &&
+        (parentHigh.isDefined ||
+          entryProperties.get(RowTrackingProp).contains("true"))
+      val (entryRowIds, entryHigh): (Map[String, Long], Option[Long]) =
+        if (!trackingOn) (Map.empty, None)
+        else rowIdsOverride match {
+          case Some(m) =>
+            // partial coverage is honest: a restored pre-tracking file had
+            // no base originally and stays uncovered (OPTIMIZE backfills)
+            (m.filter { case (k, _) => rel.contains(k) },
+              Some(parentHigh.getOrElse(0L)))
+          case None if rel.isEmpty => (Map.empty, Some(parentHigh.getOrElse(0L)))
+          case None =>
+            // fresh bases: contiguous ranges in added-file order, starting
+            // at the parent watermark — recomputed per CAS retry because a
+            // racing committer may have advanced the watermark
+            var next = parentHigh.getOrElse(0L)
+            val bases = rel.zip(addedRowCounts).map { case (r, n) =>
+              val b = next; next += n; r -> b
+            }.toMap
+            (bases, Some(next))
+        }
       require(entryColMap.keySet.subsetOf(meta.schema.fieldNames.toSet),
         s"colMap names columns not in the schema: " +
           s"${entryColMap.keySet -- meta.schema.fieldNames}")
@@ -419,6 +490,12 @@ object Versions {
         else List("dvs" -> JArray(dvs.map(d => JObject(
           "dir" -> JString(d.dir),
           "files" -> JArray(d.files.map(JString(_)).toList))).toList))
+      val rowIdFields = entryHigh.toList.flatMap { h =>
+        (if (entryRowIds.isEmpty) Nil
+         else List("rowIds" -> JObject(
+           entryRowIds.toList.sortBy(_._1).map { case (k, b) => k -> JInt(b) }))) ++
+          List("rowIdHigh" -> JInt(h))
+      }
       // fileless entries (alter, empty appends) get an explicit UUID so
       // their bytes stay globally unique — the memo/checkpoint witness
       // contract every other entry gets from its UUID part names
@@ -445,13 +522,16 @@ object Versions {
         if (dvs.nonEmpty) Some("dv") else None,
         if (entryColMap.nonEmpty) Some("colMap") else None,
         if (entryConstraints.nonEmpty) Some("constraints") else None,
-        if (action == "clone") Some("clone") else None).flatten
+        if (action == "clone") Some("clone") else None,
+        // a reader ignoring row-id fields would serve UNSTABLE ids
+        // (fresh coalesce misses the bases) — gate it
+        if (entryHigh.isDefined) Some("rowIds") else None).flatten
       val featFields =
         if (feats.isEmpty) Nil
         else List("features" -> JArray(feats.map(JString(_))))
       val json = JsonMethods.compact(JsonMethods.render(
-        JObject(base ++ txnFields ++ dvFields ++ nonceFields ++ tsFields ++
-          featFields: _*)))
+        JObject(base ++ txnFields ++ dvFields ++ rowIdFields ++ nonceFields ++
+          tsFields ++ featFields: _*)))
       // In-process committers must serialize the create itself: a local
       // or checksummed filesystem's create-if-absent is CHECK-then-
       // create, so two threads of one driver could both "win" the same
@@ -584,15 +664,24 @@ object Versions {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
+    val rowIds = (jv \ "rowIds") match {
+      case JObject(fields) => fields.collect { case (k, JInt(b)) => k -> b.toLong }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    val rowIdHigh = (jv \ "rowIdHigh") match {
+      case JInt(x) => Some(x.toLong)
+      case _ => None
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
       schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts,
-      properties)
+      properties, rowIds, rowIdHigh)
   }
 
   /** Log features this reader implements (see the protocol gate in
     * [[parseEntry]] / the stamps in [[commit]]).
     */
-  val SupportedFeatures: Set[String] = Set("dv", "colMap", "constraints", "clone")
+  val SupportedFeatures: Set[String] =
+    Set("dv", "colMap", "constraints", "clone", "rowIds")
 
   /** The commit instant of version `v`: the entry's IN-COMMIT timestamp
     * when present (monotonic by construction — see [[commit]]), else the
@@ -845,6 +934,77 @@ object Versions {
     readFiles(spark, root, files, meta, dvs = dvs)
   }
 
+  // ---- row tracking --------------------------------------------------------
+
+  /** Switch row tracking ON (a metadata-only alter commit; the watermark
+    * seeds at this commit). Files already live keep NO ids until a
+    * rewrite re-numbers them — run [[compact]] (OPTIMIZE) once after
+    * enabling to backfill; every LATER commit assigns ids automatically.
+    */
+  def enableRowTracking(spark: SparkSession, root: String): Int =
+    setTableProperties(spark, root, Map(RowTrackingProp -> "true"))
+
+  /** Whether the dataset carries a row-id watermark (tracking on). */
+  def isRowTracked(spark: SparkSession, root: String): Boolean =
+    latestVersion(spark, root)
+      .exists(v => readEntry(spark, root, v).rowIdHigh.isDefined)
+
+  private val rowIdMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (VersionEntry, Map[String, Long], Option[Long])]()
+
+  /** Per-file base row ids in force at `version` (union of the governing
+    * overwrite's and later commits' assignments — dead files' entries are
+    * inert) plus the watermark. O(entries since the governing overwrite)
+    * tiny reads, memoized with the same entry-content witness as the
+    * snapshot memo.
+    */
+  private[graft] def rowIdBasesAt(spark: SparkSession, root: String,
+                                  version: Int): (Map[String, Long], Option[Long]) = {
+    val qroot = qualifiedRootUri(spark, root)
+    val atVersion = readEntry(spark, root, version)
+    val hit = rowIdMemo.get((qroot, version))
+    if (hit != null && hit._1 == atVersion) return (hit._2, hit._3)
+    var v = version
+    var chain = List(atVersion)
+    while (chain.head.action != "overwrite" && chain.head.action != "clone" && v > 1) {
+      v -= 1
+      chain = readEntry(spark, root, v) :: chain
+    }
+    val bases = chain.foldLeft(Map.empty[String, Long])((m, e) => m ++ e.rowIds)
+    if (rowIdMemo.size > 1024) rowIdMemo.clear()
+    rowIdMemo.put((qroot, version), (atVersion, bases, atVersion.rowIdHigh))
+    (bases, atVersion.rowIdHigh)
+  }
+
+  /** [[fetchVersion]] plus the stable `_graft_row_id` column (row
+    * tracking): `coalesce(materialized id column, base + row_index)`,
+    * computed inside the scan stage — no join, no shuffle, no per-row
+    * path work. Fails with backfill guidance when any live file predates
+    * the enablement (it has neither a base nor a materialized column).
+    */
+  def fetchVersionWithRowIds(spark: SparkSession, root: String,
+                             version: Int): DataFrame = {
+    val (files, meta, dvs) = snapshotFullAt(spark, root, version)
+    val (bases, high) = rowIdBasesAt(spark, root, version)
+    require(high.isDefined,
+      s"row tracking is not enabled on $root (enableRowTracking, then " +
+        "OPTIMIZE once to backfill existing files)")
+    val uncovered = files.filterNot(bases.contains)
+    require(uncovered.isEmpty,
+      s"${uncovered.size} live file(s) of $root predate row-tracking " +
+        s"enablement (e.g. ${uncovered.head}) — run OPTIMIZE/compact once " +
+        "to backfill their row ids")
+    readFiles(spark, root, files, meta, dvs = dvs,
+      keepRowId = Some(RowIdCol), rowIdBases = bases)
+  }
+
+  /** [[fetchVersionWithRowIds]] at the latest version. */
+  def fetchSnapshotWithRowIds(spark: SparkSession, root: String): DataFrame = {
+    val latest = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"dataset $root is not versioned"))
+    fetchVersionWithRowIds(spark, root, latest)
+  }
+
   /** The version in force at wall-clock `tsMillis` — the newest commit
     * whose entry was written at or before it (TIMESTAMP AS OF). Commit
     * times come from the entry files' modification times: the entry write
@@ -906,10 +1066,13 @@ object Versions {
                                       relFiles: Seq[String], meta: DatasetMeta,
                                       fileCol: String,
                                       dvs: Seq[DvRef] = Nil,
-                                      rowIndexCol: Option[String] = None): DataFrame = {
+                                      rowIndexCol: Option[String] = None,
+                                      keepRowId: Option[String] = None,
+                                      rowIdBases: Map[String, Long] = Map.empty): DataFrame = {
     val rootPath = qualifiedRootUri(spark, root).stripSuffix("/")
     readFiles(spark, root, relFiles, meta, keepPath = Some(fileCol),
-      dvs = dvs, keepRowIndex = rowIndexCol)
+      dvs = dvs, keepRowIndex = rowIndexCol, keepRowId = keepRowId,
+      rowIdBases = rowIdBases)
       // `_metadata.file_path` is a URI-ENCODED string while commit entries
       // store DECODED `Path.toUri.getPath` paths (a hive dir like `d=a b`
       // surfaces percent-encoded from the scan) — [[StatsIndex.normPath]]
@@ -920,22 +1083,34 @@ object Versions {
         lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit("")))
   }
 
+  /** `rowIdBases`: when set (with column name `keepRowId`), every row gets
+    * its STABLE row id as `coalesce(materialized _graft_row_id column,
+    * base(file) + row_index)` — the row-tracking read shape. The scan
+    * schema gains the physical id column (parquet null-fills files that
+    * never materialized it) and the base lookup rides the plan as a
+    * codegen'd [[graft.functions.RowIdBaseExpr]] — no join, no per-row
+    * path normalization (the lookup is keyed by the raw scan path forms).
+    */
   private[core] def readFiles(spark: SparkSession, root: String,
                               relFiles: Seq[String], meta: DatasetMeta,
                               keepPath: Option[String] = None,
                               dvs: Seq[DvRef] = Nil,
-                              keepRowIndex: Option[String] = None): DataFrame = {
+                              keepRowIndex: Option[String] = None,
+                              keepRowId: Option[String] = None,
+                              rowIdBases: Map[String, Long] = Map.empty): DataFrame = {
     if (relFiles.isEmpty) {
       val extra = keepPath.map(p => org.apache.spark.sql.types.StructField(
           p, org.apache.spark.sql.types.StringType)).toSeq ++
         keepRowIndex.map(p => org.apache.spark.sql.types.StructField(
+          p, org.apache.spark.sql.types.LongType)) ++
+        keepRowId.map(p => org.apache.spark.sql.types.StructField(
           p, org.apache.spark.sql.types.LongType))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(meta.schema.fields ++ extra))
     }
     val fileTmp = "__graft_meta_file"
     val idxTmp = "__graft_meta_idx"
-    val needMeta = keepPath.isDefined || keepRowIndex.isDefined
+    val needMeta = keepPath.isDefined || keepRowIndex.isDefined || keepRowId.isDefined
     // metadata-derived columns materialize AT THE SCAN — `_metadata`
     // resolves only against a scan, not a join result
     // scans read under PHYSICAL column names (identical to meta.schema
@@ -946,10 +1121,18 @@ object Versions {
     // derive their hive partition columns against the root that owns
     // them. Metadata columns materialize per group — they resolve only
     // against a scan, never across a union.
+    // row tracking reads the materialized id column alongside the user
+    // schema; files that never materialized it null-fill (standard
+    // parquet missing-column semantics under an explicit schema)
+    val scanSchema =
+      if (keepRowId.isEmpty) meta.physSchema
+      else StructType(meta.physSchema.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType))
     def leg(fls: Seq[String], withMeta: Boolean): DataFrame =
       scanGroups(root, fls).map { case (base, abs) =>
         val raw0 = spark.read.option("basePath", base)
-          .schema(meta.physSchema).parquet(abs: _*)
+          .schema(scanSchema).parquet(abs: _*)
         if (!withMeta) raw0
         else raw0.withColumn(fileTmp, col("_metadata.file_path"))
                  .withColumn(idxTmp, col("_metadata.row_index"))
@@ -969,8 +1152,17 @@ object Versions {
     val raw = (uncovLeg ++ covLeg).reduce(_.unionByName(_))
     val restored = meta.schema.fields.toIndexedSeq.map(f =>
       col(meta.physName(f.name)).cast(f.dataType).as(f.name))
+    val rowIdOut = keepRowId.map { p =>
+      val entries = dvScanKeys(spark, root, rowIdBases.keys.toSeq)
+        .flatMap { case (rel, k) => rowIdBases.get(rel).map(k -> _) }.toArray
+      val lookup = new graft.functions.RowIdBaseLookup(entries)
+      val base = shimColumn(graft.functions.RowIdBaseExpr(
+        shimExpr(col(fileTmp)), lookup))
+      coalesce(col(RowIdCol),
+        when(base >= 0, base + col(idxTmp))).as(p)
+    }
     raw.select(restored ++ keepPath.map(p => col(fileTmp).as(p))
-      ++ keepRowIndex.map(p => col(idxTmp).as(p)): _*)
+      ++ keepRowIndex.map(p => col(idxTmp).as(p)) ++ rowIdOut: _*)
   }
 
   /** Name of the deletion-vector sidecar base dir (underscore-hidden:
@@ -1158,6 +1350,15 @@ object Versions {
     * rescan of untouched data; output uses `toVersion`'s schema (earlier
     * files null-fill evolved columns, like every snapshot read).
     */
+  /** [[changeFeed]] with rewrite commits diffed on the STABLE ROW ID —
+    * minimal deltas (no self-canceling survivor pairs) with NO user-key
+    * contract to state or get wrong. Needs row tracking enabled and the
+    * rewritten files id-covered (enable + OPTIMIZE before mutating).
+    */
+  def changeFeedById(spark: SparkSession, root: String,
+                     fromVersion: Int, toVersion: Int): DataFrame =
+    changeFeed(spark, root, fromVersion, toVersion, rowDiffKeys = Seq(RowIdCol))
+
   def changeFeed(spark: SparkSession, root: String,
                  fromVersion: Int, toVersion: Int,
                  rowDiffKeys: Seq[String] = Nil): DataFrame = {
@@ -1197,14 +1398,27 @@ object Versions {
         rowDiffKeys.nonEmpty && e.action == "rewrite" && e.removed.nonEmpty
       if (minimalRewrite) {
         val keys = rowDiffKeys
+        // rowDiffKeys = Seq(RowIdCol) is the NO-USER-KEYS mode (row
+        // tracking): both legs attach the stable id and the diff joins on
+        // it — no uniqueness contract to get wrong ([[changeFeedById]])
+        val byId = keys == Seq(RowIdCol)
+        val (basesOld, basesNew) =
+          if (!byId) (Map.empty[String, Long], Map.empty[String, Long])
+          else (rowIdBasesAt(spark, root, v - 1)._1, rowIdBasesAt(spark, root, v)._1)
+        if (byId) require(
+          e.removed.forall(basesOld.contains) && e.added.forall(basesNew.contains),
+          s"row-id change feed at commit $v needs every rewritten file " +
+            "id-covered (enable row tracking + OPTIMIZE before the mutations)")
         val (_, _, parentDvs) = snapshotFullAt(spark, root, v - 1)
         val covered = e.removed.toSet
         val relevant = parentDvs.map(d =>
           DvRef(d.dir, d.files.filter(covered))).filter(_.files.nonEmpty)
-        val oldRows = readFiles(spark, root, e.removed, outMeta, dvs = relevant)
-        val newRows = readFiles(spark, root, e.added, outMeta)
+        val oldRows = readFiles(spark, root, e.removed, outMeta, dvs = relevant,
+          keepRowId = if (byId) Some(RowIdCol) else None, rowIdBases = basesOld)
+        val newRows = readFiles(spark, root, e.added, outMeta,
+          keepRowId = if (byId) Some(RowIdCol) else None, rowIdBases = basesNew)
         val all = outMeta.schema.fieldNames.toIndexedSeq
-        keys.foreach(k => require(all.contains(k),
+        keys.foreach(k => require(k == RowIdCol || all.contains(k),
           s"rowDiffKeys column $k is not in the dataset schema"))
         val others = all.filterNot(keys.contains)
         def side(df: DataFrame, t: String) = df.select(keys.map(col) ++ Seq(
@@ -1413,8 +1627,20 @@ object Versions {
     DatasetLock.withLock(spark, root) {
       val latest = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"dataset $root is not versioned"))
-      val (_, meta) = snapshotAt(spark, root, latest)
-      Publish.publishVersioned(spark, fetchVersion(spark, root, latest),
+      val (files, meta, _) = snapshotFullAt(spark, root, latest)
+      // row tracking: a re-layout must PRESERVE ids — materialize them as
+      // a physical column in the compacted files (the coalesce read then
+      // prefers it over the fresh bases this commit also assigns). Right
+      // after enablement the live files have no ids yet: THIS rewrite is
+      // the documented backfill, so it reads bare and lets the commit's
+      // fresh bases number every row.
+      val tracked = isRowTracked(spark, root)
+      val covered = tracked &&
+        files.forall(rowIdBasesAt(spark, root, latest)._1.contains)
+      val snap =
+        if (covered) fetchVersionWithRowIds(spark, root, latest)
+        else fetchVersion(spark, root, latest)
+      Publish.publishVersioned(spark, snap,
         root, meta.partitions, sortCols = sortCols,
         zorderCols = zorderCols, zorderBits = zorderBits,
         zorderPartitions = zorderPartitions)
@@ -1456,7 +1682,15 @@ object Versions {
         // write inherits the scan's partitioning and re-emits small files
         val totalSmall = small.map(sizeByRel(_)).sum
         val outParts = math.max(1L, totalSmall / (60L << 20)).toInt
-        val packed = readFiles(spark, root, small, meta, dvs = relevant)
+        // row tracking: packed files must carry their rows' ids forward
+        // as the materialized column (bases cover the small tail iff it
+        // postdates enablement; the whole-snapshot compact is the backfill)
+        val smallBases = if (!isRowTracked(spark, root)) Map.empty[String, Long]
+          else rowIdBasesAt(spark, root, latest)._1
+        val packIds = small.forall(smallBases.contains)
+        val packed = readFiles(spark, root, small, meta, dvs = relevant,
+            keepRowId = if (packIds) Some(RowIdCol) else None,
+            rowIdBases = smallBases)
           .repartition(outParts)
         // mapped datasets pack under PHYSICAL names like every live file
         val physPacked =
@@ -1859,9 +2093,15 @@ object Versions {
       // deleted rows. Its column MAPPING rides along too — the restored
       // files carry the TARGET version's physical names (an ordinary
       // overwrite resets the map because it writes fresh files; a restore
-      // revives old ones).
+      // revives old ones). ROW-ID bases likewise: the revived files keep
+      // their ORIGINAL bases (fresh assignment would renumber every
+      // computed-id row, breaking the stability contract a restore must
+      // not break).
+      val restoredBases =
+        if (!isRowTracked(spark, root)) None
+        else Some(rowIdBasesAt(spark, root, version)._1)
       commit(spark, root, "overwrite", abs, meta, dvs = dvs,
-        colMap = Some(meta.colMap))
+        colMap = Some(meta.colMap), rowIdsOverride = restoredBases)
     }
 
   /** Physically delete files no version ≥ `keepFrom` references, then

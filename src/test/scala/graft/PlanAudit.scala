@@ -347,6 +347,15 @@ object PlanAudit {
       // no DVs) reads as bare unioned scan legs — zero joins, zero
       // per-row path work
       "no join in the snapshot read" -> (p => !p.contains("Join")))
+    audit("version_row_tracking",
+      // the id computation is SCAN-STAGE: the base lookup rides the plan
+      // as a codegen'd expression over _metadata.file_path — the only
+      // join in the cell is its own before/after rid comparison
+      "row-id lookup codegen'd in the scan" -> (_.contains("graft_row_id_base")),
+      "no nested loop / cartesian" -> (p =>
+        !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")),
+      "no per-row path normalization" -> (p =>
+        !p.split("== Initial Plan ==").head.contains("regexp_replace")))
     audit("dedup_semantic",
       // within-cluster candidates only (bucket self-join on the cluster
       // id); the one nested-loop is the broadcast of the tiny centroid
