@@ -282,6 +282,41 @@ object StressScale {
       Publish.publishVersioned(spark, batch, rwRoot, Nil, mode = "append").size
     }
 
+    // ---- 9. ROW TRACKING at scale: the id-attach read tax must land in
+    // the metadata-materialization cost class (the ProbeDvScan floor),
+    // backfill is ONE whole-snapshot rewrite paid once, a tracked sparse
+    // UPDATE stays O(affected files) + the id column bytes, and the by-id
+    // change feed emits O(changed rows) where the file-granular feed
+    // emits O(rewritten files' rows) — the row-tracking payoff priced.
+    val rtRoot = s"$workDir/orders_rowtrack_scale"
+    fs.delete(new Path(rtRoot), true)
+    Publish.publishVersioned(spark, orders, rtRoot, Nil)
+    timed("rt_enable_backfill") {
+      graft.core.Versions.enableRowTracking(spark, rtRoot)
+      graft.core.Versions.compact(spark, rtRoot)
+    }
+    val backfillV = graft.core.Versions.latestVersion(spark, rtRoot).get
+    // symmetric aggregates so column pruning can't cheat either cell: the
+    // plain scan folds a data column, the id scan folds the computed id
+    checks("rt_plain_scan_max") = timed("rt_plain_scan") {
+      Fetch.fetch(spark, rtRoot).agg(max("o_orderkey")).head().getLong(0)
+    }
+    checks("rt_id_scan_maxid") = timed("rt_id_scan") {
+      graft.core.Versions.fetchSnapshotWithRowIds(spark, rtRoot)
+        .agg(max(col(graft.core.Versions.RowIdCol))).head().getLong(0)
+    }
+    checks("rt_update_files_added") = timed("rt_update_tracked") {
+      Mutations.updateWhere(spark, rtRoot, col("o_orderkey") % 499 === 2,
+        updAsg).addedFiles.size
+    }
+    val rtLatest = graft.core.Versions.latestVersion(spark, rtRoot).get
+    checks("rt_feed_by_id_rows") = timed("rt_feed_by_id") {
+      graft.core.Versions.changeFeedById(spark, rtRoot, backfillV, rtLatest).count()
+    }
+    checks("rt_feed_file_granular_rows") = timed("rt_feed_file_granular") {
+      graft.core.Versions.changeFeed(spark, rtRoot, backfillV, rtLatest).count()
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

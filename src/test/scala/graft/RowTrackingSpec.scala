@@ -152,6 +152,20 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(graft.core.Fetch.fetch(spark, cloneRoot).count() == 10)
   }
 
+  test("SQL enablement: SET TBLPROPERTIES + OPTIMIZE backfills row ids") {
+    val root = TestSpark.tmpDir("rt_sql")
+    Publish.publishVersioned(spark,
+      (0 until 20).map(i => (i.toLong, "g", i.toLong)).toDF("k", "grp", "v"),
+      root, Seq("grp"))
+    spark.sql(
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('graft.rowTracking'='true')")
+    spark.sql(s"OPTIMIZE graft.`$root`")
+    assert(Versions.isRowTracked(spark, root))
+    val ids = Versions.fetchSnapshotWithRowIds(spark, root)
+      .select(col(Id)).as[Long].collect()
+    assert(ids.length == 20 && ids.distinct.length == 20)
+  }
+
   test("changeFeedById: minimal rewrite deltas with no user-key contract") {
     val root = freshTracked("rt_cfid")
     val backfill = Versions.latestVersion(spark, root).get
