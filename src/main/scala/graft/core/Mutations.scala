@@ -93,10 +93,16 @@ object Mutations {
 
   private val RowIdCol = Versions.RowIdCol
 
+  /** Deterministic text of a predicate for the commitInfo surface (the
+    * Column's own rendering — advisory metadata, never re-parsed).
+    */
+  private def predSql(c: Column): String = c.toString
+
   private def rewriteCommit(spark: SparkSession, root: String,
                             meta: DatasetMeta, replacement: DataFrame,
                             removedRel: Seq[String],
-                            schemaEvolved: Boolean = false): MutationResult = {
+                            schemaEvolved: Boolean = false,
+                            opInfo: Map[String, String] = Map.empty): MutationResult = {
     // UPDATE/MERGE-produced rows must honor the table's CHECK constraints
     // (survivor rows re-validate too — they were valid, and the combined
     // pass only scans the affected-file subset being rewritten)
@@ -121,7 +127,7 @@ object Mutations {
         requireSchemaMatch = meta.colMap.isEmpty && !schemaEvolved)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
-      removedRel = removedRel)
+      removedRel = removedRel, opInfo = opInfo)
     // keep the stats-skipping index covering the snapshot: if this
     // dataset is indexed, the rewritten files get their min/max rows too
     // (stale rows for the removed files are harmless — planning is
@@ -151,7 +157,8 @@ object Mutations {
             keepRowId = bases.map(_ => RowIdCol),
             rowIdBases = bases.getOrElse(Map.empty))
           .where(not(predicate <=> lit(true)))
-        rewriteCommit(spark, root, meta, survivors, affected)
+        rewriteCommit(spark, root, meta, survivors, affected,
+          opInfo = Map("op" -> "DELETE", "predicate" -> predSql(predicate)))
       }
     }
 
@@ -178,7 +185,9 @@ object Mutations {
         case None => MutationResult(latest, Nil, Nil)
         case Some(dv) =>
           val v = Versions.commit(spark, root, "delete_dv", Nil, meta,
-            dvs = Seq(dv))
+            dvs = Seq(dv),
+            opInfo = Map("op" -> "DELETE", "mode" -> "dv",
+              "predicate" -> predSql(predicate)))
           MutationResult(v, Nil, Nil)
       }
     }
@@ -228,7 +237,8 @@ object Mutations {
     */
   private def updateDvCommit(spark: SparkSession, root: String,
                              meta: DatasetMeta, rows: DataFrame,
-                             dv: Option[DvRef]): MutationResult = {
+                             dv: Option[DvRef],
+                             opInfo: Map[String, String] = Map.empty): MutationResult = {
     Versions.enforceConstraints(spark, root, rows)
     // mapped datasets write the replacement copies under PHYSICAL names
     // (see rewriteCommit — the mapping pins one physical name per column
@@ -244,7 +254,7 @@ object Mutations {
         requireSchemaMatch = meta.colMap.isEmpty)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "update_dv", newFiles, meta,
-      dvs = dv.toSeq)
+      dvs = dv.toSeq, opInfo = opInfo)
     val idxCols = StatsIndex.indexedColumns(spark, root)
     if (idxCols.nonEmpty && newFiles.nonEmpty)
       StatsIndex.appendFiles(spark, root, newFiles, idxCols)
@@ -293,7 +303,10 @@ object Mutations {
                 case None => col(f.name)
               }
             } ++ bases.map(_ => col(RowIdCol)): _*)
-            updateDvCommit(spark, root, meta, updated, Some(dv))
+            updateDvCommit(spark, root, meta, updated, Some(dv),
+              opInfo = Map("op" -> "UPDATE", "mode" -> "dv",
+                "predicate" -> predSql(predicate),
+                "columns" -> assignments.keys.toSeq.sorted.mkString(",")))
         }
       } finally matched.unpersist()
     }
@@ -353,7 +366,9 @@ object Mutations {
                 .agg(min(RowIdCol).as(RowIdCol))
               src.join(idsByKey, keyCols, "left")
           }
-          updateDvCommit(spark, root, meta, srcOut, dv)
+          updateDvCommit(spark, root, meta, srcOut, dv,
+            opInfo = Map("op" -> "MERGE", "mode" -> "dv",
+              "keys" -> keyCols.mkString(",")))
         }
       } finally src.unpersist()
     }
@@ -394,7 +409,9 @@ object Mutations {
             keepRowId = bases.map(_ => RowIdCol),
             rowIdBases = bases.getOrElse(Map.empty))
           .select(updatedCols ++ bases.map(_ => col(RowIdCol)): _*)
-        rewriteCommit(spark, root, meta, rewritten, affected)
+        rewriteCommit(spark, root, meta, rewritten, affected,
+          opInfo = Map("op" -> "UPDATE", "predicate" -> predSql(predicate),
+            "columns" -> assignments.keys.toSeq.sorted.mkString(",")))
       }
     }
   }
@@ -471,7 +488,8 @@ object Mutations {
           }
         val merged = upserted.join(delKeys, keyCols, "left_anti")
         if (affected.isEmpty && ups.isEmpty) MutationResult(latest, Nil, Nil)
-        else rewriteCommit(spark, root, meta, merged, affected)
+        else rewriteCommit(spark, root, meta, merged, affected,
+          opInfo = Map("op" -> "APPLY CHANGES", "keys" -> keyCols.mkString(",")))
       } finally normalized.unpersist()
     }
   }
@@ -574,7 +592,8 @@ object Mutations {
           }
         if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
         else rewriteCommit(spark, root, meta, merged, affected,
-          schemaEvolved = extraF.nonEmpty)
+          schemaEvolved = extraF.nonEmpty,
+          opInfo = Map("op" -> "MERGE", "keys" -> keyCols.mkString(",")))
       } finally src.unpersist()
     }
   }

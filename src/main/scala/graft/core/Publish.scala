@@ -219,7 +219,8 @@ object Publish {
                        zorderBits: Int = 16,
                        zorderPartitions: Int = 0,
                        statsCols: Seq[String] = Nil,
-                       txn: Option[(String, Long)] = None): Seq[String] = {
+                       txn: Option[(String, Long)] = None,
+                       opInfo: Map[String, String] = Map.empty): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // Appends to an existing versioned dataset are OPTIMISTIC: racing
     // appenders run concurrently and land as consecutive versions (the
@@ -256,7 +257,7 @@ object Publish {
             requireSchemaMatch = mode == "append", directCommit = true)
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(StructType(df.schema.fields.filterNot(
-          _.name == Versions.RowIdCol)), partitions), txn = txn)
+          _.name == Versions.RowIdCol)), partitions), txn = txn, opInfo = opInfo)
       newFiles
     }
   }

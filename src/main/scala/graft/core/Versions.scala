@@ -49,6 +49,13 @@ import org.json4s.jackson.JsonMethods
   * and never reused — the no-user-keys handle for CDC mirrors and
   * incremental consumers.
   */
+/** `opInfo`: human-facing OPERATION metadata (the Delta commitInfo shape)
+  * — the verb (`op` key: DELETE, UPDATE, MERGE, OPTIMIZE, RESTORE, …) and
+  * its parameters (predicate text, key columns, target version), surfaced
+  * by [[Versions.history]]/DESCRIBE HISTORY so "what made version 17" is
+  * answerable from the log alone. Advisory: never feature-gated, never
+  * interpreted by the engine.
+  */
 final case class VersionEntry(version: Int, action: String,
                               added: Seq[String], removed: Seq[String],
                               schema: StructType, partitions: Seq[String],
@@ -60,7 +67,8 @@ final case class VersionEntry(version: Int, action: String,
                               ts: Option[Long] = None,
                               properties: Map[String, String] = Map.empty,
                               rowIds: Map[String, Long] = Map.empty,
-                              rowIdHigh: Option[Long] = None)
+                              rowIdHigh: Option[Long] = None,
+                              opInfo: Map[String, String] = Map.empty)
 
 /** A write violated a table CHECK constraint ([[Versions.addConstraint]]).
   * Carries the constraint's name and expression plus one offending row's
@@ -364,7 +372,8 @@ object Versions {
              colMap: Option[Map[String, String]] = None,
              constraints: Option[Map[String, String]] = None,
              properties: Option[Map[String, String]] = None,
-             rowIdsOverride: Option[Map[String, Long]] = None): Int = {
+             rowIdsOverride: Option[Map[String, Long]] = None,
+             opInfo: Map[String, String] = Map.empty): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -496,6 +505,10 @@ object Versions {
            entryRowIds.toList.sortBy(_._1).map { case (k, b) => k -> JInt(b) }))) ++
           List("rowIdHigh" -> JInt(h))
       }
+      val opFields =
+        if (opInfo.isEmpty) Nil
+        else List("opInfo" -> JObject(
+          opInfo.toList.sortBy(_._1).map { case (k, s) => k -> JString(s) }))
       // fileless entries (alter, empty appends) get an explicit UUID so
       // their bytes stay globally unique — the memo/checkpoint witness
       // contract every other entry gets from its UUID part names
@@ -530,8 +543,8 @@ object Versions {
         if (feats.isEmpty) Nil
         else List("features" -> JArray(feats.map(JString(_))))
       val json = JsonMethods.compact(JsonMethods.render(
-        JObject(base ++ txnFields ++ dvFields ++ rowIdFields ++ nonceFields ++
-          tsFields ++ featFields: _*)))
+        JObject(base ++ txnFields ++ dvFields ++ rowIdFields ++ opFields ++
+          nonceFields ++ tsFields ++ featFields: _*)))
       // In-process committers must serialize the create itself: a local
       // or checksummed filesystem's create-if-absent is CHECK-then-
       // create, so two threads of one driver could both "win" the same
@@ -672,9 +685,13 @@ object Versions {
       case JInt(x) => Some(x.toLong)
       case _ => None
     }
+    val opInfo = (jv \ "opInfo") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     VersionEntry(ver.toInt, action, strings("added"), strings("removed"),
       schema, strings("partitions"), txn, dvs, colMap, nonce, constraints, ts,
-      properties, rowIds, rowIdHigh)
+      properties, rowIds, rowIdHigh, opInfo)
   }
 
   /** Log features this reader implements (see the protocol gate in
@@ -1598,11 +1615,18 @@ object Versions {
     val latest = latestVersion(spark, root).getOrElse(0)
     val rows = (1 to latest).map { v =>
       val e = readEntry(spark, root, v)
-      (e.version, e.action, e.added.size.toLong, e.removed.size.toLong,
+      // the Delta commitInfo surface: the operation verb and its params
+      // (predicate text, keys, target version) as a deterministic string
+      val op = e.opInfo.getOrElse("op", e.action)
+      val params = (e.opInfo - "op").toSeq.sortBy(_._1)
+        .map { case (k, s) => s"$k=$s" }.mkString("; ")
+      (e.version, e.action, op, params,
+        e.added.size.toLong, e.removed.size.toLong,
         e.ts.getOrElse(entryTimestamp(spark, root, v)))
     }
     spark.createDataFrame(rows)
-      .toDF("version", "action", "n_added_files", "n_removed_files", "ts_millis")
+      .toDF("version", "action", "operation", "op_params",
+        "n_added_files", "n_removed_files", "ts_millis")
   }
 
   /** Compact the live snapshot into fresh right-sized files as a NEW
@@ -1643,7 +1667,10 @@ object Versions {
       Publish.publishVersioned(spark, snap,
         root, meta.partitions, sortCols = sortCols,
         zorderCols = zorderCols, zorderBits = zorderBits,
-        zorderPartitions = zorderPartitions)
+        zorderPartitions = zorderPartitions,
+        opInfo = Map("op" -> "OPTIMIZE") ++
+          (if (zorderCols.nonEmpty) Map("zorder" -> zorderCols.mkString(",")) else Map.empty) ++
+          (if (sortCols.nonEmpty) Map("order" -> sortCols.mkString(",")) else Map.empty))
     }
 
   /** Selective small-file OPTIMIZE: bin-pack ONLY the live files smaller
@@ -1704,7 +1731,9 @@ object Versions {
           else Publish.publishImpl(spark, physPacked, root,
             meta.partitions, "append", Nil, Nil, 16, 0, Nil,
             requireSchemaMatch = meta.colMap.isEmpty)
-        commit(spark, root, "rewrite", newFiles, meta, removedRel = small)
+        commit(spark, root, "rewrite", newFiles, meta, removedRel = small,
+          opInfo = Map("op" -> "OPTIMIZE", "mode" -> "small-files",
+            "under_bytes" -> smallBytes.toString))
         val idxCols = StatsIndex.indexedColumns(spark, root)
         if (idxCols.nonEmpty && newFiles.nonEmpty)
           StatsIndex.appendFiles(spark, root, newFiles, idxCols)
@@ -2000,6 +2029,8 @@ object Versions {
     // of truth for versioned reads; the sidecar serves schema validation)
     DatasetMeta.write(spark, dstRoot, DatasetMeta(meta.schema, meta.partitions))
     commit(spark, dstRoot, "clone", absFiles, meta, dvs = newDvs,
+      opInfo = Map("op" -> "CLONE", "source" -> srcRoot,
+        "source_version" -> v.toString),
       colMap = Some(meta.colMap))
   }
 
@@ -2101,7 +2132,8 @@ object Versions {
         if (!isRowTracked(spark, root)) None
         else Some(rowIdBasesAt(spark, root, version)._1)
       commit(spark, root, "overwrite", abs, meta, dvs = dvs,
-        colMap = Some(meta.colMap), rowIdsOverride = restoredBases)
+        colMap = Some(meta.colMap), rowIdsOverride = restoredBases,
+        opInfo = Map("op" -> "RESTORE", "version" -> version.toString))
     }
 
   /** Physically delete files no version ≥ `keepFrom` references, then

@@ -260,6 +260,8 @@ case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("op_params", StringType, nullable = false)(),
     AttributeReference("n_added_files", LongType, nullable = false)(),
     AttributeReference("n_removed_files", LongType, nullable = false)(),
     AttributeReference("ts_millis", LongType, nullable = false)())

@@ -152,6 +152,30 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(graft.core.Fetch.fetch(spark, cloneRoot).count() == 10)
   }
 
+  test("racing optimistic appends claim disjoint id ranges (CAS-serialized)") {
+    val root = freshTracked("rt_race", n = 40)
+    val before = idsByKey(root)
+    // 4 lock-free appenders race; the commit CAS serializes base
+    // assignment, so every row — old and new — must end distinct
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          val batch = (0 until 25).map(i =>
+            (1000L + t * 25 + i, s"g${i % 4}", 0L)).toDF("k", "grp", "v")
+          Publish.publishVersioned(spark, batch, root, Seq("grp"), mode = "append")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing appends failed: ${errs.peek()}")
+    val after = idsByKey(root)
+    assert(after.size == 140)
+    assert(after.values.toSeq.distinct.size == 140,
+      "overlapping id ranges: the CAS retry failed to re-seed bases")
+    assert(before.forall { case (k, id) => after(k) == id })
+  }
+
   test("SQL enablement: SET TBLPROPERTIES + OPTIMIZE backfills row ids") {
     val root = TestSpark.tmpDir("rt_sql")
     Publish.publishVersioned(spark,

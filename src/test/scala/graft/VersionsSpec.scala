@@ -85,6 +85,24 @@ class VersionsSpec extends AnyFunSuite {
     assert(h == Seq((1, "overwrite"), (2, "append"), (3, "overwrite")))
   }
 
+  test("history surfaces operation metadata (the commitInfo shape)") {
+    val root = freshVersioned()
+    graft.core.Mutations.deleteWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") === 101) // live at v3
+    Versions.compact(spark, root, zorderCols = Seq("id"))
+    Versions.restore(spark, root, 3)
+    val h = Versions.history(spark, root)
+      .select("version", "operation", "op_params")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    val byOp = h.groupBy(_._2).map { case (k, v) => k -> v.head._3 }
+    assert(byOp("DELETE").contains("predicate==(id, 101)"),
+      s"delete commit must carry the predicate: $byOp")
+    assert(byOp("OPTIMIZE").contains("zorder=id"))
+    assert(byOp("RESTORE").contains("version=3"))
+    // un-annotated commits fall back to the action verb
+    assert(h.head._2 == "overwrite" && h.head._3.isEmpty)
+  }
+
   test("vacuum deletes only dead files and makes old versions fail loudly") {
     val root = freshVersioned()
     val deadBefore = Publish.listPhysicalDataFilesWithSize(spark, root).size
