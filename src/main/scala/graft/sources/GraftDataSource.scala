@@ -475,9 +475,14 @@ object GraftDataSource {
   /** `rowDiffKeys` option (comma list): minimal-feed keys for rewrite
     * commits in change-feed reads ([[Versions.changeFeed]]).
     */
-  private[sources] def rowDiffKeysOf(parameters: Map[String, String]): Seq[String] =
-    parameters.get("rowDiffKeys")
+  private[sources] def rowDiffKeysOf(parameters: Map[String, String]): Seq[String] = {
+    // rowDiffById=true is the no-user-keys minimal feed (row tracking):
+    // sugar for keying the rewrite diff on the stable row id
+    val byId = parameters.get("rowDiffById").exists(_.trim.equalsIgnoreCase("true"))
+    if (byId) Seq(graft.core.Versions.RowIdCol)
+    else parameters.get("rowDiffKeys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  }
 
   /** V2 DDL partition transform → graft hidden-partitioning transform
     * (`PARTITIONED BY (days(ts), bucket(8, k), truncate(4, s))`).

@@ -202,6 +202,21 @@ class RowTrackingSpec extends AnyFunSuite {
       s"minimal by-id feed expected exactly the changed row's pair: $rows")
   }
 
+  test("format('graft') batch changeFeed honors rowDiffById") {
+    val root = freshTracked("rt_fmt_cfid")
+    val backfill = Versions.latestVersion(spark, root).get
+    Mutations.updateWhere(spark, root, col("k") === 4, Map("v" -> lit(555L)))
+    val feed = spark.read.format("graft")
+      .option("changeFeed", "true")
+      .option("startingVersion", (backfill + 1).toString)
+      .option("rowDiffById", "true")
+      .load(root)
+    val rows = feed.select(col("k"), col("v"), col("_change_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((4L, 40L, "delete"), (4L, 555L, "insert")),
+      s"format CDF by-id must emit only the changed row's pair: $rows")
+  }
+
   test("watermark and bases ride the entry format; feature stamp gates readers") {
     val root = freshTracked("rt_entry")
     val latest = Versions.latestVersion(spark, root).get
