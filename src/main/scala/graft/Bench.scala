@@ -4,6 +4,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ---- Contention calibration (r14 verdict: the committed BENCH_r14 was
+    // run on a contended machine and doubled every cell; nobody could tell
+    // from the artifact). Before anything Spark runs, time a fixed CPU-bound
+    // workload across `cpus` threads. On an idle box this takes a pinned,
+    // machine-stable time; under external CPU contention the same work is
+    // descheduled and the wall time inflates roughly with the load factor.
+    // The measured seconds are stamped into the JSON as "calib" and, when
+    // they exceed CALIB_BUDGET_SEC, "contended":true — so a polluted artifact
+    // self-identifies and tools/bench_gate.py can refuse it outright.
+    def calibrate(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { i =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + i
+          var n = 0L
+          // ~0.15 s of xorshift per thread on an idle core; sink keeps the
+          // JIT from eliding the loop
+          while (n < 120000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+          if (x == 42L) System.err.println("") // sink
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = calibrate(cpus.toInt)
+    // Idle local[32] box measures ~0.2-0.5 s (32 threads, one per core).
+    // 3x headroom over the worst idle observation; beyond this the box is
+    // genuinely contended and per-query times cannot be trusted.
+    val CalibBudgetSec = sys.env.get("SPARK_GRAFT_CALIB_BUDGET").map(_.toDouble).getOrElse(1.5)
+    val contended = calibSec > CalibBudgetSec
+    if (contended)
+      System.err.println(f"[bench] WARNING: calibration $calibSec%.2fs > budget $CalibBudgetSec%.2fs — box is contended, artifact stamped contended:true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,19 +80,30 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-          // a failed query must not masquerade as a fast one: keep its
-          // name OUT of the timing map and total (a fast failure would
-          // read as a speedup) and flag it in the failed list
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          false
-        }
-      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
-    }
+    // Two timed passes, keep the per-query MIN: a transient contention
+    // spike (GC on the box, another process waking) then inflates one
+    // pass, not the artifact. Systemic contention still shows — that's
+    // what the calibration stamp is for. Pass count is stamped so the
+    // artifact says what it measured.
+    val TimedPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    def timedPass(): Map[String, Double] = queries.flatMap { case (name, fn) =>
+      if (failed.contains(name)) None
+      else {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            // a failed query must not masquerade as a fast one: keep its
+            // name OUT of the timing map and total (a fast failure would
+            // read as a speedup) and flag it in the failed list
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      }
+    }.toMap
+    val results = (1 to TimedPasses).map(_ => timedPass())
+      .reduce((a, b) => (a.keySet intersect b.keySet).map(k => k -> math.min(a(k), b(k))).toMap)
     // 2-decimal per-query seconds: sub-10ms precision is scheduling noise,
     // and the line LENGTH matters — the driver keeps only the last ~2000
     // bytes of stdout, and round 3's full-precision line outgrew the
@@ -89,7 +133,8 @@ object Bench {
       val om =
         if (omitted.isEmpty) ""
         else s""","omitted_fast":{"n":${omitted.size},"sec":${f2(omitted.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$failedJson,"sf":"$sfDir"}"""
+      val cal = s""","calib":${f2(calibSec)}""" + (if (contended) ""","contended":true""" else "")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$failedJson$cal,"sf":"$sfDir"}"""
     }
     // The driver keeps only the last ~2000 bytes of stdout; a line past
     // that loses its {"metric" prefix and the ROUND'S BENCH ARTIFACT

@@ -508,6 +508,40 @@ object SparkEntry {
       Versions.dropColumn(s, root, "o_totalprice")
       Fetch.fetch(s, root).orderBy("o_orderkey")
     }),
+    // replaceWhere — partition-scoped logical overwrite, the backfill
+    // idiom: recompute ONE partition ('F': odd keys dropped, priorities
+    // restamped) and swap it in as a single rewrite commit. The affected
+    // files resolve from the commit log's hive paths — zero data rows
+    // read (ReplaceWhereSpec pins recordsRead == 0) — and untouched
+    // partitions' files provably keep their paths.
+    "version_replace_where" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vreplace", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      val recomputed = s.read.parquet(t(dir, "orders"))
+        .where(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", concat(lit("B:"), col("o_orderpriority")))
+      Mutations.replaceWhere(s, root, col("o_orderstatus") === "F", recomputed)
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+    // the same statement through Spark's own SQL grammar (INSERT INTO …
+    // REPLACE WHERE → OverwriteByExpression → the one-commit rewrite),
+    // with a GENERAL predicate: survivors of the affected files carry over
+    "version_replace_where_sql" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vreplsql", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Publish.publishVersioned(s, s.read.parquet(t(dir, "orders")),
+        root, Seq("o_orderstatus"))
+      s.read.parquet(t(dir, "orders"))
+        .where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_custkey", col("o_custkey") + 5000000L)
+        .createOrReplaceTempView("replace_src")
+      graft.plans.GraftSql.exec(s,
+        s"INSERT INTO graft.`$root` REPLACE WHERE o_orderkey % 10 = 3 " +
+          "SELECT * FROM replace_src").collect()
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
     "version_update_where" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vupdate", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -2156,6 +2190,20 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_orderdate,
         | 'N:' || o_orderpriority AS priority
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | 'B:' || o_orderpriority AS o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "version_replace_where_sql" ->
+      """SELECT o_orderkey, o_custkey + 5000000 AS o_custkey, o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderkey % 10 <> 3
         |ORDER BY o_orderkey""".stripMargin,
     "version_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

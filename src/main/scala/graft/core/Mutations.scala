@@ -91,6 +91,24 @@ object Mutations {
       if (files.forall(bases.contains)) Some(bases) else None
     }
 
+  /** Coverage scoped to the AFFECTED files (r14 advice): a rewrite only
+    * re-reads `affected`, so ids are preservable whenever THOSE files are
+    * covered — even mid-backfill, when some other live file still lacks a
+    * base. The all-files variant above remains for the DV paths, whose
+    * locate scan reads the whole snapshot before the affected set exists.
+    * A rewrite whose affected set includes an uncovered file still
+    * renumbers (there are no ids to preserve), and [[Versions.changeFeed]]
+    * then fails loudly at its per-commit coverage require rather than
+    * emitting silent churn.
+    */
+  private def liveBases(spark: SparkSession, root: String, latest: Int,
+                        affected: Seq[String]): Option[Map[String, Long]] =
+    if (!Versions.isRowTracked(spark, root)) None
+    else {
+      val bases = Versions.rowIdBasesAt(spark, root, latest)._1
+      if (affected.forall(bases.contains)) Some(bases) else None
+    }
+
   private val RowIdCol = Versions.RowIdCol
 
   /** Deterministic text of a predicate for the commitInfo surface (the
@@ -124,7 +142,8 @@ object Mutations {
         // schema on a mapped dataset (and an evolving merge's replacement
         // carries MORE columns than the sidecar); the logical shape was
         // already validated by the snapshot read this derives from
-        requireSchemaMatch = meta.colMap.isEmpty && !schemaEvolved)
+        requireSchemaMatch = meta.colMap.isEmpty && !schemaEvolved,
+        internalRewrite = true)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
       removedRel = removedRel, opInfo = opInfo)
@@ -151,7 +170,7 @@ object Mutations {
       else {
         // row tracking: survivors keep their ids (materialized into the
         // rewritten files); deleted ids simply never reappear
-        val bases = liveBases(spark, root, latest)
+        val bases = liveBases(spark, root, latest, affected)
         val survivors = Versions
           .readFiles(spark, root, affected, meta, dvs = dvs,
             keepRowId = bases.map(_ => RowIdCol),
@@ -159,6 +178,122 @@ object Mutations {
           .where(not(predicate <=> lit(true)))
         rewriteCommit(spark, root, meta, survivors, affected,
           opInfo = Map("op" -> "DELETE", "predicate" -> predSql(predicate)))
+      }
+    }
+
+  /** Column names a predicate references, resolved against the dataset
+    * schema. Spark 4 Columns carry an opaque ColumnNode tree (not a
+    * catalyst Expression), so syntactic traversal sees nothing — instead
+    * ANALYZE a filter over an empty frame of the dataset's schema and
+    * read the resolved condition's references. Unknown columns fail
+    * loudly here (AnalysisException), before any data moves.
+    */
+  private def predicateRefs(spark: SparkSession, schema: StructType,
+                            c: Column): Set[String] = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    empty.where(c).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+    }.flatten.toSet
+  }
+
+  /** `replaceWhere` — Delta's partition/predicate-scoped logical
+    * overwrite, the standard backfill idiom ("replace partition
+    * 2026-08-15 with this recomputed frame") as ONE atomic commit:
+    * every row matching `predicate` is removed and `data` is inserted,
+    * with the guarantee that every `data` row itself satisfies the
+    * predicate (rejected up front otherwise — an overwrite scoped to
+    * Tuesday must not smuggle in Wednesday rows).
+    *
+    * Scale shape, two regimes:
+    *   - **Partition-scoped** (the predicate references only partition
+    *     columns): affected files are resolved from the COMMIT LOG's
+    *     file list by parsing hive path values and evaluating the
+    *     predicate on a tiny local frame — zero data files opened, zero
+    *     rows read. Untouched partitions' files provably don't move
+    *     (same paths before/after); the commit swaps whole partitions.
+    *     On a 100 TB table a one-partition backfill reads nothing and
+    *     writes O(new partition).
+    *   - **General predicate**: locate→rewrite like [[deleteWhere]] —
+    *     only files containing a matching row are re-read, survivors
+    *     (non-matching co-located rows) are carried into the rewrite.
+    *
+    * Row tracking: survivors keep their ids (materialized, coverage per
+    * affected file); replacement rows are inserts — fresh ids.
+    *
+    * The reference can only clobber a whole dataset or append
+    * (publish_parq.py's two modes); partition-granular replacement is the
+    * missing middle this adds, and versioning makes it atomic.
+    */
+  def replaceWhere(spark: SparkSession, root: String, predicate: Column,
+                   data: DataFrame): MutationResult =
+    DatasetLock.withLock(spark, root) {
+      val (latest, meta, dvs, snap) = snapshotWithPath(spark, root)
+      val tgtCols = meta.schema.fieldNames.toSeq
+      val missing = tgtCols.filterNot(data.columns.contains)
+      val extra = data.columns.filterNot(tgtCols.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"replaceWhere data columns must equal the dataset's; " +
+          s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+      val src = data.select(meta.schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      val stray = src.where(!(predicate <=> lit(true))).limit(1).collect()
+      require(stray.isEmpty,
+        s"replaceWhere data contains rows NOT matching the predicate " +
+          s"(e.g. ${stray.headOption.getOrElse("")}) — the write may only " +
+          "produce rows inside the range it replaces")
+
+      val refs = predicateRefs(spark, meta.schema, predicate)
+      val partitionScoped =
+        refs.nonEmpty && refs.subsetOf(meta.partitions.toSet) &&
+          meta.partitions.nonEmpty
+      val (liveFiles, _, _) = Versions.snapshotFullAt(spark, root, latest)
+      val affected: Seq[String] =
+        if (partitionScoped) {
+          // evaluate the predicate against path-derived partition values
+          // on a LOCAL frame — full Spark cast/comparison semantics, no
+          // data read. Hive-escaped values unescape through the exact
+          // routine the writer used; the null partition dir maps to null.
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          import scala.jdk.CollectionConverters._
+          val raw: Seq[Row] = liveFiles.map { rel =>
+            Row.fromSeq(rel +: meta.partitions.map { p =>
+              rel.split('/').collectFirst {
+                case seg if seg.startsWith(p + "=") =>
+                  Fetch.unescapePathName(seg.substring(p.length + 1))
+              }.filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
+            })
+          }
+          val schema0 = StructType(StructField("__file", StringType) +:
+            meta.partitions.map(p => StructField(p, StringType)))
+          spark.createDataFrame(raw.toList.asJava, schema0)
+            .select(col("__file") +: meta.partitions.map(p =>
+              col(p).cast(meta.schema(p).dataType).as(p)): _*)
+            .where(predicate <=> lit(true))
+            .select("__file").collect().map(_.getString(0)).toSeq.sorted
+        } else affectedFiles(snap.where(predicate))
+
+      if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
+      else {
+        val bases = liveBases(spark, root, latest, affected)
+        val idCol: Seq[Column] =
+          bases.map(_ => lit(null).cast("long").as(RowIdCol)).toSeq
+        val replacement =
+          if (partitionScoped) src.select(col("*") +: idCol: _*)
+          else {
+            val survivors = Versions
+              .readFiles(spark, root, affected, meta, dvs = dvs,
+                keepRowId = bases.map(_ => RowIdCol),
+                rowIdBases = bases.getOrElse(Map.empty))
+              .where(not(predicate <=> lit(true)))
+            survivors.unionByName(src.select(col("*") +: idCol: _*))
+          }
+        rewriteCommit(spark, root, meta, replacement, affected,
+          opInfo = Map("op" -> "REPLACE WHERE",
+            "predicate" -> predSql(predicate),
+            "partition_scoped" -> partitionScoped.toString))
       }
     }
 
@@ -251,7 +386,7 @@ object Mutations {
       if (rows.isEmpty) Nil
       else Publish.publishImpl(spark, physRows, root,
         meta.partitions, "append", Nil, Nil, 16, 0, Nil,
-        requireSchemaMatch = meta.colMap.isEmpty)
+        requireSchemaMatch = meta.colMap.isEmpty, internalRewrite = true)
     val addedRel = Versions.relativize(spark, root, newFiles)
     val v = Versions.commit(spark, root, "update_dv", newFiles, meta,
       dvs = dv.toSeq, opInfo = opInfo)
@@ -403,7 +538,7 @@ object Mutations {
           }
         }
         // row tracking: updated AND untouched-neighbor rows keep their ids
-        val bases = liveBases(spark, root, latest)
+        val bases = liveBases(spark, root, latest, affected)
         val rewritten = Versions
           .readFiles(spark, root, affected, meta, dvs = dvs,
             keepRowId = bases.map(_ => RowIdCol),
@@ -461,7 +596,7 @@ object Mutations {
         val payload = tgtCols.filterNot(keyCols.contains)
         // row tracking: upserts of existing keys keep the target row's id
         // (same struct threading as merge); inserts get fresh computed ids
-        val bases = liveBases(spark, root, latest)
+        val bases = liveBases(spark, root, latest, affected)
         def targetRows = Versions.readFiles(spark, root, affected, meta,
           dvs = dvs, keepRowId = bases.map(_ => RowIdCol),
           rowIdBases = bases.getOrElse(Map.empty))
@@ -469,10 +604,17 @@ object Mutations {
           if (payload.isEmpty) bases match {
             case None => targetRows.unionByName(ups).distinct()
             case Some(_) =>
-              targetRows.unionByName(
-                ups.join(targetRows.select(keyCols.map(col): _*),
-                    keyCols, "left_anti")
-                  .withColumn(RowIdCol, lit(null).cast("long")))
+              // same set-semantics alignment as merge's keys-only branch:
+              // collapse pre-existing duplicate target keys to the min-id
+              // row so tracked and untracked APPLY CHANGES agree
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*).orderBy(col(RowIdCol).asc)
+              targetRows.withColumn("_rn", row_number().over(w))
+                .where(col("_rn") === 1).drop("_rn")
+                .unionByName(
+                  ups.join(targetRows.select(keyCols.map(col): _*),
+                      keyCols, "left_anti")
+                    .withColumn(RowIdCol, lit(null).cast("long")))
           } else {
             val idInT = bases.map(_ => col(RowIdCol)).toSeq
             val idInS = bases.map(_ => lit(null).cast("long").as(RowIdCol)).toSeq
@@ -557,7 +699,7 @@ object Mutations {
         // row tracking: matched rows are UPDATES — they keep the target
         // row's id (threaded through the join as a struct field taken
         // from the TARGET side); inserts carry null → fresh computed ids
-        val bases = liveBases(spark, root, latest)
+        val bases = liveBases(spark, root, latest, affected)
         // affected target rows under the OLD schema, null-extended to the
         // evolved one (their files predate the new columns)
         def targetRows = extraF.foldLeft(
@@ -571,12 +713,24 @@ object Mutations {
               // keys-only dataset: upsert degenerates to set union
               targetRows.unionByName(src).distinct()
             case Some(_) =>
-              // id-bearing rows are pairwise distinct by construction:
-              // keep the target side whole, insert only unmatched keys
-              targetRows.unionByName(
-                src.join(targetRows.select(keyCols.map(col): _*),
-                    keyCols, "left_anti")
-                  .withColumn(RowIdCol, lit(null).cast("long")))
+              // Match the untracked branch's SET semantics exactly (it
+              // does union+distinct): pre-existing duplicate key tuples
+              // in the affected files collapse to ONE surviving row —
+              // the MIN-id row, so the oldest copy keeps its identity in
+              // the change feed — and only unmatched source keys insert.
+              // (Duplicate SOURCE rows are impossible here: the
+              // uniqueness require above covers every column when the
+              // key set is the whole schema.) Without this, merge
+              // results depended on the orthogonal row-tracking table
+              // property.
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*).orderBy(col(RowIdCol).asc)
+              targetRows.withColumn("_rn", row_number().over(w))
+                .where(col("_rn") === 1).drop("_rn")
+                .unionByName(
+                  src.join(targetRows.select(keyCols.map(col): _*),
+                      keyCols, "left_anti")
+                    .withColumn(RowIdCol, lit(null).cast("long")))
           } else {
             val idInT = bases.map(_ => col(RowIdCol)).toSeq
             val idInS = bases.map(_ => lit(null).cast("long").as(RowIdCol)).toSeq

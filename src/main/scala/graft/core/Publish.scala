@@ -220,7 +220,8 @@ object Publish {
                        zorderPartitions: Int = 0,
                        statsCols: Seq[String] = Nil,
                        txn: Option[(String, Long)] = None,
-                       opInfo: Map[String, String] = Map.empty): Seq[String] = {
+                       opInfo: Map[String, String] = Map.empty,
+                       internalRewrite: Boolean = false): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // Appends to an existing versioned dataset are OPTIMISTIC: racing
     // appenders run concurrently and land as consecutive versions (the
@@ -247,14 +248,16 @@ object Publish {
       val newFiles =
         if (existing.isEmpty)
           publishImpl(spark, df, root, partitions, "overwrite", sortCols,
-            zorderCols, zorderBits, zorderPartitions, statsCols)
+            zorderCols, zorderBits, zorderPartitions, statsCols,
+            internalRewrite = internalRewrite)
         else
           // existing versioned dataset: visibility is commit-controlled,
           // so the physical file adds go through the direct-write protocol
           // (one write per byte, O(batch) file discovery)
           publishImpl(spark, df, root, partitions, "append", sortCols,
             zorderCols, zorderBits, zorderPartitions, statsCols,
-            requireSchemaMatch = mode == "append", directCommit = true)
+            requireSchemaMatch = mode == "append", directCommit = true,
+            internalRewrite = internalRewrite)
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(StructType(df.schema.fields.filterNot(
           _.name == Versions.RowIdCol)), partitions), txn = txn, opInfo = opInfo)
@@ -510,8 +513,18 @@ object Publish {
                           statsCols: Seq[String],
                           requireSchemaMatch: Boolean = true,
                           metaSchemaOverride: Option[StructType] = None,
-                          directCommit: Boolean = false): Seq[String] = {
+                          directCommit: Boolean = false,
+                          internalRewrite: Boolean = false): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
+    // `_graft_row_id` is reserved for row tracking: only INTERNAL rewrite
+    // paths (mutations, OPTIMIZE) may carry it through a write — they
+    // materialize it physically so ids survive re-layout. A USER frame
+    // with that name must fail loudly here: silently stripping it from
+    // the recorded schema (the pre-r15 behavior) wrote the column
+    // physically but made it vanish from reads and schema-match checks.
+    require(internalRewrite || !df0.schema.fieldNames.contains(Versions.RowIdCol),
+      s"column name ${Versions.RowIdCol} is reserved for graft row tracking; " +
+        "rename it before publishing")
     // Hidden partitioning ([[Transforms]]): every write into a
     // transform-partitioned dataset re-derives the partition columns from
     // the raw values — appends take raw user frames, and mutation rewrites

@@ -401,10 +401,32 @@ object Versions {
     // rows), reused across CAS retries (file contents are immutable).
     lazy val addedRowCounts: Seq[Long] = {
       val conf = spark.sparkContext.hadoopConfiguration
-      addedAbs.map { a =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(a), conf))
-        try rdr.getRecordCount finally rdr.close()
+      // Footer opens run in PARALLEL on the driver (bounded pool): on an
+      // object store each open is a network round trip, and a large
+      // append's serial O(files) loop sat squarely inside the commit path
+      // (r14 advice). Order is preserved — counts line up with addedAbs.
+      if (addedAbs.size <= 1)
+        addedAbs.map { a =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(a), conf))
+          try rdr.getRecordCount finally rdr.close()
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, addedAbs.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[Long]] = addedAbs.map { a =>
+            new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(a), conf))
+                try rdr.getRecordCount finally rdr.close()
+              }
+            }
+          }
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        } finally pool.shutdown()
       }
     }
     var attempts = 0
@@ -1651,21 +1673,40 @@ object Versions {
     DatasetLock.withLock(spark, root) {
       val latest = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"dataset $root is not versioned"))
-      val (files, meta, _) = snapshotFullAt(spark, root, latest)
+      val (files, meta, dvsAll) = snapshotFullAt(spark, root, latest)
       // row tracking: a re-layout must PRESERVE ids — materialize them as
       // a physical column in the compacted files (the coalesce read then
       // prefers it over the fresh bases this commit also assigns). Right
       // after enablement the live files have no ids yet: THIS rewrite is
-      // the documented backfill, so it reads bare and lets the commit's
-      // fresh bases number every row.
+      // the documented backfill, so those read bare and let the commit's
+      // fresh bases number their rows. Coverage is PER FILE (r14 advice):
+      // mid-backfill, the already-covered subset keeps its ids — covered
+      // files read with ids materialized, uncovered ones carry a null id
+      // the coalesce read resolves to base + row_index. The two regimes
+      // stay disjoint: materialized ids sit below the current watermark,
+      // fresh base ranges start at it.
       val tracked = isRowTracked(spark, root)
-      val covered = tracked &&
-        files.forall(rowIdBasesAt(spark, root, latest)._1.contains)
+      val bases =
+        if (tracked) rowIdBasesAt(spark, root, latest)._1
+        else Map.empty[String, Long]
+      val (coveredF, uncoveredF) = files.partition(bases.contains)
       val snap =
-        if (covered) fetchVersionWithRowIds(spark, root, latest)
-        else fetchVersion(spark, root, latest)
+        if (!tracked || coveredF.isEmpty) fetchVersion(spark, root, latest)
+        else if (uncoveredF.isEmpty) fetchVersionWithRowIds(spark, root, latest)
+        else {
+          def slice(fs: Seq[String]) = {
+            val in = fs.toSet
+            dvsAll.map(d => DvRef(d.dir, d.files.filter(in)))
+              .filter(_.files.nonEmpty)
+          }
+          readFiles(spark, root, coveredF, meta, dvs = slice(coveredF),
+              keepRowId = Some(RowIdCol), rowIdBases = bases)
+            .unionByName(
+              readFiles(spark, root, uncoveredF, meta, dvs = slice(uncoveredF))
+                .withColumn(RowIdCol, lit(null).cast("long")))
+        }
       Publish.publishVersioned(spark, snap,
-        root, meta.partitions, sortCols = sortCols,
+        root, meta.partitions, sortCols = sortCols, internalRewrite = tracked,
         zorderCols = zorderCols, zorderBits = zorderBits,
         zorderPartitions = zorderPartitions,
         opInfo = Map("op" -> "OPTIMIZE") ++
@@ -1714,11 +1755,26 @@ object Versions {
         // postdates enablement; the whole-snapshot compact is the backfill)
         val smallBases = if (!isRowTracked(spark, root)) Map.empty[String, Long]
           else rowIdBasesAt(spark, root, latest)._1
-        val packIds = small.forall(smallBases.contains)
-        val packed = readFiles(spark, root, small, meta, dvs = relevant,
-            keepRowId = if (packIds) Some(RowIdCol) else None,
-            rowIdBases = smallBases)
-          .repartition(outParts)
+        val (covSmall, uncovSmall) = small.partition(smallBases.contains)
+        // per-subset coverage, like [[compact]]: a mixed pack preserves
+        // the covered files' ids and lets fresh bases number the rest
+        def sliceDv(fs: Seq[String]) = {
+          val in = fs.toSet
+          dvs.map(d => DvRef(d.dir, d.files.filter(in))).filter(_.files.nonEmpty)
+        }
+        val packedRows =
+          if (covSmall.isEmpty)
+            readFiles(spark, root, small, meta, dvs = relevant)
+          else if (uncovSmall.isEmpty)
+            readFiles(spark, root, small, meta, dvs = relevant,
+              keepRowId = Some(RowIdCol), rowIdBases = smallBases)
+          else
+            readFiles(spark, root, covSmall, meta, dvs = sliceDv(covSmall),
+                keepRowId = Some(RowIdCol), rowIdBases = smallBases)
+              .unionByName(
+                readFiles(spark, root, uncovSmall, meta, dvs = sliceDv(uncovSmall))
+                  .withColumn(RowIdCol, lit(null).cast("long")))
+        val packed = packedRows.repartition(outParts)
         // mapped datasets pack under PHYSICAL names like every live file
         val physPacked =
           if (meta.colMap.isEmpty) packed
@@ -1730,7 +1786,7 @@ object Versions {
           if (packed.isEmpty) Nil
           else Publish.publishImpl(spark, physPacked, root,
             meta.partitions, "append", Nil, Nil, 16, 0, Nil,
-            requireSchemaMatch = meta.colMap.isEmpty)
+            requireSchemaMatch = meta.colMap.isEmpty, internalRewrite = true)
         commit(spark, root, "rewrite", newFiles, meta, removedRel = small,
           opInfo = Map("op" -> "OPTIMIZE", "mode" -> "small-files",
             "under_bytes" -> smallBytes.toString))

@@ -123,6 +123,32 @@ object LakehouseSql {
           PlanArg(cond.getOrElse(Literal.TrueLiteral)),
           named.map { case (k, v) => (k, PlanArg(v)) })
 
+      // INSERT INTO graft.`root` REPLACE WHERE cond SELECT … — Spark's
+      // own grammar for the Delta `replaceWhere` idiom (parsed to
+      // OverwriteByExpression): atomically swap exactly the matching
+      // rows for the query's result, one commit.
+      case o: OverwriteByExpression if targetRoot(o.table).isDefined =>
+        GraftReplaceWhereCommand(targetRoot(o.table).get,
+          PlanArg(o.deleteExpr), PlanArg(o.query.transformDown(pf)))
+
+      // INSERT INTO / INSERT OVERWRITE [PARTITION (p='v', …)] graft.`root`
+      // SELECT … — positional column mapping (the INSERT contract); a
+      // fully-static PARTITION spec scopes the overwrite to exactly those
+      // partitions (replaceWhere), an empty spec overwrites the dataset.
+      case i: InsertIntoStatement if targetRoot(i.table).isDefined =>
+        require(i.userSpecifiedCols.isEmpty,
+          "graft INSERT does not support a column list; project in the SELECT")
+        require(!i.ifPartitionNotExists,
+          "graft INSERT OVERWRITE does not support IF NOT EXISTS")
+        val static = i.partitionSpec.toSeq.map {
+          case (p, Some(v)) => p -> v
+          case (p, None) => throw new UnsupportedOperationException(
+            s"graft INSERT needs static PARTITION values; $p is dynamic " +
+              "(use INSERT INTO … REPLACE WHERE for predicate-scoped writes)")
+        }
+        GraftInsertCommand(targetRoot(i.table).get,
+          PlanArg(i.query.transformDown(pf)), i.overwrite, static)
+
       case m: MergeIntoTable if targetRoot(m.targetTable).isDefined =>
         require(m.notMatchedBySourceActions.isEmpty,
           "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
@@ -231,6 +257,79 @@ case class GraftMergeCommand(root: String, source: PlanArg[LogicalPlan],
         s"spark.graft.merge.mode must be rewrite|dv, got $other")
     }
     asRow(result)
+  }
+}
+
+/** `INSERT INTO graft.`root` REPLACE WHERE cond SELECT …` — the Delta
+  * `replaceWhere` SQL surface: one atomic rewrite commit removes every
+  * row matching `cond` and inserts the query's rows (each of which must
+  * itself satisfy `cond`). A partition-only `cond` resolves its affected
+  * files from the commit log's paths — zero data files read; untouched
+  * partitions' files do not move ([[Mutations.replaceWhere]]).
+  */
+case class GraftReplaceWhereCommand(root: String, cond: PlanArg[Expression],
+                                    source: PlanArg[LogicalPlan])
+    extends GraftMutationCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    asRow(Mutations.replaceWhere(spark, root, shim.column(cond.value),
+      shim.ofRows(spark, source.value)))
+}
+
+/** `INSERT INTO | OVERWRITE graft.`root` [PARTITION (p='v', …)] SELECT …`.
+  * Positional column mapping (standard INSERT): the SELECT supplies the
+  * dataset's non-partition-spec columns in schema order; static PARTITION
+  * values become literal columns. OVERWRITE with a full static spec is
+  * partition-scoped [[Mutations.replaceWhere]]; with no spec it is a
+  * whole-dataset logical overwrite; INSERT INTO appends.
+  */
+case class GraftInsertCommand(root: String, source: PlanArg[LogicalPlan],
+                              overwrite: Boolean,
+                              staticSpec: Seq[(String, String)])
+    extends GraftMutationCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src0 = shim.ofRows(spark, source.value)
+    val meta = graft.core.DatasetMeta.read(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"INSERT target $root has no graft metadata (publish it first)"))
+    val badSpec = staticSpec.map(_._1).filterNot(meta.partitions.contains)
+    require(badSpec.isEmpty,
+      s"PARTITION spec names non-partition columns: ${badSpec.mkString(",")}")
+    val specCols = staticSpec.map(_._1).toSet
+    val dataCols = meta.schema.fieldNames.toIndexedSeq.filterNot(specCols)
+    require(src0.columns.length == dataCols.length,
+      s"INSERT query produces ${src0.columns.length} columns; the dataset " +
+        s"expects ${dataCols.length} (${dataCols.mkString(",")})")
+    val positioned = staticSpec.foldLeft(src0.toDF(dataCols: _*)) {
+      case (d, (p, v)) => d.withColumn(p, lit(v).cast(meta.schema(p).dataType))
+    }.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+    if (!overwrite) {
+      val added =
+        if (Versions.isVersioned(spark, root))
+          graft.core.Publish.publishVersioned(spark, positioned, root,
+            meta.partitions, mode = "append")
+        else graft.core.Publish.publish(spark, positioned, root,
+          meta.partitions, mode = "append")
+      val v = Versions.latestVersion(spark, root).getOrElse(0)
+      Seq(Row(v, 0, added.size))
+    } else if (staticSpec.isEmpty) {
+      val before = Versions.latestVersion(spark, root)
+      val removed =
+        if (before.isDefined) Versions.snapshotFullAt(spark, root, before.get)._1.size
+        else 0
+      val added =
+        if (Versions.isVersioned(spark, root))
+          graft.core.Publish.publishVersioned(spark, positioned, root,
+            meta.partitions, mode = "overwrite")
+        else graft.core.Publish.publish(spark, positioned, root,
+          meta.partitions, mode = "overwrite")
+      Seq(Row(Versions.latestVersion(spark, root).getOrElse(0), removed, added.size))
+    } else {
+      val pred = staticSpec.map { case (p, v) =>
+        col(p) === lit(v).cast(meta.schema(p).dataType)
+      }.reduce(_ && _)
+      asRow(Mutations.replaceWhere(spark, root, pred, positioned))
+    }
   }
 }
 

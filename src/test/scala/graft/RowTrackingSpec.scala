@@ -217,6 +217,73 @@ class RowTrackingSpec extends AnyFunSuite {
       s"format CDF by-id must emit only the changed row's pair: $rows")
   }
 
+  test("_graft_row_id is a reserved column name on user-facing publishes") {
+    // r14 advice: a user frame carrying the internal id column used to be
+    // written physically but silently stripped from the recorded schema —
+    // the column then vanished from reads with no error. Reject loudly.
+    val df = Seq((1L, "g0", 5L)).toDF("k", "grp", Id)
+    val e1 = intercept[IllegalArgumentException] {
+      Publish.publish(spark, df, TestSpark.tmpDir("rt_reserved1"), Seq("grp"))
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      Publish.publishVersioned(spark, df, TestSpark.tmpDir("rt_reserved2"), Seq("grp"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("tracked keys-only merge matches the untracked path's set semantics") {
+    // r14 advice: the tracked keys-only branch kept pre-existing duplicate
+    // target keys where the untracked branch's union+distinct collapsed
+    // them — results depended on an orthogonal table property. Both paths
+    // must now agree: duplicates collapse, and the tracked survivor keeps
+    // the MIN id (stable under the change feed).
+    val rows = Seq((1L, "g0"), (1L, "g0"), (2L, "g0"), (3L, "g1"))
+      .toDF("k", "grp")
+    val src = Seq((2L, "g0"), (9L, "g1")).toDF("k", "grp")
+    def run(tracked: Boolean): Seq[(Long, String)] = {
+      val root = TestSpark.tmpDir(s"rt_merge_keysonly_$tracked")
+      Publish.publishVersioned(spark, rows, root, Seq("grp"))
+      if (tracked) {
+        Versions.enableRowTracking(spark, root)
+        Versions.compact(spark, root)
+      }
+      Mutations.merge(spark, root, src, Seq("k", "grp"))
+      graft.core.Fetch.fetch(spark, root).select(col("k"), col("grp"))
+        .as[(Long, String)].collect().toSeq.sorted
+    }
+    val (t, u) = (run(tracked = true), run(tracked = false))
+    assert(t == u, s"tracked=$t vs untracked=$u must agree")
+    assert(t == Seq((1L, "g0"), (2L, "g0"), (3L, "g1"), (9L, "g1")))
+  }
+
+  test("mid-backfill mutation on covered files preserves ids (scoped coverage)") {
+    // r14 advice: coverage was all-or-nothing — after enablement but
+    // before full backfill, a delete touching ONLY covered files rewrote
+    // them without materializing ids, silently renumbering. Coverage is
+    // now per affected file.
+    val root = TestSpark.tmpDir("rt_midbackfill")
+    // v1: pre-tracking batch (file uncovered until the backfill)
+    Publish.publishVersioned(spark,
+      (0 until 50).map(i => (i.toLong, "old", i * 10L)).toDF("k", "grp", "v"),
+      root, Seq("grp"))
+    Versions.enableRowTracking(spark, root) // NO backfill yet
+    // v3: appended batch — its files carry fresh bases [0, 20)
+    Publish.publishVersioned(spark,
+      (100 until 120).map(i => (i.toLong, "new", i * 10L)).toDF("k", "grp", "v"),
+      root, Seq("grp"), mode = "append")
+    // delete one row of the COVERED batch only (partition "new")
+    Mutations.deleteWhere(spark, root, col("k") === 105L)
+    // now backfill the pre-tracking file; covered survivors keep their ids
+    Versions.compact(spark, root)
+    val ids = idsByKey(root)
+    val newBatch = ids.filter { case (k, _) => k >= 100 }
+    assert(newBatch.size == 19 && newBatch.values.forall(_ < 20),
+      s"covered-batch survivors must keep their original [0,20) ids: $newBatch")
+    assert(ids.filter(_._1 < 50).values.forall(_ >= 20),
+      "backfilled pre-tracking rows take fresh ids above the batch range")
+  }
+
   test("watermark and bases ride the entry format; feature stamp gates readers") {
     val root = freshTracked("rt_entry")
     val latest = Versions.latestVersion(spark, root).get

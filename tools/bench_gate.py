@@ -104,6 +104,19 @@ def main():
     new, base = load_bench(new_path), load_bench(base_path)
     nq, bq = new["queries"], base["queries"]
 
+    # Since r15 the bench stamps a pre-Spark CPU calibration: "calib" is
+    # always present, "contended":true when it blew its budget. A contended
+    # artifact is untrustworthy regardless of per-query comparisons — exit 1
+    # immediately (r14: a contended run doubled every cell and was committed
+    # unremarked; the judge caught it, the gate should have).
+    if new.get("contended"):
+        print(f"CONTENDED ARTIFACT: calibration {new.get('calib')}s blew its "
+              f"budget — this bench ran on a loaded box; per-query times are "
+              f"meaningless. Re-run on a quiet machine.")
+        sys.exit(1)
+    if "calib" in new:
+        print(f"calibration {new['calib']}s (quiet box)")
+
     failed = new.get("failed", [])
     regressions = [
         (name, t, bq[name])
