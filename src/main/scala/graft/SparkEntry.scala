@@ -2020,6 +2020,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the SAME hidden-partitioned shape, declared through the V2
+    // TableCatalog's first-class DDL (PARTITIONED BY (months(..),
+    // bucket(..)) — no OPTIONS workaround) and driven entirely in SQL:
+    // CREATE → INSERT (re-derives the layout) → raw-filter SELECT
+    "catalog_transform_prune" -> ((s, dir) => {
+      val wh = tmpRoot("graft_warehouse", dir)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/db/orders_t"))
+      s.sql("""CREATE TABLE gcat.db.orders_t (
+        | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+        |USING graft
+        |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("catalog_orders_src")
+      s.sql("INSERT INTO gcat.db.orders_t SELECT * FROM catalog_orders_src")
+      s.sql("""SELECT * FROM gcat.db.orders_t
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "zorder_publish_roundtrip" -> ((s, dir) => {
       // z-order-clustered publish (range-partitioned + sorted by the
       // Morton interleave of custkey x totalprice) must round-trip the
@@ -2312,6 +2336,9 @@ object SparkEntry {
 
     "zorder_publish_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "publish_transform_prune" ->
+      ("SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' ORDER BY o_orderkey"),
+    "catalog_transform_prune" ->
       ("SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' ORDER BY o_orderkey"),
 

@@ -221,7 +221,8 @@ object Publish {
                        statsCols: Seq[String] = Nil,
                        txn: Option[(String, Long)] = None,
                        opInfo: Map[String, String] = Map.empty,
-                       internalRewrite: Boolean = false): Seq[String] = {
+                       internalRewrite: Boolean = false,
+                       baseVersion: Option[Int] = None): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // Appends to an existing versioned dataset are OPTIMISTIC: racing
     // appenders run concurrently and land as consecutive versions (the
@@ -260,7 +261,8 @@ object Publish {
             internalRewrite = internalRewrite)
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(StructType(df.schema.fields.filterNot(
-          _.name == Versions.RowIdCol)), partitions), txn = txn, opInfo = opInfo)
+          _.name == Versions.RowIdCol)), partitions), txn = txn, opInfo = opInfo,
+        baseVersion = baseVersion)
       newFiles
     }
   }
@@ -382,8 +384,12 @@ object Publish {
     Versions.commit(spark, root, "append", moved,
       DatasetMeta(logicalSchema, partitions), txn = txn)
     // opt-in auto-compaction: bounded file counts under steady ingestion
-    // (no-op unless the graft.autoCompact.minSmallFiles property is set)
-    Versions.maybeAutoCompact(spark, root)
+    // (no-op unless the graft.autoCompact.minSmallFiles property is set).
+    // Best-effort: losing an OCC race to a concurrent writer must not
+    // fail the APPEND, which is already durably committed — the next
+    // append's trigger retries the compaction.
+    try Versions.maybeAutoCompact(spark, root)
+    catch { case _: java.util.ConcurrentModificationException => }
     moved
   }
 

@@ -364,6 +364,15 @@ object Versions {
     * keep their ORIGINAL bases; fresh assignment would renumber them).
     * None = assign fresh bases when row tracking is on.
     */
+  /** `baseVersion`: OPTIMISTIC-CONCURRENCY guard (the Delta conflict-
+    * detection shape). When set, the caller computed this commit's
+    * content against that snapshot version; before claiming a version,
+    * every commit that landed since is checked for commutativity —
+    * disjoint-file mutations both land, conflicting ones lose LOUDLY
+    * ([[java.util.ConcurrentModificationException]]) instead of silently
+    * clobbering each other. None = no guard (appends already commute by
+    * construction; user overwrites are documented last-writer-wins).
+    */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
              removedRel: Seq[String] = Nil,
@@ -373,7 +382,8 @@ object Versions {
              constraints: Option[Map[String, String]] = None,
              properties: Option[Map[String, String]] = None,
              rowIdsOverride: Option[Map[String, Long]] = None,
-             opInfo: Map[String, String] = Map.empty): Int = {
+             opInfo: Map[String, String] = Map.empty,
+             baseVersion: Option[Int] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -433,6 +443,71 @@ object Versions {
     while (attempts < 10000) {
       val latest = latestVersion(spark, root)
       val latestEntry = latest.map(lv => readEntry(spark, root, lv))
+      // ---- OCC conflict validation (file-level, re-run on every CAS
+      // retry against the CURRENT parent). Rules, per this commit's kind:
+      //   every guarded commit conflicts with: a snapshot replacement
+      //     (overwrite/clone/RESTORE) landing in between; a schema,
+      //     column-mapping or CHECK-constraint change (the content was
+      //     computed/validated under the old metadata); another commit
+      //     removing any file this one removes or DVs (lost update);
+      //   a rewrite additionally conflicts with a DV landing on a file it
+      //     removes (the rewrite re-wrote that file's rows from a read
+      //     that predates the DV — committing would resurrect them);
+      //   an update_dv additionally conflicts with another DV on its
+      //     files (two updates of one row would otherwise BOTH add their
+      //     copy); delete_dv ∥ delete_dv on one file stays legal — live
+      //     DVs union at read, and deletes are idempotent.
+      //   a guarded OVERWRITE (maintenance re-layouts: OPTIMIZE/compact)
+      //     conflicts with ANY commit landing after its read — it
+      //     republishes the whole snapshot, so anything newer would be
+      //     silently discarded.
+      // Appends/alters that change none of the compared metadata commute
+      // and pass. O(commits since base) tiny entry reads per validation.
+      baseVersion.foreach { bv =>
+        val cur = latest.getOrElse(0)
+        if (cur > bv) {
+          def conflict(mid: Int, why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"$action on $root (computed against v$bv) conflicts with " +
+                s"concurrent commit v$mid: $why — re-read the snapshot and re-run")
+          if (action == "overwrite") conflict(cur,
+            "the re-layout's source snapshot is stale (a newer commit exists)")
+          val baseE = readEntry(spark, root, bv)
+          val curE = latestEntry.get
+          if (curE.constraints != baseE.constraints)
+            conflict(cur, "CHECK constraints changed")
+          if (curE.colMap != baseE.colMap)
+            conflict(cur, "column mapping changed")
+          if (curE.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+              baseE.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+            conflict(cur, "schema changed")
+          val myRemoved = removedRel.toSet
+          val myDvFiles = dvs.flatMap(_.files).toSet
+          (bv + 1 to cur).foreach { mid =>
+            val e = readEntry(spark, root, mid)
+            if (e.action == "overwrite" || e.action == "clone")
+              conflict(mid, "the snapshot was replaced")
+            val theirRemoved = e.removed.toSet
+            val remHit = (myRemoved ++ myDvFiles).intersect(theirRemoved)
+            if (remHit.nonEmpty)
+              conflict(mid, s"file(s) concurrently rewritten/removed: " +
+                remHit.take(3).mkString(", "))
+            val theirDv = e.dvs.flatMap(_.files).toSet
+            if (action == "rewrite") {
+              val dvHit = theirDv.intersect(myRemoved)
+              if (dvHit.nonEmpty)
+                conflict(mid, s"deletion vector(s) landed on rewritten " +
+                  s"file(s): ${dvHit.take(3).mkString(", ")}")
+            }
+            if (action == "update_dv") {
+              val dvHit = theirDv.intersect(myDvFiles)
+              if (dvHit.nonEmpty)
+                conflict(mid, s"concurrent row changes on file(s): " +
+                  dvHit.take(3).mkString(", "))
+            }
+          }
+        }
+      }
       if (action == "append") latestEntry.foreach { entry =>
         val same = entry.schema.fields.map(x => (x.name, x.dataType)).toSet ==
           meta.schema.fields.map(x => (x.name, x.dataType)).toSet
@@ -1705,8 +1780,13 @@ object Versions {
               readFiles(spark, root, uncoveredF, meta, dvs = slice(uncoveredF))
                 .withColumn(RowIdCol, lit(null).cast("long")))
         }
+      // OCC guard: this re-layout republishes the snapshot it READ — if
+      // any commit (an optimistic append, a mutation) lands in between,
+      // the overwrite would silently discard it; the guard makes that a
+      // loud ConcurrentModificationException instead.
       Publish.publishVersioned(spark, snap,
         root, meta.partitions, sortCols = sortCols, internalRewrite = tracked,
+        baseVersion = Some(latest),
         zorderCols = zorderCols, zorderBits = zorderBits,
         zorderPartitions = zorderPartitions,
         opInfo = Map("op" -> "OPTIMIZE") ++
@@ -1789,7 +1869,8 @@ object Versions {
             requireSchemaMatch = meta.colMap.isEmpty, internalRewrite = true)
         commit(spark, root, "rewrite", newFiles, meta, removedRel = small,
           opInfo = Map("op" -> "OPTIMIZE", "mode" -> "small-files",
-            "under_bytes" -> smallBytes.toString))
+            "under_bytes" -> smallBytes.toString),
+          baseVersion = Some(latest))
         val idxCols = StatsIndex.indexedColumns(spark, root)
         if (idxCols.nonEmpty && newFiles.nonEmpty)
           StatsIndex.appendFiles(spark, root, newFiles, idxCols)

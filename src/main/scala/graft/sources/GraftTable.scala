@@ -90,6 +90,13 @@ class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
   // ACCEPT_ANY_SCHEMA either: SQL INSERTs then resolve POSITIONALLY
   // against the table schema (cast + rename, arity-checked at analysis)
   // — the standard SQL insert contract, same as the V1 path gave.
+  // surfaced for catalog consumers (DESCRIBE EXTENDED, property reads);
+  // the option map doubles as the table-property store for GraftCatalog
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    options.asJava
+  }
+
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
     TableCapability.V1_BATCH_WRITE,
