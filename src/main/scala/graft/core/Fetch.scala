@@ -75,13 +75,54 @@ object Fetch {
         val (pFilters, rawFilters) =
           if (transforms.isEmpty) (filters, Seq.empty[ColFilter])
           else filters.partition(f => meta.partitions.contains(f.partition))
+        // spec-evolved snapshots: a raw filter may target ANY epoch's
+        // source column (e.g. the timestamp the OLD spec partitioned by
+        // after evolving to a bucket over a different column) — validate
+        // against the schema, not the current spec's source set; epochs
+        // whose spec can't rewrite a filter just don't prune on it
+        val evolvedSigs = snapshot.map(_._1.map(r =>
+          r.split('/').dropRight(1).map(_.takeWhile(_ != '=')).mkString("/"))
+          .distinct).getOrElse(Nil)
+        val specEvolved = transforms.nonEmpty && evolvedSigs.size > 1
         Filters.validateAgainst(meta, pFilters)
-        Transforms.validateRaw(meta, transforms, rawFilters)
+        if (specEvolved) Filters.validateDataFilters(
+          DatasetMeta(outSchema, Nil), rawFilters)
+        else Transforms.validateRaw(meta, transforms, rawFilters)
         // versioned roots answer from the snapshot (a shallow clone has
         // NO physical data of its own — only inherited refs); the
         // physical-listing emptiness check only gates unversioned reads
         if (snapshot.isEmpty && !hasData(spark, root))
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+        // PARTITION-SPEC EVOLUTION: a snapshot mixing layout epochs
+        // (files written under different transform specs) takes its own
+        // path — per-epoch DRIVER-side file pruning (each file's own
+        // dirs name its spec; the raw filters rewrite under THAT spec
+        // and evaluate against the path values on a local frame, zero
+        // data read), then one epoch-grouped scan via Versions.readFiles
+        // with the exact row predicate on top. Untouched partitions of
+        // every epoch stay unread, exactly like the single-epoch path.
+        snapshot.foreach { case (relFiles, _, dvs) =>
+          val bySig = relFiles.groupBy(r => r.split('/').dropRight(1)
+            .map(_.takeWhile(_ != '=')).mkString("/"))
+          if (transforms.nonEmpty && bySig.size > 1) {
+            require(pFilters.isEmpty,
+              "on a spec-evolved dataset filter the transform SOURCE " +
+                "columns (derived partition names change across epochs)")
+            val kept = bySig.toSeq.sortBy(_._1).flatMap { case (_, fls) =>
+              val epochTs = Transforms.specOfPath(fls.head)
+              Transforms.pruneFilesBySpec(spark, fls, epochTs, outSchema,
+                rawFilters)
+            }
+            if (kept.isEmpty)
+              return spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], outSchema)
+            val rowPred = Filters.compileOn(
+              c => meta.schema(c).dataType, rawFilters)
+            val df0 = Versions.readFiles(spark, root, kept, meta, dvs = dvs)
+            val df = rowPred.map(df0.where).getOrElse(df0)
+            return df.select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
+          }
+        }
         // Read with the recorded schema: partition-type inference would
         // otherwise corrupt string partition values that look numeric
         // ("0001" → int 1 → restored as "1") and make filters on them
@@ -162,6 +203,23 @@ object Fetch {
     val outSchema =
       if (hidden.isEmpty) meta.schema
       else StructType(meta.schema.fields.filterNot(f => hidden(f.name)))
+    // spec-evolved snapshots (mixed layout epochs): skip stats planning
+    // conservatively and route through [[fetch]]'s per-epoch pruning
+    // (which validates the filters itself), re-applying the data filters
+    // row-level — exactness is unconditional either way, this only
+    // forgoes file skipping on data columns
+    full.foreach { case (relFiles, _, _) =>
+      val sigs = relFiles.map(r => r.split('/').dropRight(1)
+        .map(_.takeWhile(_ != '=')).mkString("/")).distinct
+      if (transforms.nonEmpty && sigs.size > 1) {
+        Filters.validateDataFilters(
+          DatasetMeta(StructType(meta.schema.fields.filterNot(f =>
+            transforms.map(_.name).toSet(f.name))), Nil), dataFilters)
+        val base = fetch(spark, root, filters)
+        return Filters.compileOn(c => meta.schema(c).dataType, dataFilters)
+          .map(base.where).getOrElse(base)
+      }
+    }
     val (pFilters, rawFilters) =
       if (transforms.isEmpty) (filters, Seq.empty[ColFilter])
       else filters.partition(f => meta.partitions.contains(f.partition))

@@ -183,12 +183,18 @@ object Publish {
     }
     val derived = Transforms.applyTo(df, transforms)
     val parts = transforms.map(_.name)
+    // versioned: the sidecar lands BEFORE the commit so the very first
+    // entry records its spec epoch (entries capture the sidecar at
+    // commit time — partition-spec evolution's audit trail); visibility
+    // is commit-controlled there, so a crash in between leaks nothing.
+    // Unversioned keeps sidecar-last (data-then-metadata crash safety).
+    if (versioned) Transforms.write(spark, root, transforms)
     val files =
       if (versioned) publishVersioned(spark, derived, root, parts, mode,
         sortCols = sortCols, statsCols = statsCols)
       else publish(spark, derived, root, parts, mode,
         sortCols = sortCols, statsCols = statsCols)
-    Transforms.write(spark, root, transforms)
+    if (!versioned) Transforms.write(spark, root, transforms)
     files
   }
 
@@ -614,6 +620,13 @@ object Publish {
       val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (tfs.exists(tp)) tfs.delete(tp, false)
     }
+    // …while a SAME-LAYOUT overwrite must KEEP it: Spark's physical
+    // overwrite wiped the whole root dir, sidecar included — restore the
+    // spec before anything (the commit's epoch capture, a racing read)
+    // consults it
+    if (mode == "overwrite" && recordedTs.nonEmpty &&
+        partitions == recordedTs.map(_.name))
+      Transforms.write(spark, root, recordedTs)
     lazy val allAfter = listPhysicalDataFilesWithSize(spark, root).map(_._1)
     val newFiles = if (directCommit) directFiles else allAfter.filterNot(preExisting)
     // Index maintenance is O(this batch), never O(dataset): an append

@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -184,6 +184,87 @@ object Transforms {
       case other => throw new IllegalArgumentException(
         s"cannot parse partition transform '$other'")
     }
+  }
+
+  /** Exact inverse of [[PartitionTransform.name]]: `tp_days_ts` →
+    * `days(ts)`, `tp_bucket8_k` → `bucket(8, k)`. Derived partition
+    * names are self-describing by construction, so a file's hive dirs
+    * alone identify the spec EPOCH it was written under — partition-spec
+    * evolution needs no per-file log lookup to re-derive or prune.
+    */
+  def fromName(name: String): Option[PartitionTransform] =
+    if (!name.startsWith("tp_")) None
+    else {
+      val rest = name.drop(3)
+      Seq("years", "months", "days", "hours", "bucket", "truncate")
+        .collectFirst { case k if rest.startsWith(k) =>
+          val after = rest.drop(k.length)
+          val (digits, tail) = after.span(_.isDigit)
+          if (!tail.startsWith("_") || tail.length < 2) None
+          else {
+            val param = if (digits.isEmpty) None else Some(digits.toInt)
+            try Some(of(k, tail.drop(1), param))
+            catch { case _: IllegalArgumentException => None }
+          }
+        }.flatten
+    }
+
+  /** The transforms a root-relative file's own hive dirs declare (its
+    * layout epoch); empty for untransformed layouts.
+    */
+  def specOfPath(rel: String): Seq[PartitionTransform] =
+    rel.split('/').dropRight(1).toSeq
+      .map(_.takeWhile(_ != '=')).flatMap(fromName)
+
+  /** Canonical spec string — the inverse of [[parseSpec]]; rides commit
+    * entries so every version knows the spec its files were written under
+    * (partition-spec evolution).
+    */
+  def render(ts: Seq[PartitionTransform]): String =
+    ts.map(t => t.param match {
+      case Some(p) => s"${t.kind}($p, ${t.source})"
+      case None => s"${t.kind}(${t.source})"
+    }).mkString(", ")
+
+  /** Driver-side file pruning for ONE spec epoch of an evolved dataset:
+    * parse each file's hive dir values for `ts`'s derived columns,
+    * evaluate the filters' conservative derived-partition rewrites on a
+    * tiny LOCAL frame (full Spark cast/compare semantics, zero data
+    * read), keep files that can match. Files whose paths lack a derived
+    * dir (foreign layouts) are kept conservatively.
+    */
+  def pruneFilesBySpec(spark: SparkSession, relFiles: Seq[String],
+                       ts: Seq[PartitionTransform], userSchema: StructType,
+                       filters: Seq[ColFilter]): Seq[String] = {
+    if (filters.isEmpty || ts.isEmpty || relFiles.isEmpty) return relFiles
+    val prune = filters.flatMap { f =>
+      ts.filter(_.source == f.partition)
+        .flatMap(t => t.rewrite(f, userSchema(f.partition).dataType))
+    }
+    if (prune.isEmpty) return relFiles
+    // derived column TYPES from applying the transforms to an empty frame
+    val derived = applyTo(spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), userSchema), ts).schema
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[Row] = relFiles.map { rel =>
+      Row.fromSeq(rel +: ts.map { t =>
+        rel.split('/').collectFirst {
+          case seg if seg.startsWith(t.name + "=") =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(t.name.length + 1))
+        }.filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
+      })
+    }
+    val schema0 = StructType(StructField("__file", StringType) +:
+      ts.map(t => StructField(t.name, StringType)))
+    val fdf = spark.createDataFrame(rows.toList.asJava, schema0)
+      .select(col("__file") +: ts.map(t =>
+        col(t.name).cast(derived(t.name).dataType).as(t.name)): _*)
+    // a file is dropped ONLY when the predicate is definitively false —
+    // null dir values (foreign layout / missing dir) keep the file
+    val dropped = fdf.where(!(prune.reduce(_ && _) <=> lit(true)))
+      .select("__file").collect().map(_.getString(0)).toSet
+    relFiles.filterNot(dropped)
   }
 
   private def fsPath(root: String) = new Path(root, FileName)

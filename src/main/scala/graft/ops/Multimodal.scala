@@ -17,6 +17,14 @@ final case class MediaMeta(doc_id: Long, n_bytes: Int, magic: String,
   */
 final case class MediaPayload(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
+/** One sampled frame of a moving-picture payload: REAL decoded facts for
+  * animated GIF (the JVM-native container), stub rows (`container =
+  * "stub"`, dims -1) for formats without a JVM codec.
+  */
+final case class FrameSample(doc_id: Long, container: String, n_frames: Int,
+                             frame_idx: Int, width: Int, height: Int,
+                             frame_crc: Long)
+
 /** Decoded-audio metadata: real header facts for payloads the JVM's own
   * `javax.sound.sampled` parsers accept (WAV/AIFF/AU ship with the JDK),
   * deterministic stub values otherwise. `frames` is -1 when the container
@@ -115,6 +123,74 @@ object Multimodal {
       .withColumn("frame_bytes",
         substring(col("payload"), (col("frame_idx") % 16 + 1).cast("int"), lit(16)))
       .drop("payload")
+  }
+
+  /** REAL frame sampling for the one moving-picture container the JVM
+    * can decode natively: animated GIF, through `ImageIO`'s own reader
+    * (`getNumImages(true)` walks the image sequence; `read(i)` decodes
+    * frame i with disposal compositing left to the caller — per-frame
+    * rasters are what downstream feature kernels consume). Every
+    * `everyN`-th frame emits one typed row with its REAL decoded
+    * dimensions and a CRC32 over the pixel data. Non-GIF payloads (mp4
+    * etc. — no JVM codec exists) take the same DETERMINISTIC STUB branch
+    * as [[sampleFrames]], dimensioned -1, at the exact seam a
+    * JNI/javacv decoder would slot into. Same scale shape as
+    * [[decodeBatch]]: per-partition decoder state, rows streamed through
+    * `mapPartitions`, frame BYTES never shuffled — only per-frame facts.
+    */
+  def sampleFramesDecoded(spark: SparkSession, withPayload: DataFrame,
+                          everyN: Int, idCol: String = "doc_id"): Dataset[FrameSample] = {
+    require(everyN >= 1, "everyN must be >= 1")
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoInMemory
+        def stub(id: Long, bytes: Array[Byte]): Seq[FrameSample] = {
+          val n = (bytes.length % 30 + 1)
+          (0 until n by everyN).map { i =>
+            val crc = new java.util.zip.CRC32
+            val off = i % math.max(1, bytes.length)
+            crc.update(bytes, off, math.min(16, bytes.length - off))
+            FrameSample(id, "stub", n, i, -1, -1, crc.getValue)
+          }
+        }
+        it.flatMap { case (id, bytes) =>
+          val isGif = bytes.length >= 6 && bytes(0) == 'G'.toByte &&
+            bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte
+          if (!isGif) stub(id, bytes)
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); stub(id, bytes) }
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val n = r.getNumImages(true)
+                (0 until n by everyN).map { i =>
+                  val img = r.read(i)
+                  val crc = new java.util.zip.CRC32
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val p = img.getRGB(x, y)
+                      crc.update(p); crc.update(p >> 8)
+                      crc.update(p >> 16); crc.update(p >>> 24)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  FrameSample(id, "gif", n, i, img.getWidth, img.getHeight,
+                    crc.getValue)
+                }
+              } finally { r.dispose(); iis.close() }
+            }
+          }
+        }
+      }
   }
 
   /** Feature-extraction stub: a deterministic pseudo-embedding from the

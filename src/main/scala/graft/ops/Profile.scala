@@ -145,4 +145,51 @@ object Profile {
     }
     rows.toDF("col", "min", "max", "approx_distinct", "p50", "p95")
   }
+
+  /** The EXACT-ORACLE form of the sketch contract (r14 verdict item 7 —
+    * graduates `dataset_profile_sketch` from rows-only): emits, per
+    * column, the exactly-recomputable facts (min / max / non-null count,
+    * which DuckDB replays value-for-value) PLUS the sketch contracts as
+    * booleans — distinct-count relative error within `ndTol` and
+    * p50/p95 rank coverage within `rankTol` — which the oracle pins as
+    * literal TRUE. A sketch drifting out of tolerance flips a boolean
+    * and the hash compare goes red; nothing about the check is a weaker
+    * rows-only count anymore. Same single-pass scale shape as
+    * [[sketchProfileChecked]]: one sketch pass, one conditional-sum rank
+    * pass, one exact-distinct pass per column — no exact-percentile sort
+    * at any scale.
+    */
+  def sketchProfileContract(spark: SparkSession, df: DataFrame,
+                            cols: Seq[String], ndTol: Double = 0.05,
+                            rankTol: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    val sketched = sketchProfile(spark, df, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rankAggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(0.5 -> "p50", 0.95 -> "p95").flatMap { case (_, f) =>
+        val est = sketched(c).getAs[Double](f)
+        Seq(sum(when(d < est, 1L).otherwise(0L)).as(s"lt_${f}_$c"),
+          sum(when(d <= est, 1L).otherwise(0L)).as(s"le_${f}_$c"))
+      } :+ count(d).as(s"n_$c")
+    }
+    val ranks = df.agg(rankAggs.head, rankAggs.tail: _*).collect().head
+    val rows = cols.map { c =>
+      val r = sketched(c)
+      val ndExact = df.select(col(c)).where(col(c).isNotNull)
+        .distinct().count().toDouble
+      val nL = ranks.getAs[Long](s"n_$c")
+      val n = math.max(nL.toDouble, 1.0)
+      val ndOk = math.abs(r.getAs[Long]("approx_distinct") - ndExact) <=
+        ndTol * math.max(ndExact, 1.0)
+      def rankOk(q: Double, f: String): Boolean = {
+        val below = ranks.getAs[Long](s"lt_${f}_$c") / n
+        val upTo = ranks.getAs[Long](s"le_${f}_$c") / n
+        below - rankTol <= q && q <= upTo + rankTol
+      }
+      (c, r.getAs[Double]("min"), r.getAs[Double]("max"), nL,
+        ndOk, rankOk(0.5, "p50"), rankOk(0.95, "p95"))
+    }
+    rows.toDF("col", "min", "max", "n", "nd_within_tol", "p50_rank_ok", "p95_rank_ok")
+  }
 }

@@ -248,6 +248,47 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f => w.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), w.getDefaultWriteParam))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  private def solidFrame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    img
+  }
+
+  test("sampleFramesDecoded: REAL animated-GIF frames every Nth; stub branch for alien bytes") {
+    val gif5 = animatedGif((0 until 5).map(i => solidFrame(8, 6, i * 0x111111)))
+    val df = Seq((1L, gif5), (2L, "mp4-ish bytes with no jvm codec".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFramesDecoded(spark, df, everyN = 2).collect()
+    val gifRows = rows.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(gifRows.map(_.frame_idx).toSeq == Seq(0, 2, 4),
+      "every 2nd of 5 real frames")
+    assert(gifRows.forall(r => r.container == "gif" && r.n_frames == 5 &&
+      r.width == 8 && r.height == 6), s"real decoded dims, got ${gifRows.toSeq}")
+    // frame content differs -> CRCs differ; decode is deterministic
+    assert(gifRows.map(_.frame_crc).distinct.length == 3)
+    val again = Multimodal.sampleFramesDecoded(spark, df, everyN = 2).collect()
+      .filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(again.map(_.frame_crc).toSeq == gifRows.map(_.frame_crc).toSeq)
+    // the codec-less payload takes the deterministic stub branch
+    val stubRows = rows.filter(_.doc_id == 2L)
+    assert(stubRows.nonEmpty && stubRows.forall(r =>
+      r.container == "stub" && r.width == -1 && r.height == -1))
+  }
+
   test("imageNearDupPairs: retouched copy found, unrelated image not, non-images dropped") {
     val grad = (x: Int, y: Int) => { val v = (x * 255 / 63) & 0xff; (v << 16) | (v << 8) | v }
     val gradTweaked = (x: Int, y: Int) =>
