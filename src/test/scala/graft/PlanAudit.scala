@@ -368,6 +368,44 @@ object PlanAudit {
       "no parquet data scan" -> (p => !p.toLowerCase.contains("parquet")),
       "no aggregate re-computation" -> (p =>
         !p.split("== Initial Plan ==").head.contains("HashAggregate")))
+    // spec evolution: the mixed-epoch snapshot reads as a UNION of
+    // layout-homogeneous scan legs (one discovery pass over mixed hive
+    // layouts throws CONFLICTING_PARTITION_COLUMN_NAMES — measured), raw
+    // filters re-applied row-level for exactness
+    audit("version_spec_evolution",
+      "epoch-stitched union legs" -> (_.contains("Union")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    // catalog-declared transform table: the SELECT's plan is a bare scan
+    // (file pruning happened driver-side in the V2 scan builder)
+    audit("catalog_transform_prune",
+      "no join" -> (p => !p.contains("Join")))
+    audit("version_replace_where",
+      "snapshot read is a bare scan" -> (p => !p.contains("Join")))
+    // the FUSED by-id change feed: the diff's first pass joins only
+    // (rid, xxhash64(payload)) — 16 bytes/row on the shuffle — and full
+    // rows are fetched for CANDIDATE ids alone via semi joins
+    locally {
+      import org.apache.spark.sql.functions._
+      val sqlImp = spark.implicits; import sqlImp._
+      val root = "/tmp/plan_audit_rtfeed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      graft.core.Publish.publishVersioned(spark,
+        (0 until 200).map(i => (i.toLong, s"g${i % 4}", i * 10L))
+          .toDF("k", "grp", "v"), root, Seq("grp"))
+      graft.core.Versions.enableRowTracking(spark, root)
+      graft.core.Versions.compact(spark, root)
+      val backfill = graft.core.Versions.latestVersion(spark, root).get
+      graft.core.Mutations.updateWhere(spark, root, col("k") % 7 === 0,
+        Map("v" -> (col("v") + 1)))
+      val feed = graft.core.Versions.changeFeedById(spark, root, backfill,
+        graft.core.Versions.latestVersion(spark, root).get)
+      feed.collect()
+      val plan = feed.queryExecution.executedPlan.toString
+      record("changeFeedById", "fused 16B/row hash prefilter",
+        plan.contains("xxhash64"))
+      record("changeFeedById", "candidate-only semi fetch",
+        plan.contains("LeftSemi"))
+    }
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }
