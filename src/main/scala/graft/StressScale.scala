@@ -317,6 +317,35 @@ object StressScale {
       graft.core.Versions.changeFeed(spark, rtRoot, backfillV, rtLatest).count()
     }
 
+    // ---- 10. OPTIMISTIC CONCURRENCY at scale: two DELETEs over disjoint
+    // partitions of a 15M-row table race with NO lock — both must commit
+    // (consecutive versions), the combined wall time must sit near ONE
+    // mutation's cost (they overlap), and the loser-validation overhead
+    // (O(commits since base) tiny entry reads at the CAS) must be noise.
+    val occRoot = s"$workDir/orders_occ_scale"
+    fs.delete(new Path(occRoot), true)
+    Publish.publishVersioned(spark, orders, occRoot, Seq("o_orderstatus"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val occResults = timed("occ_disjoint_pair") {
+      val fa = Future(Mutations.deleteWhere(spark, occRoot,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0))
+      val fb = Future(Mutations.deleteWhere(spark, occRoot,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0))
+      Seq(Await.result(fa, 600.seconds), Await.result(fb, 600.seconds))
+    }
+    checks("occ_both_committed") =
+      if (occResults.map(_.version).sorted == Seq(2, 3)) 1L else 0L
+    checks("occ_rows_left") = timed("occ_read_back") {
+      Fetch.fetch(spark, occRoot).count()
+    }
+    val occSolo = timed("occ_solo_delete") {
+      Mutations.deleteWhere(spark, occRoot,
+        col("o_orderstatus") === "P" && col("o_orderkey") % 5 === 0)
+    }
+    checks("occ_solo_version") = occSolo.version.toLong
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

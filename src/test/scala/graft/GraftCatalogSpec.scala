@@ -101,6 +101,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("support"))
   }
 
+  test("CTAS through the catalog (non-atomic createTable + insert)") {
+    wh
+    spark.sql("""CREATE TABLE gcat.db.ctas USING graft AS
+      SELECT id AS k, CAST(id % 3 AS STRING) AS part, id * 2 AS v
+      FROM range(30)""")
+    assert(spark.table("gcat.db.ctas").count() == 30)
+    assert(spark.table("gcat.db.ctas").schema.fieldNames.toSeq ==
+      Seq("k", "part", "v"))
+  }
+
   test("guard rails: duplicate create, unknown table, mixed partition spec") {
     wh
     spark.sql("CREATE TABLE gcat.db.dup (k BIGINT) USING graft")

@@ -401,10 +401,15 @@ object PlanAudit {
         graft.core.Versions.latestVersion(spark, root).get)
       feed.collect()
       val plan = feed.queryExecution.executedPlan.toString
-      record("changeFeedById", "fused 16B/row hash prefilter",
-        plan.contains("xxhash64"))
-      record("changeFeedById", "candidate-only semi fetch",
-        plan.contains("LeftSemi"))
+      // the xxhash64 prefilter runs as an EAGER bounded-collect job at
+      // feed construction (broadcast decision kept out of AQE's hands —
+      // see the MaxBroadcastCand comment in Versions); the returned plan
+      // therefore shows the BROADCAST semi fetches over the collected
+      // candidate ids and no full-row shuffle join
+      record("changeFeedById", "broadcast candidate semi fetch",
+        plan.contains("LeftSemi") && plan.contains("Broadcast"))
+      record("changeFeedById", "no cartesian",
+        !plan.contains("CartesianProduct"))
     }
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()

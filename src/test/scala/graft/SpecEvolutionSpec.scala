@@ -82,6 +82,35 @@ class SpecEvolutionSpec extends AnyFunSuite {
       s"rewrites derive the current spec: $added")
   }
 
+  test("three epochs coexist; intermediate versions travel under their own spec") {
+    import graft.core.BucketOf
+    val root = TestSpark.tmpDir("se_three")
+    Publish.publishTransformed(spark, batch(0, 100), root,
+      Seq(MonthsOf("ev_ts")), versioned = true)
+    Versions.evolvePartitionSpec(spark, root, Seq(DaysOf("ev_ts")))
+    Publish.publishVersioned(spark, batch(100, 200), root,
+      Seq(DaysOf("ev_ts").name), mode = "append")
+    Versions.evolvePartitionSpec(spark, root, Seq(BucketOf(4, "id")))
+    Publish.publishVersioned(spark, batch(200, 300), root,
+      Seq(BucketOf(4, "id").name), mode = "append")
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("tp_months_ev_ts=")) &&
+      dirs.exists(_.startsWith("tp_days_ev_ts=")) &&
+      dirs.exists(_.startsWith("tp_bucket4_id=")), s"three layouts: $dirs")
+    assert(Fetch.fetch(spark, root).count() == 300)
+    // a raw filter spanning all three: months and days epochs prune under
+    // their own specs, the bucket epoch scans conservatively — exact
+    val f = Seq(ColFilter("ev_ts", ">=",
+      Seq(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))))
+    val expected = (0 until 300).count(i => !ts(i % 56 + 1).before(
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(Fetch.fetch(spark, root, f).count() == expected)
+    // middle-epoch time travel: v3 = months files + days files, days spec
+    assert(Versions.fetchVersion(spark, root, 3).count() == 200)
+    assert(Versions.transformsAt(spark, root, 3) == Seq(DaysOf("ev_ts")))
+    assert(Versions.transformsAt(spark, root, 5) == Seq(BucketOf(4, "id")))
+  }
+
   test("guard rails: unversioned, untransformed, colliding names") {
     val plain = TestSpark.tmpDir("se_plain")
     Publish.publish(spark, batch(0, 10), plain, Nil)
