@@ -260,10 +260,16 @@ object Mutations {
           "produce rows inside the range it replaces")
 
       val refs = predicateRefs(spark, meta.schema, predicate)
+      val (liveFiles, _, _) = Versions.snapshotFullAt(spark, root, latest)
+      // a spec-EVOLVED snapshot mixes layout epochs: old-epoch files lack
+      // the current derived dirs, so path-resolved matching would MISS
+      // their rows — the general locate path (whose snapshot re-derives
+      // the current spec's columns row-level) stays exact there
+      val multiSig = liveFiles.map(r => r.split('/').dropRight(1)
+        .map(_.takeWhile(_ != '=')).mkString("/")).distinct.size > 1
       val partitionScoped =
         refs.nonEmpty && refs.subsetOf(meta.partitions.toSet) &&
-          meta.partitions.nonEmpty
-      val (liveFiles, _, _) = Versions.snapshotFullAt(spark, root, latest)
+          meta.partitions.nonEmpty && !multiSig
       val affected: Seq[String] =
         if (partitionScoped) {
           // evaluate the predicate against path-derived partition values
