@@ -261,15 +261,21 @@ object Mutations {
 
       val refs = predicateRefs(spark, meta.schema, predicate)
       val (liveFiles, _, _) = Versions.snapshotFullAt(spark, root, latest)
-      // a spec-EVOLVED snapshot mixes layout epochs: old-epoch files lack
-      // the current derived dirs, so path-resolved matching would MISS
-      // their rows — the general locate path (whose snapshot re-derives
-      // the current spec's columns row-level) stays exact there
-      val multiSig = liveFiles.map(r => r.split('/').dropRight(1)
-        .map(_.takeWhile(_ != '=')).mkString("/")).distinct.size > 1
+      // a spec-EVOLVED snapshot carries old-epoch files that lack the
+      // current derived dirs, so path-resolved matching would MISS their
+      // rows — and that includes the all-old-epoch state right after
+      // `evolvePartitionSpec` (metadata-only) with zero new writes, where
+      // every signature agrees but none matches the CURRENT spec. The
+      // fast path therefore requires every live file's dir signature to
+      // EQUAL the current spec's; anything else falls back to the general
+      // locate path, whose snapshot re-derives the spec's columns
+      // row-level and stays exact on any epoch mix.
+      val specSig = meta.partitions.mkString("/")
+      val allCurrentEpoch = liveFiles.forall(r => r.split('/').dropRight(1)
+        .map(_.takeWhile(_ != '=')).mkString("/") == specSig)
       val partitionScoped =
         refs.nonEmpty && refs.subsetOf(meta.partitions.toSet) &&
-          meta.partitions.nonEmpty && !multiSig
+          meta.partitions.nonEmpty && allCurrentEpoch
       val affected: Seq[String] =
         if (partitionScoped) {
           // evaluate the predicate against path-derived partition values

@@ -1272,6 +1272,13 @@ object Versions {
         .map(_.takeWhile(_ != '=')).mkString("/")
     val multiSig = scanGroups(root, relFiles).exists { case (base, abs) =>
       abs.map(layoutSig(base, _)).distinct.size > 1 }
+    // a freshly-evolved snapshot is single-signature yet STALE (metadata-
+    // only evolution, zero new writes): its sole layout is the OLD spec's,
+    // so the current derived columns still need recomputing. Compare every
+    // signature against the current spec's, not just against each other.
+    val curSig = meta.partitions.mkString("/")
+    val staleSig = scanGroups(root, relFiles).exists { case (base, abs) =>
+      abs.exists(a => layoutSig(base, a).stripPrefix("/") != curSig) }
     def leg(fls: Seq[String], withMeta: Boolean): DataFrame =
       scanGroups(root, fls).flatMap { case (base, abs) =>
         abs.groupBy(layoutSig(base, _)).toSeq.sortBy(_._1).map { case (_, g) =>
@@ -1319,7 +1326,7 @@ object Versions {
     // epoch a row came from. Derived names are self-describing
     // (Transforms.fromName), so this costs one codegen projection.
     val derivedTs = meta.partitions.flatMap(Transforms.fromName)
-    if (multiSig && derivedTs.nonEmpty &&
+    if ((multiSig || staleSig) && derivedTs.nonEmpty &&
         derivedTs.length == meta.partitions.length) {
       val cols = out.columns.toIndexedSeq
       Transforms.applyTo(out, derivedTs).select(cols.map(col): _*)

@@ -134,6 +134,36 @@ class ReplaceWhereSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).count() == 1)
   }
 
+  test("freshly spec-evolved all-old-epoch snapshot: replace on the NEW derived column stays exact") {
+    import graft.core.{DaysOf, MonthsOf, Transforms, Versions => V}
+    val root = TestSpark.tmpDir("rw_evolved")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 03:00:00")
+    val base = (0 until 60).map(i => (i.toLong, ts(i % 6 + 1), i * 1.0))
+      .toDF("id", "ev_ts", "v")
+    Publish.publishTransformed(spark, base, root,
+      Seq(MonthsOf("ev_ts")), versioned = true)
+    // metadata-only evolution: every live file still carries the OLD
+    // (months) layout — the exact single-signature-but-stale state where
+    // a path-resolved fast path would silently miss old-epoch rows
+    V.evolvePartitionSpec(spark, root, Seq(DaysOf("ev_ts")))
+    val day3 = java.sql.Date.valueOf("2024-01-03")
+    val repl = Transforms.applyTo(
+      (1000 until 1005).map(i => (i.toLong, ts(3), -1.0)).toDF("id", "ev_ts", "v"),
+      Seq(DaysOf("ev_ts")))
+    Mutations.replaceWhere(spark, root, col("tp_days_ev_ts") === lit(day3), repl)
+    val got = Fetch.fetch(spark, root).select("id", "v")
+      .as[(Long, Double)].collect()
+    val day3Ids = got.filter(_._2 == -1.0).map(_._1).toSet
+    assert(day3Ids == (1000L until 1005L).toSet, s"replacement present: $day3Ids")
+    // the defect mode: old-epoch day-3 rows survive next to the
+    // replacement (silent duplication). ids with i % 6 + 1 == 3 are day 3.
+    val staleDay3 = got.map(_._1).filter(i => i < 60 && i % 6 == 2)
+    assert(staleDay3.isEmpty,
+      s"old-epoch rows of the replaced day must be gone, found ${staleDay3.toSeq}")
+    assert(got.count(t => t._1 < 60) == 50, "untouched days keep all rows")
+    assert(got.length == 55)
+  }
+
   test("replaceWhere demands a versioned dataset and exact columns") {
     val root = TestSpark.tmpDir("rw_unversioned")
     Publish.publish(spark,
