@@ -133,7 +133,8 @@ object Bench {
       val om =
         if (omitted.isEmpty) ""
         else s""","omitted_fast":{"n":${omitted.size},"sec":${f2(omitted.map(_._2).sum)}}"""
-      val cal = s""","calib":${f2(calibSec)}""" + (if (contended) ""","contended":true""" else "")
+      val cal = s""","calib":${f2(calibSec)},"passes":$TimedPasses""" +
+        (if (contended) ""","contended":true""" else "")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$failedJson$cal,"sf":"$sfDir"}"""
     }
     // The driver keeps only the last ~2000 bytes of stdout; a line past

@@ -363,6 +363,29 @@ object Fetch {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new Path(src).getFileSystem(conf)
     val destFs = new Path(dest).getFileSystem(conf)
+    // EPOCH POLARITY (r16 audit): this pass byte-copies healthy files at
+    // their ORIGINAL paths and re-reads fragments by dir layout — only
+    // sound when every file spells the CURRENT spec. A spec-evolved src
+    // (stale/mixed layouts) must go through the versioned OPTIMIZE
+    // ([[Versions.compactSmall]]), whose snapshot read re-derives the
+    // current spec row-level. Refuse loudly rather than copy a stale
+    // layout into a root with no version log to interpret it. A
+    // current-epoch transformed src stays supported — its transform
+    // sidecar is carried to dest so hidden partitioning survives.
+    val srcTs = Transforms.read(spark, src)
+    if (srcTs.nonEmpty) {
+      val curSig = meta.partitions.mkString("/")
+      val srcQual = srcFs.makeQualified(new Path(src)).toUri.getPath
+      val stale = sized.map(_._1).exists { f =>
+        f.stripPrefix(srcQual).stripPrefix("/").split('/').dropRight(1)
+          .map(_.takeWhile(_ != '=')).mkString("/") != curSig
+      }
+      require(!stale,
+        s"compactSmallFiles on $src: file layouts predate the current " +
+          "partition spec (spec evolution) — use the versioned OPTIMIZE " +
+          "(Versions.compactSmall), which re-derives the current spec")
+      Transforms.write(spark, dest, srcTs)
+    }
 
     val rewritten: Seq[String] =
       if (fragments.nonEmpty) {
@@ -506,11 +529,25 @@ object Fetch {
         fs.exists(new Path(rootPath, Versions.DirName))) {
       val qualified = fs.makeQualified(rootPath).toUri.getPath
       val prefix = partition + "="
-      return Publish.listDataFiles(spark, root).flatMap { f =>
+      val segs = Publish.listDataFiles(spark, root).map { f =>
         f.stripPrefix(qualified).stripPrefix("/").split('/')
           .find(_.startsWith(prefix))
           .map(seg => unescapePathName(seg.substring(prefix.length)))
-      }.toSet - HiveDefaultPartition
+      }
+      // EPOCH POLARITY (r16 audit): on a spec-evolved dataset the
+      // old-epoch files lack the CURRENT spec's dirs (evolution is
+      // metadata-only) — a listing-derived value set would silently OMIT
+      // their values, and a max would under-read. Listing-only
+      // introspection cannot recover a derived value without the data;
+      // refuse loudly rather than answer wrong.
+      if (segs.exists(_.isEmpty))
+        throw new IllegalStateException(
+          s"partition values of '$partition' at $root are not derivable " +
+            s"from listings: ${segs.count(_.isEmpty)} committed file(s) " +
+            "predate the current partition spec (spec evolution is " +
+            "metadata-only). Read the data (fetch + groupBy) or re-layout " +
+            "via compact/OPTIMIZE first.")
+      return segs.flatten.toSet - HiveDefaultPartition
     }
     val pool = new java.util.concurrent.ForkJoinPool(ListingParallelism)
     try {

@@ -124,12 +124,43 @@ object Mutations {
     */
   private def predSql(c: Column): String = c.toString
 
+  /** READ-SET half of the OCC guard, built per mutation and evaluated by
+    * [[Versions.commit]] against each concurrent commit's ADDED files:
+    * `inReadSet` narrows a frame of those files' rows to the ones this
+    * mutation's locate pass WOULD have matched (the predicate for
+    * DELETE/UPDATE/REPLACE, the source-key semi-join for MERGE/APPLY
+    * CHANGES). Any hit = the race broke serializability (a missed delete,
+    * or a duplicate-key double-insert) → conflict loudly, per the Delta
+    * ConcurrentAppend rule. Cost: reads only the concurrently-added files,
+    * only under contention, stopping at the first matching row. Reading
+    * without the concurrent DVs is conservative (a DV'd-out matching row
+    * still conflicts) — OCC retries re-run the mutation, never lose data.
+    */
+  /** Test seam (same shape as [[Publish.postWriteHook]]): runs after a
+    * mutation's locate/rewrite work and just before its commit — the
+    * stale-read window the read-set OCC specs hold open to land a
+    * deterministic concurrent commit.
+    */
+  private[graft] var preCommitHook: () => Unit = () => ()
+
+  private def addedReadGuard(spark: SparkSession, root: String,
+                             meta: DatasetMeta,
+                             inReadSet: DataFrame => DataFrame)
+      : Seq[String] => Option[String] =
+    added => {
+      val hit = inReadSet(Versions.readFiles(spark, root, added, meta))
+        .limit(1).collect()
+      if (hit.isEmpty) None
+      else Some(s"e.g. ${hit.head}")
+    }
+
   private def rewriteCommit(spark: SparkSession, root: String,
                             meta: DatasetMeta, replacement: DataFrame,
                             removedRel: Seq[String],
                             schemaEvolved: Boolean = false,
                             opInfo: Map[String, String] = Map.empty,
-                            baseVersion: Option[Int] = None): MutationResult = {
+                            baseVersion: Option[Int] = None,
+                            readConflict: Option[Seq[String] => Option[String]] = None): MutationResult = {
     // UPDATE/MERGE-produced rows must honor the table's CHECK constraints
     // (survivor rows re-validate too — they were valid, and the combined
     // pass only scans the affected-file subset being rewritten)
@@ -159,8 +190,10 @@ object Mutations {
         // through a listing diff
         directCommit = true)
     val addedRel = Versions.relativize(spark, root, newFiles)
+    preCommitHook()
     val v = Versions.commit(spark, root, "rewrite", newFiles, meta,
-      removedRel = removedRel, opInfo = opInfo, baseVersion = baseVersion)
+      removedRel = removedRel, opInfo = opInfo, baseVersion = baseVersion,
+      readConflict = readConflict)
     // keep the stats-skipping index covering the snapshot: if this
     // dataset is indexed, the rewritten files get their min/max rows too
     // (stale rows for the removed files are harmless — planning is
@@ -192,7 +225,9 @@ object Mutations {
           .where(not(predicate <=> lit(true)))
         rewriteCommit(spark, root, meta, survivors, affected,
           opInfo = Map("op" -> "DELETE", "predicate" -> predSql(predicate)),
-          baseVersion = Some(latest))
+          baseVersion = Some(latest),
+          readConflict = Some(addedReadGuard(spark, root, meta,
+            _.where(predicate <=> lit(true)))))
       }
     }
 
@@ -321,7 +356,9 @@ object Mutations {
           opInfo = Map("op" -> "REPLACE WHERE",
             "predicate" -> predSql(predicate),
             "partition_scoped" -> partitionScoped.toString),
-          baseVersion = Some(latest))
+          baseVersion = Some(latest),
+          readConflict = Some(addedReadGuard(spark, root, meta,
+            _.where(predicate <=> lit(true)))))
       }
     }
 
@@ -347,11 +384,14 @@ object Mutations {
       writeDv(spark, root, dvHits(spark, root, snap.where(predicate))) match {
         case None => MutationResult(latest, Nil, Nil)
         case Some(dv) =>
+          preCommitHook()
           val v = Versions.commit(spark, root, "delete_dv", Nil, meta,
             dvs = Seq(dv),
             opInfo = Map("op" -> "DELETE", "mode" -> "dv",
               "predicate" -> predSql(predicate)),
-            baseVersion = Some(latest))
+            baseVersion = Some(latest),
+            readConflict = Some(addedReadGuard(spark, root, meta,
+              _.where(predicate <=> lit(true)))))
           MutationResult(v, Nil, Nil)
       }
     }
@@ -403,7 +443,8 @@ object Mutations {
                              meta: DatasetMeta, rows: DataFrame,
                              dv: Option[DvRef],
                              opInfo: Map[String, String] = Map.empty,
-                             baseVersion: Option[Int] = None): MutationResult = {
+                             baseVersion: Option[Int] = None,
+                             readConflict: Option[Seq[String] => Option[String]] = None): MutationResult = {
     Versions.enforceConstraints(spark, root, rows)
     // mapped datasets write the replacement copies under PHYSICAL names
     // (see rewriteCommit — the mapping pins one physical name per column
@@ -419,8 +460,10 @@ object Mutations {
         requireSchemaMatch = meta.colMap.isEmpty, internalRewrite = true,
         directCommit = true)
     val addedRel = Versions.relativize(spark, root, newFiles)
+    preCommitHook()
     val v = Versions.commit(spark, root, "update_dv", newFiles, meta,
-      dvs = dv.toSeq, opInfo = opInfo, baseVersion = baseVersion)
+      dvs = dv.toSeq, opInfo = opInfo, baseVersion = baseVersion,
+      readConflict = readConflict)
     val idxCols = StatsIndex.indexedColumns(spark, root)
     if (idxCols.nonEmpty && newFiles.nonEmpty)
       StatsIndex.appendFiles(spark, root, newFiles, idxCols)
@@ -473,7 +516,9 @@ object Mutations {
               baseVersion = Some(latest),
               opInfo = Map("op" -> "UPDATE", "mode" -> "dv",
                 "predicate" -> predSql(predicate),
-                "columns" -> assignments.keys.toSeq.sorted.mkString(",")))
+                "columns" -> assignments.keys.toSeq.sorted.mkString(",")),
+              readConflict = Some(addedReadGuard(spark, root, meta,
+                _.where(predicate <=> lit(true)))))
         }
       } finally matched.unpersist()
     }
@@ -536,7 +581,9 @@ object Mutations {
           updateDvCommit(spark, root, meta, srcOut, dv,
             baseVersion = Some(latest),
             opInfo = Map("op" -> "MERGE", "mode" -> "dv",
-              "keys" -> keyCols.mkString(",")))
+              "keys" -> keyCols.mkString(",")),
+            readConflict = Some(addedReadGuard(spark, root, meta,
+              _.join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))))
         }
       } finally src.unpersist()
     }
@@ -580,7 +627,9 @@ object Mutations {
         rewriteCommit(spark, root, meta, rewritten, affected,
           opInfo = Map("op" -> "UPDATE", "predicate" -> predSql(predicate),
             "columns" -> assignments.keys.toSeq.sorted.mkString(",")),
-          baseVersion = Some(latest))
+          baseVersion = Some(latest),
+          readConflict = Some(addedReadGuard(spark, root, meta,
+            _.where(predicate <=> lit(true)))))
       }
     }
   }
@@ -666,7 +715,9 @@ object Mutations {
         if (affected.isEmpty && ups.isEmpty) MutationResult(latest, Nil, Nil)
         else rewriteCommit(spark, root, meta, merged, affected,
           opInfo = Map("op" -> "APPLY CHANGES", "keys" -> keyCols.mkString(",")),
-          baseVersion = Some(latest))
+          baseVersion = Some(latest),
+          readConflict = Some(addedReadGuard(spark, root, meta,
+            _.join(normalized.select(keyCols.map(col): _*), keyCols, "left_semi"))))
       } finally normalized.unpersist()
     }
   }
@@ -783,7 +834,11 @@ object Mutations {
         else rewriteCommit(spark, root, meta, merged, affected,
           schemaEvolved = extraF.nonEmpty,
           opInfo = Map("op" -> "MERGE", "keys" -> keyCols.mkString(",")),
-          baseVersion = Some(latest))
+          baseVersion = Some(latest),
+          // concurrent adds are checked under the PRE-evolution schema:
+          // files that landed before this commit can't carry the new cols
+          readConflict = Some(addedReadGuard(spark, root, meta0,
+            _.join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))))
       } finally src.unpersist()
     }
   }

@@ -101,8 +101,21 @@ object StatsIndex {
       "columns" -> JArray(cols.sorted.map(JString(_)).toList)) ++
       sinkVersion.map(v => "sinkVersion" -> JInt(v)).toList
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
-    val out = fs.create(markerPath(root), true)
+    // write-then-rename: `create(overwrite)` truncates before the bytes
+    // land, so a concurrent reader could observe an EMPTY marker (the
+    // EventStreamSpec auto-sync poll caught exactly that). Rename is
+    // atomic on HDFS/local; stores without atomic rename still shrink the
+    // torn window to the rename itself, and [[manifestColumns]] treats an
+    // unparseable read as "no claim" regardless.
+    val tmp = new Path(markerPath(root).getParent,
+      s".${markerPath(root).getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(markerPath(root), false)
+    if (!fs.rename(tmp, markerPath(root))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"marker rename failed at ${markerPath(root)}")
+    }
   }
 
   /** The marker's recorded column set, or None when the index makes no
@@ -125,7 +138,11 @@ object StatsIndex {
     } finally in.close()
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val parsed = JsonMethods.parse(raw)
+    // a torn concurrent write (or a half-landed marker after a crash) is
+    // indistinguishable from "no claim yet" — answer conservatively (None
+    // keeps readers on the exact listing path) instead of throwing
+    val parsed = try JsonMethods.parse(raw)
+      catch { case _: Exception => return None }
     val cols = parsed \ "columns" match {
       case JArray(xs) => Some(xs.collect { case JString(s) => s })
       case _ => None
@@ -338,7 +355,24 @@ object StatsIndex {
   private def statsFor(spark: SparkSession, root: String, meta: DatasetMeta,
                        files: Seq[String], target: Seq[String]): DataFrame = {
     import spark.implicits._
-    val df = spark.read.option("basePath", root).schema(meta.schema).parquet(files: _*)
+    // PARTITION-SPEC EVOLUTION: a snapshot mixing layout epochs fails a
+    // single discovery pass (CONFLICTING_PARTITION_COLUMN_NAMES) — scan
+    // per layout signature instead. Stats target DATA columns only, so
+    // the per-signature union is exact; single-signature datasets (the
+    // common case) keep the identical one-scan plan.
+    val rootQual = {
+      val p = new Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath.stripSuffix("/")
+    }
+    def sig(f: String) = f.stripPrefix(rootQual).stripPrefix("/")
+      .split('/').dropRight(1).map(_.takeWhile(_ != '=')).mkString("/")
+    val df = files.groupBy(sig).toSeq.sortBy(_._1).map { case (_, g) =>
+      // old-epoch groups surface THEIR dirs' inferred partition columns
+      // too — project each leg to the declared schema before the union
+      spark.read.option("basePath", root).schema(meta.schema).parquet(g: _*)
+        .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+    }.reduce(_.unionByName(_))
     val aggs = target.flatMap { c =>
       val n = meta.schema(c).dataType match {
         case StringType => col(c)
@@ -840,6 +874,15 @@ object StatsIndex {
     if (meta.partitions.isEmpty) return None
     if (manifestColumns(spark, root).isEmpty) return None
     val perFile = perFileRowCounts(spark, root).getOrElse(return None)
+    // EPOCH POLARITY (r16 audit): a spec-evolved dataset's old-epoch
+    // files (evolution is metadata-only) lack the CURRENT spec's dirs —
+    // path-derived grouping would count their rows under a phantom NULL
+    // group. Grouping by path is exact ONLY when every live file carries
+    // every current partition segment; otherwise refuse (None) so the
+    // caller's real GROUP BY scan answers exactly.
+    val segOk = meta.partitions.map(p =>
+      col("file").contains(s"/$p=")).reduce(_ && _)
+    if (perFile.where(!segOk).limit(1).count() > 0) return None
     // hive segments sit in the (decoded-absolute) file path as
     // `col=<escaped value>`; hive escaping is percent-encoding, so the
     // same protect-'+'-then-url_decode dance as normPath recovers the

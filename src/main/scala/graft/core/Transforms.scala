@@ -260,9 +260,13 @@ object Transforms {
     val fdf = spark.createDataFrame(rows.toList.asJava, schema0)
       .select(col("__file") +: ts.map(t =>
         col(t.name).cast(derived(t.name).dataType).as(t.name)): _*)
-    // a file is dropped ONLY when the predicate is definitively false —
-    // null dir values (foreign layout / missing dir) keep the file
-    val dropped = fdf.where(!(prune.reduce(_ && _) <=> lit(true)))
+    // a file is dropped ONLY when the predicate is definitively FALSE —
+    // a null dir value (foreign layout / missing dir / the hive default
+    // partition) makes the conjunction NULL, not false, so such files
+    // stay and the row-level predicate restores exactness. (`!(p <=>
+    // true)` would drop NULLs — the aggressive polarity the epoch audit
+    // caught.)
+    val dropped = fdf.where(prune.reduce(_ && _) <=> lit(false))
       .select("__file").collect().map(_.getString(0)).toSet
     relFiles.filterNot(dropped)
   }

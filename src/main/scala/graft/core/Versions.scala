@@ -374,6 +374,18 @@ object Versions {
     * clobbering each other. None = no guard (appends already commute by
     * construction; user overwrites are documented last-writer-wins).
     */
+  /** `readConflict`: the READ-SET half of the OCC guard (Delta's
+    * ConcurrentAppendException rule). File-level checks above catch
+    * remove/remove and DV races, but a concurrent commit can also ADD
+    * files whose rows fall inside this mutation's read set — rows its
+    * locate pass never saw: a racing append/update landing rows that
+    * match a DELETE's predicate would be silently missed, and two
+    * inserting MERGEs on one key would both see "no match" and commit
+    * duplicate keys. When set, every concurrent commit's added files are
+    * handed to this callback; Some(why) = at least one added row is in
+    * the read set → conflict. Runs only under actual contention, only
+    * over the concurrently-added files, and stops at the first hit.
+    */
   def commit(spark: SparkSession, root: String, action: String,
              addedAbs: Seq[String], meta: DatasetMeta,
              removedRel: Seq[String] = Nil,
@@ -384,7 +396,8 @@ object Versions {
              properties: Option[Map[String, String]] = None,
              rowIdsOverride: Option[Map[String, Long]] = None,
              opInfo: Map[String, String] = Map.empty,
-             baseVersion: Option[Int] = None): Int = {
+             baseVersion: Option[Int] = None,
+             readConflict: Option[Seq[String] => Option[String]] = None): Int = {
     require(action == "overwrite" || action == "append" || action == "rewrite"
         || action == "delete_dv" || action == "update_dv" || action == "alter"
         || action == "clone",
@@ -513,6 +526,15 @@ object Versions {
               if (dvHit.nonEmpty)
                 conflict(mid, s"concurrent row changes on file(s): " +
                   dvHit.take(3).mkString(", "))
+            }
+            // read-set validation: rows this mutation's locate pass never
+            // saw may have landed in e's added files (append, a rewrite's
+            // replacement files, an update_dv's updated copies) — any of
+            // them inside the read set breaks serializability
+            readConflict.foreach { chk =>
+              if (e.added.nonEmpty) chk(e.added).foreach(why =>
+                conflict(mid, s"concurrently added file(s) carry rows in " +
+                  s"this mutation's read set ($why)"))
             }
           }
         }

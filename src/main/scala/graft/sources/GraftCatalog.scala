@@ -141,7 +141,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap - "provider" - "owner"
     val root = tableRoot(ident, props)
-    if (exists(root)) throw new TableAlreadyExistsException(ident)
+    val managed = tableRoot(ident)
+    if (exists(root) || fs.exists(propsPath(managed)))
+      throw new TableAlreadyExistsException(ident)
     val identityParts = partitions.toSeq.collect {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
@@ -172,6 +174,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     DatasetMeta.write(spark, root, DatasetMeta(derivedSchema, parts))
     if (graftTs.nonEmpty) Transforms.write(spark, root, graftTs)
     writeProps(root, props)
+    // an EXTERNAL table (LOCATION outside the warehouse) also writes a
+    // POINTER copy of its props at the managed slot — loadTable/
+    // tableExists/dropTable resolve identifiers through that slot, so
+    // without it the table would be unreachable by name
+    if (root != managed) writeProps(managed, props)
     // versioned tables start life with an empty v1 commit: reads resolve
     // from the log immediately and the first INSERT is an optimistic
     // append like any other
@@ -203,20 +210,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!exists(root)) false
     else {
       // external tables unregister without touching data (the DDL
-      // contract); managed tables delete their directory
-      if (root != managed) fs.delete(propsPath(root), false)
-      else fs.delete(new Path(root), true)
+      // contract): the LOCATION's marker and the managed-slot pointer
+      // both go; managed tables delete their directory
+      if (root != managed) {
+        fs.delete(propsPath(root), false)
+        fs.delete(new Path(managed), true)
+      } else fs.delete(new Path(root), true)
       true
     }
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    val src = tableRoot(from, readProps(tableRoot(from)))
+    val srcManaged = tableRoot(from)
+    val srcProps = readProps(srcManaged)
+    val src = tableRoot(from, srcProps)
     if (!exists(src)) throw new NoSuchTableException(from)
     val dst = tableRoot(to)
-    if (exists(dst)) throw new TableAlreadyExistsException(to)
+    if (exists(dst) || fs.exists(propsPath(dst)))
+      throw new TableAlreadyExistsException(to)
     fs.mkdirs(nsPath(to.namespace()))
-    require(fs.rename(new Path(src), new Path(dst)),
+    if (src != srcManaged) {
+      // external: rename is metadata-only — the pointer moves, the
+      // LOCATION's data does not
+      writeProps(dst, srcProps)
+      fs.delete(new Path(srcManaged), true)
+    } else require(fs.rename(new Path(src), new Path(dst)),
       s"rename $src -> $dst failed")
   }
 

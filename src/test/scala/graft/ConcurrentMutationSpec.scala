@@ -118,6 +118,79 @@ class ConcurrentMutationSpec extends AnyFunSuite {
     assert(Fetch.fetch(spark, root).count() == 1)
   }
 
+  // ---- READ-SET validation (r16): file-level checks can't see a
+  // concurrent commit's ADDED files, so rows landing inside a mutation's
+  // predicate/key read set after its locate pass must conflict — the
+  // Delta ConcurrentAppend rule. preCommitHook holds the stale-read
+  // window open deterministically.
+
+  private def withHook[A](body: () => Unit)(run: => A): A = {
+    Mutations.preCommitHook = () => { Mutations.preCommitHook = () => (); body() }
+    try run finally Mutations.preCommitHook = () => ()
+  }
+
+  test("an append landing rows inside a DELETE's predicate fails the delete loudly") {
+    val root = fresh("occ_rs_append_in")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withHook(() => Publish.publishVersioned(spark,
+        Seq((900L, "p0", 5L)).toDF("k", "part", "v"), root, Seq("part"),
+        mode = "append")) {
+        Mutations.deleteWhere(spark, root, col("part") === "p0")
+      }
+    }
+    assert(e.getMessage.contains("read set"))
+    // the loser left no trace: all 300 originals plus the racer's append
+    assert(Fetch.fetch(spark, root).count() == 301)
+  }
+
+  test("an append OUTSIDE the predicate commutes with the delete") {
+    val root = fresh("occ_rs_append_out")
+    withHook(() => Publish.publishVersioned(spark,
+      Seq((900L, "p9", 5L)).toDF("k", "part", "v"), root, Seq("part"),
+      mode = "append")) {
+      Mutations.deleteWhere(spark, root, col("part") === "p0")
+    }
+    val got = Fetch.fetch(spark, root).select("k", "part")
+      .as[(Long, String)].collect()
+    assert(!got.exists(_._2 == "p0") && got.exists(_._1 == 900L))
+    assert(got.length == 201, "both commits landed")
+  }
+
+  test("two MERGEs inserting one new key cannot double-insert (rewrite + DV modes)") {
+    def src(v: Long) = Seq((999L, "p0", v)).toDF("k", "part", "v")
+    val root = fresh("occ_rs_merge")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withHook(() => Mutations.merge(spark, root, src(2L), Seq("k"))) {
+        Mutations.merge(spark, root, src(1L), Seq("k"))
+      }
+    }
+    assert(e.getMessage.contains("read set"))
+    val rows = Fetch.fetch(spark, root).where(col("k") === 999L)
+      .select("v").as[Long].collect()
+    assert(rows.toSeq == Seq(2L), "exactly the winner's row")
+    // DV-backed merge: same key race, same loud loss
+    val root2 = fresh("occ_rs_merge_dv")
+    intercept[java.util.ConcurrentModificationException] {
+      withHook(() => Mutations.mergeDv(spark, root2, src(2L), Seq("k"))) {
+        Mutations.mergeDv(spark, root2, src(1L), Seq("k"))
+      }
+    }
+    assert(Fetch.fetch(spark, root2).where(col("k") === 999L).count() == 1)
+  }
+
+  test("DV delete misses a concurrently updated row → conflicts, not a silent skip") {
+    val root = fresh("occ_rs_dv_update")
+    // the racer flips a row INTO the delete's predicate (v: 2000 → -1);
+    // the predicate also matches k=0 (v=0) so the delete reaches its commit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withHook(() => Mutations.updateWhere(spark, root,
+        col("k") === 200L, Map("v" -> lit(-1L)))) {
+        Mutations.deleteWhereDv(spark, root, col("v") < 10L)
+      }
+    }
+    assert(e.getMessage.contains("read set"))
+  }
+
   test("a commit landing between read and CAS fails the racer, not the data") {
     // serialized equivalent of the interleaving: the conflict check runs
     // against the CURRENT latest on every CAS attempt, so a mutation that

@@ -111,6 +111,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("k", "part", "v"))
   }
 
+  test("external LOCATION table: load, insert, rename (metadata-only), drop keeps data") {
+    wh
+    val loc = TestSpark.tmpDir("gcat_ext_loc")
+    spark.sql(s"""CREATE TABLE gcat.db.ext (k BIGINT, part STRING)
+      USING graft PARTITIONED BY (part) LOCATION '$loc'""")
+    // resolvable by NAME: the managed slot carries a pointer to LOCATION
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("ext"))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "part").createOrReplaceTempView("ext_src")
+    spark.sql("INSERT INTO gcat.db.ext SELECT * FROM ext_src")
+    assert(spark.table("gcat.db.ext").count() == 2)
+    // the data lives at LOCATION, not under the warehouse
+    assert(new java.io.File(loc).listFiles().exists(_.getName.startsWith("part=")))
+    // duplicate create on the same identifier is refused
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE gcat.db.ext (k BIGINT) USING graft LOCATION '$loc'")
+    }
+    // rename moves the pointer only; LOCATION's bytes do not move
+    spark.sql("ALTER TABLE gcat.db.ext RENAME TO db.ext2")
+    assert(spark.table("gcat.db.ext2").count() == 2)
+    intercept[Exception] { spark.table("gcat.db.ext").collect() }
+    // drop unregisters without touching the external data
+    spark.sql("DROP TABLE gcat.db.ext2")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("ext2"))
+    assert(new java.io.File(loc).listFiles().exists(_.getName.startsWith("part=")),
+      "external data survives DROP")
+  }
+
   test("guard rails: duplicate create, unknown table, mixed partition spec") {
     wh
     spark.sql("CREATE TABLE gcat.db.dup (k BIGINT) USING graft")

@@ -117,6 +117,19 @@ def main():
     if "calib" in new:
         print(f"calibration {new['calib']}s (quiet box)")
 
+    # Min-of-N artifacts compared against single-pass baselines read as
+    # phantom speedups (and vice versa as phantom regressions). Pass count
+    # is stamped since r16; older artifacts predate the stamp (assume 1
+    # for pre-r15, 2 for r15 — the min-of-2 protocol landed then).
+    np_, bp = new.get("passes"), base.get("passes")
+    if np_ is not None and bp is not None and np_ != bp:
+        print(f"WARNING: pass counts differ (new min-of-{np_} vs baseline "
+              f"min-of-{bp}) — cross-artifact deltas are biased toward the "
+              f"higher-pass side; compare trends, not single cells.")
+    elif np_ is not None and bp is None:
+        print(f"note: new artifact is min-of-{np_}; baseline predates the "
+              f"passes stamp.")
+
     failed = new.get("failed", [])
     regressions = [
         (name, t, bq[name])
