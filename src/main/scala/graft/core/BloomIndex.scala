@@ -61,6 +61,24 @@ object BloomIndex {
 
   private def paramsPath(root: String) = new Path(s"$root/$DirName/$ParamsName")
 
+  /** Drop the ENTIRE bloom sidecar when any of `widenedCols` is covered:
+    * filters hash values in their build-time declared type, and
+    * xxhash64(int) != xxhash64(long), so a type-widened column's stale
+    * filters would false-SKIP files — a wrong answer. Dropping is the
+    * conservative direction (scans read more, never less); rebuild with
+    * [[build]] under the new type when pruning is wanted again.
+    */
+  private[core] def invalidateFor(spark: SparkSession, root: String,
+                                  widenedCols: Seq[String]): Unit =
+    params(spark, root).foreach { p =>
+      if (p.columns.exists(widenedCols.contains)) {
+        fs(spark, root).delete(new Path(s"$root/$DirName"), true)
+        System.err.println(s"[graft] bloom index at $root dropped: column(s) " +
+          s"${p.columns.intersect(widenedCols).mkString(",")} type-widened " +
+          "(stale filters would false-skip files); rebuild to restore pruning")
+      }
+    }
+
   private def writeParams(spark: SparkSession, root: String, p: Params): Unit = {
     val cols = p.columns.map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val out = fs(spark, root).create(paramsPath(root), true)

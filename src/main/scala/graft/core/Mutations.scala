@@ -764,12 +764,24 @@ object Mutations {
           "pass evolveSchema=true to add them to the dataset additively")
       extraF.foreach(f => require(!f.name.startsWith("_") && !f.name.startsWith("."),
         s"evolved column ${f.name} would be hidden from parquet readers"))
-      // the evolved logical schema: existing fields, new ones appended (a
-      // name-mapped dataset's new columns bind identity — no map change)
-      val meta =
-        if (extraF.isEmpty) meta0
-        else meta0.copy(schema = StructType(
-          meta0.schema.fields ++ extraF.map(_.copy(nullable = true))))
+      // the evolved logical schema: existing fields (type-WIDENED where the
+      // source carries a lossless promotion — int→long, float→double,
+      // decimal growth; see [[Widen]]), new ones appended (a name-mapped
+      // dataset's new columns bind identity — no map change). Without
+      // evolveSchema the source is cast to the recorded types as before
+      // (ANSI catches a lossy downcast at runtime).
+      val (meta, widenedCols) =
+        if (!evolveSchema) (meta0, Nil)
+        else {
+          val (w, widened) = Widen.widenSchema(meta0.schema, source.schema,
+            meta0.partitions)
+          require(widened.isEmpty || !widened.exists(keyCols.contains) ||
+              meta0.colMap.isEmpty,
+            "widening a key column on a column-mapped dataset is not supported")
+          (meta0.copy(schema = w), widened)
+        }
+      // stale bloom filters on a widened column would false-skip files
+      if (widenedCols.nonEmpty) BloomIndex.invalidateFor(spark, root, widenedCols)
       // normalize source to (evolved) target order + types, once
       val src = source.select(meta.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*).persist()
@@ -787,12 +799,19 @@ object Mutations {
         // from the TARGET side); inserts carry null → fresh computed ids
         val bases = liveBases(spark, root, latest, affected)
         // affected target rows under the OLD schema, null-extended to the
-        // evolved one (their files predate the new columns)
-        def targetRows = extraF.foldLeft(
-          Versions.readFiles(spark, root, affected, meta0, dvs = dvs,
-            keepRowId = bases.map(_ => RowIdCol),
-            rowIdBases = bases.getOrElse(Map.empty)))(
-          (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        // evolved one (their files predate the new columns) and UPCAST to
+        // any widened types so both merge sides agree
+        def targetRows = {
+          val old = extraF.foldLeft(
+            Versions.readFiles(spark, root, affected, meta0, dvs = dvs,
+              keepRowId = bases.map(_ => RowIdCol),
+              rowIdBases = bases.getOrElse(Map.empty)))(
+            (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+          if (widenedCols.isEmpty) old
+          else old.select(old.columns.toIndexedSeq.map(n =>
+            if (widenedCols.contains(n)) col(n).cast(meta.schema(n).dataType).as(n)
+            else col(n)): _*)
+        }
         val merged =
           if (payload.isEmpty) bases match {
             case None =>
@@ -832,7 +851,7 @@ object Mutations {
           }
         if (affected.isEmpty && src.isEmpty) MutationResult(latest, Nil, Nil)
         else rewriteCommit(spark, root, meta, merged, affected,
-          schemaEvolved = extraF.nonEmpty,
+          schemaEvolved = extraF.nonEmpty || widenedCols.nonEmpty,
           opInfo = Map("op" -> "MERGE", "keys" -> keyCols.mkString(",")),
           baseVersion = Some(latest),
           // concurrent adds are checked under the PRE-evolution schema:

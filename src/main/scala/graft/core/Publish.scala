@@ -661,15 +661,21 @@ object Publish {
   }
 
   /** Schema-evolving append: `df` may carry NEW columns (appended to the
-    * dataset's recorded schema) and may omit existing data columns (its
-    * files simply lack them). Reads null-fill either direction for free —
-    * [[Fetch.fetch]] always reads with the sidecar's explicit schema, and
-    * a parquet file without a requested column yields nulls — so no 100 TB
-    * rewrite ever happens for an additive schema change (the
-    * Delta/Iceberg `mergeSchema` behavior on graft datasets). Columns
-    * present in BOTH schemas must agree exactly on type (silent widening
-    * would corrupt the recorded partition/filter semantics), and the
-    * partition columns are fixed for the dataset's lifetime.
+    * dataset's recorded schema), may omit existing data columns (its
+    * files simply lack them), and may carry a LOSSLESSLY WIDER type for
+    * an existing column (int→long, float→double, decimal growth — see
+    * [[Widen]]), which widens the recorded type in place. Reads null-fill
+    * missing columns and the parquet reader natively promotes narrow
+    * physical types under the widened explicit schema — so no 100 TB
+    * rewrite ever happens for an additive OR widening schema change (the
+    * Delta `mergeSchema` + type-widening behavior on graft datasets).
+    * Narrowing and cross-family changes are rejected; a df carrying a
+    * NARROWER type than recorded is fine (its files upcast on read); the
+    * partition columns' types are fixed for the dataset's lifetime.
+    *
+    * On a VERSIONED root a type change lands as its own metadata `alter`
+    * commit before the append — history records when the type widened,
+    * and pre-widening versions time-travel under their narrow schema.
     */
   def appendEvolved(spark: SparkSession, df: DataFrame, root: String,
                     partitions: Seq[String]): Seq[String] =
@@ -678,18 +684,38 @@ object Publish {
         s"cannot evolve-append to $root: no graft metadata (publish it first)"))
       require(meta.partitions == partitions,
         s"append partitions $partitions do not match dataset partitions ${meta.partitions}")
-      val recorded = meta.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.schema.fields.foreach { f =>
-        recorded.get(f.name).foreach { dt =>
-          require(dt == f.dataType,
-            s"column ${f.name} type ${f.dataType} conflicts with the dataset's $dt " +
-              "(evolution is additive only; changing a type needs a republish)")
-        }
+      require(meta.colMap.isEmpty,
+        "schema-evolving append on a column-mapped dataset is not supported " +
+          "yet (rename/drop first, or merge with evolveSchema)")
+      val (union, widened) = Widen.widenSchema(meta.schema, df.schema, partitions)
+      // a bloom sidecar hashes values in their build-time type and
+      // xxhash64(int) != xxhash64(long): stale filters on a widened
+      // column would false-SKIP files. Drop the index (conservative —
+      // scans read more, never less); rebuild at leisure.
+      if (widened.nonEmpty) BloomIndex.invalidateFor(spark, root, widened)
+      val versioned = Versions.latestVersion(spark, root).isDefined
+      if (!versioned)
+        publishImpl(spark, df, root, partitions, "append", Nil, Nil, 16, 0, Nil,
+          requireSchemaMatch = false, metaSchemaOverride = Some(union))
+      else {
+        // the schema change is its own metadata commit (history records
+        // WHEN the shape changed; pre-change versions travel under their
+        // own schema), then the data lands as a plain append whose entry
+        // schema matches the now-governing one
+        if (union.fields.map(f => (f.name, f.dataType)).toSeq !=
+            meta.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+          Versions.commit(spark, root, "alter", Nil, DatasetMeta(union, partitions),
+            opInfo = Map("op" -> "EVOLVE SCHEMA",
+              "widened" -> widened.sorted.mkString(","),
+              "added" -> union.fieldNames.filterNot(
+                meta.schema.fieldNames.contains).mkString(",")))
+        val newFiles = publishImpl(spark, df, root, partitions, "append",
+          Nil, Nil, 16, 0, Nil, requireSchemaMatch = false,
+          metaSchemaOverride = Some(union), directCommit = true)
+        Versions.commit(spark, root, "append", newFiles,
+          DatasetMeta(union, partitions))
+        newFiles
       }
-      val newFields = df.schema.fields.filterNot(f => recorded.contains(f.name))
-      val union = StructType(meta.schema.fields ++ newFields)
-      publishImpl(spark, df, root, partitions, "append", Nil, Nil, 16, 0, Nil,
-        requireSchemaMatch = false, metaSchemaOverride = Some(union))
     }
 
   /** Idempotent append: publish only the rows of `df` whose `keyCols`

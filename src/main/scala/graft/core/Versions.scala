@@ -1702,8 +1702,22 @@ object Versions {
         // (a bulk rewrite where most rows changed) the prefilter buys
         // little and the classic one-pass join takes over.
         val MaxBroadcastCand = 2000000
+        // ADAPTIVE fuse choice (r16): the prefilter's win is BYTES NOT
+        // SHUFFLED in the second pass, so it pays only when the payload
+        // is wide. A narrow payload (a couple of numeric columns) costs
+        // the classic one-pass join barely more wire than the (id, hash)
+        // prefilter itself — the extra pass + driver collect then buys
+        // nothing (r15 ×100 measured parity). Decide from the schema's
+        // estimated bytes/row; `graft.cdf.fuse` = always|never pins the
+        // choice (the stress harness prices both paths on one dataset).
+        val estRowBytes = outMeta.schema.map(_.dataType.defaultSize).sum
+        val fuse = sys.props.get("graft.cdf.fuse") match {
+          case Some("always") => true
+          case Some("never") => false
+          case _ => estRowBytes >= 48
+        }
         val changed =
-          if (byId && others.nonEmpty) {
+          if (byId && others.nonEmpty && fuse) {
             val candIds = oldRows.select(col(RowIdCol),
                 xxhash64(others.map(col): _*).as("__h_a"))
               .join(newRows.select(col(RowIdCol),
@@ -2355,6 +2369,131 @@ object Versions {
       opInfo = Map("op" -> "CLONE", "source" -> srcRoot,
         "source_version" -> v.toString),
       colMap = Some(meta.colMap))
+  }
+
+  /** DEEP CLONE (the Delta `CLONE … DEEP` shape): MATERIALIZE one version
+    * of `srcRoot` at `dstRoot` — every live file is byte-copied under the
+    * target (no lingering reference to the source, unlike [[clone]]'s
+    * shallow pointers), live deletion vectors are carried with their file
+    * refs rewritten to the copies, and the target starts a FRESH history
+    * whose v1 is the materialized snapshot. The source can be deleted or
+    * keep evolving afterwards; neither side sees the other.
+    *
+    * Scale shape: pure byte copies — ZERO data records are decoded (an
+    * input-metrics spec pins this), the driver does O(files) copy
+    * scheduling, and a shallow-clone source's external refs materialize
+    * the same way (their bytes come home). Full-history migration is
+    * [[migrate]]; row tracking starts fresh like [[clone]] (enable +
+    * OPTIMIZE to number under the new log).
+    */
+  def deepClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+                version: Option[Int] = None): Int = {
+    val srcLatest = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"deep clone source $srcRoot is not versioned"))
+    val v = version.getOrElse(srcLatest)
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"deep clone target $dstRoot already has a commit log")
+    require(Publish.listPhysicalDataFilesWithSize(spark, dstRoot).isEmpty,
+      s"deep clone target $dstRoot already contains data files")
+    require(qualifiedRootUri(spark, srcRoot) != qualifiedRootUri(spark, dstRoot),
+      "deep clone source and target are the same path")
+    val (files, meta, dvs) = snapshotFullAt(spark, srcRoot, v)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcUri = qualifiedRootUri(spark, srcRoot).stripSuffix("/")
+    val srcFs = fs(spark, srcRoot)
+    val dstFs = fs(spark, dstRoot)
+    // destination path of a copy: relative refs keep their exact layout;
+    // an external ref (shallow-clone inheritance) lands under its hive
+    // `col=value` tail + filename — the same dirs its partition values
+    // live in, so partition derivation at the target stays correct
+    def dstRel(r: String): String =
+      if (!isExternalRef(r)) r
+      else {
+        val segs = r.split('/').filter(_.nonEmpty)
+        val hive = segs.dropRight(1).reverse.takeWhile(_.contains('=')).reverse
+        (hive :+ segs.last).mkString("/")
+      }
+    val mapping: Seq[(String, String)] = files.map { r =>
+      val from = if (isExternalRef(r)) new Path(r) else new Path(s"$srcUri/$r")
+      var rel = dstRel(r)
+      val to0 = new Path(dstRoot, rel)
+      // external-ref tails could collide with a same-named relative file;
+      // writer uuid names make this vanishingly rare — disambiguate anyway
+      val to = if (!dstFs.exists(to0)) to0 else {
+        val segs = rel.split('/')
+        rel = (segs.dropRight(1) :+
+          s"dc-${java.util.UUID.randomUUID()}-${segs.last}").mkString("/")
+        new Path(dstRoot, rel)
+      }
+      dstFs.mkdirs(to.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, dstFs, to, false, conf)
+      r -> rel
+    }
+    val relByRef = mapping.toMap
+    // DVs carry (file, row_index) keyed by the SOURCE's ref forms —
+    // rewrite each ref to its copy's dst-relative path. DV frames are
+    // O(deleted rows): the remap rides a broadcast of the O(files) map.
+    val newDvs = dvs.map { d =>
+      val m = typedlit(d.files.map(f => f -> relByRef(f)).toMap)
+      val rows = readDvRows(spark, srcRoot, d)
+        .withColumn("file", coalesce(element_at(m, col("file")), col("file")))
+      val dvDir = s"$DvDirName/${java.util.UUID.randomUUID().toString}"
+      rows.coalesce(1).write.mode("errorifexists")
+        .parquet(new Path(dstRoot, dvDir).toString)
+      DvRef(dvDir, d.files.map(relByRef))
+    }
+    DatasetMeta.write(spark, dstRoot, DatasetMeta(meta.schema, meta.partitions))
+    // the target is transform-partitioned iff the source version was
+    val ts = transformsAt(spark, srcRoot, v)
+    if (ts.nonEmpty) Transforms.write(spark, dstRoot, ts)
+    commit(spark, dstRoot, "clone", mapping.map(m => s"$dstRoot/${m._2}"), meta,
+      dvs = newDvs,
+      opInfo = Map("op" -> "DEEP CLONE", "source" -> srcRoot,
+        "source_version" -> v.toString),
+      colMap = Some(meta.colMap))
+  }
+
+  /** Full-history MIGRATION: byte-copy the ENTIRE dataset — every data
+    * file any version references (ghosts included), the commit log, DV
+    * sidecars and metadata/transform/index sidecars — so the copy time
+    * travels exactly like the original. Refuses a source whose log
+    * references EXTERNAL files (a shallow clone): those entries would
+    * still point outside the copy — [[deepClone]] the snapshot instead,
+    * or OPTIMIZE the clone to localize its bytes first. Zero records
+    * decoded; O(all bytes) copied.
+    */
+  def migrate(spark: SparkSession, srcRoot: String, dstRoot: String): Int = {
+    val srcLatest = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"migrate source $srcRoot is not versioned"))
+    require(latestVersion(spark, dstRoot).isEmpty &&
+      Publish.listPhysicalDataFilesWithSize(spark, dstRoot).isEmpty,
+      s"migrate target $dstRoot is not empty")
+    (1 to srcLatest).foreach { mv =>
+      val e = readEntry(spark, srcRoot, mv)
+      require(!e.added.exists(isExternalRef) && !e.removed.exists(isExternalRef),
+        s"version $mv of $srcRoot references files outside the root (shallow " +
+          "clone) — a directory copy cannot carry them; deepClone a snapshot " +
+          "instead")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fs(spark, srcRoot)
+    val dstFs = fs(spark, dstRoot)
+    val srcPath = srcFs.makeQualified(new Path(srcRoot))
+    def copyTree(p: Path): Unit = srcFs.listStatus(p).foreach { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(srcPath.toUri.getPath)
+        .stripPrefix("/")
+      if (rel.nonEmpty && !rel.startsWith("_graft_lock")) {
+        if (st.isDirectory) copyTree(st.getPath)
+        else {
+          val to = new Path(dstRoot, rel)
+          dstFs.mkdirs(to.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs, to, false, conf)
+        }
+      }
+    }
+    copyTree(srcPath)
+    srcLatest
   }
 
   /** Name of the symlink-manifest dir (underscore-hidden, like Delta's). */

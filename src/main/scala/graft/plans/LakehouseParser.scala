@@ -66,6 +66,9 @@ object LakehouseStatements {
   private val Clone =
     re("CREATE\\s+TABLE\\s+" + Target + "\\s+SHALLOW\\s+CLONE\\s+" + Target +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
+  private val DeepClone =
+    re("CREATE\\s+TABLE\\s+" + Target + "\\s+(?:DEEP\\s+)?CLONE\\s+" + Target +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
   private val AddConstraint =
     re("ALTER\\s+TABLE\\s+" + Target +
       "\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)")
@@ -108,6 +111,9 @@ object LakehouseStatements {
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
     case Clone(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toInt)))
+    // DEEP is the Delta default when unspecified — materialize the copy
+    case DeepClone(dst, src, v) =>
+      Some(GraftDeepCloneCommand(dst, src, Option(v).map(_.toInt)))
     case AddConstraint(root, name, check) =>
       Some(GraftAddConstraintCommand(root, name, check.trim))
     case DropConstraint(root, name) =>
@@ -212,6 +218,25 @@ case class GraftCloneCommand(dst: String, src: String, version: Option[Int])
     val v = version.getOrElse(Versions.latestVersion(spark, src).getOrElse(
       throw new IllegalArgumentException(s"clone source $src is not versioned")))
     Versions.clone(spark, src, dst, Some(v))
+    Seq(Row(src, v, dst))
+  }
+}
+
+/** `CREATE TABLE graft.`dst` [DEEP] CLONE graft.`src` [VERSION AS OF n]`
+  * — the materializing clone ([[Versions.deepClone]]): every live file
+  * byte-copied under the target, DVs carried, fresh history. DEEP is the
+  * default when neither keyword is given, matching Delta.
+  */
+case class GraftDeepCloneCommand(dst: String, src: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("source_version", IntegerType, nullable = false)(),
+    AttributeReference("target", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.getOrElse(Versions.latestVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"clone source $src is not versioned")))
+    Versions.deepClone(spark, src, dst, Some(v))
     Seq(Row(src, v, dst))
   }
 }

@@ -147,6 +147,73 @@ class CloneSpec extends AnyFunSuite {
     assert(hist.toSeq == Seq("clone"))
   }
 
+  // ---- DEEP clone / full-history migrate (r16) ----
+
+  test("deep clone materializes the snapshot: zero records decoded, full independence") {
+    val src = freshSrc("dclone_src")
+    Mutations.deleteWhere(spark, src, col("id") % 10 === 0)
+    Mutations.updateWhere(spark, src, col("id") === 7L, Map("v" -> lit(-7.0)))
+    val dst = TestSpark.tmpDir("dclone_dst")
+    val (_, recs) = IoMetrics.recordsReadDuring(spark) {
+      Versions.deepClone(spark, src, dst)
+    }
+    assert(recs == 0, s"deep clone is byte copies, decoded $recs records")
+    val got = Fetch.fetch(spark, dst)
+    assert(ids(got) == (0L until 100L).filterNot(_ % 10 == 0))
+    assert(got.where(col("id") === 7L).select("v").as[Double].head() == -7.0)
+    // no file reference escapes the target; the source can disappear
+    val entry = Versions.readEntry(spark, dst, 1)
+    assert(entry.added.forall(r => !r.startsWith("/")), s"external refs: ${entry.added}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L).filterNot(_ % 10 == 0))
+    // and the copy mutates like any dataset
+    Mutations.deleteWhere(spark, dst, col("id") < 50)
+    assert(ids(Fetch.fetch(spark, dst)) == (50L until 100L).filterNot(_ % 10 == 0))
+  }
+
+  test("deep clone carries live deletion vectors, rewritten to the copies") {
+    val src = freshSrc("dclone_dv_src")
+    Mutations.deleteWhereDv(spark, src, col("id") % 7 === 0)
+    val dst = TestSpark.tmpDir("dclone_dv_dst")
+    Versions.deepClone(spark, src, dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L).filterNot(_ % 7 == 0))
+  }
+
+  test("deep clone of a SHALLOW clone brings the borrowed bytes home") {
+    val src = freshSrc("dclone_sh_src")
+    val mid = TestSpark.tmpDir("dclone_sh_mid")
+    Versions.clone(spark, src, mid) // shallow: external refs
+    val dst = TestSpark.tmpDir("dclone_sh_dst")
+    Versions.deepClone(spark, mid, dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mid))
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 100L))
+    // partition dirs survived the re-homing (hive tail preserved)
+    assert(physicalFiles(dst).forall(_.contains("grp=")))
+    assert(Fetch.fetch(spark, dst, Seq(ColFilter("grp", "==", Seq("g1")))).count() == 25)
+  }
+
+  test("migrate copies the WHOLE history: old versions travel at the target") {
+    val src = freshSrc("migrate_src")
+    Mutations.deleteWhere(spark, src, col("id") >= 50)
+    val dst = TestSpark.tmpDir("migrate_dst")
+    val latest = Versions.migrate(spark, src, dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    assert(latest == 2)
+    assert(ids(Fetch.fetch(spark, dst)) == (0L until 50L))
+    assert(ids(Versions.fetchVersion(spark, dst, 1)) == (0L until 100L),
+      "pre-delete version must time-travel at the target")
+    // a shallow-clone source refuses (its entries point outside the root)
+    val sh = TestSpark.tmpDir("migrate_sh")
+    val src2 = freshSrc("migrate_src2")
+    Versions.clone(spark, src2, sh)
+    val e = intercept[IllegalArgumentException] {
+      Versions.migrate(spark, sh, TestSpark.tmpDir("migrate_sh_dst"))
+    }
+    assert(e.getMessage.contains("deepClone"))
+  }
+
   test("guard rails: occupied target, unversioned source, self-clone") {
     val src = freshSrc("clone_src_guard")
     intercept[IllegalArgumentException] {

@@ -191,6 +191,52 @@ class ConcurrentMutationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read set"))
   }
 
+  // ---- OPTIMIZE under OCC (r16): small-file compaction is a guarded
+  // REWRITE of exactly its input files — it commutes with appends and
+  // loses loudly to anything touching those inputs.
+
+  test("OPTIMIZE racing an optimistic append: BOTH commit") {
+    val root = fresh("occ_opt_append")
+    // ≥2 small files so the pack has inputs
+    Publish.publishVersioned(spark, Seq((500L, "p0", 1L)).toDF("k", "part", "v"),
+      root, Seq("part"), mode = "append")
+    val vBefore = Versions.latestVersion(spark, root).get
+    // the append's write->commit window holds while OPTIMIZE runs to
+    // completion: compaction reads the committed snapshot, never the
+    // uncommitted bytes, and the append lands on top
+    Publish.postWriteHook = () => {
+      Publish.postWriteHook = () => ()
+      Versions.compactSmall(spark, root, smallBytes = 1L << 30)
+    }
+    try Publish.publishVersioned(spark, Seq((600L, "p1", 2L)).toDF("k", "part", "v"),
+      root, Seq("part"), mode = "append")
+    finally Publish.postWriteHook = () => ()
+    assert(Versions.latestVersion(spark, root).get == vBefore + 2,
+      "compaction AND append both committed")
+    val got = Fetch.fetch(spark, root).select("k").as[Long].collect().toSet
+    assert(got == (0L until 300L).toSet + 500L + 600L)
+  }
+
+  test("OPTIMIZE racing an overlapping DV delete: the stale side loses loudly") {
+    val root = fresh("occ_opt_dv")
+    Publish.publishVersioned(spark, Seq((500L, "p0", 1L)).toDF("k", "part", "v"),
+      root, Seq("part"), mode = "append")
+    // the DV delete's locate pass ran; OPTIMIZE then rewrites (removes)
+    // the very file the DV covers — the delete must conflict, because
+    // its (file, row_index) pairs name a file that no longer exists
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withHook(() => Versions.compactSmall(spark, root, smallBytes = 1L << 30)) {
+        Mutations.deleteWhereDv(spark, root, col("k") === 0L)
+      }
+    }
+    assert(e.getMessage.contains("rewritten/removed"))
+    // the winner's state is intact: all rows live, nothing deleted
+    assert(Fetch.fetch(spark, root).count() == 301)
+    // and a re-run of the loser against the fresh snapshot succeeds
+    Mutations.deleteWhereDv(spark, root, col("k") === 0L)
+    assert(Fetch.fetch(spark, root).count() == 300)
+  }
+
   test("a commit landing between read and CAS fails the racer, not the data") {
     // serialized equivalent of the interleaving: the conflict check runs
     // against the CURRENT latest on every CAS attempt, so a mutation that

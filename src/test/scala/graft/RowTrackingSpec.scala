@@ -202,6 +202,27 @@ class RowTrackingSpec extends AnyFunSuite {
       s"minimal by-id feed expected exactly the changed row's pair: $rows")
   }
 
+  test("changeFeedById: fused and classic diff paths emit identical feeds") {
+    // the adaptive bytes/row choice (r16) may pick either engine — pin
+    // each via the prop and require byte-identical output
+    val root = freshTracked("rt_cfid_ab")
+    val backfill = Versions.latestVersion(spark, root).get
+    Mutations.updateWhere(spark, root, col("k") % 7 === 3, Map("v" -> lit(-1L)))
+    Mutations.deleteWhere(spark, root, col("k") === 11L)
+    val latest = Versions.latestVersion(spark, root).get
+    def run(pin: String): Set[(Long, Long, String, Int)] = {
+      sys.props("graft.cdf.fuse") = pin
+      try Versions.changeFeedById(spark, root, backfill, latest)
+        .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .as[(Long, Long, String, Int)].collect().toSet
+      finally sys.props.remove("graft.cdf.fuse")
+    }
+    val fused = run("always")
+    val classic = run("never")
+    assert(fused == classic, s"paths diverge: ${fused.diff(classic)} / ${classic.diff(fused)}")
+    assert(fused.nonEmpty && fused.forall(r => r._1 % 7 == 3 || r._1 == 11L))
+  }
+
   test("format('graft') batch changeFeed honors rowDiffById") {
     val root = freshTracked("rt_fmt_cfid")
     val backfill = Versions.latestVersion(spark, root).get

@@ -39,7 +39,8 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Publish.appendEvolved(spark,
         Seq((2.5, "b")).toDF("id", "grp"), root, Seq("grp"))
     }
-    assert(e.getMessage.contains("conflicts"))
+    // long↔double has no lossless common type (r16 widening refuses it)
+    assert(e.getMessage.contains("not a lossless widening"))
   }
 
   test("evolution accumulates across appends and fetch filters still work") {

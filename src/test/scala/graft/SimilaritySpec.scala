@@ -45,9 +45,10 @@ class SimilaritySpec extends AnyFunSuite {
       "ivf_clustered" -> 8, "lsh_clustered" -> 8, "pq_clustered" -> 8,
       "ivfpq_clustered" -> 8),
       s"every query must clear its recall floor: $byMethod")
-    assert(rows.forall(_.getAs[Double]("recall") >= 0.4))
+    // the dump carries the QUANTIZED recall (r16 graduation)
+    assert(rows.forall(_.getAs[Double]("recall_q") >= 0.4))
     assert(rows.filter(_.getAs[String]("method").endsWith("_clustered"))
-      .forall(_.getAs[Double]("recall") >= 0.8))
+      .forall(_.getAs[Double]("recall_q") >= 0.8))
   }
 
   test("recallVsBrute reports silent total misses as recall 0") {
