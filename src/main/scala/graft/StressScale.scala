@@ -379,6 +379,39 @@ object StressScale {
     // page-cache eviction (run-order contamination, measured on occ_*)
     fs.delete(new Path(wideRoot), true)
 
+    // ---- 11. TYPE-WIDENING read tax at scale (r16, component 206): the
+    // same filter-aggregate scan over a 15M-row int-keyed copy of orders,
+    // before and after `widenColumn(ok, int→long)`. The claims priced:
+    // the alter is metadata-only (file count unchanged) and the
+    // post-widen scan of all-narrow files costs the same as the
+    // pre-widen scan — the parquet reader's native promotion, not a
+    // cast stage or a rewrite.
+    val widenRoot = s"$workDir/orders_widen_scale"
+    fs.delete(new Path(widenRoot), true)
+    Publish.publishVersioned(spark,
+      orders.select(col("o_orderkey").cast("int").as("ok"),
+        col("o_orderstatus"), col("o_totalprice")),
+      widenRoot, Nil)
+    // exact long aggregate over the widened column itself: identical
+    // pre/post by value (double sums would drift with partition order)
+    def widenScan(): Long = Fetch.fetch(spark, widenRoot)
+      .where(col("ok") % 3 === 0).agg(sum(col("ok"))).head().getLong(0)
+    checks("widen_scan_narrow_sum") = timed("widen_scan_narrow")(widenScan())
+    val widenFiles0 = graft.core.Versions.snapshotFullAt(spark, widenRoot,
+      graft.core.Versions.latestVersion(spark, widenRoot).get)._1.size
+    timed("widen_alter") {
+      graft.core.Versions.widenColumn(spark, widenRoot, "ok",
+        org.apache.spark.sql.types.LongType)
+    }
+    val widenFiles1 = graft.core.Versions.snapshotFullAt(spark, widenRoot,
+      graft.core.Versions.latestVersion(spark, widenRoot).get)._1.size
+    checks("widen_alter_files_unchanged") =
+      if (widenFiles0 == widenFiles1) 1L else 0L
+    checks("widen_scan_wide_sum") = timed("widen_scan_wide")(widenScan())
+    checks("widen_scans_agree") =
+      if (checks("widen_scan_narrow_sum") == checks("widen_scan_wide_sum")) 1L
+      else 0L
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

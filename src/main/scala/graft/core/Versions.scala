@@ -2285,6 +2285,45 @@ object Versions {
       v
     }
 
+  /** ALTER COLUMN … TYPE — explicit TYPE WIDENING as a METADATA-ONLY
+    * commit (the Delta 3.x `ALTER TABLE … ALTER COLUMN … TYPE` verb; the
+    * implicit path is a widening [[Publish.appendEvolved]]/MERGE): the
+    * recorded type grows to a LOSSLESS promotion ([[Widen.canWiden]] —
+    * int→long, float→double, decimal growth), zero bytes move, existing
+    * narrow files upcast inside the parquet reader. Narrowing and
+    * cross-family changes are refused; partition columns are pinned; a
+    * BLOOM index over the column drops (its filters hash the narrow
+    * type — kept, they would false-skip files).
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  newType: org.apache.spark.sql.types.DataType): Int =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN TYPE needs a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      require(meta.schema.fieldNames.contains(name),
+        s"no column $name in ${meta.schema.fieldNames.mkString(", ")}")
+      val cur = meta.schema(name).dataType
+      require(cur != newType, s"column $name already has type $cur")
+      require(Widen.canWiden(cur, newType),
+        s"column $name: $newType is not a lossless widening of $cur " +
+          "(narrowing/cross-family changes need a republish)")
+      require(!meta.partitions.contains(name),
+        s"partition column $name cannot change type (hive directories and " +
+          "transform expressions are pinned to it)")
+      BloomIndex.invalidateFor(spark, root, Seq(name))
+      val newSchema = StructType(meta.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newType) else f))
+      val v = commit(spark, root, "alter", Nil,
+        DatasetMeta(newSchema, meta.partitions, meta.colMap),
+        colMap = Some(meta.colMap),
+        opInfo = Map("op" -> "ALTER COLUMN TYPE", "column" -> name,
+          "from" -> cur.simpleString, "to" -> newType.simpleString))
+      DatasetMeta.write(spark, root, DatasetMeta(newSchema, meta.partitions))
+      v
+    }
+
   /** DROP COLUMN — a METADATA-ONLY commit (see [[renameColumn]]): the
     * column leaves the logical schema and the name map; its physical
     * bytes stay in existing files (invisible — reads project the logical

@@ -63,6 +63,9 @@ object LakehouseStatements {
     re("ALTER\\s+TABLE\\s+" + Target + "\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)")
   private val DropColumn =
     re("ALTER\\s+TABLE\\s+" + Target + "\\s+DROP\\s+COLUMN\\s+(\\w+)")
+  private val AlterColumnType =
+    re("ALTER\\s+TABLE\\s+" + Target +
+      "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)")
   private val Clone =
     re("CREATE\\s+TABLE\\s+" + Target + "\\s+SHALLOW\\s+CLONE\\s+" + Target +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
@@ -109,6 +112,7 @@ object LakehouseStatements {
       Some(GraftCheckpointCommand(root, Option(v).map(_.toInt)))
     case RenameColumn(root, from, to) => Some(GraftRenameColumnCommand(root, from, to))
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
+    case AlterColumnType(root, c, t) => Some(GraftWidenColumnCommand(root, c, t.trim))
     case Clone(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toInt)))
     // DEEP is the Delta default when unspecified — materialize the copy
@@ -238,6 +242,24 @@ case class GraftDeepCloneCommand(dst: String, src: String, version: Option[Int])
       throw new IllegalArgumentException(s"clone source $src is not versioned")))
     Versions.deepClone(spark, src, dst, Some(v))
     Seq(Row(src, v, dst))
+  }
+}
+
+/** `ALTER TABLE graft.`root` ALTER COLUMN c TYPE t` — explicit TYPE
+  * WIDENING, metadata-only ([[Versions.widenColumn]]: lossless
+  * promotions only; existing narrow files upcast at the parquet reader).
+  */
+case class GraftWidenColumnCommand(root: String, colName: String,
+                                   typeDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("new_type", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val v = Versions.widenColumn(spark, root, colName, dt)
+    Seq(Row(v, colName, dt.simpleString))
   }
 }
 

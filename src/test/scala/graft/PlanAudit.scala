@@ -397,6 +397,10 @@ object PlanAudit {
       val backfill = graft.core.Versions.latestVersion(spark, root).get
       graft.core.Mutations.updateWhere(spark, root, col("k") % 7 === 0,
         Map("v" -> (col("v") + 1)))
+      // this table's payload is NARROW (≈36 est bytes/row), so the r16
+      // ADAPTIVE choice would pick the classic one-pass join — pin the
+      // fused engine explicitly to audit its plan shape
+      sys.props("graft.cdf.fuse") = "always"
       val feed = graft.core.Versions.changeFeedById(spark, root, backfill,
         graft.core.Versions.latestVersion(spark, root).get)
       feed.collect()
@@ -410,7 +414,27 @@ object PlanAudit {
         plan.contains("LeftSemi") && plan.contains("Broadcast"))
       record("changeFeedById", "no cartesian",
         !plan.contains("CartesianProduct"))
+      // the ADAPTIVE default on this narrow payload: classic one-pass
+      // diff — a single full-outer join, NO candidate semi-fetch pass
+      sys.props.remove("graft.cdf.fuse")
+      val feedC = graft.core.Versions.changeFeedById(spark, root, backfill,
+        graft.core.Versions.latestVersion(spark, root).get)
+      feedC.collect()
+      val planC = feedC.queryExecution.executedPlan.toString
+      record("changeFeedById", "narrow payload takes one-pass diff",
+        planC.contains("Join") && !planC.contains("LeftSemi"))
     }
+    // TYPE WIDENING (r16): the mixed-width history reads as ONE scan per
+    // layout — no per-generation union legs, no cast stage materialized
+    // as a separate project (the parquet reader promotes natively), and
+    // the whole read stays inside whole-stage codegen
+    audit("version_type_widen",
+      "single-leg mixed-width scan" -> (p => !p.contains("Union")),
+      "whole-stage codegen" -> (_.contains("*(")))
+    // DEEP CLONE (r16): reading the materialized copy is a bare pruned
+    // scan — nothing about the clone leaves a join or extra pass behind
+    audit("version_deep_clone",
+      "bare snapshot scan" -> (p => !p.contains("Join")))
     println(s"""AUDIT_TOTAL {"checks":${okCount + missCount},"ok":$okCount,"miss":$missCount}""")
     spark.stop()
   }

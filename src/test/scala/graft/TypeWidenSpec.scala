@@ -132,6 +132,42 @@ class TypeWidenSpec extends AnyFunSuite {
     }.getMessage.contains("partition column"))
   }
 
+  test("explicit ALTER COLUMN TYPE: metadata-only widen, SQL verb, rejections") {
+    import graft.plans.GraftSql
+    val root = TestSpark.tmpDir("widen_alter")
+    Publish.publishVersioned(spark, narrowDf(0 until 30), root, Seq("grp"))
+    // API: one alter commit, zero files moved
+    val v = Versions.widenColumn(spark, root, "id", LongType)
+    assert(v == 2 && Versions.readEntry(spark, root, 2).added.isEmpty)
+    assert(Fetch.fetch(spark, root).schema("id").dataType == LongType)
+    // a wide append then needs NO further schema change
+    Publish.publishVersioned(spark, wideDf(30 until 40)
+      .withColumn("v", col("v").cast("float"))
+      .withColumn("d", col("d").cast("decimal(6,2)")), root, Seq("grp"),
+      mode = "append")
+    assert(Fetch.fetch(spark, root).count() == 40)
+    // SQL verb
+    val row = GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$root` ALTER COLUMN v TYPE DOUBLE").collect()(0)
+    assert(row.getString(2) == "double")
+    assert(Fetch.fetch(spark, root).schema("v").dataType == DoubleType)
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$root` ALTER COLUMN d TYPE DECIMAL(12, 4)").collect()
+    assert(Fetch.fetch(spark, root).schema("d").dataType == DecimalType(12, 4))
+    // rejections: narrowing, cross-family, partition column, no-op
+    assert(intercept[IllegalArgumentException] {
+      Versions.widenColumn(spark, root, "id", IntegerType)
+    }.getMessage.contains("not a lossless widening"))
+    assert(intercept[IllegalArgumentException] {
+      Versions.widenColumn(spark, root, "grp", LongType)
+    }.getMessage.contains("not a lossless widening"))
+    intercept[IllegalArgumentException] {
+      Versions.widenColumn(spark, root, "id", LongType) // already long
+    }
+    // history: pre-widen version still reads narrow
+    assert(Versions.fetchVersion(spark, root, 1).schema("id").dataType == IntegerType)
+  }
+
   test("widening a bloomed column drops the bloom sidecar (no stale false-skips)") {
     val root = TestSpark.tmpDir("widen_bloom")
     Publish.publish(spark, narrowDf(0 until 200), root, Seq("grp"))
