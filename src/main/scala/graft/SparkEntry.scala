@@ -368,6 +368,29 @@ object SparkEntry {
       df.orderBy(df.columns.map(col).toIndexedSeq: _*)
     }),
 
+    "q_v2_stats_broadcast" -> ((s, dir) => {
+      // a SMALL graft dim read through format("graft") must broadcast
+      // from the V2 scan's REPORTED statistics (ScanEstimate) — no hint;
+      // ScanStatsSpec pins the pre-AQE BroadcastHashJoin, this cell pins
+      // result equivalence of the stats-planned join
+      val root = tmpRoot("ds_nation_v2", dir)
+      if (!cacheIsCurrent(s, root) ||
+          !graft.core.Versions.isVersioned(s, root)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        Publish.publishVersioned(s, s.read.parquet(t(dir, "nation")),
+          root, Seq("n_regionkey"))
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      val dim = s.read.format("graft").load(root)
+      val cust = s.read.parquet(t(dir, "customer"))
+      cust.join(dim, cust("c_nationkey") === dim("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_bal"))
+        .orderBy("n_name")
+    }),
+
     "fetch_diff" -> ((s, dir) => {
       Fetch.fetchDiff(s, ordersDataset(s, dir), ordersNoFDataset(s, dir), "o_orderstatus")
         .orderBy("o_orderkey")
@@ -2258,6 +2281,12 @@ object SparkEntry {
         | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_v2_stats_broadcast" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,

@@ -227,6 +227,13 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
   override lazy val schema: StructType =
     StructType(meta.schema.fields.filterNot(f => hidden(f.name)))
 
+  // on-disk bytes of the (possibly pinned) snapshot, so the V1 logical
+  // relation is broadcast-eligible too; BaseRelation stats carry no
+  // filters (pre-pushdown) — unknown degrades to Spark's default
+  override def sizeInBytes: Long =
+    graft.core.ScanEstimate.estimate(spark, root, versionAsOf, Nil)._1
+      .getOrElse(super.sizeInBytes)
+
   private def snapshot: DataFrame = versionAsOf match {
     case Some(v) => Versions.fetchVersion(spark, root, v)
       .drop(hidden.toSeq: _*)

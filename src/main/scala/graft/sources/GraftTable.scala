@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -293,8 +293,16 @@ class GraftScanBuilder(root: String, options: Map[String, String],
   * final values, served through the V1 bridge — the plan carries no
   * parquet scan at all (the values came from the stats manifest).
   */
-class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
+class GraftAggScan(aggSchema: StructType, values: Seq[Any])
+    extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = aggSchema
+  // one driver-materialized row: tell the planner so anything joined
+  // against a pushed aggregate broadcasts
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(aggSchema.defaultSize.toLong)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
@@ -310,9 +318,36 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
   * [[GraftRelation.buildScan]].
   */
 class GraftV1Scan(root: String, options: Map[String, String], meta: DatasetMeta,
-                  pushed: Array[Filter], required: StructType) extends V1Scan {
+                  pushed: Array[Filter], required: StructType)
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-prune size + exact row count from the commit log / stats
+    * sidecar ([[graft.core.ScanEstimate]]) — the seam that lets Catalyst
+    * auto-broadcast a small graft table at PLAN time instead of paying a
+    * sort-merge shuffle AQE repairs only afterwards. Change feeds answer
+    * "unknown" (their file sets aren't a snapshot's); unknown maps back
+    * to Spark's default size.
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val (bytes, rows): (Option[Long], Option[Long]) =
+      if (options.get("changeFeed").exists(_.trim.equalsIgnoreCase("true"))) (None, None)
+      else {
+        val prunable = GraftSourceFilters.prunableCols(spark, root, meta)
+        val colFilters = pushed.flatMap(f =>
+          GraftSourceFilters.toColFilter(prunable, f)).toSeq
+        graft.core.ScanEstimate.estimate(spark, root,
+          options.get("versionAsOf").map(_.trim.toInt), colFilters)
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {

@@ -309,6 +309,14 @@ object PlanAudit {
       // the residual data predicate evaluates in one stage
       "no join in a plain format read" -> (p => !p.contains("Join")),
       "whole-stage codegen filter" -> (_.contains("*(")))
+    audit("q_v2_stats_broadcast",
+      // the graft dim broadcasts from the V2 scan's REPORTED statistics
+      // (ScanEstimate → SupportsReportStatistics) — no hint in the query;
+      // ScanStatsSpec pins the PRE-AQE plan, so the broadcast provably
+      // comes from plan-time stats, not an AQE rescue
+      "stats-planned broadcast join" -> (_.contains("BroadcastHashJoin")),
+      "no shuffle of the fact side" -> (p =>
+        !p.split("== Initial Plan ==").head.contains("SortMergeJoin")))
     audit("fuzzy_join_editdist",
       // PassJoin blocking: candidates from an equi-join on (segment hash,
       // index, length) scalars — never all-pairs; the verify is Spark's
