@@ -400,6 +400,29 @@ object SparkEntry {
         "o_orderstatus", reverse = true).orderBy("o_orderkey")
     }),
 
+    "version_add_column" -> ((s, dir) => {
+      // explicit ADD COLUMN (metadata-only, the Delta additive verb):
+      // pre-add files read NULL through the union-schema scan, the
+      // post-add append carries real values — one snapshot spans both
+      val root = tmpRoot("ds_orders_addcol", dir)
+      val current = cacheIsCurrent(s, root) &&
+        graft.core.Versions.latestVersion(s, root).contains(3)
+      if (!current) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val orders = s.read.parquet(t(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        Publish.publishVersioned(s, orders.where(col("o_orderkey") % 2 === 0),
+          root, Seq("o_orderstatus"))
+        s.sql(s"ALTER TABLE graft.`$root` ADD COLUMN o_note STRING")
+        Publish.publishVersioned(s,
+          orders.where(col("o_orderkey") % 2 === 1)
+            .withColumn("o_note", concat(lit("n_"), col("o_orderkey"))),
+          root, Seq("o_orderstatus"), mode = "append")
+        java.nio.file.Files.writeString(versionMarker(root), CacheVersion)
+      }
+      Fetch.fetch(s, root).orderBy("o_orderkey")
+    }),
+
     // ---- schema-evolving append ----
     "append_schema_evolution" -> ((s, dir) => {
       val root = tmpRoot("ds_orders_evolved", dir)
@@ -1183,6 +1206,28 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // SQ8 production config: int8 scalar-quantized scan (8× less
+    // bandwidth) + exact re-rank of 4k candidates — rows-only like the
+    // other production ANN cells; quality rides ann_recall(_contract)
+    // and the saturated sibling below is exact-oracle
+    "ann_sq8_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.sqTopK(embs, embs.where(col("vec_id") < 8), 5, refineFactor = 4)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // SATURATED SQ8: a refine factor covering the whole corpus re-ranks
+    // every candidate exactly, so the result provably equals brute force —
+    // an exact DuckDB oracle for the quantize/dequantize/score plumbing
+    "ann_sq8_full_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Similarity.sqTopK(embs, embs.where(col("vec_id") < 8), 5,
+        refineFactor = 1000000)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("query_id", "rnk")
+    }),
+
     // SATURATED LSH: zero hyperplanes put every vector in ONE bucket, so
     // the candidate set is the whole corpus and the result provably
     // equals brute force — an exact DuckDB oracle for the LSH plumbing
@@ -1244,6 +1289,9 @@ object SparkEntry {
           .withColumn("method", lit("pq_clustered")).where(col("recall") >= 0.8))
         .unionByName(Similarity.recallVsBrute(clIvfPq, clBrute)
           .withColumn("method", lit("ivfpq_clustered")).where(col("recall") >= 0.8))
+        .unionByName(Similarity.recallVsBrute(
+          Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4), clBrute)
+          .withColumn("method", lit("sq8_clustered")).where(col("recall") >= 0.8))
         .select(col("method"), col("query_id"),
           round(col("recall"), 2).as("recall_q"))
         .orderBy("method", "query_id")
@@ -1286,6 +1334,9 @@ object SparkEntry {
           Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
             m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000), clBrute,
           "ivfpq_clustered", 0.8))
+        .unionByName(contract(
+          Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4), clBrute,
+          "sq8_clustered", 0.8))
         .orderBy("method")
     }),
 
@@ -1439,6 +1490,19 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, lit("\nfooter nav\nfooter nav"))
             .otherwise(lit(""))))
       TextAnalysis.duplicateLineStats(aug).orderBy("doc_id")
+    }),
+
+    "export_shards" -> ((s, dir) => {
+      // seeded pseudo-random training-shard export: shard assignment AND
+      // within-shard order are seed-reproducible, and with the replayable
+      // hash the DuckDB oracle recomputes both from doc_id alone; the
+      // file shape (one file per shard, rows in export order, re-run
+      // identical) is ShardExportSpec-pinned
+      val out = tmpRoot("ds_shard_export", dir) + "_out"
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id")
+      graft.ops.ShardExport.exportShards(docs, out, 8, seed = 42L,
+          orderHash = Some(graft.ops.ShardExport.replayableHash(col("doc_id"), 42L)))
+        .orderBy("shard", "ord", "doc_id")
     }),
 
     "pack_sequences" -> ((s, dir) => {
@@ -2178,6 +2242,52 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "catalog_column_defaults" -> ((s, dir) => {
+      // column DEFAULTs, analyzer-native: Spark's ResolveDefaultColumns
+      // fills column-list INSERTs from the CURRENT_DEFAULT metadata the
+      // catalog persists; SET DEFAULT applies to FUTURE inserts only
+      val wh = tmpRoot("graft_warehouse", dir)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/db/cust_d"))
+      s.sql("""CREATE TABLE gcat.db.cust_d (c_custkey BIGINT, c_name STRING,
+        | c_tier STRING DEFAULT 'standard', c_credit DOUBLE DEFAULT 0.0)
+        |USING graft TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      s.read.parquet(t(dir, "customer")).select("c_custkey", "c_name")
+        .createOrReplaceTempView("cust_defaults_src")
+      s.sql("""INSERT INTO gcat.db.cust_d (c_custkey, c_name)
+        |SELECT c_custkey, c_name FROM cust_defaults_src
+        |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE gcat.db.cust_d ALTER COLUMN c_tier SET DEFAULT 'premium'")
+      s.sql("""INSERT INTO gcat.db.cust_d (c_custkey, c_name)
+        |SELECT c_custkey, c_name FROM cust_defaults_src
+        |WHERE c_custkey % 2 = 1""".stripMargin)
+      s.table("gcat.db.cust_d").orderBy("c_custkey")
+    }),
+
+    "catalog_generated_cols" -> ((s, dir) => {
+      // GENERATED ALWAYS AS columns: the DataFrame-writer path omits them
+      // entirely and the write seam computes (GeneratedCols.applyOn);
+      // contradiction rejection + CHECK enforcement are spec-pinned
+      val wh = tmpRoot("graft_warehouse", dir)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/db/orders_g"))
+      s.sql("""CREATE TABLE gcat.db.orders_g (o_orderkey BIGINT,
+        | o_totalprice DOUBLE,
+        | o_bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 16),
+        | o_band STRING GENERATED ALWAYS AS (
+        |   CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END))
+        |USING graft""".stripMargin)
+      s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_totalprice")
+        .write.format("graft").mode("append").save(s"$wh/db/orders_g")
+      s.table("gcat.db.orders_g").orderBy("o_orderkey")
+    }),
+
     "zorder_publish_roundtrip" -> ((s, dir) => {
       // z-order-clustered publish (range-partitioned + sorted by the
       // Morton interleave of custkey x totalprice) must round-trip the
@@ -2361,6 +2471,12 @@ object SparkEntry {
     "publish_fetch_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
     // the evolved column is null exactly for the pre-evolution rows
+    "version_add_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN 'n_' || CAST(o_orderkey AS VARCHAR)
+        |      ELSE NULL END AS o_note
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "append_schema_evolution" ->
       """SELECT *, CASE WHEN o_orderkey % 3 = 0
         |  THEN CAST(o_orderkey % 7 AS DOUBLE) END AS o_flag
@@ -2470,7 +2586,8 @@ object SparkEntry {
         | ('ivfpq_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
         | ('lsh', CAST(8 AS BIGINT), '0.4', TRUE),
         | ('lsh_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
-        | ('pq_clustered', CAST(8 AS BIGINT), '0.8', TRUE))
+        | ('pq_clustered', CAST(8 AS BIGINT), '0.8', TRUE),
+        | ('sq8_clustered', CAST(8 AS BIGINT), '0.8', TRUE))
         | AS t(method, n_queries, floor, floor_ok)
         |ORDER BY method LIMIT 1000000""".stripMargin,
     "version_type_widen" ->
@@ -2568,6 +2685,17 @@ object SparkEntry {
     "catalog_transform_prune" ->
       ("SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' ORDER BY o_orderkey"),
+
+    "catalog_column_defaults" ->
+      """SELECT c_custkey, c_name,
+        | CASE WHEN c_custkey % 2 = 0 THEN 'standard' ELSE 'premium' END AS c_tier,
+        | CAST(0.0 AS DOUBLE) AS c_credit
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "catalog_generated_cols" ->
+      """SELECT o_orderkey, o_totalprice, o_orderkey % 16 AS o_bucket,
+        | CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END AS o_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "compact_small_files" -> "SELECT * FROM orders ORDER BY o_orderkey",
 
@@ -3394,6 +3522,16 @@ object SparkEntry {
     // full-probe IVF == brute force (nprobe = nlist), so the same
     // all-pairs cosine oracle applies; IVF drops zero-norm vectors, which
     // cosine similarity leaves undefined anyway (none exist in the corpus)
+    "ann_sq8_full_topk" ->
+      """WITH sims AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),4) AS sim
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, sim,
+        | row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |FROM sims QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "ann_ivf_full_topk" ->
       """WITH sims AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3486,6 +3624,12 @@ object SparkEntry {
     // Greedy first-fit replayed exactly: groups advance in lockstep, one
     // doc per recursive iteration (rn), carrying (bin index, bin fill).
     // Group count mirrors packSequencesGrouped's ~128-docs-per-group
+    "export_shards" ->
+      """SELECT doc_id,
+        | ((doc_id % 100003) * 2654435761 + 42) % 1000000007 AS ord,
+        | (((doc_id % 100003) * 2654435761 + 42) % 1000000007) % 8 AS shard
+        |FROM documents ORDER BY shard, ord, doc_id""".stripMargin,
+
     // formula; 1099511627776 = 2^40 (the seq-id group shift).
     "pack_sequences" ->
       """WITH RECURSIVE

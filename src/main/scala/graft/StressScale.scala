@@ -412,6 +412,89 @@ object StressScale {
       if (checks("widen_scan_narrow_sum") == checks("widen_scan_wide_sum")) 1L
       else 0L
 
+    // ---- 12. SQ8 bandwidth at scale (r16, component 214): one fit+encode
+    // pass, then the int8-code scan + exact re-rank vs full-precision
+    // brute force over the same queries. The claims priced: the code
+    // table is ~8× smaller on disk than the float64 vectors (the number
+    // that matters when the corpus outruns page cache), and the
+    // production refine (×4) keeps recall at the contract floor.
+    val embs = spark.read.parquet(s"$stressDir/embeddings.parquet")
+    val sqQueries = embs.where(col("vec_id") < 8)
+    val sqModel = timed("sq8_fit")(graft.ops.Similarity.sqFit(embs))
+    val encRoot = s"$workDir/sq8_codes"
+    fs.delete(new Path(encRoot), true)
+    timed("sq8_encode") {
+      graft.ops.Similarity.sqEncode(sqModel, embs)
+        .write.mode("overwrite").parquet(encRoot)
+    }
+    def dirBytes(p: String): Long = {
+      val base = new Path(p)
+      val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(base).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    checks("sq8_code_bytes") = dirBytes(encRoot)
+    checks("sq8_raw_bytes") = {
+      val p = new Path(s"$stressDir/embeddings.parquet")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.getFileStatus(p).isDirectory) dirBytes(p.toString)
+      else f.getFileStatus(p).getLen
+    }
+    val encDf = spark.read.parquet(encRoot)
+    val sqRes = timed("sq8_query") {
+      val r = graft.ops.Similarity.sqQuery(sqModel, encDf, embs, sqQueries, 5,
+        refineFactor = 4)
+      r.count(); r
+    }
+    val bruteRes = timed("sq8_brute_baseline") {
+      val r = graft.ops.Similarity.bruteForceTopK(embs, sqQueries, 5)
+      r.count(); r
+    }
+    checks("sq8_recall_pct") = math.round(
+      graft.ops.Similarity.recallVsBrute(sqRes, bruteRes)
+        .agg(min("recall")).head().getDouble(0) * 100)
+
+    // ---- 13. seeded shard export at scale (r16, component 213): one
+    // hash shuffle + partition-local sort over the whole documents
+    // corpus; reproducibility = two independent assignments agree.
+    val shardDocs = spark.read.parquet(s"$stressDir/documents.parquet")
+      .select("doc_id", "text")
+    val shardOut = s"$workDir/shards"
+    fs.delete(new Path(shardOut), true)
+    timed("shard_export") {
+      graft.ops.ShardExport.exportShards(shardDocs, shardOut, 32, 42L)
+    }
+    checks("shard_files") = {
+      val f = new Path(shardOut).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until 32).count { sh =>
+        val d = new Path(s"$shardOut/shard=$sh")
+        f.exists(d) && f.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) == 1
+      }.toLong
+    }
+    checks("shard_rows") = spark.read.parquet(shardOut).count()
+    checks("shard_repro") = timed("shard_reassign") {
+      val a = graft.ops.ShardExport.assign(shardDocs, 32, 42L)
+        .groupBy("shard").count().orderBy("shard").collect().map(_.getLong(1)).toSeq
+      val b = spark.read.parquet(shardOut).groupBy("shard").count()
+        .orderBy("shard").collect().map(_.getLong(1)).toSeq
+      if (a == b) 1L else 0L
+    }
+
+    // ---- 14. V2 scan-statistics planning cost (r16, component 210): the
+    // estimate on the ~4000-file section-1 root is one listing walk —
+    // the price a plan-time auto-broadcast decision pays, and it must
+    // stay in the same cost class as the listing-mode planning above.
+    val est = timed("scan_estimate_manyfiles") {
+      graft.core.ScanEstimate.estimate(spark, root, None, Nil)
+    }
+    timed("scan_estimate_warm") {
+      graft.core.ScanEstimate.estimate(spark, root, None, Nil)
+    }
+    checks("estimate_bytes_exact") = {
+      val listed = Publish.listDataFilesWithSize(spark, root).map(_._2).sum
+      if (est._1.contains(listed)) 1L else 0L
+    }
+
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line = "{" +
       results.map { case (k, v) => s"\"$k\":${f2(v)}" }.mkString(",") + "," +

@@ -349,9 +349,14 @@ object Publish {
     // physical name per logical column across ALL live files, which is
     // what lets one map serve the whole snapshot. The commit entry (and
     // the logical schema check above) stay in logical terms.
-    val logicalSchema = df.schema
-    val colMap = Versions.latestVersion(spark, root)
-      .map(v => Versions.readEntry(spark, root, v).colMap).getOrElse(Map.empty)
+    // the entry carries the DATASET's declared schema, not the batch's:
+    // a batch of non-null literals must not tighten declared nullability,
+    // and field metadata (column DEFAULTs, generation expressions) must
+    // survive appends — the require above already pinned (name, type)
+    val parentEntry = Versions.latestVersion(spark, root)
+      .map(v => Versions.readEntry(spark, root, v))
+    val logicalSchema = parentEntry.map(_.schema).getOrElse(meta.schema)
+    val colMap = parentEntry.map(_.colMap).getOrElse(Map.empty)
     val physDf =
       if (colMap.isEmpty) df
       else df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
@@ -610,8 +615,18 @@ object Publish {
         Nil
       }
 
-    DatasetMeta.write(spark, root,
-      DatasetMeta(metaSchemaOverride.getOrElse(userSchema), partitions))
+    // PLAIN appends keep the DECLARED schema in the sidecar (the batch
+    // already proved type-compatible above; its tighter nullability /
+    // missing field metadata must not clobber column DEFAULTs or
+    // generation expressions the dataset declares). Schema-changing
+    // writes — logical overwrites and evolution paths, which physically
+    // append but pass requireSchemaMatch=false — DO redefine it.
+    val sidecarSchema = metaSchemaOverride.getOrElse {
+      if (mode == "append" && requireSchemaMatch)
+        DatasetMeta.read(spark, root).map(_.schema).getOrElse(userSchema)
+      else userSchema
+    }
+    DatasetMeta.write(spark, root, DatasetMeta(sidecarSchema, partitions))
     // an overwrite that re-partitions AWAY from the recorded transforms
     // redefines the layout — the stale transform spec must not survive it
     if (mode == "overwrite" && recordedTs.nonEmpty &&

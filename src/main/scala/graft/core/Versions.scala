@@ -2324,6 +2324,115 @@ object Versions {
       v
     }
 
+  /** ADD COLUMN — a METADATA-ONLY commit (the Delta additive-evolution
+    * verb, the explicit sibling of [[graft.core.Publish.appendEvolved]]'s
+    * evolve-on-write): the column joins the declared schema; files
+    * written before it physically lack it and read NULL (the Spark
+    * parquet union-schema read — zero bytes rewritten). Nullable only,
+    * and no DEFAULT — a retroactive default would be indistinguishable
+    * from genuine nulls on the physically-missing files (see
+    * [[setColumnDefault]]); set one AFTERWARDS for future inserts.
+    * Versioned roots land an `alter` commit (pre-add versions travel
+    * narrow); unversioned roots update the sidecar only and return -1.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Int =
+    DatasetLock.withLock(spark, root) {
+      val latestOpt = latestVersion(spark, root)
+      val meta = latestOpt.map(v => snapshotFullAt(spark, root, v)._2)
+        .orElse(DatasetMeta.read(spark, root)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft dataset at $root (publish it first)"))
+      require(!meta.schema.fieldNames.contains(name),
+        s"column $name already exists")
+      require(!meta.colMap.values.exists(_ == name),
+        s"$name is a retired physical name (column mapping) — pick another")
+      val newSchema = StructType(meta.schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      val v = latestOpt match {
+        case Some(_) =>
+          commit(spark, root, "alter", Nil,
+            DatasetMeta(newSchema, meta.partitions, meta.colMap),
+            colMap = Some(meta.colMap),
+            opInfo = Map("op" -> "ADD COLUMN", "column" -> name,
+              "type" -> dataType.simpleString))
+        case None => -1
+      }
+      DatasetMeta.write(spark, root, DatasetMeta(newSchema, meta.partitions))
+      v
+    }
+
+  /** SET / DROP a column DEFAULT — a metadata-only change (the Delta
+    * `allowColumnDefaults` shape, analyzer-native): the default SQL rides
+    * the column's `CURRENT_DEFAULT` field-metadata key, which Spark's own
+    * `ResolveDefaultColumns` rule reads to fill the column in SQL INSERTs
+    * that omit it (column-list inserts, `VALUES (…, DEFAULT, …)`). It
+    * applies to FUTURE writes only: existing rows are untouched, and
+    * ADD COLUMN with a default stays refused — a graft file physically
+    * missing a column reads NULL, so a retroactive exists-default would
+    * be indistinguishable from genuine nulls (Delta refuses for the same
+    * exactness reason). DataFrame-API writes keep graft's own full-width
+    * validation — defaults are a SQL-surface contract.
+    *
+    * The expression must be constant-foldable and cast-coercible to the
+    * column's type — validated HERE through Spark's own analyzer
+    * (`ResolveDefaultColumns.analyze`), so `rand()` or a column
+    * reference fails loudly at ALTER time, not at some later INSERT.
+    *
+    * Versioned roots land the change as an `alter` commit (history
+    * records it; the returned Int is the new version); unversioned roots
+    * update the sidecar only and return -1.
+    */
+  def setColumnDefault(spark: SparkSession, root: String, name: String,
+                       defaultSql: Option[String]): Int =
+    DatasetLock.withLock(spark, root) {
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      val latestOpt = latestVersion(spark, root)
+      val meta = latestOpt.map(v => snapshotFullAt(spark, root, v)._2)
+        .orElse(DatasetMeta.read(spark, root)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft dataset at $root (publish it first)"))
+      require(meta.schema.fieldNames.contains(name),
+        s"no column $name in ${meta.schema.fieldNames.mkString(", ")}")
+      val field = meta.schema(name)
+      val newSchema = StructType(meta.schema.fields.map { f =>
+        if (f.name != name) f
+        else defaultSql match {
+          case Some(sql) =>
+            // analyzer-validated: constant-foldable, coercible to the type
+            ResolveDefaultColumns.analyze(name, field.dataType, sql,
+              "ALTER TABLE ALTER COLUMN")
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            f.copy(metadata = mb.build())
+          case None =>
+            // DROP removes the create-time EXISTS_DEFAULT too: Spark falls
+            // back to it when filling omitted INSERT columns, so leaving it
+            // would resurrect the dropped default
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+              .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+            f.copy(metadata = mb.build())
+        }
+      })
+      val v = latestOpt match {
+        case Some(_) =>
+          commit(spark, root, "alter", Nil,
+            DatasetMeta(newSchema, meta.partitions, meta.colMap),
+            colMap = Some(meta.colMap),
+            opInfo = Map(
+              "op" -> defaultSql.map(_ => "ALTER COLUMN SET DEFAULT")
+                .getOrElse("ALTER COLUMN DROP DEFAULT"),
+              "column" -> name) ++
+              defaultSql.map("default" -> _))
+        case None => -1
+      }
+      DatasetMeta.write(spark, root, DatasetMeta(newSchema, meta.partitions))
+      v
+    }
+
   /** DROP COLUMN — a METADATA-ONLY commit (see [[renameColumn]]): the
     * column leaves the logical schema and the name map; its physical
     * bytes stay in existing files (invisible — reads project the logical

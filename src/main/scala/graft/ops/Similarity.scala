@@ -364,6 +364,96 @@ object Similarity {
     * compression), which is what lets an ANN scan over a 100 TB embedding
     * corpus read ~3 TB of codes instead.
     */
+  // ---- scalar quantization (SQ8) ----
+
+  /** Per-dimension affine int8 quantizer: `code_i = round((x_i - min_i) /
+    * step_i) - 128`, `step_i = (max_i - min_i)/255`. One byte per
+    * dimension — 8× less scan/shuffle bandwidth than the float64 arrays
+    * (4× vs float32), the FAISS `SQ8` storage tier: where PQ (#128)
+    * trades recall for 32× compression, SQ8 keeps near-exact ordering at
+    * a milder ratio, so an exact re-rank over a small candidate multiple
+    * recovers brute-force answers on realistic corpora.
+    */
+  final case class SqModel private[ops] (mins: Array[Double], steps: Array[Double]) {
+    def dims: Int = mins.length
+  }
+
+  /** Fit per-dimension ranges in ONE aggregation pass (posexplode →
+    * per-position min/max — a dims-sized shuffle, not a corpus one).
+    * Zero-width dimensions quantize to a constant (step 1, code 0).
+    */
+  def sqFit(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
+    val ranges = corpus.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+    require(ranges.nonEmpty, "sqFit needs a non-empty corpus")
+    require(ranges.length == ranges.last.getInt(0) + 1,
+      "sqFit needs fixed-dimensionality vectors")
+    val mins = ranges.map(_.getDouble(1))
+    val steps = ranges.map(r => {
+      val w = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      if (w > 0) w else 1.0
+    })
+    SqModel(mins, steps)
+  }
+
+  /** Encode the corpus: `(neighbor_id, code array<byte>, cn exact-norm)`.
+    * The norm is computed ONCE here at full precision (it is one double a
+    * row — keeping it exact costs nothing and removes the norm's
+    * quantization error from every score).
+    */
+  def sqEncode(model: SqModel, corpus: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val minsC = lit(model.mins)
+    val stepsC = lit(model.steps)
+    val v = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol).as("neighbor_id"),
+      transform(v, (x, i) =>
+        least(greatest(round((x - element_at(minsC, i + 1)) /
+          element_at(stepsC, i + 1)), lit(0.0)), lit(255.0))
+          .cast("int").minus(128).cast("byte")).as("code"),
+      l2Norm(v).as("cn"))
+  }
+
+  /** SQ8 ANN: approximate cosine from dequantized codes (a codegen
+    * projection — the win is the 8× smaller scan, not fewer FLOPs), then
+    * the shared exact re-rank over the top `k·refineFactor` candidates'
+    * original vectors ([[refineExact]] — broadcast candidates, corpus
+    * never shuffles). `refineFactor` ≥ corpus/k degenerates to exact
+    * brute force — the saturated config the DuckDB oracle replays.
+    */
+  def sqQuery(model: SqModel, encoded: DataFrame, corpus: DataFrame,
+              queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val minsC = lit(model.mins)
+    val stepsC = lit(model.steps)
+    val q = ivfBase(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val dequant = transform(col("code"), (c, i) =>
+      element_at(minsC, i + 1) +
+        (c.cast("double") + 128.0) * element_at(stepsC, i + 1))
+    val scored = encoded.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(dequant, col("qv")) / (col("cn") * col("qn")))
+      .select("query_id", "neighbor_id", "sim")
+    refineExact(scored, corpus, queries, k, refineFactor, idCol, vecCol)
+  }
+
+  /** Fit + encode + query in one call (persistable pieces: callers keep
+    * [[sqFit]]'s model and [[sqEncode]]'s frame for incremental use).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             refineFactor: Int = 4): DataFrame = {
+    val model = sqFit(corpus, vecCol)
+    sqQuery(model, sqEncode(model, corpus, idCol, vecCol), corpus, queries, k,
+      idCol, vecCol, refineFactor)
+  }
+
+  // ---- product quantization ----
+
   final case class PqModel private[ops] (splits: Array[Int],
                                          codebooks: Array[Array[Array[Double]]]) {
     def m: Int = codebooks.length

@@ -66,6 +66,14 @@ object LakehouseStatements {
   private val AlterColumnType =
     re("ALTER\\s+TABLE\\s+" + Target +
       "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)")
+  private val AddColumnVerb =
+    re("ALTER\\s+TABLE\\s+" + Target +
+      "\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)")
+  private val SetColumnDefault =
+    re("ALTER\\s+TABLE\\s+" + Target +
+      "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+)")
+  private val DropColumnDefault =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT")
   private val Clone =
     re("CREATE\\s+TABLE\\s+" + Target + "\\s+SHALLOW\\s+CLONE\\s+" + Target +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?")
@@ -113,6 +121,11 @@ object LakehouseStatements {
     case RenameColumn(root, from, to) => Some(GraftRenameColumnCommand(root, from, to))
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
     case AlterColumnType(root, c, t) => Some(GraftWidenColumnCommand(root, c, t.trim))
+    case AddColumnVerb(root, c, t) => Some(GraftAddColumnCommand(root, c, t.trim))
+    case SetColumnDefault(root, c, d) =>
+      Some(GraftColumnDefaultCommand(root, c, Some(d.trim)))
+    case DropColumnDefault(root, c) =>
+      Some(GraftColumnDefaultCommand(root, c, None))
     case Clone(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toInt)))
     // DEEP is the Delta default when unspecified — materialize the copy
@@ -260,6 +273,41 @@ case class GraftWidenColumnCommand(root: String, colName: String,
     val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
     val v = Versions.widenColumn(spark, root, colName, dt)
     Seq(Row(v, colName, dt.simpleString))
+  }
+}
+
+/** `ALTER TABLE graft.`root` ADD COLUMN c t` — metadata-only additive
+  * evolution ([[Versions.addColumn]]: old files read NULL, zero bytes
+  * rewritten).
+  */
+case class GraftAddColumnCommand(root: String, column: String, typeDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    Seq(Row(Versions.addColumn(spark, root, column, dt), column, dt.simpleString))
+  }
+}
+
+/** `ALTER TABLE graft.`root` ALTER COLUMN c SET DEFAULT expr | DROP
+  * DEFAULT` — metadata-only ([[Versions.setColumnDefault]]): the default
+  * applies to FUTURE SQL inserts that omit the column (Spark's own
+  * analyzer fills it from the `CURRENT_DEFAULT` field-metadata key);
+  * existing rows are untouched.
+  */
+case class GraftColumnDefaultCommand(root: String, column: String,
+                                     defaultSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("default", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Versions.setColumnDefault(spark, root, column, defaultSql)
+    Seq(Row(v, column, defaultSql.orNull))
   }
 }
 

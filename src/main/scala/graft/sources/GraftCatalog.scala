@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,6 +60,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** Column DEFAULTs and GENERATED ALWAYS AS columns are first-class DDL:
+    * Spark's analyzer validates both at CREATE when these are declared
+    * (defaults constant-foldable, generation expressions deterministic +
+    * non-generated references only), fills CURRENT_DEFAULTs into
+    * column-list INSERTs itself, and graft's write seam materializes
+    * generated columns ([[graft.core.GeneratedCols]]).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** Enforced CHECK constraints map onto the engine's versioned CHECK
+    * machinery ([[Versions.addConstraint]] — every write gated, existing
+    * data validated at ADD). Informational flavors (UNIQUE / PRIMARY KEY
+    * / FOREIGN KEY, which nothing here could enforce) are refused rather
+    * than silently recorded as if they meant something.
+    */
+  private def registerCheck(root: String,
+                            c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit =
+    c match {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(Versions.isVersioned(spark, root),
+          "CHECK constraints need a versioned table " +
+            "(TBLPROPERTIES ('versioned'='true')) — enforcement is the " +
+            "commit-gated write path")
+        Versions.addConstraint(spark, root, c.name(), chk.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported (enforced on every write); " +
+          s"got ${other.toDDL} — UNIQUE/PK/FK would be recorded but never " +
+          "enforced, which is worse than absent")
+    }
+
+  /** CREATE TABLE with constraints (`CREATE TABLE … (…, CONSTRAINT nn
+    * CHECK (…))`) arrives through the TableInfo flavor.
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.columns(), info.partitions(), info.properties())
+    if (info.constraints() != null && info.constraints().nonEmpty) {
+      val root = tableRoot(ident, readProps(tableRoot(ident)))
+      info.constraints().foreach(registerCheck(root, _))
+    }
+    t
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -136,6 +183,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       declaredParts, ts)
   }
 
+  /** The modern createTable: V2 `Column`s carry defaults and generation
+    * expressions as FIRST-CLASS attributes — encode both into the
+    * StructField metadata keys the rest of the engine (and Spark's own
+    * `ResolveDefaultColumns`/`GeneratedColumn` utils) read, then delegate.
+    * (`CatalogV2Util.v2ColumnsToStructType`, the default bridge, keeps
+    * defaults but DROPS generation expressions — encoded here instead.)
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val fields = columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, d.getSql)
+        mb.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, d.getSql)
+      }
+      Option(c.generationExpression()).foreach(g =>
+        mb.putString(graft.core.GeneratedCols.MetadataKey, g))
+      require(c.identityColumnSpec() == null,
+        s"identity columns are not supported (column ${c.name()})")
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -182,10 +258,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // versioned tables start life with an empty v1 commit: reads resolve
     // from the log immediately and the first INSERT is an optimistic
     // append like any other
-    if (props.get("versioned").exists(_.trim.toBoolean))
+    if (props.get("versioned").exists(_.trim.toBoolean)) {
       Versions.commit(spark, root, "overwrite", Nil,
         DatasetMeta(derivedSchema, parts),
         opInfo = Map("op" -> "CREATE TABLE"))
+      // versioned tables pin GENERATED ALWAYS through the existing CHECK
+      // machinery too: UPDATE/MERGE/replaceWhere then keep the invariant
+      // via the one enforcement path every versioned write already pays
+      graft.core.GeneratedCols.of(schema).foreach { case (c, e) =>
+        Versions.addConstraint(spark, root, s"_gen_$c", s"$c <=> ($e)")
+      }
+    }
     loadTable(ident)
   }
 
@@ -195,9 +278,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val props = changes.foldLeft(readProps(root)) {
       case (m, set: TableChange.SetProperty) => m + (set.property -> set.value)
       case (m, rm: TableChange.RemoveProperty) => m - rm.property
+      case (m, ac: TableChange.AddConstraint) =>
+        registerCheck(root, ac.constraint()); m
+      case (m, dc: TableChange.DropConstraint) =>
+        if (!dc.ifExists ||
+            Versions.constraintsOf(spark, root).contains(dc.name))
+          Versions.dropConstraint(spark, root, dc.name)
+        m
+      case (m, a: TableChange.AddColumn) =>
+        // additive evolution — metadata-only (old files read NULL); no
+        // defaults/positions (see Versions.addColumn's exactness note)
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+        require(a.isNullable, "added columns must be nullable (old files read NULL)")
+        require(a.defaultValue() == null,
+          "ADD COLUMN with a DEFAULT is not supported: files written before " +
+            "the column read NULL, and a retroactive default would be " +
+            "indistinguishable from genuine nulls — add the column, then " +
+            "ALTER COLUMN … SET DEFAULT for future inserts")
+        require(a.position() == null, "ADD COLUMN … FIRST/AFTER is not supported")
+        Versions.addColumn(spark, root, a.fieldNames().head, a.dataType())
+        m
+      case (m, d: TableChange.UpdateColumnDefaultValue) =>
+        // SET DEFAULT / DROP DEFAULT — metadata-only through the engine
+        // verb (versioned roots land it as an alter commit)
+        require(d.fieldNames().length == 1,
+          s"nested-field defaults are not supported: ${d.fieldNames().mkString(".")}")
+        val sqlOpt = Option(d.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty)
+        Versions.setColumnDefault(spark, root, d.fieldNames().head, sqlOpt)
+        m
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog ALTER TABLE supports only table properties, got $other " +
-          "(schema changes go through the graft API / ALTER TABLE graft.`path` verbs)")
+        s"graft catalog ALTER TABLE supports table properties, ADD COLUMN and " +
+          s"column defaults, got $other " +
+          "(other schema changes go through the graft API / ALTER TABLE graft.`path` verbs)")
     }
     writeProps(root, props)
     loadTable(ident)

@@ -122,10 +122,15 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   /** Writer path (`df.write.format("graft")` and CTAS). */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
-                              data: DataFrame): BaseRelation = {
+                              data0: DataFrame): BaseRelation = {
     val root = rootOf(parameters)
-    val spark = data.sparkSession
+    val spark = data0.sparkSession
     val recorded = DatasetMeta.read(spark, root)
+    // GENERATED ALWAYS AS columns: the DataFrame-writer path is the one
+    // surface that can legitimately OMIT them (no analyzer column-list
+    // resolution) — compute omitted/NULL, validate provided
+    val data = recorded.map(m =>
+      graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
     val exists = recorded.nonEmpty
     val versioned = parameters.get("versioned").exists(_.trim.toBoolean) ||
       Versions.isVersioned(spark, root)
@@ -262,12 +267,15 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
     * partitioned dataset takes the USER schema (derived columns are
     * layout — the write seams re-derive them).
     */
-  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+  override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
     require(versionAsOf.isEmpty, "cannot insert into a time-travel relation")
-    require(data.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+    require(data0.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"insert schema ${data.schema.simpleString} does not match dataset " +
+      s"insert schema ${data0.schema.simpleString} does not match dataset " +
         s"schema ${schema.simpleString}")
+    // GENERATED ALWAYS AS columns: omitted/NULL values compute at the
+    // write seam, provided values must match (graft.core.GeneratedCols)
+    val data = graft.core.GeneratedCols.applyOn(data0, meta.schema)
     val mode = if (overwrite) "overwrite" else "append"
     if (Versions.isVersioned(spark, root))
       Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode)

@@ -102,6 +102,25 @@ class GraftTable(rootOpt: Option[String], givenSchema: Option[StructType],
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE)
 
+  /** The versioned root's USER CHECK constraints, reported to the
+    * analyzer (DESCRIBE; Spark 4 injects them into V2 write validation).
+    * The auto-registered `_gen_*` generated-column constraints are
+    * deliberately NOT reported: Spark's injected check runs BEFORE the
+    * connector write seam computes omitted/NULL generated values, so
+    * reporting them would reject the very inserts the feature exists
+    * for — they stay enforced at full strength by the commit-gated
+    * engine check, which runs AFTER the computation.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    rootOpt.filter(r => Versions.isVersioned(spark, r)).map { r =>
+      Versions.constraintsOf(spark, r).toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("_gen_")).map { case (n, sql) =>
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check(n).predicateSql(sql).build()
+            : org.apache.spark.sql.connector.catalog.constraints.Constraint
+        }.toArray
+    }.getOrElse(Array.empty)
+
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = options ++ caseInsensitive.asScala
     new GraftScanBuilder(root, merged,
@@ -383,9 +402,14 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        val spark = data.sparkSession
-        val exists = DatasetMeta.read(spark, root).nonEmpty
+      override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
+        val spark = data0.sparkSession
+        val metaOpt = DatasetMeta.read(spark, root)
+        val exists = metaOpt.nonEmpty
+        // GENERATED ALWAYS AS columns materialize at the write seam:
+        // omitted/NULL values compute, provided values must match
+        val data = metaOpt.map(m =>
+          graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
         val versioned = options.get("versioned").exists(_.trim.toBoolean) ||
           Versions.isVersioned(spark, root)
         val mode =

@@ -309,6 +309,21 @@ object PlanAudit {
       // the residual data predicate evaluates in one stage
       "no join in a plain format read" -> (p => !p.contains("Join")),
       "whole-stage codegen filter" -> (_.contains("*(")))
+    audit("ann_sq8_topk",
+      // int8-code scan scored against BROADCAST queries (the brute shape
+      // at 8x less bandwidth); candidates re-rank through broadcast joins
+      "broadcast query side" -> (_.contains("Broadcast")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("export_shards",
+      // the assignment frame is a pure projection — shard + ord from one
+      // deterministic hash, no join, no aggregation (the export's single
+      // hash shuffle lives in the write path, ShardExportSpec-pinned)
+      "no join" -> (p => !p.contains("Join")),
+      "no aggregate" -> (p => !p.contains("Aggregate")))
+    audit("catalog_generated_cols",
+      // reading a generated-column table is an ordinary pruned scan —
+      // generation cost lives at the write seam only
+      "no join" -> (p => !p.contains("Join")))
     audit("q_v2_stats_broadcast",
       // the graft dim broadcasts from the V2 scan's REPORTED statistics
       // (ScanEstimate → SupportsReportStatistics) — no hint in the query;
