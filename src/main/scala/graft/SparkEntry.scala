@@ -2267,6 +2267,40 @@ object SparkEntry {
       s.table("gcat.db.cust_d").orderBy("c_custkey")
     }),
 
+    "catalog_identity" -> ((s, dir) => {
+      // identity VALUES are sparse by design (zero-coordination
+      // assignment) — the cell dumps the INVARIANTS, all constants: row
+      // count, uniqueness, min == START, step alignment, strict
+      // batch-over-batch advance (batch1 = even custkeys, batch2 = odd)
+      val wh = tmpRoot("graft_warehouse", dir)
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/db/cust_i"))
+      s.sql("""CREATE TABLE gcat.db.cust_i (
+        | row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2),
+        | c_custkey BIGINT, c_name STRING)
+        |USING graft TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      s.read.parquet(t(dir, "customer")).select("c_custkey", "c_name")
+        .createOrReplaceTempView("cust_identity_src")
+      s.sql("""INSERT INTO gcat.db.cust_i (c_custkey, c_name)
+        |SELECT c_custkey, c_name FROM cust_identity_src
+        |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO gcat.db.cust_i (c_custkey, c_name)
+        |SELECT c_custkey, c_name FROM cust_identity_src
+        |WHERE c_custkey % 2 = 1""".stripMargin)
+      s.table("gcat.db.cust_i").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("row_id")).as("n_ids"),
+        (min("row_id") === 1000L).as("starts_at_start"),
+        sum((pmod(col("row_id") - 1000L, lit(2L)) =!= 0L).cast("long"))
+          .as("n_misaligned"),
+        (max(when(col("c_custkey") % 2 === 0, col("row_id"))) <
+          min(when(col("c_custkey") % 2 === 1, col("row_id"))))
+          .as("batches_advance"))
+    }),
+
     "catalog_generated_cols" -> ((s, dir) => {
       // GENERATED ALWAYS AS columns: the DataFrame-writer path omits them
       // entirely and the write seam computes (GeneratedCols.applyOn);
@@ -2691,6 +2725,12 @@ object SparkEntry {
         | CASE WHEN c_custkey % 2 = 0 THEN 'standard' ELSE 'premium' END AS c_tier,
         | CAST(0.0 AS DOUBLE) AS c_credit
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "catalog_identity" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_ids,
+        | TRUE AS starts_at_start, CAST(0 AS BIGINT) AS n_misaligned,
+        | TRUE AS batches_advance
+        |FROM customer""".stripMargin,
 
     "catalog_generated_cols" ->
       """SELECT o_orderkey, o_totalprice, o_orderkey % 16 AS o_bucket,

@@ -228,7 +228,8 @@ object Publish {
                        txn: Option[(String, Long)] = None,
                        opInfo: Map[String, String] = Map.empty,
                        internalRewrite: Boolean = false,
-                       baseVersion: Option[Int] = None): Seq[String] = {
+                       baseVersion: Option[Int] = None,
+                       propertiesFull: Option[Map[String, String]] = None): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // Appends to an existing versioned dataset are OPTIMISTIC: racing
     // appenders run concurrently and land as consecutive versions (the
@@ -237,7 +238,8 @@ object Publish {
     // locked path (their read-compute-write does not commute).
     if (mode == "append" && Versions.isVersioned(spark, root))
       return appendVersionedOptimistic(spark, df, root, partitions, sortCols,
-        zorderCols, zorderBits, zorderPartitions, statsCols, txn)
+        zorderCols, zorderBits, zorderPartitions, statsCols, txn,
+        propertiesFull, baseVersion)
     DatasetLock.withLock(spark, root) {
       val existing = DatasetMeta.read(spark, root)
       require(existing.isEmpty || Versions.isVersioned(spark, root),
@@ -268,7 +270,7 @@ object Publish {
       Versions.commit(spark, root, mode, newFiles,
         DatasetMeta(StructType(df.schema.fields.filterNot(
           _.name == Versions.RowIdCol)), partitions), txn = txn, opInfo = opInfo,
-        baseVersion = baseVersion)
+        baseVersion = baseVersion, properties = propertiesFull)
       newFiles
     }
   }
@@ -325,7 +327,9 @@ object Publish {
                                         sortCols: Seq[String], zorderCols: Seq[String],
                                         zorderBits: Int, zorderPartitions: Int,
                                         statsCols: Seq[String],
-                                        txn: Option[(String, Long)] = None): Seq[String] = {
+                                        txn: Option[(String, Long)] = None,
+                                        propertiesFull: Option[Map[String, String]] = None,
+                                        propertiesBase: Option[Int] = None): Seq[String] = {
     val meta = DatasetMeta.read(spark, root).getOrElse(throw new IllegalArgumentException(
       s"dataset $root is versioned but has no metadata sidecar"))
     // hidden partitioning: derive the transform partition columns from the
@@ -392,8 +396,13 @@ object Publish {
       if (cols.nonEmpty) StatsIndex.appendFiles(spark, root, moved, cols)
       if (hasBloom) BloomIndex.appendFiles(spark, root, moved)
     }
+    // an identity-assigning append carries its new watermark property in
+    // THE SAME commit plus the version the watermark was read at — the
+    // CAS's table-properties conflict rule then serializes racing
+    // assigners loudly instead of letting ranges overlap
     Versions.commit(spark, root, "append", moved,
-      DatasetMeta(logicalSchema, partitions), txn = txn)
+      DatasetMeta(logicalSchema, partitions), txn = txn,
+      properties = propertiesFull, baseVersion = propertiesBase)
     // opt-in auto-compaction: bounded file counts under steady ingestion
     // (no-op unless the graft.autoCompact.minSmallFiles property is set).
     // Best-effort: losing an OCC race to a concurrent writer must not

@@ -503,6 +503,14 @@ object Versions {
           if (curE.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
               baseE.schema.fields.map(f => (f.name, f.dataType)).toSeq)
             conflict(cur, "schema changed")
+          // a commit SETTING properties computed them from its base (an
+          // identity watermark advance, a property write): any concurrent
+          // property change invalidates that read — racing identity
+          // assigners serialize loudly here instead of handing out
+          // overlapping ranges
+          if (properties.isDefined && curE.properties != baseE.properties)
+            conflict(cur, "table properties changed " +
+              "(e.g. an identity watermark advanced)")
           val myRemoved = removedRel.toSet
           val myDvFiles = dvs.flatMap(_.files).toSet
           (bv + 1 to cur).foreach { mid =>
@@ -2104,6 +2112,39 @@ object Versions {
     latestVersion(spark, root)
       .map(v => readEntry(spark, root, v).properties)
       .getOrElse(Map.empty)
+
+  /** SYNC IDENTITY (the Delta repair verb): re-seat an identity column's
+    * high watermark just past everything the table currently holds — the
+    * fix after `BY DEFAULT` explicit inserts outran assignment (explicit
+    * values advance the watermark only within their own batch; a value
+    * landed through MERGE/UPDATE does not). One column scan + one
+    * metadata-only alter commit.
+    */
+  def syncIdentity(spark: SparkSession, root: String, name: String): Int =
+    DatasetLock.withLock(spark, root) {
+      val latest = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"identity columns need a versioned dataset; $root has no commit log"))
+      val (_, meta, _) = snapshotFullAt(spark, root, latest)
+      val spec = IdentityCols.of(meta.schema).collectFirst {
+        case (n, s) if n == name => s
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$name is not an identity column of $root"))
+      val step = spec.getStep
+      val extreme = fetchSnapshot(spark, root).agg(
+        if (step > 0) org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(name))
+        else org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col(name))).head()
+      val next =
+        if (extreme.isNullAt(0)) spec.getStart
+        else extreme.getLong(0) + step
+      commit(spark, root, "alter", Nil, meta, colMap = Some(meta.colMap),
+        properties = Some(tablePropertiesOf(spark, root) +
+          (IdentityCols.watermarkProp(name) -> next.toString)),
+        opInfo = Map("op" -> "SYNC IDENTITY", "column" -> name,
+          "next" -> next.toString))
+    }
 
   /** SET TBLPROPERTIES — a metadata-only `alter` commit merging `kvs`
     * into the property map (the Delta table-properties shape). Properties

@@ -72,6 +72,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     util.EnumSet.of(
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** Enforced CHECK constraints map onto the engine's versioned CHECK
@@ -205,8 +206,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
       Option(c.generationExpression()).foreach(g =>
         mb.putString(graft.core.GeneratedCols.MetadataKey, g))
-      require(c.identityColumnSpec() == null,
-        s"identity columns are not supported (column ${c.name()})")
+      Option(c.identityColumnSpec()).foreach { ic =>
+        // Spark's own identity keys, so IdentityColumn.getIdentityInfo
+        // reads the spec back everywhere
+        import org.apache.spark.sql.catalyst.util.{IdentityColumn => IC}
+        require(properties.asScala.get("versioned").exists(_.trim.toBoolean),
+          s"identity column ${c.name()} needs a versioned table " +
+            "(TBLPROPERTIES ('versioned'='true')) — the high watermark is " +
+            "transactional state only the commit log can move atomically")
+        mb.putLong(IC.IDENTITY_INFO_START, ic.getStart)
+        mb.putLong(IC.IDENTITY_INFO_STEP, ic.getStep)
+        mb.putBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, ic.isAllowExplicitInsert)
+      }
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     }
     createTable(ident, StructType(fields), partitions, properties)

@@ -128,9 +128,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val recorded = DatasetMeta.read(spark, root)
     // GENERATED ALWAYS AS columns: the DataFrame-writer path is the one
     // surface that can legitimately OMIT them (no analyzer column-list
-    // resolution) — compute omitted/NULL, validate provided
-    val data = recorded.map(m =>
+    // resolution) — compute omitted/NULL, validate provided; identity
+    // columns assign the same way (watermark rides the commit)
+    val data1 = recorded.map(m =>
       graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
+    val (data, idProps, idBase) = recorded
+      .map(m => graft.core.IdentityCols.applyOn(spark, root, data1, m.schema))
+      .getOrElse((data1, None, None))
     val exists = recorded.nonEmpty
     val versioned = parameters.get("versioned").exists(_.trim.toBoolean) ||
       Versions.isVersioned(spark, root)
@@ -147,11 +151,14 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       val declaredTs = parameters.get("transforms")
         .map(graft.core.Transforms.parseSpec).getOrElse(Nil)
       if (declaredTs.nonEmpty &&
-          graft.core.Transforms.read(spark, root).isEmpty)
+          graft.core.Transforms.read(spark, root).isEmpty) {
+        require(idProps.isEmpty,
+          "identity columns on a transform-partitioned table are not supported yet")
         Publish.publishTransformed(spark, data, root, declaredTs,
           mode = publishMode, versioned = versioned)
-      else if (versioned)
-        Publish.publishVersioned(spark, data, root, partitions, mode = publishMode)
+      } else if (versioned)
+        Publish.publishVersioned(spark, data, root, partitions,
+          mode = publishMode, propertiesFull = idProps, baseVersion = idBase)
       else Publish.publish(spark, data, root, partitions, mode = publishMode)
     }
     mode match {
@@ -274,11 +281,15 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
       s"insert schema ${data0.schema.simpleString} does not match dataset " +
         s"schema ${schema.simpleString}")
     // GENERATED ALWAYS AS columns: omitted/NULL values compute at the
-    // write seam, provided values must match (graft.core.GeneratedCols)
-    val data = graft.core.GeneratedCols.applyOn(data0, meta.schema)
+    // write seam, provided values must match (graft.core.GeneratedCols);
+    // identity columns assign, their watermark rides the same commit
+    val data1 = graft.core.GeneratedCols.applyOn(data0, meta.schema)
+    val (data, propsFull, propsBase) =
+      graft.core.IdentityCols.applyOn(spark, root, data1, meta.schema)
     val mode = if (overwrite) "overwrite" else "append"
     if (Versions.isVersioned(spark, root))
-      Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode)
+      Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode,
+        propertiesFull = propsFull, baseVersion = propsBase)
     else Publish.publish(spark, data, root, meta.partitions, mode = mode)
   }
 }

@@ -408,8 +408,13 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
         val exists = metaOpt.nonEmpty
         // GENERATED ALWAYS AS columns materialize at the write seam:
         // omitted/NULL values compute, provided values must match
-        val data = metaOpt.map(m =>
+        val data1 = metaOpt.map(m =>
           graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
+        // identity columns assign here too — the watermark advance rides
+        // the same commit (propsFull/propsBase)
+        val (data, propsFull, propsBase) = metaOpt.map(m =>
+          graft.core.IdentityCols.applyOn(spark, root, data1, m.schema))
+          .getOrElse((data1, None, None))
         val versioned = options.get("versioned").exists(_.trim.toBoolean) ||
           Versions.isVersioned(spark, root)
         val mode =
@@ -418,11 +423,14 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
         // route the CREATE through hidden partitioning; later writes see
         // the recorded spec and take the ordinary re-deriving path
         if (declaredTransforms.nonEmpty &&
-            graft.core.Transforms.read(spark, root).isEmpty)
+            graft.core.Transforms.read(spark, root).isEmpty) {
+          require(propsFull.isEmpty,
+            "identity columns on a transform-partitioned table are not supported yet")
           Publish.publishTransformed(spark, data, root, declaredTransforms,
             mode = mode, versioned = versioned)
-        else if (versioned)
-          Publish.publishVersioned(spark, data, root, partitions, mode = mode)
+        } else if (versioned)
+          Publish.publishVersioned(spark, data, root, partitions, mode = mode,
+            propertiesFull = propsFull, baseVersion = propsBase)
         else Publish.publish(spark, data, root, partitions, mode = mode)
       }
     }
