@@ -2565,10 +2565,17 @@ object Versions {
     // sidecar mirrors the LOGICAL schema (the commit entry is the source
     // of truth for versioned reads; the sidecar serves schema validation)
     DatasetMeta.write(spark, dstRoot, DatasetMeta(meta.schema, meta.partitions))
+    // the source's CHECK constraints and table properties travel: a clone
+    // that silently stopped enforcing its CHECKs (or reset an identity
+    // watermark and re-issued ids the cloned data already holds) would
+    // weaken the contract the source declared
+    val srcEntry = readEntry(spark, srcRoot, v)
     commit(spark, dstRoot, "clone", absFiles, meta, dvs = newDvs,
       opInfo = Map("op" -> "CLONE", "source" -> srcRoot,
         "source_version" -> v.toString),
-      colMap = Some(meta.colMap))
+      colMap = Some(meta.colMap),
+      constraints = Some(srcEntry.constraints),
+      properties = Some(srcEntry.properties))
   }
 
   /** DEEP CLONE (the Delta `CLONE … DEEP` shape): MATERIALIZE one version
@@ -2647,11 +2654,16 @@ object Versions {
     // the target is transform-partitioned iff the source version was
     val ts = transformsAt(spark, srcRoot, v)
     if (ts.nonEmpty) Transforms.write(spark, dstRoot, ts)
+    // constraints + properties travel like the shallow clone's (a deep
+    // clone must not stop enforcing CHECKs or reset identity watermarks)
+    val srcEntryD = readEntry(spark, srcRoot, v)
     commit(spark, dstRoot, "clone", mapping.map(m => s"$dstRoot/${m._2}"), meta,
       dvs = newDvs,
       opInfo = Map("op" -> "DEEP CLONE", "source" -> srcRoot,
         "source_version" -> v.toString),
-      colMap = Some(meta.colMap))
+      colMap = Some(meta.colMap),
+      constraints = Some(srcEntryD.constraints),
+      properties = Some(srcEntryD.properties))
   }
 
   /** Full-history MIGRATION: byte-copy the ENTIRE dataset — every data

@@ -66,6 +66,8 @@ object LakehouseStatements {
   private val AlterColumnType =
     re("ALTER\\s+TABLE\\s+" + Target +
       "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)")
+  private val SyncIdentity =
+    re("ALTER\\s+TABLE\\s+" + Target + "\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SYNC\\s+IDENTITY")
   private val AddColumnVerb =
     re("ALTER\\s+TABLE\\s+" + Target +
       "\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)")
@@ -121,6 +123,7 @@ object LakehouseStatements {
     case RenameColumn(root, from, to) => Some(GraftRenameColumnCommand(root, from, to))
     case DropColumn(root, c) => Some(GraftDropColumnCommand(root, c))
     case AlterColumnType(root, c, t) => Some(GraftWidenColumnCommand(root, c, t.trim))
+    case SyncIdentity(root, c) => Some(GraftSyncIdentityCommand(root, c))
     case AddColumnVerb(root, c, t) => Some(GraftAddColumnCommand(root, c, t.trim))
     case SetColumnDefault(root, c, d) =>
       Some(GraftColumnDefaultCommand(root, c, Some(d.trim)))
@@ -274,6 +277,19 @@ case class GraftWidenColumnCommand(root: String, colName: String,
     val v = Versions.widenColumn(spark, root, colName, dt)
     Seq(Row(v, colName, dt.simpleString))
   }
+}
+
+/** `ALTER TABLE graft.`root` ALTER COLUMN c SYNC IDENTITY` — re-seat the
+  * identity watermark past everything present ([[Versions.syncIdentity]],
+  * the Delta repair after out-of-band values).
+  */
+case class GraftSyncIdentityCommand(root: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versions.syncIdentity(spark, root, column), column))
 }
 
 /** `ALTER TABLE graft.`root` ADD COLUMN c t` — metadata-only additive

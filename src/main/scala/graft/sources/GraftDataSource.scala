@@ -116,8 +116,11 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
           throw new IllegalArgumentException(s"dataset $root is not versioned"))
       new GraftChangeFeedRelation(sqlContext, root, from - 1, to,
         GraftDataSource.rowDiffKeysOf(parameters))
-    } else new GraftRelation(sqlContext, rootOf(parameters),
-      parameters.get("versionAsOf").map(_.trim.toInt))
+    } else {
+      val root = rootOf(parameters)
+      new GraftRelation(sqlContext, root,
+        GraftTable.pinnedVersion(sqlContext.sparkSession, root, parameters))
+    }
 
   /** Writer path (`df.write.format("graft")` and CTAS). */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -149,9 +149,24 @@ object GraftTable {
     * on versioned roots, sidecar otherwise); None when the dataset doesn't
     * exist yet (a write target).
     */
+  /** The version a read pins: `versionAsOf` wins, `timestampAsOf` (a
+    * wall-clock literal, the Delta reader-option pair) resolves through
+    * the commit log's in-commit timestamps; both given must agree in
+    * intent — refused.
+    */
+  private[sources] def pinnedVersion(spark: SparkSession, root: String,
+                                     options: Map[String, String]): Option[Int] = {
+    val byV = options.get("versionAsOf").map(_.trim.toInt)
+    val byTs = options.get("timestampAsOf")
+    require(byV.isEmpty || byTs.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    byV.orElse(byTs.map(ts =>
+      Versions.versionAsOf(spark, root, Versions.parseTsLiteral(spark, ts))))
+  }
+
   private[sources] def resolveMeta(spark: SparkSession, root: String,
                                    options: Map[String, String]): Option[DatasetMeta] =
-    options.get("versionAsOf").map(_.trim.toInt) match {
+    pinnedVersion(spark, root, options) match {
       case Some(v) => Some(Versions.snapshotAt(spark, root, v)._2)
       case None =>
         Versions.latestVersion(spark, root)
@@ -191,7 +206,7 @@ object GraftTable {
           throw new IllegalArgumentException(s"dataset $root is not versioned"))
       Versions.changeFeed(spark, root, from - 1, to,
         GraftDataSource.rowDiffKeysOf(options)).drop(hidden.toSeq: _*)
-    } else options.get("versionAsOf").map(_.trim.toInt) match {
+    } else GraftTable.pinnedVersion(spark, root, options) match {
       case Some(v) => Versions.fetchVersion(spark, root, v)
         .drop(hidden.toSeq: _*)
       case None =>
@@ -272,7 +287,8 @@ class GraftScanBuilder(root: String, options: Map[String, String],
     // their own file sets the live manifest doesn't describe, and any
     // pushed filter means the count is of a SUBSET
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    if (options.contains("versionAsOf") || options.contains("changeFeed")) return None
+    if (options.contains("versionAsOf") || options.contains("timestampAsOf") ||
+        options.contains("changeFeed")) return None
     val spark = SparkSession.active
     val answered = agg.aggregateExpressions().toSeq.map { f: AggregateFunc =>
       f match {
@@ -358,7 +374,7 @@ class GraftV1Scan(root: String, options: Map[String, String], meta: DatasetMeta,
         val colFilters = pushed.flatMap(f =>
           GraftSourceFilters.toColFilter(prunable, f)).toSeq
         graft.core.ScanEstimate.estimate(spark, root,
-          options.get("versionAsOf").map(_.trim.toInt), colFilters)
+          GraftTable.pinnedVersion(spark, root, options), colFilters)
       }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

@@ -229,4 +229,40 @@ class CloneSpec extends AnyFunSuite {
       Versions.clone(spark, unversioned, TestSpark.tmpDir("clone_dst_unv"))
     }
   }
+  test("clones carry CHECK constraints and table properties (incl. identity watermarks)") {
+    val src = freshSrc("clone_meta_src")
+    Versions.addConstraint(spark, src, "v_nonneg", "v >= 0")
+    Versions.setTableProperties(spark, src, Map("graft.identity.id.next" -> "5000"))
+    // shallow: the clone must keep ENFORCING and keep the watermark
+    val dst = TestSpark.tmpDir("clone_meta_dst") + "/ds"
+    Versions.clone(spark, src, dst)
+    assert(Versions.constraintsOf(spark, dst) == Map("v_nonneg" -> "v >= 0"))
+    assert(Versions.tablePropertiesOf(spark, dst)
+      .get("graft.identity.id.next").contains("5000"))
+    intercept[graft.core.ConstraintViolationException] {
+      Publish.publishVersioned(spark,
+        Seq((999L, "g0", -1.0)).toDF("id", "grp", "v"), dst, Seq("grp"),
+        mode = "append")
+    }
+    // deep: same carriage
+    val dst2 = TestSpark.tmpDir("clone_meta_dst2") + "/ds"
+    Versions.deepClone(spark, src, dst2)
+    assert(Versions.constraintsOf(spark, dst2) == Map("v_nonneg" -> "v >= 0"))
+    assert(Versions.tablePropertiesOf(spark, dst2)
+      .get("graft.identity.id.next").contains("5000"))
+  }
+
+  test("RESTORE keeps the CURRENT table properties (identity watermarks never regress)") {
+    val src = freshSrc("restore_props_src")
+    Versions.setTableProperties(spark, src, Map("graft.identity.id.next" -> "100"))
+    Publish.publishVersioned(spark,
+      Seq((200L, "g0", 1.0)).toDF("id", "grp", "v"), src, Seq("grp"), mode = "append")
+    Versions.setTableProperties(spark, src, Map("graft.identity.id.next" -> "300"))
+    Versions.restore(spark, src, 2) // the version where next was 100
+    assert(Versions.tablePropertiesOf(spark, src)
+      .get("graft.identity.id.next").contains("300"),
+      "properties are maintenance state, not data: RESTORE must not roll " +
+        "an identity watermark back into already-issued ranges")
+  }
+
 }
