@@ -94,8 +94,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("db"), "props"))
     assert(t.properties().get("owner.team") == "ml")
+    // ADD COLUMN is now first-class (metadata-only additive evolution,
+    // #215); OTHER schema changes still route to the engine verbs
+    spark.sql("ALTER TABLE gcat.db.props ADD COLUMN extra BIGINT")
+    assert(spark.table("gcat.db.props").columns.toSeq == Seq("k", "extra"))
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.db.props ADD COLUMN extra BIGINT")
+      spark.sql("ALTER TABLE gcat.db.props RENAME COLUMN k TO kk")
     }
     assert(e.getMessage.toLowerCase.contains("propert") ||
       e.getMessage.toLowerCase.contains("support"))

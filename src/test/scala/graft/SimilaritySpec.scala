@@ -43,7 +43,7 @@ class SimilaritySpec extends AnyFunSuite {
     val byMethod = rows.groupBy(_.getAs[String]("method")).view.mapValues(_.length).toMap
     assert(byMethod == Map("ivf" -> 8, "lsh" -> 8,
       "ivf_clustered" -> 8, "lsh_clustered" -> 8, "pq_clustered" -> 8,
-      "ivfpq_clustered" -> 8),
+      "ivfpq_clustered" -> 8, "sq8_clustered" -> 8),
       s"every query must clear its recall floor: $byMethod")
     // the dump carries the QUANTIZED recall (r16 graduation)
     assert(rows.forall(_.getAs[Double]("recall_q") >= 0.4))
