@@ -30,7 +30,9 @@ object Decontaminate {
       df.select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
         .select(xxhash64(col("sh")).as("h"))
 
-    val d = docs
+    // shingling is the CPU-heavy kernel here — spread a narrow input
+    // across the cluster (identity at real scale, guide §2.5)
+    val d = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     d.join(broadcast(hashes(benchmark).distinct()), "h")
@@ -73,10 +75,18 @@ object Decontaminate {
                    textCol: String = "text", numHashes: Int = 64,
                    bands: Int = 16, shingleSize: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
-    val dSh = docs.select(col(idCol).as("doc_id"),
-      Dedup.shingles(col(textCol), shingleSize).as("sh_d"))
-    val bSh = benchmark.select(col(benchIdCol).as("bench_id"),
-      Dedup.shingles(col(textCol), shingleSize).as("sh_b"))
+    // The 64-hash MinHash banding below is the CPU-heavy kernel of this
+    // operator: spread narrow inputs across the cluster before computing
+    // shingles (identity at real scale — guide §2.5's unsplittable-input
+    // case; the benchmark side's banding otherwise runs single-task
+    // inside its broadcast build).
+    val dSh = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        Dedup.shingles(col(textCol), shingleSize).as("sh_d"))
+    val bSh = Spread.forCompute(
+        benchmark.select(col(benchIdCol), col(textCol)), col(benchIdCol))
+      .select(col(benchIdCol).as("bench_id"),
+        Dedup.shingles(col(textCol), shingleSize).as("sh_b"))
     def banded(df: DataFrame, id: String, sh: String) = df.select(col(id),
       posexplode(graft.functions.SketchFunctions.minHashBands(
         col(sh), numHashes, bands)).as(Seq("band", "bhash")))

@@ -63,7 +63,10 @@ object Dedup {
                  threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     // no emptiness filter: the native shingle kernel always emits >= 1
     // element (short docs collapse to one whole-text shingle)
-    val shingled = docs
+    // Shingle + 64-hash signature is the CPU-heavy kernel: spread a
+    // narrow input across the cluster first (identity at real scale —
+    // guide §2.5's unsplittable-input case).
+    val shingled = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
 
     // Candidate generation shuffles ONLY (id, band, bhash) scalars — the
@@ -266,7 +269,9 @@ object Dedup {
                               textCol: String = "text",
                               sep: String = "\n\n"): DataFrame = {
     val cols = docs.columns
-    val paras = docs
+    // paragraph split + per-paragraph md5 is the heavy kernel: spread a
+    // narrow input first (identity at real scale, guide §2.5)
+    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
@@ -306,7 +311,8 @@ object Dedup {
                             sep: String = "\n\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     val cols = docs.columns
-    val paras = docs
+    // same heavy split+md5 kernel as dropDuplicateParagraphs: spread
+    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
@@ -407,7 +413,9 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3, maxBucket: Int = 1000,
                    sig: Option[Column] = None): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
+    // the 64-bit simhash over every token is the CPU-heavy kernel —
+    // spread a narrow input first (identity at real scale, guide §2.5)
+    val hashed = Spread.forCompute(docs, col(idCol)).select(col(idCol).as("id"),
       sig.getOrElse(simHash64(split(col(textCol), " "))).as("sim"))
     val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -431,7 +439,10 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                        threshold: Double = 0.95, planes: Int = 12, tables: Int = 4,
                        maxBucket: Int = 2000): DataFrame = {
-    val base = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // hyperplane signatures + candidate cosines are the CPU-heavy kernels:
+    // spread a narrow input first (identity at real scale, guide §2.5)
+    val base = Spread.forCompute(embs.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
       .where(col("norm") > 0)
     // Slim (id, table, sig) rows through the LSH shuffle; vectors join back

@@ -61,7 +61,11 @@ object FuzzyJoin {
     * `levenshtein(NULL, x)` is NULL, which fails `<= k`).
     */
   private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
+    // segment hashing + the bounded-levenshtein verify are the CPU-heavy
+    // kernels: spread a narrow input first (identity at real scale,
+    // guide §2.5's unsplittable-input case)
+    Spread.forCompute(df.select(col(idCol), col(strCol)), col(idCol))
+      .select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
       .where(col("fj_s").isNotNull)
       .withColumn("fj_n", length(col("fj_s")).cast("int"))
 

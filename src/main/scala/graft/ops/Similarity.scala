@@ -41,7 +41,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    // |corpus| × |queries| dot products are the CPU-heavy kernel: spread
+    // a narrow corpus across the cluster first (identity at real scale,
+    // guide §2.5). Queries broadcast either way.
+    val c = Spread.forCompute(corpus.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
