@@ -55,6 +55,14 @@ object GeneratedCols {
   def applyOn(df: DataFrame, schema: StructType): DataFrame = {
     val gens = of(schema)
     if (gens.isEmpty) return df
+    // the re-ordering select below projects to the RECORDED schema: a
+    // batch carrying a column the table doesn't declare must fail loudly
+    // here, not be silently projected away (the pre-r17 behavior lost
+    // such columns while the downstream schema check passed)
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"write carries columns not in the table schema: ${extra.mkString(", ")} " +
+        "— a generated-column table rejects unknown columns instead of dropping them")
     val filled = gens.foldLeft(df) { case (d, (c, sql)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(sql))
       else d.withColumn(c, coalesce(col(c), expr(sql)))

@@ -165,19 +165,20 @@ object Mutations {
     // (survivor rows re-validate too — they were valid, and the combined
     // pass only scans the affected-file subset being rewritten)
     Versions.enforceConstraints(spark, root, replacement)
-    // a delete can wipe EVERY row of the affected files — then there is
-    // nothing to write and the commit is removal-only (isEmpty scans only
-    // the affected files, already the small rewritten subset). A
-    // name-mapped dataset's replacement files are written under the
+    // A name-mapped dataset's replacement files are written under the
     // mapping's PHYSICAL names, like every other live file.
     val physReplacement =
       if (meta.colMap.isEmpty) replacement
       else replacement.select(replacement.schema.fieldNames.toIndexedSeq.map(n =>
         col(n).as(meta.physName(n))): _*)
+    // emptyOk: "the delete wiped every row of the affected files" used to
+    // be probed by a separate replacement.isEmpty — one full extra
+    // evaluation of the rewrite join per mutation; the publish's own
+    // sizing sample now answers emptiness for free (Nil = removal-only)
     val newFiles =
-      if (replacement.isEmpty) Nil
-      else Publish.publishImpl(spark, physReplacement, root,
+      Publish.publishImpl(spark, physReplacement, root,
         meta.partitions, "append", Nil, Nil, 16, 0, Nil,
+        emptyOk = true,
         // physical names intentionally differ from the sidecar's logical
         // schema on a mapped dataset (and an evolving merge's replacement
         // carries MORE columns than the sidecar); the logical shape was

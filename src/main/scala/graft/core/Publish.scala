@@ -88,7 +88,8 @@ object Publish {
   }
 
   /** Sample-derived facts used to plan the write. */
-  private final case class SampleStats(approxDistinctPartitions: Long)
+  private final case class SampleStats(approxDistinctPartitions: Long,
+                                       nonEmpty: Boolean)
 
   /** Estimated in-memory bytes of one row, from a driver-side sample of at
     * most `n` rows (the Spark analogue of the reference's
@@ -98,7 +99,7 @@ object Publish {
   private def sampleRowBytes(df: DataFrame, partitions: Seq[String] = Nil,
                              n: Int = 1000): (Double, SampleStats) = {
     val rows = df.limit(n).collect()
-    if (rows.isEmpty) return (64.0, SampleStats(1L))
+    if (rows.isEmpty) return (64.0, SampleStats(1L, nonEmpty = false))
     val fixed: Map[String, Int] = df.schema.fields.map { f =>
       f.name -> (f.dataType match {
         case BooleanType => 1
@@ -122,7 +123,7 @@ object Publish {
     val distinct =
       if (partIdx.isEmpty) 1L
       else rows.iterator.map(r => partIdx.map(r.get)).toSet.size.toLong
-    (total.toDouble / rows.length, SampleStats(distinct))
+    (total.toDouble / rows.length, SampleStats(distinct, nonEmpty = true))
   }
 
   /** Write `df` as a hive-partitioned snappy-parquet dataset at `root`,
@@ -368,7 +369,7 @@ object Publish {
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (out, recordsPerFile) = prepareForWrite(spark, physDf, partitions,
       sortCols.map(n => colMap.getOrElse(n, n)),
-      zorderCols.map(n => colMap.getOrElse(n, n)), zorderBits, zorderPartitions)
+      zorderCols.map(n => colMap.getOrElse(n, n)), zorderBits, zorderPartitions).get
     val moved = directWrite(spark, out, root, partitions, recordsPerFile)
     // restamp to "now": vacuum's grace horizon must measure from HERE —
     // the end of the batch write, the start of the uncommitted-but-live
@@ -454,10 +455,15 @@ object Publish {
     * no I/O beyond the sizing sample — shared by the default
     * (listing-diff) and direct-commit write paths.
     */
+  /** `emptyOk = true` returns None for an empty frame instead of
+    * throwing — internal rewrite paths use it so "the delete removed
+    * every row of the affected files" costs no extra emptiness probe.
+    */
   private[core] def prepareForWrite(spark: SparkSession, df: DataFrame,
                                     partitions: Seq[String], sortCols: Seq[String],
                                     zorderCols: Seq[String], zorderBits: Int,
-                                    zorderPartitions: Int): (DataFrame, Long) = {
+                                    zorderPartitions: Int,
+                                    emptyOk: Boolean = false): Option[(DataFrame, Long)] = {
     require(sortCols.forall(df.columns.contains),
       s"sort columns ${sortCols.filterNot(df.columns.contains).mkString(",")} do not exist")
     require(zorderCols.forall(df.columns.contains),
@@ -466,11 +472,17 @@ object Publish {
       "sortCols and zorderCols are alternative clustering strategies; pass one")
     require(zorderCols.size <= 1 || zorderCols.size * zorderBits <= 63,
       s"${zorderCols.size} zorder columns x $zorderBits bits must fit a long")
-    checkNonEmpty(df)
     checkNoIntervals(df)
     checkPartitions(partitions, df)
 
+    // ONE probe action for both the emptiness gate and the sizing sample:
+    // the old separate `checkNonEmpty` (df.isEmpty) evaluated the source
+    // frame a second time — for mutation rewrites that frame is a join
+    // over the affected files, so every publish paid an extra pass
+    // (guide §1.2: don't compute things twice).
     val (rowBytes, sampleRows) = sampleRowBytes(df, partitions)
+    if (!sampleRows.nonEmpty && emptyOk) return None
+    require(sampleRows.nonEmpty, "Empty dataframes cannot be published.")
     // Parquet bytes/row ≈ in-memory bytes / compression ratio; cap records
     // per file so no output file materially exceeds the 60 MB target.
     val recordsPerFile = math.max(1L, (TargetFileBytes / (rowBytes / CompressionRatio)).toLong)
@@ -516,7 +528,22 @@ object Publish {
           val saltBuckets = math.max(1L, math.min(64L, parallelism / distinctInSample)).toInt
           val salt = pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
           val partKeys = partitions.map(col) :+ salt
-          df.repartition(partKeys: _*)
+          // MANY-DIRS writes pin the exchange width instead of leaving it
+          // AQE-coalescable: AQE sizes post-shuffle partitions by BYTES,
+          // so a few-MB write into hundreds of hive dirs collapses to a
+          // handful of tasks, each serially opening dozens of parquet
+          // writers — the catalog INSERT into months×bucket(8) (~670
+          // dirs) measured 4.6 s in a 4-task write stage on 32 cores.
+          // In this regime each dir hashes wholly into ONE task, so the
+          // pin changes writer-open parallelism only, never files/dir;
+          // it starts from the same width the unpinned exchange would
+          // (sql.shuffle.partitions) and merely skips the coalesce. The
+          // FEW-dirs (salted) regime keeps AQE coalescing: there a wider
+          // exchange WOULD multiply files per dir.
+          if (distinctInSample >= parallelism)
+            df.repartition(
+              spark.conf.get("spark.sql.shuffle.partitions").toInt, partKeys: _*)
+          else df.repartition(partKeys: _*)
         }
     }
     // Optional clustering WITHIN each write task: sorted data gives every
@@ -529,7 +556,7 @@ object Publish {
         if (sortCols.isEmpty) routed
         else routed.sortWithinPartitions((partitions ++ sortCols).map(col): _*)
     }
-    (out, recordsPerFile)
+    Some((out, recordsPerFile))
   }
 
   private[core] def publishImpl(spark: SparkSession, df0: DataFrame, root: String,
@@ -540,7 +567,8 @@ object Publish {
                           requireSchemaMatch: Boolean = true,
                           metaSchemaOverride: Option[StructType] = None,
                           directCommit: Boolean = false,
-                          internalRewrite: Boolean = false): Seq[String] = {
+                          internalRewrite: Boolean = false,
+                          emptyOk: Boolean = false): Seq[String] = {
     require(mode == "overwrite" || mode == "append", s"unsupported publish mode $mode")
     // `_graft_row_id` is reserved for row tracking: only INTERNAL rewrite
     // paths (mutations, OPTIMIZE) may carry it through a write — they
@@ -593,8 +621,13 @@ object Publish {
       }
     }
 
-    val (out, recordsPerFile) = prepareForWrite(spark, df, partitions,
-      sortCols, zorderCols, zorderBits, zorderPartitions)
+    val prepared = prepareForWrite(spark, df, partitions,
+      sortCols, zorderCols, zorderBits, zorderPartitions, emptyOk = emptyOk)
+    // empty + emptyOk: nothing to write, no side effects taken yet —
+    // the caller (a rewrite whose delete emptied the affected files)
+    // commits removal-only
+    if (prepared.isEmpty) return Nil
+    val (out, recordsPerFile) = prepared.get
 
     // Append must report ONLY the newly written files (the reference
     // returns freshly published keys, publish_parq.py:573). The default

@@ -20,7 +20,13 @@ object Profile {
         countDistinct(col(c)).as(s"nd_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // k-many countDistincts expand each input row k ways before the
+    // partial agg — spread a narrow scan so that per-row work runs wide
+    // (identity at real scale, guide §2.5); all stats here are exact and
+    // partition-layout-independent
+    val in = Spread.forCompute(df.select(cols.map(col): _*),
+      struct(cols.map(col): _*))
+    val row = in.agg(aggs.head, aggs.tail: _*).collect().head
     def opt(name: String): Option[Double] =
       if (row.isNullAt(row.fieldIndex(name))) None
       else Some(row.getAs[Double](name))
@@ -77,7 +83,13 @@ object Profile {
         SketchAggregates.approxDistinct(col(c)).as(s"nd_$c"),
         SketchAggregates.approxQuantiles(col(c), Seq(0.5, 0.95)).as(s"q_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // HLL register updates + t-digest inserts per row per column are the
+    // CPU-heavy kernel: spread a narrow scan (identity at real scale,
+    // guide §2.5). Both sketches are mergeable by design; the rank-
+    // coverage contracts downstream tolerate merge-shape variation.
+    val in = Spread.forCompute(df.select(cols.map(col): _*),
+      struct(cols.map(col): _*))
+    val row = in.agg(aggs.head, aggs.tail: _*).collect().head
     def opt(name: String): Option[Double] =
       if (row.isNullAt(row.fieldIndex(name))) None
       else Some(row.getAs[Double](name))

@@ -47,6 +47,45 @@ object ShardExport {
       .withColumn("shard", pmod(col("ord"), lit(numShards.toLong)))
   }
 
+  /** Murmur3-preimage token per shard: `tokenFor(s)` is the smallest
+    * non-negative long whose Spark HashPartitioning hash lands in
+    * partition `s` of `numShards` (partition id = pmod(murmur3(key), n)).
+    * Repartitioning on `token(shard)` therefore maps each shard to its
+    * OWN task — a bijection. A plain `repartition(n, col("shard"))`
+    * hash-partitions the shard id itself: balls-into-bins collisions put
+    * ~4–5 shards in the worst task at 1024 shards, making the export tail
+    * run 4–5× the mean while that task also buffers several sorted shards
+    * (the r16 straggler). Found by direct search — coupon-collector
+    * O(n log n) cheap driver-side hash evaluations, done once per export.
+    */
+  private[graft] def shardTokens(numShards: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val tokens = new Array[Long](numShards)
+    val filled = new Array[Boolean](numShards)
+    var remaining = numShards
+    var x = 0L
+    while (remaining > 0) {
+      val h = Murmur3Hash(Seq(Literal(x)), 42).eval().asInstanceOf[Int]
+      val p = ((h % numShards) + numShards) % numShards
+      if (!filled(p)) { filled(p) = true; tokens(p) = x; remaining -= 1 }
+      x += 1
+    }
+    tokens
+  }
+
+  /** The exact frame [[exportShards]] writes: shard→task made BIJECTIVE
+    * by repartitioning on the shard's murmur3-preimage token, rows sorted
+    * within each task. Exposed for the task-layout spec.
+    */
+  private[graft] def shardLayout(assigned: DataFrame, numShards: Int,
+                               keyCol: String): DataFrame = {
+    val tokens = shardTokens(numShards)
+    assigned
+      .repartition(numShards,
+        element_at(typedLit(tokens.toSeq), col("shard").cast("int") + 1))
+      .sortWithinPartitions(col("shard"), col("ord"), col(keyCol))
+  }
+
   /** Export `df` as `numShards` parquet shards under `outDir`
     * (`shard=N/part-….parquet`, ONE file per shard, rows in seeded
     * pseudo-random order). Returns the assignment frame it wrote.
@@ -55,9 +94,7 @@ object ShardExport {
                    keyCol: String = "doc_id",
                    orderHash: Option[Column] = None): DataFrame = {
     val assigned = assign(df, numShards, seed, keyCol, orderHash)
-    assigned
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("ord"), col(keyCol))
+    shardLayout(assigned, numShards, keyCol)
       .write.mode("overwrite")
       .option("compression", "snappy")
       .partitionBy("shard")

@@ -101,10 +101,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def createTable(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val cs = Option(info.constraints()).map(_.toSeq).getOrElse(Nil)
+    // validate the constraint set BEFORE creating anything: a rejected
+    // constraint must not leave a half-created table (sidecar, props,
+    // managed-slot pointer) behind, where the corrected re-CREATE then
+    // hits TableAlreadyExistsException
+    cs.foreach {
+      case _: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(info.properties().asScala.get("versioned").exists(_.trim.toBoolean),
+          "CHECK constraints need a versioned table " +
+            "(TBLPROPERTIES ('versioned'='true')) — enforcement is the " +
+            "commit-gated write path")
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported (enforced on every write); " +
+          s"got ${other.toDDL} — UNIQUE/PK/FK would be recorded but never " +
+          "enforced, which is worse than absent")
+    }
     val t = createTable(ident, info.columns(), info.partitions(), info.properties())
-    if (info.constraints() != null && info.constraints().nonEmpty) {
+    if (cs.nonEmpty) {
       val root = tableRoot(ident, readProps(tableRoot(ident)))
-      info.constraints().foreach(registerCheck(root, _))
+      try cs.foreach(registerCheck(root, _))
+      catch { case e: Throwable => dropTable(ident); throw e }
     }
     t
   }

@@ -129,16 +129,26 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val root = rootOf(parameters)
     val spark = data0.sparkSession
     val recorded = DatasetMeta.read(spark, root)
+    val exists = recorded.nonEmpty
     // GENERATED ALWAYS AS columns: the DataFrame-writer path is the one
     // surface that can legitimately OMIT them (no analyzer column-list
     // resolution) — compute omitted/NULL, validate provided; identity
-    // columns assign the same way (watermark rides the commit)
-    val data1 = recorded.map(m =>
-      graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
-    val (data, idProps, idBase) = recorded
-      .map(m => graft.core.IdentityCols.applyOn(spark, root, data1, m.schema))
-      .getOrElse((data1, None, None))
-    val exists = recorded.nonEmpty
+    // columns assign the same way (watermark rides the commit). LAZY and
+    // GATED on the batch's shape matching the recorded schema: a
+    // SaveMode.Overwrite that legitimately REDEFINES the schema must not
+    // run stale generation expressions (they reference columns the new
+    // frame doesn't carry), and Ignore-on-existing / ErrorIfExists paths
+    // must stay no-op/metadata-only instead of paying validation jobs.
+    lazy val (data, idProps, idBase) = {
+      val applicable = recorded.exists(m =>
+        data0.columns.forall(m.schema.fieldNames.contains))
+      if (!applicable) (data0, None, None)
+      else {
+        val m = recorded.get
+        val data1 = graft.core.GeneratedCols.applyOn(data0, m.schema)
+        graft.core.IdentityCols.applyOn(spark, root, data1, m.schema)
+      }
+    }
     val versioned = parameters.get("versioned").exists(_.trim.toBoolean) ||
       Versions.isVersioned(spark, root)
     def write(publishMode: String): Unit = {
@@ -163,6 +173,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         Publish.publishVersioned(spark, data, root, partitions,
           mode = publishMode, propertiesFull = idProps, baseVersion = idBase)
       else Publish.publish(spark, data, root, partitions, mode = publishMode)
+      recorded.foreach(m => graft.core.IdentityCols.release(m.schema, data))
     }
     mode match {
       case SaveMode.Overwrite => write("overwrite")
@@ -294,6 +305,7 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
       Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode,
         propertiesFull = propsFull, baseVersion = propsBase)
     else Publish.publish(spark, data, root, meta.partitions, mode = mode)
+    graft.core.IdentityCols.release(meta.schema, data)
   }
 }
 

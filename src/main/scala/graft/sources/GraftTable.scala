@@ -448,6 +448,7 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
           Publish.publishVersioned(spark, data, root, partitions, mode = mode,
             propertiesFull = propsFull, baseVersion = propsBase)
         else Publish.publish(spark, data, root, partitions, mode = mode)
+        metaOpt.foreach(m => graft.core.IdentityCols.release(m.schema, data))
       }
     }
   }

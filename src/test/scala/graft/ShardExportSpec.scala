@@ -59,6 +59,34 @@ class ShardExportSpec extends AnyFunSuite {
     }
   }
 
+  test("shard->task is bijective at numShards >= 256 (no straggler collisions)") {
+    // the r16 layout hash-partitioned the shard id: balls-into-bins put
+    // several shards in one task (a 4-5x export tail at 1024 shards).
+    // The token repartition must give every task exactly ONE shard.
+    val n = 256
+    val assigned = ShardExport.assign(
+      spark.range(0, 20000).repartition(7)
+        .select(col("id").as("doc_id")), n, seed = 5L)
+    val layout = ShardExport.shardLayout(assigned, n, "doc_id")
+      .select(spark_partition_id().as("pid"), col("shard"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(layout.length == n, s"expected $n (task, shard) pairs, got ${layout.length}")
+    assert(layout.map(_._1).distinct.length == n, "a task holds more than one shard")
+    assert(layout.map(_._2).distinct.length == n, "a shard spans more than one task")
+  }
+
+  test("murmur3 preimage tokens really land in their own partition") {
+    Seq(1, 2, 8, 256, 1024).foreach { n =>
+      val tokens = ShardExport.shardTokens(n)
+      assert(tokens.length == n)
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+      tokens.zipWithIndex.foreach { case (t, s) =>
+        val h = Murmur3Hash(Seq(Literal(t)), 42).eval().asInstanceOf[Int]
+        assert(((h % n) + n) % n == s, s"token $t of shard $s, numShards $n")
+      }
+    }
+  }
+
   test("replayable hash matches its SQL formula") {
     val got = ShardExport.assign(docs(2), 8, 42L, "doc_id",
         Some(ShardExport.replayableHash(col("doc_id"), 42L)))
