@@ -1942,7 +1942,11 @@ object SparkEntry {
       // so the reported counts are exact (oracle-checkable) at ANY scale —
       // sketch counters alone overestimate once the open vocabulary
       // exceeds the capacity, which a 100 TB corpus always does.
-      val words = s.read.parquet(t(dir, "documents"))
+      // spread the tokenization kernel (guide §2.5; identity at scale) —
+      // SpaceSaving is only a CANDIDATE generator here, pass 2's exact
+      // counts make the result partition-layout-independent
+      val words = graft.ops.Spread.forCompute(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "text"), col("doc_id"))
         .select(explode(split(col("text"), " ")).as("w"))
       val cand = words
         .agg(graft.functions.SketchAggregates.heavyHitters(col("w"), 80, 65536).as("top"))
@@ -1997,7 +2001,10 @@ object SparkEntry {
       // demanded collision-free cells, which only a ~31-word closed vocab
       // delivers; a 200k-word corpus saturates 5x8192 cells by design).
       // The generic upper-bound/error contract stays in ProbFilterSpec.
-      val words = s.read.parquet(t(dir, "documents"))
+      // spread the tokenization kernel (guide §2.5; identity at scale) —
+      // CMS cells are exact integer sums, merge-order-independent
+      val words = graft.ops.Spread.forCompute(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "text"), col("doc_id"))
         .select(explode(split(col("text"), " ")).as("w"))
       val sketch = words.agg(ProbFilters.countMinAggMd5(col("w"), 5, 8192).as("sk"))
         .head().getAs[Array[Byte]]("sk")

@@ -74,7 +74,10 @@ object DedupIndex {
     // the shingle kernel declares containsNull=false, but parquet reads
     // arrays back element-nullable — publish the nullable form so the
     // store's recorded schema matches what fetch re-reads
-    val shingled = docs.select(col(idCol).as("id"),
+    // shingle + banding is the CPU-heavy kernel: spread a narrow input
+    // (identity at real scale, guide §2.5)
+    val shingled = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"),
       Dedup.shingles(col(textCol), p.shingleSize)
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, containsNull = true)).as("sh"))
@@ -177,7 +180,10 @@ object DedupIndex {
     */
   private def simHashed(docs: DataFrame, idCol: String, textCol: String,
                         sig: Option[Column]): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // the per-token simhash is the CPU-heavy kernel: spread a narrow
+    // input (identity at real scale, guide §2.5; docs stays unprojected —
+    // a custom `sig` may reference any column)
+    Spread.forCompute(docs, col(idCol)).select(col(idCol).as("id"),
       sig.getOrElse(Dedup.simHash64(split(col(textCol), " "))).as("sim"))
 
   /** Build the SimHash index over the current corpus. */
@@ -253,7 +259,10 @@ object DedupIndex {
   }
 
   private def embBase(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // hyperplane signatures + candidate cosines are the CPU-heavy
+    // kernels: spread a narrow input (identity at real scale, guide §2.5)
+    Spread.forCompute(embs.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
       .where(col("norm") > 0)
 

@@ -122,7 +122,10 @@ object TextAnalysis {
   def bpeLearn(docs: DataFrame, numMerges: Int, textCol: String = "text",
                vocabCap: Int = Int.MaxValue): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val wordFreqs: Array[(String, Long)] = docs
+    // the word-frequency pass tokenizes the whole corpus: spread a narrow
+    // input (identity at real scale, guide §2.5); counts are exact
+    val wordFreqs: Array[(String, Long)] = Spread
+      .forCompute(docs.select(col(textCol)), col(textCol))
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
@@ -172,7 +175,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val merges = bpeLearn(docs, numMerges, textCol)
-    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val words = Spread.forCompute(docs.select(col(textCol)), col(textCol))
+      .select(explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
       .persist() // one corpus pass; numMerges tiny recounts reuse it
@@ -337,7 +341,11 @@ object TextAnalysis {
     // unigramLogProb total pattern) — an eager docs.count() here was one
     // whole extra corpus pass before any caller even acted on the frame
     val totalDf = docs.agg(count(lit(1)).cast("double").as("__N"))
-    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    // tokenization + the k-way explode is the CPU-heavy kernel: spread a
+    // narrow input (identity at real scale, guide §2.5); every downstream
+    // stat here is an exact count or a deterministic per-row projection
+    val toks = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
