@@ -1926,7 +1926,9 @@ object SparkEntry {
     }),
 
     "text_top_terms" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
+      // spread the tokenization kernel (guide §2.5; exact counts)
+      graft.ops.Spread.forCompute(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "text"), col("doc_id"))
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w"))

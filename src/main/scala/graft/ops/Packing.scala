@@ -47,7 +47,10 @@ object Packing {
       s"minChunkTokens must be in [1, chunkTokens], got $minChunkTokens")
     val words = split(col(textCol), " ")
     val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
-    docs.where(col(textCol).isNotNull)
+    // window slicing re-materializes ~chunkTokens/stride copies of every
+    // token: spread a narrow input first (identity at real scale, guide
+    // §2.5; chunks are a pure per-doc projection — layout-independent)
+    Spread.forCompute(docs, col(idCol)).where(col(textCol).isNotNull)
       .select(keep :+ posexplode(filter(
         transform(
           sequence(lit(0), greatest(size(words) - 1, lit(0)), lit(stride)),

@@ -361,7 +361,11 @@ object TextAnalysis {
 
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    // spread the tokenization kernel (guide §2.5, identity at scale); the
+    // per-doc avg of logs sits behind round(.,4) — summation order across
+    // partials was already fetch-order-dependent before this
+    val toks = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("n"))
     val totalDf = counts.agg(sum("n").cast("double").as("total"))
     toks.join(counts, "w")
@@ -393,7 +397,12 @@ object TextAnalysis {
     */
   def sourceKlDivergence(docs: DataFrame, sourceCol: String = "source",
                          textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(sourceCol), explode(words(col(textCol))).as("w"))
+    // spread on the TEXT (sources are low-cardinality — hashing them
+    // would starve the spread); same round(.,4) tolerance note as
+    // unigramLogProb
+    val toks = Spread.forCompute(
+        docs.select(col(sourceCol), col(textCol)), col(textCol))
+      .select(col(sourceCol), explode(words(col(textCol))).as("w"))
     val perSourceWord = toks.groupBy(sourceCol, "w").agg(count(lit(1)).as("ns"))
     val perSource = toks.groupBy(sourceCol).agg(count(lit(1)).cast("double").as("ts"))
     val perWord = toks.groupBy("w").agg(count(lit(1)).as("nc"))
@@ -446,7 +455,12 @@ object TextAnalysis {
 
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val pairs = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    // the adjacent-pair explode is the corpus-heaviest text kernel (the
+    // ×100 bench's single most expensive cell): spread a narrow input
+    // (guide §2.5, identity at scale); the per-doc avg sits behind
+    // round(.,4) — partial-sum order was already fetch-order-dependent
+    val pairs = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), words(col(textCol)).as("ws"))
       .select(col(idCol), explode(transform(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         (x, i) => struct(x.as("w1"), element_at(col("ws"), i + lit(2)).as("w2")))).as("bg"))
