@@ -998,10 +998,16 @@ object SparkEntry {
       // "paragraphs" first (short chunks over a ~40-word vocabulary DO
       // repeat across documents); the operator then drops every repeated
       // paragraph corpus-wide and reassembles the survivors in order
-      val words = split(col("text"), " ")
-      val chunked = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
-        array_join(transform(sequence(lit(0), floor((size(words) - 1) / 3).cast("int")),
-          i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
+      // split ONCE into a materialized column: the old inline `words`
+      // expression sat inside the transform lambda and re-split the text
+      // per 3-word chunk (~22 regex splits/doc — the dominant ×100 cost)
+      val chunked = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), floor((size(col("__ws")) - 1) / 3).cast("int")),
+            i => array_join(slice(col("__ws"), i * 3 + 1, lit(3)), " ")), "\n\n")
+            .as("text"))
       Dedup.dropDuplicateParagraphs(chunked).orderBy("doc_id")
     }),
 
@@ -1009,10 +1015,14 @@ object SparkEntry {
       // boilerplate = any 3-word chunk appearing in >= 3 distinct docs;
       // unlike dedup_paragraphs, it survives NOWHERE (headers/footers
       // cleanup), and fully-boilerplate docs stay with empty text
-      val words = split(col("text"), " ")
-      val chunked = s.read.parquet(t(dir, "documents")).select(col("doc_id"),
-        array_join(transform(sequence(lit(0), floor((size(words) - 1) / 3).cast("int")),
-          i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
+      // same split-once hoist as dedup_paragraphs above
+      val chunked = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), floor((size(col("__ws")) - 1) / 3).cast("int")),
+            i => array_join(slice(col("__ws"), i * 3 + 1, lit(3)), " ")), "\n\n")
+            .as("text"))
       Dedup.stripCommonParagraphs(chunked, minDocs = 3).orderBy("doc_id")
     }),
 

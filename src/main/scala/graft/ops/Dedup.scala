@@ -258,12 +258,16 @@ object Dedup {
     * (headers, footers, cookie banners) survives in one document corpus-
     * wide; documents left with zero paragraphs drop out entirely.
     *
-    * Scale shape: paragraphs explode map-side; the keeper election is a
-    * hash aggregate over `(md5, min(id, pos))` — paragraph TEXT never
-    * rides that shuffle, and map-side combine collapses duplicate-heavy
-    * corpora before the exchange. Text shuffles exactly twice (the
-    * join back and the per-document reassembly), both keyed joins/aggs —
-    * no window sort over the corpus.
+    * Scale shape (guide §8 — decide with small rows, move big rows once):
+    * paragraph TEXT never rides ANY shuffle. Paragraphs explode to
+    * `(id, pos, md5)` scalars; the keeper election is a hash aggregate
+    * over `(md5, min(id, pos))`; the surviving POSITIONS aggregate per
+    * document as an int array; and each document's text is rebuilt from
+    * its OWN original `text` column by a pure projection (re-split +
+    * position filter) after one scalar-payload join. The pre-r17 shape
+    * shuffled every paragraph's text twice (keeper join back + per-doc
+    * reassembly) — at ×100 that was 72 s of mostly text bytes through
+    * exchanges; this shape ships three scalar columns instead.
     */
   def dropDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text",
@@ -275,7 +279,7 @@ object Dedup {
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
-      .withColumn("__h", md5(col("__para")))
+      .select(col("__id"), col("__pos"), md5(col("__para")).as("__h"))
     val keep = paras.groupBy(col("__h").as("__kh"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
       .select(col("__kh"), col("__first.__id").as("__kid"),
@@ -283,13 +287,21 @@ object Dedup {
     val surviving = paras.join(keep,
       paras("__h") === keep("__kh") && paras("__id") === keep("__kid")
         && paras("__pos") === keep("__kpos"))
-    val rebuilt = surviving.groupBy(col("__id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-          s => s("__para")), sep).as("__text"))
-    docs.join(rebuilt, docs(idCol) === rebuilt("__id"))
+    // per-doc surviving positions, ascending — an int array, not text
+    val keepPos = surviving.groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    // docs with zero surviving paragraphs drop out via the inner join
+    // (unchanged semantics); the text rebuild is a projection over the
+    // document's own column — re-split ONCE into a materialized column
+    // (an expression inside the transform lambda would re-split per
+    // element), pick kept positions, re-join
+    docs.join(keepPos, docs(idCol) === keepPos("__id"))
+      .withColumn("__parts", split(col(textCol), java.util.regex.Pattern.quote(sep)))
       .select(cols.map(c =>
-        if (c == textCol) col("__text").as(textCol) else docs(c)).toIndexedSeq: _*)
+        if (c == textCol)
+          array_join(transform(col("__keep"),
+            p => element_at(col("__parts"), p + 1)), sep).as(textCol)
+        else docs(c)).toIndexedSeq: _*)
   }
 
   /** Strip BOILERPLATE paragraphs: any paragraph appearing in at least
@@ -358,12 +370,15 @@ object Dedup {
     require(l >= 1, s"window length must be >= 1, got $l")
     require(minCount >= 2, s"minCount must be at least 2, got $minCount")
     val cols = docs.columns
-    val words = split(col(textCol), " ")
+    // tokenize ONCE into a materialized column: an inline split inside
+    // the transform lambda re-splits the text per window — O(tokens²)
+    // regex work per document at scale
     val grams = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        explode(transform(sequence(lit(0), greatest(size(words) - l, lit(0))),
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .select(col("__id"),
+        explode(transform(sequence(lit(0), greatest(size(col("__ws")) - l, lit(0))),
           i => struct(i.as("i"),
-            xxhash64(array_join(slice(words, i + 1, lit(l)), " ")).as("g"))))
+            xxhash64(array_join(slice(col("__ws"), i + 1, lit(l)), " ")).as("g"))))
           .as("__w"))
       .select(col("__id"), col("__w.i").as("__i"), col("__w.g").as("__g"))
     val dupHead = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))

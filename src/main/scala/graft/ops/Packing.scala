@@ -45,16 +45,18 @@ object Packing {
       s"stride must be in [1, chunkTokens], got $stride")
     require(minChunkTokens >= 1 && minChunkTokens <= chunkTokens,
       s"minChunkTokens must be in [1, chunkTokens], got $minChunkTokens")
-    val words = split(col(textCol), " ")
     val keep = docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq
     // window slicing re-materializes ~chunkTokens/stride copies of every
     // token: spread a narrow input first (identity at real scale, guide
-    // §2.5; chunks are a pure per-doc projection — layout-independent)
+    // §2.5; chunks are a pure per-doc projection — layout-independent).
+    // Tokenize ONCE into a materialized column: an inline split inside
+    // the transform lambda would re-split the text per window.
     Spread.forCompute(docs, col(idCol)).where(col(textCol).isNotNull)
+      .withColumn("__ws", split(col(textCol), " "))
       .select(keep :+ posexplode(filter(
         transform(
-          sequence(lit(0), greatest(size(words) - 1, lit(0)), lit(stride)),
-          s => slice(words, s + 1, lit(chunkTokens))),
+          sequence(lit(0), greatest(size(col("__ws")) - 1, lit(0)), lit(stride)),
+          s => slice(col("__ws"), s + 1, lit(chunkTokens))),
         c => size(c) >= minChunkTokens))
         .as(Seq("chunk_id", "__chunk")): _*)
       .withColumn(textCol, array_join(col("__chunk"), " "))

@@ -284,10 +284,14 @@ object TextAnalysis {
     */
   def repeatedNgramStats(docs: DataFrame, n: Int = 3, minCount: Long = 2,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = docs.select(col(idCol).as("__id"),
-        explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-          i => xxhash64(array_join(slice(words, i + 1, lit(n)), " ")))).as("__g"))
+    // tokenize ONCE into a materialized column: an inline split inside
+    // the transform lambda re-splits the text per gram — O(tokens²)
+    // regex work per document at scale
+    val grams = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .select(col("__id"),
+        explode(transform(sequence(lit(0), greatest(size(col("__ws")) - n, lit(0))),
+          i => xxhash64(array_join(slice(col("__ws"), i + 1, lit(n)), " ")))).as("__g"))
     // Only grams in the ≥minCount HEAD of the count table can contribute
     // to n_repeated, so the join-back build side is the (small) repeated
     // head, not the full open vocabulary — on a heavy-tailed corpus the
@@ -298,7 +302,8 @@ object TextAnalysis {
     // never a per-doc rollup of its own.
     val perDoc = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
-        (greatest(size(words) - n, lit(0)) + 1).cast("long").as("n_ngrams"))
+        (greatest(size(split(col(textCol), " ")) - n, lit(0)) + 1)
+          .cast("long").as("n_ngrams"))
     val repeatedHead = grams.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount)
     val repeated = grams.join(repeatedHead, grams("__g") === repeatedHead("__cg"))
