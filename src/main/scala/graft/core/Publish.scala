@@ -540,9 +540,12 @@ object Publish {
           // (sql.shuffle.partitions) and merely skips the coalesce. The
           // FEW-dirs (salted) regime keeps AQE coalescing: there a wider
           // exchange WOULD multiply files per dir.
+          // numShufflePartitions: already resolved to an Int — the raw
+          // conf value can be non-numeric ("auto" on some platforms) and
+          // a toInt would fail every many-partition write (ADVICE r17)
           if (distinctInSample >= parallelism)
             df.repartition(
-              spark.conf.get("spark.sql.shuffle.partitions").toInt, partKeys: _*)
+              spark.sessionState.conf.numShufflePartitions, partKeys: _*)
           else df.repartition(partKeys: _*)
         }
     }

@@ -147,6 +147,7 @@ object Versions {
 
   val DirName = "_graft_versions"
   private val VacuumMarker = "_vacuum_watermark"
+  private val LatestHint = "_latest"
 
   /** The materialized row-id column's physical name (row tracking). An
     * INTERNAL column: written into mutation-rewrite/OPTIMIZE output files,
@@ -296,15 +297,69 @@ object Versions {
     f.exists(dirPath(root)) && latestVersion(spark, root).isDefined
   }
 
+  /** Log-directory listings performed by this JVM — a test hook (like
+    * [[entryReads]]): specs pin that the hinted resolve path does NO
+    * listing, so it stays O(1) as the log grows to thousands of commits.
+    */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def hintPath(root: String) = new Path(dirPath(root), LatestHint)
+
+  /** Best-effort latest-version hint write (plain overwrite, no CAS): a
+    * raced or crashed writer leaves the hint STALE-LOW at worst — the
+    * hinted entry always exists because the write happens only after the
+    * commit CAS wins — and [[latestVersion]] probes forward over the
+    * consecutive entry files to absorb exactly that staleness. Failures
+    * are swallowed: the hint is a resolve accelerator, never the truth.
+    */
+  private def writeLatestHint(f: org.apache.hadoop.fs.FileSystem,
+                              root: String, v: Int): Unit =
+    try {
+      val out = f.create(hintPath(root), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** O(1) in the log size (r16/r17 verdict item — the old implementation
+    * LISTED the whole log directory per call, and every snapshot resolve,
+    * commit attempt and isVersioned probe pays this): read the `_latest`
+    * hint (one small read), verify its entry exists, then probe FORWARD
+    * over consecutive entry files — versions are consecutive by
+    * construction (the commit CAS claims latest+1), so the probe cannot
+    * skip a committed version, and its length is the number of commits
+    * since the last successful hint write (normally 0). Hint missing or
+    * unreadable (legacy logs, torn write) falls back to one directory
+    * listing and repairs the hint for every later reader.
+    */
   def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
-    val d = dirPath(root)
-    if (!f.exists(d)) None
-    else f.listStatus(d).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt }
-      .maxOption
+    val hinted: Option[Int] =
+      try {
+        val p = hintPath(root)
+        if (!f.exists(p)) None
+        else {
+          val h = readRaw(f, p).trim.toInt
+          if (h >= 1 && f.exists(entryPath(root, h))) Some(h) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(entryPath(root, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val d = dirPath(root)
+        if (!f.exists(d)) None
+        else {
+          logListings.incrementAndGet()
+          val found = f.listStatus(d).toSeq
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+              n.stripPrefix("v").stripSuffix(".json").toInt }
+            .maxOption
+          found.foreach(writeLatestHint(f, root, _))
+          found
+        }
+    }
   }
 
   /** Oldest version still physically readable (advanced by [[vacuum]]). */
@@ -714,6 +769,10 @@ object Versions {
           json.getBytes("UTF-8"))
       }
       if (won) {
+        // advance the O(1)-resolve hint (best-effort, see writeLatestHint:
+        // a lost race or crash here only lengthens the next reader's
+        // forward probe by one entry)
+        writeLatestHint(f, root, v)
         // auto-checkpoint every `interval` commits so fresh processes
         // seed their replay from a resolved snapshot instead of walking
         // the whole chain (see the checkpoint section below). Best-effort:
@@ -960,19 +1019,16 @@ object Versions {
     }
   }
 
-  /** Newest checkpoint version ≤ `atMost` (one dir listing), if any. */
-  private def newestCkptVersion(spark: SparkSession, root: String,
-                                atMost: Int): Option[Int] = {
-    val f = fs(spark, root)
-    val d = dirPath(root)
-    if (!f.exists(d)) None
-    else f.listStatus(d).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("c") && n.endsWith(".json") =>
-        n.stripPrefix("c").stripSuffix(".json").toInt }
-      .filter(_ <= atMost)
-      .maxOption
-  }
+  /** The auto-checkpoint cadence in force for this session (commits write
+    * a checkpoint at every multiple; resolves PROBE at the same multiples
+    * instead of listing the log directory — r17 verdict item: the listing
+    * made every cold resolve O(history)). A checkpoint forced at an
+    * off-cadence version via [[writeCheckpoint]] still accelerates
+    * resolves AT that exact version (probed unconditionally); mid-chain it
+    * is simply not found, which costs replay, never correctness.
+    */
+  private def ckptInterval(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.checkpoint.interval", "10").toInt
 
   /** Load the checkpoint at exactly `v`, witness-verified against the
     * current entry bytes; None when absent, unreadable or stale.
@@ -1038,13 +1094,12 @@ object Versions {
       case Some(hit) => return hit
       case None =>
     }
-    // newest persisted checkpoint at or below the target (ONE dir listing;
-    // un-checkpointed datasets pay nothing per walked entry). Witness
-    // verification happens inside ckptGet at use time.
-    val ckptV = newestCkptVersion(spark, root, version)
     // a checkpoint AT the requested version answers outright (fresh
-    // processes land here instead of replaying the chain)
-    if (ckptV.contains(version)) ckptGet(spark, root, version) match {
+    // processes land here instead of replaying the chain) — probed by
+    // direct path, no directory listing; witness verification happens
+    // inside ckptGet at use time.
+    val interval = ckptInterval(spark)
+    ckptGet(spark, root, version) match {
       case Some((files, dvs)) =>
         val meta = DatasetMeta(atVersion.schema, atVersion.partitions,
           atVersion.colMap)
@@ -1067,8 +1122,13 @@ object Versions {
         case Some((files, _, dvs)) =>
           base = files.toVector; baseDvs = dvs.toVector; seeded = true
         case None =>
+          // probe only at the auto-checkpoint cadence: the walk then reads
+          // at most `interval` entries before seeding, and pays one exists
+          // probe per cadence multiple instead of a log-wide listing
           val fromCkpt =
-            if (ckptV.contains(v - 1)) ckptGet(spark, root, v - 1) else None
+            if (interval > 0 && (v - 1) % interval == 0)
+              ckptGet(spark, root, v - 1)
+            else None
           fromCkpt match {
             case Some((files, dvs)) =>
               base = files.toVector; baseDvs = dvs.toVector; seeded = true

@@ -32,7 +32,8 @@ object Decontaminate {
 
     // shingling is the CPU-heavy kernel here — spread a narrow input
     // across the cluster (identity at real scale, guide §2.5)
-    val d = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+    val d = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     d.join(broadcast(hashes(benchmark).distinct()), "h")
@@ -80,11 +81,13 @@ object Decontaminate {
     // shingles (identity at real scale — guide §2.5's unsplittable-input
     // case; the benchmark side's banding otherwise runs single-task
     // inside its broadcast build).
-    val dSh = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+    val dSh = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("doc_id"),
         Dedup.shingles(col(textCol), shingleSize).as("sh_d"))
     val bSh = Spread.forCompute(
-        benchmark.select(col(benchIdCol), col(textCol)), col(benchIdCol))
+        benchmark.select(col(benchIdCol), col(textCol)), col(benchIdCol),
+        Spread.HeavyBytesPerTask)
       .select(col(benchIdCol).as("bench_id"),
         Dedup.shingles(col(textCol), shingleSize).as("sh_b"))
     def banded(df: DataFrame, id: String, sh: String) = df.select(col(id),

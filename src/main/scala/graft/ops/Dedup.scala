@@ -66,7 +66,8 @@ object Dedup {
     // Shingle + 64-hash signature is the CPU-heavy kernel: spread a
     // narrow input across the cluster first (identity at real scale —
     // guide §2.5's unsplittable-input case).
-    val shingled = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+    val shingled = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
 
     // Candidate generation shuffles ONLY (id, band, bhash) scalars — the
@@ -275,7 +276,8 @@ object Dedup {
     val cols = docs.columns
     // paragraph split + per-paragraph md5 is the heavy kernel: spread a
     // narrow input first (identity at real scale, guide §2.5)
-    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
@@ -324,7 +326,8 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     val cols = docs.columns
     // same heavy split+md5 kernel as dropDuplicateParagraphs: spread
-    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol))
+    val paras = Spread.forCompute(docs.select(col(idCol), col(textCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
@@ -456,7 +459,8 @@ object Dedup {
                        maxBucket: Int = 2000): DataFrame = {
     // hyperplane signatures + candidate cosines are the CPU-heavy kernels:
     // spread a narrow input first (identity at real scale, guide §2.5)
-    val base = Spread.forCompute(embs.select(col(idCol), col(vecCol)), col(idCol))
+    val base = Spread.forCompute(embs.select(col(idCol), col(vecCol)), col(idCol),
+        Spread.HeavyBytesPerTask)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
       .where(col("norm") > 0)

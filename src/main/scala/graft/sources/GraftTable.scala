@@ -428,9 +428,9 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
           graft.core.GeneratedCols.applyOn(data0, m.schema)).getOrElse(data0)
         // identity columns assign here too — the watermark advance rides
         // the same commit (propsFull/propsBase)
-        val (data, propsFull, propsBase) = metaOpt.map(m =>
+        val (data, propsFull, propsBase, idPersisted) = metaOpt.map(m =>
           graft.core.IdentityCols.applyOn(spark, root, data1, m.schema))
-          .getOrElse((data1, None, None))
+          .getOrElse((data1, None, None, false))
         val versioned = options.get("versioned").exists(_.trim.toBoolean) ||
           Versions.isVersioned(spark, root)
         val mode =
@@ -438,17 +438,19 @@ class GraftWriteBuilder(root: String, partitions: Seq[String],
         // DDL-declared partition transforms (`PARTITIONED BY (days(ts))`)
         // route the CREATE through hidden partitioning; later writes see
         // the recorded spec and take the ordinary re-deriving path
-        if (declaredTransforms.nonEmpty &&
-            graft.core.Transforms.read(spark, root).isEmpty) {
-          require(propsFull.isEmpty,
-            "identity columns on a transform-partitioned table are not supported yet")
-          Publish.publishTransformed(spark, data, root, declaredTransforms,
-            mode = mode, versioned = versioned)
-        } else if (versioned)
-          Publish.publishVersioned(spark, data, root, partitions, mode = mode,
-            propertiesFull = propsFull, baseVersion = propsBase)
-        else Publish.publish(spark, data, root, partitions, mode = mode)
-        metaOpt.foreach(m => graft.core.IdentityCols.release(m.schema, data))
+        // try/finally: release the identity cache on failure paths too
+        try {
+          if (declaredTransforms.nonEmpty &&
+              graft.core.Transforms.read(spark, root).isEmpty) {
+            require(propsFull.isEmpty,
+              "identity columns on a transform-partitioned table are not supported yet")
+            Publish.publishTransformed(spark, data, root, declaredTransforms,
+              mode = mode, versioned = versioned)
+          } else if (versioned)
+            Publish.publishVersioned(spark, data, root, partitions, mode = mode,
+              propertiesFull = propsFull, baseVersion = propsBase)
+          else Publish.publish(spark, data, root, partitions, mode = mode)
+        } finally graft.core.IdentityCols.release(idPersisted, data)
       }
     }
   }

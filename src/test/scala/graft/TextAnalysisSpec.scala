@@ -45,6 +45,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(graft.ops.TextAnalysis.bpeLearn(tie, 1) == Seq(("a", "b")))
   }
 
+  test("bpeLearn default vocab bound: driver state capped, head-equal results") {
+    // the DEFAULT cap bounds driver memory at scale (r17 verdict #3: an
+    // unbounded default collected the whole open-web vocab); any corpus
+    // whose vocab fits under it trains identically to uncapped
+    val docs = Seq("a b a b c", "a b d").toDF("text")
+    assert(graft.ops.TextAnalysis.DefaultVocabCap == 100000)
+    assert(graft.ops.TextAnalysis.bpeLearn(docs, 2) ==
+      graft.ops.TextAnalysis.bpeLearn(docs, 2, vocabCap = Int.MaxValue))
+  }
+
   test("bpeLearn vocabCap trains on the head of the distribution only") {
     // cap 1 keeps only the most frequent word "xy" (freq 3) — the pair
     // (q,r) from the dropped word must not surface
