@@ -1287,21 +1287,21 @@ object SparkEntry {
       val clIvfPq = Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
         m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000)
       // the recall VALUES ride the dump quantized to 0.01 (r16) — the
-      // artifact shows the measured quality, not just surviving row counts
-      Similarity.recallVsBrute(ivf, brute).withColumn("method", lit("ivf"))
-        .unionByName(Similarity.recallVsBrute(lsh, brute).withColumn("method", lit("lsh")))
+      // artifact shows the measured quality, not just surviving row counts.
+      // Tagged recall (r18): ONE brute-force leg per corpus fans across
+      // the methods instead of being recomputed inside every branch —
+      // per-(method, query) rows and floors are unchanged (fits untouched).
+      Similarity.recallVsBruteTagged(
+          Seq("ivf" -> ivf, "lsh" -> lsh), brute)
         .where(col("recall") >= 0.4)
-        .unionByName(Similarity.recallVsBrute(clIvf, clBrute)
-          .withColumn("method", lit("ivf_clustered")).where(col("recall") >= 0.8))
-        .unionByName(Similarity.recallVsBrute(clLsh, clBrute)
-          .withColumn("method", lit("lsh_clustered")).where(col("recall") >= 0.8))
-        .unionByName(Similarity.recallVsBrute(clPq, clBrute)
-          .withColumn("method", lit("pq_clustered")).where(col("recall") >= 0.8))
-        .unionByName(Similarity.recallVsBrute(clIvfPq, clBrute)
-          .withColumn("method", lit("ivfpq_clustered")).where(col("recall") >= 0.8))
-        .unionByName(Similarity.recallVsBrute(
-          Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4), clBrute)
-          .withColumn("method", lit("sq8_clustered")).where(col("recall") >= 0.8))
+        .unionByName(Similarity.recallVsBruteTagged(Seq(
+            "ivf_clustered" -> clIvf,
+            "lsh_clustered" -> clLsh,
+            "pq_clustered" -> clPq,
+            "ivfpq_clustered" -> clIvfPq,
+            "sq8_clustered" ->
+              Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4)), clBrute)
+          .where(col("recall") >= 0.8))
         .select(col("method"), col("query_id"),
           round(col("recall"), 2).as("recall_q"))
         .orderBy("method", "query_id")
@@ -1319,34 +1319,30 @@ object SparkEntry {
       val cl = clusteredCorpus(s)
       val clQueries = cl.where(col("vec_id") < 8)
       val clBrute = Similarity.bruteForceTopK(cl, clQueries, 5)
-      def contract(res: org.apache.spark.sql.DataFrame,
-                   truth: org.apache.spark.sql.DataFrame,
-                   m: String, floor: Double) =
-        Similarity.recallVsBrute(res, truth)
+      // Tagged recall (r18): per floor group, ONE brute-force leg fans
+      // across the methods (see ann_recall); the per-method aggregation
+      // then yields the identical (method, n_queries, floor, floor_ok)
+      // rows the per-method contract() union produced.
+      def contracts(approx: Seq[(String, org.apache.spark.sql.DataFrame)],
+                    truth: org.apache.spark.sql.DataFrame, floor: Double) =
+        Similarity.recallVsBruteTagged(approx, truth)
+          .groupBy("method")
           .agg(count(lit(1)).as("n_queries"), min("recall").as("__mr"))
-          .select(lit(m).as("method"), col("n_queries"),
+          .select(col("method"), col("n_queries"),
             lit(f"$floor%.1f").as("floor"), (col("__mr") >= floor).as("floor_ok"))
-      contract(Similarity.ivfTopK(embs, queries, 5, nlist = 16), brute, "ivf", 0.4)
-        .unionByName(contract(
-          Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16),
-          brute, "lsh", 0.4))
-        .unionByName(contract(
-          Similarity.ivfTopK(cl, clQueries, 5, nlist = 8), clBrute,
-          "ivf_clustered", 0.8))
-        .unionByName(contract(
-          Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8), clBrute,
-          "lsh_clustered", 0.8))
-        .unionByName(contract(
-          Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
-            refineFactor = 4, maxFitSample = 1000), clBrute,
-          "pq_clustered", 0.8))
-        .unionByName(contract(
-          Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5, nprobe = 2,
-            m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000), clBrute,
-          "ivfpq_clustered", 0.8))
-        .unionByName(contract(
-          Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4), clBrute,
-          "sq8_clustered", 0.8))
+      contracts(Seq(
+          "ivf" -> Similarity.ivfTopK(embs, queries, 5, nlist = 16),
+          "lsh" -> Similarity.lshTopK(embs, queries, 5, planes = 4, tables = 16)),
+          brute, 0.4)
+        .unionByName(contracts(Seq(
+          "ivf_clustered" -> Similarity.ivfTopK(cl, clQueries, 5, nlist = 8),
+          "lsh_clustered" -> Similarity.lshTopK(cl, clQueries, 5, planes = 8, tables = 8),
+          "pq_clustered" -> Similarity.pqTopK(cl, clQueries, 5, m = 4, ksub = 16,
+            refineFactor = 4, maxFitSample = 1000),
+          "ivfpq_clustered" -> Similarity.ivfPqTopK(cl, clQueries, 5, nlist = 5,
+            nprobe = 2, m = 4, ksub = 16, refineFactor = 4, maxFitSample = 1000),
+          "sq8_clustered" -> Similarity.sqTopK(cl, clQueries, 5, refineFactor = 4)),
+          clBrute, 0.8))
         .orderBy("method")
     }),
 

@@ -358,6 +358,37 @@ object Similarity {
         round(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4).as("recall"))
   }
 
+  /** [[recallVsBrute]] of SEVERAL method-tagged ANN results against ONE
+    * shared ground truth, as one plan: the exact (brute-force) subtree is
+    * referenced ONCE — fanned across methods by a broadcast cross join
+    * with the (tiny) method list — instead of being copied into every
+    * method's recall branch. A 7-method recall report was recomputing the
+    * corpus-scanning brute-force leg up to 14× inside one query (each
+    * per-method recallVsBrute references the exact frame twice, and Spark
+    * does not share identical subtrees); this shape computes it once per
+    * corpus. Per-(method, query) output rows are IDENTICAL to running
+    * recallVsBrute per method: a left join against the distinct approx
+    * pairs counts hits (a miss contributes a null, so silent-miss queries
+    * still appear with recall 0), and the rounding matches.
+    */
+  def recallVsBruteTagged(approxByMethod: Seq[(String, DataFrame)],
+                          exact: DataFrame): DataFrame = {
+    require(approxByMethod.nonEmpty, "need at least one tagged ANN result")
+    val spark = exact.sparkSession
+    import spark.implicits._
+    val methods = approxByMethod.map(_._1).toDF("method")
+    val a = approxByMethod.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionAll(_)).withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .crossJoin(broadcast(methods))
+      .join(a, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+      .select(col("method"), col("query_id"),
+        round(col("hits").cast("double") / col("n"), 4).as("recall"))
+  }
+
   // -------------------------------------------------------- product quantization
 
   /** A fitted product-quantization model: vectors are unit-normalized and
