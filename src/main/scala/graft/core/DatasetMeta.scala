@@ -72,22 +72,36 @@ object DatasetMeta {
   def read(spark: SparkSession, root: String): Option[DatasetMeta] = {
     val p = fsPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8")
-      } finally in.close()
-      val jv = JsonMethods.parse(raw)
-      val parts = (jv \ "partitions") match {
-        case JArray(xs) => xs.collect { case JString(s) => s }
-        case _ => Nil
+    // The sidecar is rewritten in place (plain overwrite, no atomic
+    // rename on every store), so a reader racing a writer — lock-free
+    // OCC mutations both republish it — can observe an EMPTY or partial
+    // file for the milliseconds between create(overwrite) and close.
+    // Same remedy as Versions.readEntry: that is a write IN FLIGHT, not
+    // corruption — retry briefly, then surface the real error.
+    val deadline = System.currentTimeMillis() + 1000
+    var lastErr: Throwable = null
+    while (System.currentTimeMillis() <= deadline) {
+      if (!fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        val raw = try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8")
+        } finally in.close()
+        val jv = JsonMethods.parse(raw)
+        val parts = (jv \ "partitions") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val schema = DataType.fromJson(
+          JsonMethods.compact(JsonMethods.render(jv \ "schema"))).asInstanceOf[StructType]
+        return Some(DatasetMeta(schema, parts))
+      } catch {
+        case scala.util.control.NonFatal(e) => lastErr = e; Thread.sleep(20)
       }
-      val schema = DataType.fromJson(
-        JsonMethods.compact(JsonMethods.render(jv \ "schema"))).asInstanceOf[StructType]
-      Some(DatasetMeta(schema, parts))
     }
+    throw new IllegalStateException(
+      s"$p is unreadable after retries — a writer crashed mid-rewrite?", lastErr)
   }
 }
