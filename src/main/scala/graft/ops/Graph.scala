@@ -52,11 +52,18 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Rank mass parked on dangling nodes (no out-edges): ONE scalar per
+    // generation. The anti-join aggregate reads EVERY partition of its
+    // input, so it doubles as the materializing action for the freshly
+    // persisted generation — one action per iteration where the previous
+    // shape paid two (a dangling scalar + a separate count(); r18,
+    // guide §1.2). Same plan, same values — only the issue order moved.
+    def danglingOf(r: DataFrame): Double =
+      r.join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+    var dangling = danglingOf(ranks) // also materializes ranks' cache
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
-      // rank mass parked on dangling nodes (no out-edges): ONE scalar
-      val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
         .groupBy("dst").agg(sum(col("rank") / col("deg")).as("c"))
@@ -66,7 +73,9 @@ object Graph {
             lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before the parent unpersists
+      // materializes `next` before the parent unpersists AND prices the
+      // following iteration's dangling scalar in the same action
+      dangling = danglingOf(next)
       prev.foreach(_.unpersist())
       prev = Some(ranks)
       ranks = next
